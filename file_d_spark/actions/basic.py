@@ -1,0 +1,98 @@
+"""Simple actions: discard, add_host, add_file_name, set_time, debug.
+
+Reference cites:
+  discard        /root/reference/plugin/action/discard/discard.go:26,45
+  add_host       /root/reference/plugin/action/add_host/add_host.go:22,53
+  add_file_name  /root/reference/plugin/action/add_file_name/add_file_name.go:20,51
+  set_time       /root/reference/plugin/action/set_time/set_time.go:21,66
+  debug          /root/reference/plugin/action/debug/debug.go:46,83
+"""
+
+from __future__ import annotations
+
+import socket
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from file_d_spark import xtime
+from file_d_spark.actions.base import Action, register
+from file_d_spark.fields import get_col_safe, parse_selector
+
+
+@register("discard")
+class Discard(Action):
+    """Drop matched events — the filter operator.  Selection lives
+    entirely in the gate; an ungated discard drops everything."""
+
+    def apply(self, df: DataFrame) -> DataFrame:  # custom gate handling
+        pred = self.gate(df)
+        if pred is None:
+            return df.limit(0)
+        # keep rows that do NOT match (NULL predicate = no match = keep)
+        return df.filter(~F.coalesce(pred, F.lit(False)))
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        raise AssertionError("unreachable")
+
+
+@register("add_host")
+class AddHost(Action):
+    """Add the hostname into ``field`` (default ``host``).  The
+    hostname is a driver-side constant — in a real cluster the
+    reference's semantics is "host that ingested the record", which
+    for Spark is the driver/app identity, not per-executor."""
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        field = parse_selector(self.params.get("field", "host"))
+        return self.set_gated(df, field, F.lit(socket.gethostname()), pred)
+
+
+@register("add_file_name")
+class AddFileName(Action):
+    """Add the source filename into ``field``.  Uses the file-source
+    metadata column when reading files; falls back to any existing
+    ``_source_name`` column set by a source builder."""
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        field = parse_selector(self.params.get("field", "file_name"))
+        if "_source_name" in df.columns:
+            src = F.col("_source_name")
+        else:
+            src = F.input_file_name()
+        return self.set_gated(df, field, src, pred)
+
+
+@register("set_time")
+class SetTime(Action):
+    """Write the current time into ``field`` rendered with ``format``
+    (alias or Go layout; ``unix*`` variants yield numbers).  With
+    ``override: false`` an existing field is kept."""
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        field = parse_selector(self.params["field"])
+        fmt = self.params.get("format", "rfc3339nano")
+        override = self.params.get("override", True)
+        value = xtime.format_time(F.current_timestamp(), fmt)
+        if not override:
+            # existing value wins; compare as strings to keep one type
+            old = get_col_safe(field, df.schema)
+            value = F.coalesce(old.cast("string"), value.cast("string"))
+        return self.set_gated(df, field, value, pred)
+
+
+@register("debug")
+class Debug(Action):
+    """Log passthrough.  The reference writes sampled events to stderr
+    (zap sampling).  Spark-side we attach an ``observe`` metric so the
+    count is visible without perturbing the plan; events pass through."""
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        name = self.params.get("message", "debug")
+        cond = pred if pred is not None else F.lit(True)
+        try:
+            return df.observe(
+                f"fd_debug_{name}", F.sum(F.when(cond, 1).otherwise(0)).alias("events")
+            )
+        except Exception:
+            return df  # observe unavailable (e.g. repeated name) — passthrough

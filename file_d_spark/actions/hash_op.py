@@ -1,0 +1,42 @@
+"""hash action: stable hash of the first present field.
+
+Reference: /root/reference/plugin/action/hash/hash.go:255,424 — fields
+are tried in order, the first present one is hashed (xxhash64) into
+``result_field``; per-field options ``max_size`` (truncate before
+hashing) and ``format: no|normalize`` (token-normalize first, see
+functions/normalize.py).
+
+Spark's built-in ``xxhash64`` is the same family but a different seed
+and byte layout than the reference's — hash *values* differ, hash
+*semantics* (stable identity of normalized content) match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from file_d_spark.actions.base import Action, register
+from file_d_spark.fields import get_col_safe, parse_selector
+from file_d_spark.functions.normalize import normalize_tokens
+
+
+@register("hash")
+class HashAction(Action):
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        result_field = parse_selector(self.params["result_field"])
+        candidates: list[Column] = []
+        for fcfg in self.params.get("fields", []):
+            if isinstance(fcfg, str):
+                fcfg = {"field": fcfg}
+            col = get_col_safe(parse_selector(fcfg["field"]), df.schema).cast("string")
+            max_size = int(fcfg.get("max_size", 0) or 0)
+            if max_size > 0:
+                col = F.substring(col, 1, max_size)
+            if fcfg.get("format", "no") == "normalize":
+                col = normalize_tokens(col, fcfg.get("normalize_patterns"))
+            candidates.append(col)
+        if not candidates:
+            raise ValueError("hash action needs a fields list")
+        first_present = F.coalesce(*candidates) if len(candidates) > 1 else candidates[0]
+        return self.set_gated(df, result_field, F.xxhash64(first_present), pred)

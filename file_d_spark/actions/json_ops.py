@@ -1,0 +1,206 @@
+"""JSON + regex parsing actions: json_decode, json_encode,
+json_extract, decode, parse_re2, parse_es.
+
+Reference cites:
+  json_decode  /root/reference/plugin/action/json_decode/json_decode.go:34,84
+  json_encode  /root/reference/plugin/action/json_encode/json_encode.go:32,58
+  json_extract /root/reference/plugin/action/json_extract/json_extract.go:122-145,181
+  decode       /root/reference/plugin/action/decode/decode.go:653-762
+  parse_re2    /root/reference/plugin/action/parse_re2/parse_re2.go:27,66
+  parse_es     /root/reference/plugin/action/parse_es/parse_es.go:21,42
+"""
+
+from __future__ import annotations
+
+import re as _pyre
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from file_d_spark.actions.base import Action, register
+from file_d_spark.decoders import get_decoder
+from file_d_spark.fields import (
+    drop_field,
+    get_col_safe,
+    parse_selector,
+)
+
+
+def _merge_fieldmap(
+    action: Action,
+    df: DataFrame,
+    fieldmap: dict[str, Column],
+    pred: Column | None,
+    prefix: str = "",
+    target_field: list[str] | None = None,
+) -> DataFrame:
+    """Merge a decoder's output fields into the event root (reference
+    semantics: decoded object members land at root)."""
+    for name, col in fieldmap.items():
+        if name == "__struct__":
+            # declared-schema parse: splat struct members to root
+            tmp = "__fd_decoded__"
+            df = df.withColumn(tmp, col)
+            struct_t = df.schema[tmp].dataType
+            for f in struct_t.fields:
+                df = action.set_gated(
+                    df, [prefix + f.name], F.col(tmp).getField(f.name), pred
+                )
+            df = df.drop(tmp)
+        elif name == "__map__":
+            # schemaless parse: keep the map under the source field
+            # (typed engines cannot splat unknown keys)
+            tgt = target_field or ["decoded"]
+            df = action.set_gated(df, tgt, col, pred)
+        else:
+            df = action.set_gated(df, [prefix + name], col, pred)
+    return df
+
+
+@register("json_decode")
+class JsonDecode(Action):
+    """Parse JSON string ``field`` and merge into root.  With a
+    ``schema`` (DDL) param members splat to root (exact reference
+    semantics for the declared keys); without one the parsed
+    ``map<string,string>`` replaces the field."""
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        parts = parse_selector(self.params["field"])
+        prefix = self.params.get("prefix", "")
+        col = get_col_safe(parts, df.schema).cast("string")
+        fm = get_decoder("json")(col, {"schema": self.params.get("schema")})
+        df = _merge_fieldmap(self, df, fm, pred, prefix, target_field=parts)
+        if self.params.get("keep_origin", False) or "__map__" in fm:
+            return df
+        return drop_field(df, parts)
+
+
+@register("json_encode")
+class JsonEncode(Action):
+    """Replace ``field`` with its JSON string encoding."""
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        from pyspark.sql import types as T
+
+        from file_d_spark.fields import schema_type_at
+
+        parts = parse_selector(self.params["field"])
+        col = get_col_safe(parts, df.schema)
+        t = schema_type_at(df.schema, parts)
+        if isinstance(t, (T.StructType, T.MapType, T.ArrayType)):
+            encoded = F.to_json(col)
+        elif isinstance(t, T.StringType):
+            # JSON string literal: wrap in quotes with escapes
+            encoded = F.concat(
+                F.lit('"'),
+                F.regexp_replace(
+                    F.regexp_replace(col, r"\\", r"\\\\"), '"', '\\\\"'
+                ),
+                F.lit('"'),
+            )
+        elif isinstance(t, T.BooleanType) or t is None:
+            encoded = col.cast("string")
+        else:
+            encoded = col.cast("string")
+        return self.set_gated(df, parts, encoded, pred)
+
+
+@register("json_extract")
+class JsonExtract(Action):
+    """Extract listed dot-paths from a JSON *string* field into root
+    with ``prefix``.  Uses ``get_json_object`` per path — Catalyst
+    fuses multiple extractions over the same input."""
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        src = parse_selector(self.params["field"])
+        prefix = self.params.get("prefix", "")
+        paths = self.params.get("extract_fields", [])
+        if isinstance(paths, str):
+            paths = [paths]
+        col = get_col_safe(src, df.schema).cast("string")
+        for p in paths:
+            pparts = parse_selector(p)
+            json_path = "$." + ".".join(
+                f"['{x}']" if "." in x else x for x in pparts
+            ).replace(".['", "['")
+            out_name = prefix + pparts[-1]
+            df = self.set_gated(
+                df, [out_name], F.get_json_object(col, json_path), pred
+            )
+        return df
+
+
+@register("decode")
+class Decode(Action):
+    """Run any decoder (§2.2) on a string field mid-pipeline and merge
+    the result into root.  ``keep_origin`` keeps the source field."""
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        parts = parse_selector(self.params.get("field", "message"))
+        decoder = get_decoder(self.params.get("decoder", "json"))
+        prefix = self.params.get("prefix", "")
+        col = get_col_safe(parts, df.schema).cast("string")
+        fm = decoder(col, self.params.get("params") or self.params)
+        df = _merge_fieldmap(self, df, fm, pred, prefix, target_field=parts)
+        if not self.params.get("keep_origin", False) and "__map__" not in fm:
+            df = drop_field(df, parts)
+        return df
+
+
+@register("parse_re2")
+class ParseRe2(Action):
+    """Apply a regex with named groups to ``field``; each named group
+    becomes a root field (with ``prefix``)."""
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        parts = parse_selector(self.params["field"])
+        prefix = self.params.get("prefix", "")
+        pattern = self.params["re"]
+        col = get_col_safe(parts, df.schema).cast("string")
+        group_index = _pyre.compile(pattern).groupindex
+        if not group_index:
+            raise ValueError("parse_re2 requires named capture groups")
+        for name, idx in group_index.items():
+            v = F.regexp_extract(col, pattern, idx)
+            df = self.set_gated(
+                df,
+                [prefix + name],
+                F.when(col.rlike(pattern), v),
+                pred,
+            )
+        return df
+
+
+@register("parse_es")
+class ParseEs(Action):
+    """Parse the ES ``_bulk`` line protocol: action lines
+    (index/create) admit the FOLLOWING source line as an event;
+    delete/update actions (and their payload lines) are dropped.
+
+    Batch mapping: a lag() window over per-source arrival order — the
+    pairing is sequential by nature, so this is the one projection that
+    needs a window, partitioned by source to stay parallel
+    (/root/reference/plugin/action/parse_es/parse_es.go:21,42).
+    Expects ``field`` (the raw line), ``source_field`` and
+    ``seq_field`` to identify per-source order.
+    """
+
+    shape_changing = True
+
+    def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        line = get_col_safe(parse_selector(self.params.get("field", "line")), df.schema)
+        source = self.params.get("source_field", "source_id")
+        seq = self.params.get("seq_field", "seq")
+        w = Window.partitionBy(source).orderBy(seq)
+        action_type = F.coalesce(
+            *[
+                F.when(
+                    F.get_json_object(line, f"$.{a}").isNotNull(), F.lit(a)
+                )
+                for a in ("index", "create", "delete", "update")
+            ]
+        )
+        df = df.withColumn("__fd_action__", action_type)
+        prev_action = F.lag("__fd_action__").over(w)
+        keep = F.col("__fd_action__").isNull() & prev_action.isin("index", "create")
+        return df.filter(keep).drop("__fd_action__")

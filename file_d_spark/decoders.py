@@ -1,0 +1,272 @@
+r"""Decoders: raw byte lines -> typed fields, as Column expressions.
+
+The reference selects a decoder per pipeline (``settings.decoder``,
+/root/reference/pipeline/pipeline.go:345-351,488-505) or applies one
+mid-pipeline via the ``decode`` action
+(/root/reference/plugin/action/decode/decode.go:653-760).  Formats:
+
+  json            decoder/json.go:56        from_json (declared schema) or map
+  raw             pipeline/pipeline.go:496  {"message": line}
+  cri             decoder/cri.go:21-67      "<ts> <stream> <P|F> <log>"
+  postgres        decoder/postgres.go:28-44 "<ts> GMT [pid] => [n-m] client=..,db=..,user=.. LOG: text"
+  nginx_error     decoder/nginx.go:49-64    "<ts> [level] pid#tid: *cid msg"
+  syslog_rfc3164  decoder/syslog_rfc3164.go "<pri>Mmm dd hh:mm:ss host tag[pid]: msg"
+  syslog_rfc5424  decoder/syslog_rfc5424.go "<pri>ver ts host app proc msgid [sd] msg"
+  csv             decoder/csv.go:105        from_csv with declared columns
+  protobuf        decoder/protobuf.go:82    from_protobuf (needs descriptor set)
+
+Each ``decode_<fmt>`` returns an ordered ``{field_name: Column}`` dict
+(the fields the reference merges into the event root) built from pure
+``regexp_extract``/``from_json``/``from_csv`` expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FieldMap = dict[str, Column]
+
+# --- helpers ---------------------------------------------------------------
+
+
+def _rx(col: Column, pattern: str, idx: int) -> Column:
+    """regexp_extract that yields NULL (not '') when unmatched."""
+    v = F.regexp_extract(col, pattern, idx)
+    return F.when(v == "", F.lit(None)).otherwise(v)
+
+
+# --- decoders --------------------------------------------------------------
+
+
+def decode_json(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    params = params or {}
+    schema = params.get("schema")
+    max_fields_size = params.get("json_max_fields_size")
+    src = line
+    if max_fields_size:
+        # reference trims oversized string fields; approximate with a
+        # whole-line cap before parsing
+        src = F.substring(src, 1, int(max_fields_size))
+    if schema:
+        parsed = F.from_json(src, schema)
+        return {"__struct__": parsed}
+    return {"__map__": F.from_json(src, "map<string,string>")}
+
+
+def decode_raw(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    return {"message": line}
+
+
+CRI_PATTERN = r"^(\S+) (stdout|stderr) (P|F) (.*)$"
+
+
+def decode_cri(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    return {
+        "time": _rx(line, CRI_PATTERN, 1),
+        "stream": _rx(line, CRI_PATTERN, 2),
+        "is_partial": _rx(line, CRI_PATTERN, 3) == "P",
+        "log": _rx(line, CRI_PATTERN, 4),
+    }
+
+
+PG_PATTERN = (
+    r"^(.+? GMT) \[(\d+)\] => \[([\d-]+)\] "
+    r"client=([^,]*),db=([^,]*),user=([^ ]*) (.*)$"
+)
+
+
+def decode_postgres(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    return {
+        "time": _rx(line, PG_PATTERN, 1),
+        "pid": _rx(line, PG_PATTERN, 2),
+        "pid_message_number": _rx(line, PG_PATTERN, 3),
+        "client": _rx(line, PG_PATTERN, 4),
+        "db": _rx(line, PG_PATTERN, 5),
+        "user": _rx(line, PG_PATTERN, 6),
+        "log": _rx(line, PG_PATTERN, 7),
+    }
+
+
+NGINX_PATTERN = r"^(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}) \[(\w+)\] (\d+)#(\d+):(?: \*(\d+))?(?: (.*))?$"
+
+
+def decode_nginx_error(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    params = params or {}
+    out = {
+        "time": _rx(line, NGINX_PATTERN, 1),
+        "level": _rx(line, NGINX_PATTERN, 2),
+        "pid": _rx(line, NGINX_PATTERN, 3),
+        "tid": _rx(line, NGINX_PATTERN, 4),
+        "cid": _rx(line, NGINX_PATTERN, 5),
+        "message": _rx(line, NGINX_PATTERN, 6),
+    }
+    if params.get("nginx_with_custom_fields"):
+        # "a: b, c: d" custom fields at the message tail become a map
+        msg = out["message"]
+        out["custom_fields"] = F.map_filter(
+            F.map_from_entries(
+                F.transform(
+                    F.split(msg, ", "),
+                    lambda kv: F.struct(
+                        F.trim(F.substring_index(kv, ":", 1)).alias("key"),
+                        F.trim(F.substring_index(kv, ":", -1)).alias("value"),
+                    ),
+                )
+            ),
+            lambda k, v: k.rlike("^\\w+$"),
+        )
+    return out
+
+
+SYSLOG3164_PATTERN = (
+    r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+    r"(\S+) ([^:\[ ]+)(?:\[(\d+)\])?:? ?(.*)$"
+)
+
+
+def _pri_fields(pri: Column, params: dict[str, Any]) -> FieldMap:
+    """priority -> facility/severity per the RFC: pri = fac*8 + sev.
+    Format options number|string
+    (/root/reference/decoder/syslog.go:21-67,140-187)."""
+    fac_num = (pri.cast("int") / 8).cast("int")
+    sev_num = pri.cast("int") % 8
+    facilities = [
+        "KERN", "USER", "MAIL", "DAEMON", "AUTH", "SYSLOG", "LPR", "NEWS",
+        "UUCP", "CRON", "AUTHPRIV", "FTP", "NTP", "SECURITY", "CONSOLE",
+        "SOLARISCRON", "LOCAL0", "LOCAL1", "LOCAL2", "LOCAL3", "LOCAL4",
+        "LOCAL5", "LOCAL6", "LOCAL7",
+    ]
+    severities = [
+        "EMERGENCY", "ALERT", "CRITICAL", "ERROR",
+        "WARNING", "NOTICE", "INFO", "DEBUG",
+    ]
+    fac: Column = fac_num.cast("string")
+    sev: Column = sev_num.cast("string")
+    if params.get("syslog_facility_format") == "string":
+        fac = F.coalesce(
+            F.element_at(F.array(*[F.lit(x) for x in facilities]), fac_num + 1),
+            F.lit("UNKNOWN"),
+        )
+    if params.get("syslog_severity_format") == "string":
+        sev = F.coalesce(
+            F.element_at(F.array(*[F.lit(x) for x in severities]), sev_num + 1),
+            F.lit("UNKNOWN"),
+        )
+    return {"priority": pri, "facility": fac, "severity": sev}
+
+
+def decode_syslog_rfc3164(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    params = params or {}
+    pri = _rx(line, SYSLOG3164_PATTERN, 1)
+    out = _pri_fields(pri, params)
+    out.update(
+        {
+            "timestamp": _rx(line, SYSLOG3164_PATTERN, 2),
+            "hostname": _rx(line, SYSLOG3164_PATTERN, 3),
+            "app_name": _rx(line, SYSLOG3164_PATTERN, 4),
+            "process_id": _rx(line, SYSLOG3164_PATTERN, 5),
+            "message": _rx(line, SYSLOG3164_PATTERN, 6),
+        }
+    )
+    return out
+
+
+SYSLOG5424_PATTERN = (
+    r"^<(\d{1,3})>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) "
+    r"(?:(-|(?:\[.*\])) ?)?(.*)$"
+)
+
+
+def decode_syslog_rfc5424(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    params = params or {}
+    pri = _rx(line, SYSLOG5424_PATTERN, 1)
+    out = _pri_fields(pri, params)
+
+    def nilable(c: Column) -> Column:
+        return F.when(c == "-", F.lit(None)).otherwise(c)
+
+    sd_raw = _rx(line, SYSLOG5424_PATTERN, 8)
+    # structured data "[id k="v" k2="v2"][id2 ...]" -> map of maps
+    sd = F.map_from_entries(
+        F.transform(
+            F.regexp_extract_all(sd_raw, r"\[([^\]]+)\]", 1),
+            lambda grp: F.struct(
+                F.substring_index(grp, " ", 1).alias("key"),
+                F.map_from_entries(
+                    F.transform(
+                        F.regexp_extract_all(
+                            grp, "(\\w+)=\"([^\"]*)\"", 0
+                        ),
+                        lambda kv: F.struct(
+                            F.substring_index(kv, "=", 1).alias("key"),
+                            F.regexp_replace(
+                                F.substring_index(kv, "=", -1), "^\"|\"$", ""
+                            ).alias("value"),
+                        ),
+                    )
+                ).alias("value"),
+            ),
+        )
+    )
+    out.update(
+        {
+            "proto_version": _rx(line, SYSLOG5424_PATTERN, 2),
+            "timestamp": nilable(_rx(line, SYSLOG5424_PATTERN, 3)),
+            "hostname": nilable(_rx(line, SYSLOG5424_PATTERN, 4)),
+            "app_name": nilable(_rx(line, SYSLOG5424_PATTERN, 5)),
+            "process_id": nilable(_rx(line, SYSLOG5424_PATTERN, 6)),
+            "message_id": nilable(_rx(line, SYSLOG5424_PATTERN, 7)),
+            "structured_data": F.when(sd_raw.isNotNull() & (sd_raw != "-"), sd),
+            "message": _rx(line, SYSLOG5424_PATTERN, 9),
+        }
+    )
+    return out
+
+
+def decode_csv(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    params = params or {}
+    columns = params.get("csv_columns") or params.get("columns")
+    if not columns:
+        raise ValueError("csv decoder requires csv_columns")
+    delimiter = params.get("csv_delimiter", params.get("delimiter", ","))
+    ddl = ", ".join(f"`{c}` STRING" for c in columns)
+    parsed = F.from_csv(line, ddl, {"sep": delimiter})
+    return {c: parsed.getField(c) for c in columns}
+
+
+def decode_protobuf(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    params = params or {}
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("protobuf decoder needs spark-protobuf") from e
+    desc = params.get("proto_desc_file")
+    msg = params.get("proto_message")
+    if not desc or not msg:
+        raise ValueError("protobuf decoder requires proto_desc_file + proto_message")
+    return {"__struct__": from_protobuf(line.cast("binary"), msg, descFilePath=desc)}
+
+
+DECODERS: dict[str, Callable[[Column, dict[str, Any] | None], FieldMap]] = {
+    "json": decode_json,
+    "raw": decode_raw,
+    "cri": decode_cri,
+    "postgres": decode_postgres,
+    "nginx_error": decode_nginx_error,
+    "syslog_rfc3164": decode_syslog_rfc3164,
+    "syslog_rfc5424": decode_syslog_rfc5424,
+    "csv": decode_csv,
+    "protobuf": decode_protobuf,
+}
+
+
+def get_decoder(name: str) -> Callable[[Column, dict[str, Any] | None], FieldMap]:
+    key = (name or "json").lower()
+    if key == "auto":
+        key = "json"
+    if key not in DECODERS:
+        raise ValueError(f"unknown decoder {name!r}; known: {sorted(DECODERS)}")
+    return DECODERS[key]

@@ -1,0 +1,87 @@
+"""PipelinePlan -> DataFrame chain.
+
+The reference executes config order literally with no optimizer
+(SURVEY.md §4); here each action contributes Column expressions to one
+DataFrame chain and Catalyst does the global optimization (pushdown,
+pruning, codegen fusion).  The same compiled chain serves batch
+(``apply``) and streaming (``apply`` on a readStream DataFrame — all
+scalar actions are stateless projections, so they transfer verbatim).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_d_spark.actions import build_action
+from file_d_spark.config import PipelinePlan, load_config
+
+
+def apply_input_guards(df: DataFrame, plan: PipelinePlan, raw_field: str | None) -> DataFrame:
+    """Engine-level guards applied before actions: max_event_size
+    drop/cutoff (/root/reference/pipeline/pipeline.go:553-580)."""
+    s = plan.settings
+    if s.max_event_size and raw_field and raw_field in df.columns:
+        size = F.octet_length(F.col(raw_field).cast("string"))
+        if s.cut_off_event_by_limit:
+            cut = F.substring(F.col(raw_field), 1, s.max_event_size)
+            df = df.withColumn(raw_field, cut)
+            if s.cut_off_event_by_limit_field:
+                df = df.withColumn(
+                    s.cut_off_event_by_limit_field, size > s.max_event_size
+                )
+        else:
+            df = df.filter(size <= s.max_event_size)
+    return df
+
+
+def compile_actions(df: DataFrame, actions: list[dict[str, Any]]) -> DataFrame:
+    """Apply the action chain in config order."""
+    for cfg in actions:
+        df = build_action(cfg).apply(df)
+    return df
+
+
+class Pipeline:
+    """A compiled file.d-style pipeline."""
+
+    def __init__(self, plan: PipelinePlan):
+        self.plan = plan
+
+    # -- constructors ---------------------------------------------------
+    @classmethod
+    def from_yaml(cls, source: str, name: str | None = None) -> "Pipeline":
+        plans = load_config(source)
+        if name is None:
+            if len(plans) != 1:
+                raise ValueError(f"config has {len(plans)} pipelines; pass name=")
+            name = next(iter(plans))
+        return cls(plans[name])
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any], name: str = "pipeline") -> "Pipeline":
+        return cls(PipelinePlan.from_dict(name, d))
+
+    # -- execution --------------------------------------------------------
+    def apply(self, df: DataFrame, raw_field: str | None = None) -> DataFrame:
+        """Run the action chain over an existing DataFrame (batch or
+        streaming)."""
+        df = apply_input_guards(df, self.plan, raw_field)
+        return compile_actions(df, self.plan.actions)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from file_d_spark.sources import build_source
+
+        return build_source(spark, self.plan)
+
+    def run_batch(self, spark: SparkSession) -> DataFrame:
+        """source -> actions; returns the final DataFrame (caller picks
+        the sink via file_d_spark.sinks or DataFrame.write)."""
+        return self.apply(self.read(spark))
+
+    def write(self, df: DataFrame):
+        from file_d_spark.sinks import build_sink
+
+        return build_sink(df, self.plan)

@@ -1,0 +1,139 @@
+"""Sink builders (SURVEY.md §2.6).
+
+Batch writers return immediately; streaming writers return a
+StreamingQuery.  Typed sinks (clickhouse/postgres) declare a target
+StructType and coerce with cast/try_cast mirroring the reference's
+strict/non-strict modes
+(/root/reference/plugin/output/clickhouse/clickhouse.go:240-252).
+Network sinks (ES/Loki/GELF/Splunk/HTTP) are foreachBatch writers; the
+HTTP transport itself is stubbed behind a callable so tests inject a
+collector — the container has no live endpoints.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def coerce_to_schema(df: DataFrame, schema: T.StructType, strict: bool = False) -> DataFrame:
+    """Cast event columns to a declared sink schema.  strict=True uses
+    plain cast (ANSI errors surface); strict=False uses try_cast
+    (unparsable -> NULL), matching the reference's non-strict mode."""
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            src = F.col(f.name)
+        else:
+            src = F.lit(None)
+        cols.append(
+            (src.cast(f.dataType) if strict else src.try_cast(f.dataType)).alias(f.name)
+        )
+    return df.select(*cols)
+
+
+def sink_file(df: DataFrame, cfg: dict[str, Any]):
+    fmt = cfg.get("format", "json")
+    path = cfg["target_file" if "target_file" in cfg else "path"]
+    writer = df.write.mode(cfg.get("mode", "overwrite"))
+    partition_by = cfg.get("partition_by")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "json":
+        writer.json(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.csv(path, header=True)
+    else:
+        writer.format(fmt).save(path)
+
+
+def sink_stdout(df: DataFrame, cfg: dict[str, Any]):
+    df.show(int(cfg.get("limit", 20)), truncate=False)
+
+
+def sink_devnull(df: DataFrame, cfg: dict[str, Any]):
+    # still executes the plan (reference devnull counts events)
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _http_batch_sink(df: DataFrame, cfg: dict[str, Any], encoder: Callable[[list[dict]], list[str]]):
+    """Shared shape for ES/Loki/Splunk/HTTP-style sinks: serialize each
+    partition to request payload batches of ``batch_size`` docs and
+    hand them to ``transport`` (injectable; default stub raises)."""
+    batch_size = int(cfg.get("batch_size", 1000))
+    transport = cfg.get("transport")
+    if transport is None:
+        raise NotImplementedError(
+            "no live HTTP endpoint in this environment; inject cfg['transport']"
+        )
+
+    def send_partition(rows):
+        buf = []
+        for row in rows:
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_size:
+                for payload in encoder(buf):
+                    transport(payload)
+                buf = []
+        if buf:
+            for payload in encoder(buf):
+                transport(payload)
+
+    df.foreachPartition(send_partition)
+
+
+def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
+    """ES _bulk payloads: action line + source line per event
+    (/root/reference/plugin/output/elasticsearch/elasticsearch.go:60)."""
+    index = cfg.get("index_format", "logs")
+
+    def encode(docs: list[dict]) -> list[str]:
+        lines = []
+        for d in docs:
+            lines.append(json.dumps({"index": {"_index": index}}))
+            lines.append(json.dumps(d, default=str))
+        return ["\n".join(lines) + "\n"]
+
+    _http_batch_sink(df, cfg, encode)
+
+
+def sink_loki(df: DataFrame, cfg: dict[str, Any]):
+    """Loki push payloads: streams with [ts_unix_nano, line] values
+    (/root/reference/plugin/output/loki/loki.go:47-64)."""
+    labels = cfg.get("labels", {"job": "file_d_spark"})
+
+    def encode(docs: list[dict]) -> list[str]:
+        values = [
+            [str(int(d.get("ts_nano", 0))), json.dumps(d, default=str)] for d in docs
+        ]
+        return [json.dumps({"streams": [{"stream": labels, "values": values}]})]
+
+    _http_batch_sink(df, cfg, encode)
+
+
+SINKS: dict[str, Callable[[DataFrame, dict[str, Any]], Any]] = {
+    "file": sink_file,
+    "s3": sink_file,  # s3a:// path in cfg['path'] — same writer
+    "stdout": sink_stdout,
+    "devnull": sink_devnull,
+    "elasticsearch": sink_elasticsearch,
+    "loki": sink_loki,
+}
+
+
+def build_sink(df: DataFrame, plan) -> Any:
+    cfg = dict(plan.output)
+    typ = cfg.pop("type", "devnull")
+    if typ not in SINKS:
+        raise ValueError(f"unsupported output type: {typ!r}; known {sorted(SINKS)}")
+    schema_ddl = cfg.get("schema")
+    if schema_ddl:
+        schema = T.StructType.fromDDL(schema_ddl)
+        df = coerce_to_schema(df, schema, strict=bool(cfg.get("strict", False)))
+    return SINKS[typ](df, cfg)

@@ -1,0 +1,80 @@
+"""Source builders (SURVEY.md §2.1).
+
+Batch and streaming readers for the input plugin types.  file/kafka
+map to Spark built-ins; http/socket get custom python datasources
+(pyspark.sql.datasource) in streaming/; journalctl/dmesg are stubbed
+(host-process readers have no distributed analogue worth building).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from file_d_spark.config import PipelinePlan
+from file_d_spark.decoders import get_decoder
+
+
+def _decode_lines(df: DataFrame, plan: PipelinePlan, line_col: str = "value") -> DataFrame:
+    """Apply the pipeline's decoder to raw text lines, producing the
+    event columns + source metadata (reference: pipeline.In,
+    /root/reference/pipeline/pipeline.go:488-543)."""
+    decoder = get_decoder(plan.settings.decoder)
+    params = dict(plan.settings.decoder_params or {})
+    params.setdefault("schema", plan.settings.extra.get("schema"))
+    fm = decoder(F.col(line_col), params)
+    out_cols = [F.input_file_name().alias("_source_name")]
+    for name, col in fm.items():
+        if name == "__struct__":
+            tmp = df.select(col.alias("__s__"), F.lit(1).alias("__x__"))
+            for f in tmp.schema["__s__"].dataType.fields:
+                out_cols.append(col.getField(f.name).alias(f.name))
+        elif name == "__map__":
+            out_cols.append(col.alias("event"))
+        else:
+            out_cols.append(col.alias(name))
+    return df.select(*out_cols)
+
+
+def build_source(spark: SparkSession, plan: PipelinePlan, streaming: bool = False) -> DataFrame:
+    cfg = dict(plan.input)
+    typ = cfg.pop("type", "fake")
+    if typ == "file":
+        paths = cfg.get("watching_dir") or cfg.get("path")
+        glob = cfg.get("filename_pattern", "*")
+        reader = spark.readStream if streaming else spark.read
+        df = (
+            reader.format("text")
+            .option("pathGlobFilter", glob)
+            .option("recursiveFileLookup", "true")
+            .load(paths)
+        )
+        return _decode_lines(df, plan)
+    if typ == "kafka":
+        reader = spark.readStream if streaming else spark.read
+        df = (
+            reader.format("kafka")
+            .option("kafka.bootstrap.servers", cfg.get("brokers", "localhost:9092"))
+            .option("subscribe", ",".join(cfg.get("topics", [])))
+            .load()
+        )
+        decoded = _decode_lines(
+            df.withColumn("value", F.col("value").cast("string")), plan
+        )
+        # kafka meta columns (reference meta templates: topic/partition/offset)
+        return decoded.withColumns(
+            {
+                "_topic": df["topic"],
+                "_partition": df["partition"],
+                "_offset": df["offset"],
+            }
+        )
+    if typ == "parquet":
+        return spark.read.parquet(cfg["path"])
+    if typ == "fake":
+        rows = cfg.get("rows", [])
+        schema = cfg.get("schema")
+        return spark.createDataFrame(rows, schema=schema)
+    raise ValueError(f"unsupported input type: {typ!r}")

@@ -1,0 +1,52 @@
+"""Test-table loader for /root/testdata/sf*/ parquet.
+
+The driver's parquet files store TIMESTAMP(NANOS,false), which Spark's
+parquet reader only accepts with ``spark.sql.legacy.parquet.nanosAsLong``
+(session.py sets it).  This loader detects nanosecond timestamp columns
+from the parquet footer (via pyarrow, driver-side only — no data read)
+and converts them to proper TimestampType (microsecond truncation —
+identical to what DuckDB's TIMESTAMP does with ns values).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@lru_cache(maxsize=128)
+def _nanos_cols(path: str) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns":
+            out.append(field.name)
+    return tuple(out)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_cols(path):
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

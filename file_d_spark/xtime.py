@@ -1,0 +1,129 @@
+"""Datetime format aliases -> Spark datetime patterns.
+
+The reference names ~20 layouts (/root/reference/xtime/parse_format_name.go:10)
+and parses Go-layout strings.  We map each alias to the equivalent
+JDK DateTimeFormatter pattern Spark uses, and translate Go layouts on
+best effort.  ``unixtime*`` variants parse via numeric conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+UNIX_ALIASES = {"unixtime", "unixtimemilli", "unixtimemicro", "unixtimenano"}
+
+# alias -> Spark/JDK pattern (see Spark "Datetime Patterns" docs)
+FORMAT_ALIASES: dict[str, str] = {
+    "ansic": "EEE MMM ppd HH:mm:ss yyyy",
+    "unixdate": "EEE MMM ppd HH:mm:ss zzz yyyy",
+    "rubydate": "EEE MMM dd HH:mm:ss xx yyyy",
+    "rfc822": "dd MMM yy HH:mm zzz",
+    "rfc822z": "dd MMM yy HH:mm xx",
+    "rfc850": "EEEE, dd-MMM-yy HH:mm:ss zzz",
+    "rfc1123": "EEE, dd MMM yyyy HH:mm:ss zzz",
+    "rfc1123z": "EEE, dd MMM yyyy HH:mm:ss xx",
+    "rfc3339": "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "rfc3339nano": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]XXX",
+    "kitchen": "h:mma",
+    "stamp": "MMM ppd HH:mm:ss",
+    "stampmilli": "MMM ppd HH:mm:ss.SSS",
+    "stampmicro": "MMM ppd HH:mm:ss.SSSSSS",
+    "stampnano": "MMM ppd HH:mm:ss.SSSSSSSSS",
+    "nginx_errorlog": "yyyy/MM/dd HH:mm:ss",
+}
+
+# Go reference-time tokens -> JDK pattern tokens, longest-first.
+_GO_TOKENS: list[tuple[str, str]] = [
+    ("2006", "yyyy"),
+    ("01", "MM"),
+    ("02", "dd"),
+    ("15", "HH"),
+    ("04", "mm"),
+    ("05", "ss"),
+    (".999999999", "[.SSSSSSSSS]"),
+    (".999999", "[.SSSSSS]"),
+    (".999", "[.SSS]"),
+    (".000000000", ".SSSSSSSSS"),
+    (".000000", ".SSSSSS"),
+    (".000", ".SSS"),
+    ("Z07:00", "XXX"),
+    ("Z0700", "XX"),
+    ("-07:00", "xxx"),
+    ("-0700", "xx"),
+    ("MST", "zzz"),
+    ("Monday", "EEEE"),
+    ("Mon", "EEE"),
+    ("January", "MMMM"),
+    ("Jan", "MMM"),
+    ("PM", "a"),
+    ("06", "yy"),
+    ("3", "h"),
+    ("_2", "ppd"),
+    ("2", "d"),
+]
+
+
+def go_layout_to_spark(layout: str) -> str:
+    """Best-effort Go time layout -> JDK pattern translation."""
+    out = []
+    i = 0
+    n = len(layout)
+    while i < n:
+        for go, jdk in _GO_TOKENS:
+            if layout.startswith(go, i):
+                out.append(jdk)
+                i += len(go)
+                break
+        else:
+            ch = layout[i]
+            if ch.isalpha():
+                out.append("'" + ch + "'")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def resolve_format(fmt: str | None) -> str:
+    """Resolve a format alias or Go layout to a Spark pattern, or an
+    ``unixtime*`` sentinel (returned as-is)."""
+    if fmt is None:
+        fmt = "rfc3339nano"
+    key = fmt.strip().lower()
+    if key in UNIX_ALIASES:
+        return key
+    if key in FORMAT_ALIASES:
+        return FORMAT_ALIASES[key]
+    return go_layout_to_spark(fmt)
+
+
+def parse_time(col: Column, fmt: str | None) -> Column:
+    """String/number column -> TimestampType using a resolved format.
+    Unparsable values -> NULL (try semantics, like xtime.ParseTime
+    returning err -> caller skips)."""
+    pattern = resolve_format(fmt)
+    if pattern == "unixtime":
+        return F.timestamp_seconds(col.cast("double"))
+    if pattern == "unixtimemilli":
+        return F.timestamp_millis(col.cast("long"))
+    if pattern == "unixtimemicro":
+        return F.timestamp_micros(col.cast("long"))
+    if pattern == "unixtimenano":
+        return F.timestamp_micros((col.cast("long") / 1000).cast("long"))
+    return F.try_to_timestamp(col.cast("string"), F.lit(pattern))
+
+
+def format_time(ts: Column, fmt: str | None) -> Column:
+    """Timestamp column -> string/number in the requested format."""
+    pattern = resolve_format(fmt)
+    if pattern == "unixtime":
+        return F.unix_timestamp(ts)
+    if pattern == "unixtimemilli":
+        return F.unix_millis(ts)
+    if pattern == "unixtimemicro":
+        return F.unix_micros(ts)
+    if pattern == "unixtimenano":
+        return F.unix_micros(ts) * F.lit(1000)
+    # optional-section brackets are parse-only; strip for formatting
+    return F.date_format(ts, pattern.replace("[", "").replace("]", ""))
