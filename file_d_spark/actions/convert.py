@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -49,7 +51,9 @@ def log_level_number_col(col: Column) -> Column:
 def log_level_name_col(col: Column) -> Column:
     num = log_level_number_col(col)
     names = F.array(*[F.lit(n) for n in LOG_LEVEL_NAMES])
-    return F.element_at(names, num + 1)
+    # element_at(arr, NULL) does NOT return NULL in this Spark build —
+    # guard the unknown-level case explicitly
+    return F.when(num.isNotNull(), F.element_at(names, num + 1))
 
 
 @register("convert_date")
@@ -106,8 +110,6 @@ class ConvertUtf8Bytes(Action):
     """
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
-        import pandas as pd
-
         @F.pandas_udf("string")
         def decode_escapes(s: pd.Series) -> pd.Series:
             import re

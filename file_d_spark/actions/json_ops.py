@@ -160,12 +160,14 @@ class ParseRe2(Action):
         group_index = _pyre.compile(pattern).groupindex
         if not group_index:
             raise ValueError("parse_re2 requires named capture groups")
+        # Go/Python write named groups (?P<x>...); Java wants (?<x>...)
+        jpattern = pattern.replace("(?P<", "(?<")
         for name, idx in group_index.items():
-            v = F.regexp_extract(col, pattern, idx)
+            v = F.regexp_extract(col, jpattern, idx)
             df = self.set_gated(
                 df,
                 [prefix + name],
-                F.when(col.rlike(pattern), v),
+                F.when(col.rlike(jpattern), v),
                 pred,
             )
         return df
@@ -203,4 +205,9 @@ class ParseEs(Action):
         df = df.withColumn("__fd_action__", action_type)
         prev_action = F.lag("__fd_action__").over(w)
         keep = F.col("__fd_action__").isNull() & prev_action.isin("index", "create")
-        return df.filter(keep).drop("__fd_action__")
+        # window expr can't live in a WHERE clause — materialize first
+        return (
+            df.withColumn("__fd_keep__", keep)
+            .filter(F.col("__fd_keep__"))
+            .drop("__fd_action__", "__fd_keep__")
+        )

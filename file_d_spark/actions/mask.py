@@ -37,28 +37,78 @@ def _string_leaf_paths(schema: T.StructType, prefix: list[str] | None = None) ->
     return out
 
 
+def _segment_pattern(pattern: str) -> list[tuple[str, str]] | None:
+    """Split a regex into top-level ('lit'|'grp') segments.  Returns
+    None when the shape is too complex for safe rewriting (nested
+    groups, top-level alternation)."""
+    segs: list[tuple[str, str]] = []
+    i, depth, start, gstart = 0, 0, 0, 0
+    in_class = False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "|" and depth == 0:
+            return None
+        elif ch == "(":
+            if depth == 0:
+                if i > start:
+                    segs.append(("lit", pattern[start:i]))
+                gstart = i
+            else:
+                return None  # nested group
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                segs.append(("grp", pattern[gstart : i + 1]))
+                start = i + 1
+        i += 1
+    if start < len(pattern):
+        segs.append(("lit", pattern[start:]))
+    return segs
+
+
 def _mask_expr(col: Column, mask_cfg: dict) -> Column:
     pattern = mask_cfg["re"]
     groups = mask_cfg.get("groups", [0])
     replace_word = mask_cfg.get("replace_word")
     cut = bool(mask_cfg.get("cut_values", False)) or mask_cfg.get("mode") == "cut"
+    # reference masks each char with '*'; regexp_replace cannot emit a
+    # length-dependent run, so a fixed '***' stands in (documented
+    # divergence — identity semantics preserved, literal width not)
+    fill = "" if cut else (replace_word if replace_word is not None else "***")
 
     n_groups = _pyre.compile(pattern).groups
     if groups == [0] or not groups or n_groups == 0:
-        if cut:
-            return F.regexp_replace(col, pattern, "")
-        if replace_word is not None:
-            return F.regexp_replace(col, pattern, replace_word)
-        # default: '*' per masked char — repeat() needs the match length,
-        # regexp_replace can't do per-match lengths; use a fixed-run '***'
-        return F.regexp_replace(col, pattern, "***")
-    # group-targeted: rebuild replacement keeping non-target groups
-    repl_parts = []
-    for g in range(1, n_groups + 1):
-        if g in groups:
-            repl_parts.append("" if cut else (replace_word if replace_word is not None else "***"))
-        else:
-            repl_parts.append(f"${g}")
+        return F.regexp_replace(col, pattern, fill)
+
+    # group-targeted: recapture inter-group literals so they survive
+    segs = _segment_pattern(pattern)
+    if segs is not None:
+        new_pattern, repl, new_idx, orig_idx = [], [], 0, 0
+        for kind, text in segs:
+            new_idx += 1
+            if kind == "lit":
+                new_pattern.append(f"({text})")
+                repl.append(f"${new_idx}")
+            else:
+                orig_idx += 1
+                new_pattern.append(text)
+                repl.append(fill if orig_idx in groups else f"${new_idx}")
+        return F.regexp_replace(col, "".join(new_pattern), "".join(repl))
+    # complex pattern fallback: keep non-target groups, lose literals
+    repl_parts = [
+        fill if g in groups else f"${g}" for g in range(1, n_groups + 1)
+    ]
     return F.regexp_replace(col, pattern, "".join(repl_parts))
 
 
@@ -80,18 +130,21 @@ class Mask(Action):
                 if ".".join(p) not in ignore_fields
             ]
 
+        # build every masked expression against the ORIGINAL columns,
+        # then apply: the applied_field flag must compare pre-mask values
+        masked_by_target: list[tuple[list[str], Column]] = []
         changed_any: Column = F.lit(False)
         for parts in targets:
             col = get_col_safe(parts, df.schema)
             masked = col
             for m in masks:
                 masked = _mask_expr(masked, m)
+            masked_by_target.append((parts, masked))
             if applied_field:
-                changed_any = changed_any | (
-                    col.isNotNull() & (masked != col)
-                )
-            df = self.set_gated(df, parts, masked, pred)
+                changed_any = changed_any | (col.isNotNull() & (masked != col))
         if applied_field:
             mark = F.when(changed_any, F.lit(str(applied_value)))
             df = self.set_gated(df, parse_selector(applied_field), mark, pred)
+        for parts, masked in masked_by_target:
+            df = self.set_gated(df, parts, masked, pred)
         return df

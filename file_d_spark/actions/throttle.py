@@ -85,7 +85,12 @@ class Throttle(Action):
         in_window = F.unix_timestamp("__fd_ts__") > (
             F.unix_timestamp(horizon) - F.lit(int(bucket_s * buckets_count))
         )
-        w = Window.partitionBy("__fd_key__", "__fd_bucket__").orderBy("__fd_ts__")
+        # arrival order within a bucket; extra order_fields give a
+        # deterministic tiebreak for equal timestamps (batch mode)
+        order_cols = [F.col("__fd_ts__")] + [
+            F.col(c) for c in self.params.get("order_fields", [])
+        ]
+        w = Window.partitionBy("__fd_key__", "__fd_bucket__").orderBy(*order_cols)
         if limit_kind == "size" and size_field:
             size_col = F.octet_length(
                 get_col_safe(parse_selector(size_field), df.schema).cast("string")
@@ -96,8 +101,12 @@ class Throttle(Action):
             admitted = running <= F.lit(limit)
         else:
             admitted = F.row_number().over(w) <= F.lit(limit)
-        out = df.filter(in_window & admitted)
-        return out.drop("__fd_key__", "__fd_bucket__", "__fd_ts__")
+        # window exprs can't live in a WHERE clause — materialize first
+        out = (
+            df.withColumn("__fd_keep__", in_window & admitted)
+            .filter(F.col("__fd_keep__"))
+        )
+        return out.drop("__fd_key__", "__fd_bucket__", "__fd_ts__", "__fd_keep__")
 
 
 @register("cardinality")

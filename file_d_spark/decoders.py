@@ -192,13 +192,13 @@ def decode_syslog_rfc5424(line: Column, params: dict[str, Any] | None = None) ->
     # structured data "[id k="v" k2="v2"][id2 ...]" -> map of maps
     sd = F.map_from_entries(
         F.transform(
-            F.regexp_extract_all(sd_raw, r"\[([^\]]+)\]", 1),
+            F.regexp_extract_all(sd_raw, F.lit(r"\[([^\]]+)\]"), 1),
             lambda grp: F.struct(
                 F.substring_index(grp, " ", 1).alias("key"),
                 F.map_from_entries(
                     F.transform(
                         F.regexp_extract_all(
-                            grp, "(\\w+)=\"([^\"]*)\"", 0
+                            grp, F.lit("(\\w+)=\"([^\"]*)\""), 0
                         ),
                         lambda kv: F.struct(
                             F.substring_index(kv, "=", 1).alias("key"),

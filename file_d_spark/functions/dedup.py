@@ -1,0 +1,298 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+  exact          one hash-groupBy — a single shuffle on the digest;
+                 at 100 TB this is the cheapest full-corpus pass.
+  jaccard        exact pairwise similarity but pruned by an inverted
+                 shingle index (self-join on shingle): only documents
+                 SHARING a shingle ever meet, so cost is driven by
+                 posting-list sizes, not N².
+  minhash+LSH    constant-size signatures (K mins) + banding: candidate
+                 pairs come from equi-joins on (band, band_hash) —
+                 shuffle keys are small and uniform; verification
+                 reranks candidates with exact Jaccard.  THE scale
+                 path for near-dup at 100 TB.
+  simhash        one 63-bit signature per doc; hamming<=k via banded
+                 equi-join over bit chunks (pigeonhole), then exact
+                 hamming check with bit_count — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from file_d_spark.functions.text import tokens
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one survivor (min id) per exact content digest."""
+    return (
+        df.withColumn("__digest__", F.md5(F.col(content_col).cast("string")))
+        .groupBy("__digest__")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__digest__")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + exact jaccard via inverted index
+# --------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int = 2) -> Column:
+    """Distinct n-word shingles of a text column."""
+    toks = tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Implementation: inverted index join.  |A∩B| falls out of the
+    shingle self-join group count; set sizes broadcast back in.  The
+    only shuffles are the shingle join and one small groupBy on
+    (id_a, id_b).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("set_size", F.size("shingles"))
+    sizes = sh.select("doc", "set_size")
+    posting = sh.select("doc", F.explode("shingles").alias("shingle"))
+    common = (
+        posting.alias("a")
+        .join(posting.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .withColumnRenamed("set_size", "size_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b"), "doc_b")
+        .withColumnRenamed("set_size", "size_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """K min-hash values per shingle set.  Hash family: xxhash64 of the
+    shingle salted with the hash index — deterministic, no fitted
+    model, computed in one pass over the array (no explode)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard >= threshold on the candidates.
+
+    bands=16 over 64 hashes (r=4 rows/band) puts the S-curve knee near
+    j ≈ (1/16)^(1/4) ≈ 0.5 — high recall at threshold 0.7.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    candidates = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sets = sh.withColumn("set_size", F.size("shingles"))
+    verified = (
+        candidates.join(
+            sets.select(
+                F.col("doc").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 63  # stay inside a signed long
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """63-bit SimHash per document from token xxhash64s.
+
+    Pure DataFrame: explode tokens once, one groupBy(doc) computing all
+    63 bit-sums as independent aggregate expressions (single shuffle),
+    then reassemble the signature arithmetically.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming via the pigeonhole
+    banding trick: split the signature into ``chunks`` bit ranges; any
+    pair within distance k must agree exactly on at least one chunk
+    when chunks > k — so candidates come from equi-joins on
+    (chunk_idx, chunk_value), never a cross join."""
+    assert chunks > max_hamming, "need chunks > max_hamming for full recall"
+    sig = simhash(df, id_col, text_col)
+    per_chunk = SIMHASH_BITS // chunks
+    chunked = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * per_chunk)
+                        .bitwiseAND(F.lit((1 << per_chunk) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc", "simhash", "cc.chunk", "cc.val")
+    cand = (
+        chunked.alias("a")
+        .join(chunked.alias("b"), ["chunk", "val"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

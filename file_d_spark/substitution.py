@@ -75,7 +75,12 @@ def _parse_filter(expr: str) -> tuple[str, list]:
         try:
             args.append(json.loads(raw))
         except json.JSONDecodeError:
-            args.append(raw)
+            # regexes are valid Go strings but not valid JSON ("\w");
+            # strip the quotes and keep the body verbatim
+            if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "\"'":
+                args.append(raw[1:-1].replace('\\"', '"'))
+            else:
+                args.append(raw)
     return name, args
 
 

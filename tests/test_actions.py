@@ -1,0 +1,323 @@
+"""Action-plugin unit tests: golden input→output pairs in the style of
+the reference's colocated plugin tests (SURVEY.md §5)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_d_spark import Pipeline
+
+
+def run_actions(spark, rows, schema, actions):
+    df = spark.createDataFrame(rows, schema)
+    return Pipeline.from_dict({"actions": actions}).apply(df)
+
+
+def test_discard_match_fields(spark):
+    out = run_actions(
+        spark,
+        [("x", "a"), ("y", "b")],
+        "f1 string, f2 string",
+        [{"type": "discard", "match_fields": {"f1": "x"}}],
+    )
+    assert [r.f1 for r in out.collect()] == ["y"]
+
+
+def test_keep_fields_nested(spark):
+    out = run_actions(
+        spark,
+        [(1, ("a", "b"), "drop")],
+        "id int, s struct<x string, y string>, junk string",
+        [{"type": "keep_fields", "fields": ["id", "s.x"]}],
+    )
+    row = out.collect()[0]
+    assert out.columns == ["id", "s"]
+    assert row.s.asDict() == {"x": "a"}
+
+
+def test_remove_fields(spark):
+    out = run_actions(
+        spark,
+        [(1, ("a", "b"))],
+        "id int, s struct<x string, y string>",
+        [{"type": "remove_fields", "fields": ["s.y", "missing"]}],
+    )
+    assert out.collect()[0].s.asDict() == {"x": "a"}
+
+
+def test_rename_no_override(spark):
+    out = run_actions(
+        spark,
+        [("old", "existing")],
+        "a string, b string",
+        [{"type": "rename", "override": False, "a": "b"}],
+    )
+    row = out.collect()[0]
+    assert row.a == "old" and row.b == "existing"
+
+
+def test_move_block_mode(spark):
+    out = run_actions(
+        spark,
+        [(1, "x", "y")],
+        "id int, a string, b string",
+        [{"type": "move", "target": "other", "mode": "block", "fields": ["id"]}],
+    )
+    row = out.collect()[0]
+    assert row.id == 1
+    assert row.other.asDict() == {"a": "x", "b": "y"}
+
+
+def test_flatten_prefix(spark):
+    out = run_actions(
+        spark,
+        [((1, 2),)],
+        "m struct<a int, b int>",
+        [{"type": "flatten", "field": "m", "prefix": "m_"}],
+    )
+    row = out.collect()[0]
+    assert row.m_a == 1 and row.m_b == 2
+    assert "m" not in out.columns
+
+
+def test_modify_filters(spark):
+    out = run_actions(
+        spark,
+        [("error in test-pod-abc today",)],
+        "message string",
+        [
+            {
+                "type": "modify",
+                "pod": '${message|re("(test-pod-\\w+)",-1,[1],",")}',
+                "left": '${message|trim_to("left","in")}',
+                "cut": '${message|cut("last",5)}',
+            }
+        ],
+    )
+    row = out.collect()[0]
+    assert row.pod == "test-pod-abc"
+    assert row.left == "in test-pod-abc today"
+    assert row.cut == "today"
+
+
+def test_json_encode_decode_roundtrip(spark):
+    out = run_actions(
+        spark,
+        [('{"a": "x", "b": "2"}',)],
+        "payload string",
+        [
+            {
+                "type": "json_decode",
+                "field": "payload",
+                "schema": "a string, b string",
+                "prefix": "p_",
+            }
+        ],
+    )
+    row = out.collect()[0]
+    assert row.p_a == "x" and row.p_b == "2"
+    assert "payload" not in out.columns
+
+
+def test_json_encode_struct_and_string(spark):
+    out = run_actions(
+        spark,
+        [(("x", 1), "say \"hi\"")],
+        "s struct<a string, n int>, msg string",
+        [{"type": "json_encode", "field": "s"}],
+    )
+    assert json.loads(out.collect()[0].s) == {"a": "x", "n": 1}
+    out2 = run_actions(
+        spark,
+        [("say \"hi\"",)],
+        "msg string",
+        [{"type": "json_encode", "field": "msg"}],
+    )
+    assert json.loads(out2.collect()[0].msg) == 'say "hi"'
+
+
+def test_parse_re2(spark):
+    out = run_actions(
+        spark,
+        [("user=alice id=42",), ("garbage",)],
+        "line string",
+        [{"type": "parse_re2", "field": "line", "re": "user=(?P<user>\\w+) id=(?P<id>\\d+)"}],
+    )
+    rows = out.orderBy("line").collect()
+    assert rows[1].user == "alice" and rows[1].id == "42"
+    assert rows[0].user is None
+
+
+def test_convert_log_level_styles(spark):
+    out = run_actions(
+        spark,
+        [("ERROR",), ("warn",), ("3",), ("weird",)],
+        "level string",
+        [{"type": "convert_log_level", "field": "level", "style": "string"}],
+    )
+    got = [r.level for r in out.collect()]
+    assert got == ["error", "warning", "error", "weird"]
+
+
+def test_convert_utf8_bytes(spark):
+    out = run_actions(
+        spark,
+        [(r"caf\xc3\xa9 A \101",)],
+        "s string",
+        [{"type": "convert_utf8_bytes", "fields": ["s"]}],
+    )
+    assert out.collect()[0].s == "café A A"
+
+
+def test_set_time_and_add_host(spark):
+    out = run_actions(
+        spark,
+        [("x",)],
+        "a string",
+        [
+            {"type": "set_time", "field": "t", "format": "unixtime"},
+            {"type": "add_host", "field": "host"},
+        ],
+    )
+    row = out.collect()[0]
+    assert int(row.t) > 1_500_000_000
+    assert row.host
+
+
+def test_split_passthrough_and_explode(spark):
+    # array of structs explodes, parent discarded (reference split.go doc)
+    df = spark.createDataFrame(
+        [([("go",), ("rust",)], "t1")],
+        "data array<struct<message string>>, tag string",
+    )
+    out = Pipeline.from_dict({"actions": [{"type": "split", "field": "data"}]}).apply(df)
+    got = [(r.message, r.tag) for r in out.collect()]
+    assert got == [("go", "t1"), ("rust", "t1")]
+    # non-array field passes unchanged
+    df2 = spark.createDataFrame([("not-array", "t")], "data string, tag string")
+    out2 = Pipeline.from_dict({"actions": [{"type": "split", "field": "data"}]}).apply(df2)
+    assert out2.collect()[0].data == "not-array"
+
+
+def test_mask_group_replacement(spark):
+    out = run_actions(
+        spark,
+        [("card 1234 5678 9012 3456 used",), ("no digits here",)],
+        "msg string",
+        [
+            {
+                "type": "mask",
+                "masks": [{"re": r"(\d{4}) (\d{4}) (\d{4}) (\d{4})", "groups": [1, 2, 3]}],
+                "process_fields": ["msg"],
+                "applied_field": "masked",
+            }
+        ],
+    )
+    rows = out.orderBy("msg").collect()
+    # masked groups become '***' (fixed-width fill; see mask.py note),
+    # inter-group literals and unmasked group 4 survive
+    assert rows[0].msg == "card *** *** *** 3456 used"
+    assert rows[0].masked == "true"
+    assert rows[1].msg == "no digits here"
+    assert rows[1].masked is None
+
+
+def test_decoder_golden_pairs(spark):
+    """Golden decode pairs per decoder doc examples (re-derived from
+    /root/reference/decoder/*.go doc comments)."""
+    from file_d_spark.decoders import DECODERS
+
+    df = spark.createDataFrame(
+        [("2016-10-06T00:17:09.669794202Z stdout F log content",)], "line string"
+    )
+    fm = DECODERS["cri"](F.col("line"), {})
+    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    assert row.time == "2016-10-06T00:17:09.669794202Z"
+    assert row.stream == "stdout"
+    assert row.log == "log content"
+    assert row.is_partial is False
+
+    df = spark.createDataFrame(
+        [(
+            '2021-06-22 16:24:27 GMT [7291] => [3-1] client=test_client,db=test_db,'
+            'user=test_user LOG:  listening on socket',
+        )],
+        "line string",
+    )
+    fm = DECODERS["postgres"](F.col("line"), {})
+    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    assert row.time == "2021-06-22 16:24:27 GMT"
+    assert row.pid == "7291"
+    assert row.db == "test_db"
+    assert row.log == "LOG:  listening on socket"
+
+    df = spark.createDataFrame(
+        [("2022/08/17 10:49:27 [error] 2725122#2725123: *798 connect() failed",)],
+        "line string",
+    )
+    fm = DECODERS["nginx_error"](F.col("line"), {})
+    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    assert row.time == "2022/08/17 10:49:27"
+    assert row.level == "error"
+    assert row.pid == "2725122"
+    assert row.tid == "2725123"
+    assert row.cid == "798"
+    assert row.message == "connect() failed"
+
+    df = spark.createDataFrame(
+        [("<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 111 ID47 "
+          '[exampleSDID@32473 iut="3" eventSource="Application"] BOMAn application event',)],
+        "line string",
+    )
+    fm = DECODERS["syslog_rfc5424"](F.col("line"), {"syslog_severity_format": "string"})
+    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    assert row.priority == "165"
+    assert row.facility == "20"
+    assert row.severity == "NOTICE"
+    assert row.hostname == "mymachine.example.com"
+    assert row.app_name == "evntslog"
+    assert row.message_id == "ID47"
+    assert row.structured_data["exampleSDID@32473"]["iut"] == "3"
+    assert row.message == "BOMAn application event"
+
+    df = spark.createDataFrame(
+        [("<34>Oct 11 22:14:15 mymachine su: 'su root' failed for lonvick",)],
+        "line string",
+    )
+    fm = DECODERS["syslog_rfc3164"](F.col("line"), {})
+    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    assert row.priority == "34"
+    assert row.severity == "2"
+    assert row.hostname == "mymachine"
+    assert row.app_name == "su"
+    assert row.message == "'su root' failed for lonvick"
+
+    df = spark.createDataFrame([("a,\"b,c\",d",)], "line string")
+    fm = DECODERS["csv"](F.col("line"), {"csv_columns": ["x", "y", "z"]})
+    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    assert (row.x, row.y, row.z) == ("a", "b,c", "d")
+
+
+def test_throttle_size_kind(spark):
+    rows = [(f"k", f"2024-01-01T00:00:{i:02d}Z", "x" * 10) for i in range(10)]
+    out = run_actions(
+        spark,
+        rows,
+        "key string, time string, payload string",
+        [
+            {
+                "type": "throttle",
+                "throttle_field": "key",
+                "time_field": "time",
+                "time_field_format": "rfc3339",
+                "bucket_interval": "1m",
+                "buckets_count": 100000,
+                "default_limit": 35,
+                "limit_kind": "size",
+                "limit_size_field": "payload",
+            }
+        ],
+    )
+    # 10-byte payloads, 35-byte budget -> 3 admitted per bucket
+    assert out.count() == 3
