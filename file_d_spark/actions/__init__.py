@@ -12,6 +12,7 @@ from file_d_spark.actions import (  # noqa: F401
     basic,
     convert,
     hash_op,
+    join_action,
     json_ops,
     mask,
     modify,

@@ -53,6 +53,19 @@ def _parse_duration_seconds(v, default: float) -> float:
 @register("throttle")
 class Throttle(Action):
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        if df.isStreaming:
+            from file_d_spark.streaming import throttle_stream
+
+            return throttle_stream(
+                df,
+                key_col=self.params.get("throttle_field", ""),
+                ts_col=self.params.get("time_field", "time"),
+                bucket_interval_s=int(
+                    _parse_duration_seconds(self.params.get("bucket_interval"), 60.0)
+                ),
+                buckets_count=int(self.params.get("buckets_count", 60)),
+                limit=int(self.params.get("default_limit", 5000)),
+            )
         key_field = self.params.get("throttle_field", "")
         time_field = self.params.get("time_field", "time")
         time_fmt = self.params.get("time_field_format", "rfc3339nano")
@@ -120,6 +133,10 @@ class Cardinality(Action):
         fields = self.params.get("fields", [])
         limit = int(self.params.get("limit", 1000))
         mode = self.params.get("action", "discard")
+        if df.isStreaming:
+            from file_d_spark.streaming import cardinality_stream
+
+            return cardinality_stream(df, key_field, fields[0], limit, mode)
 
         key = get_col_safe(parse_selector(key_field), df.schema).cast("string")
         probe = F.concat_ws(
@@ -176,6 +193,12 @@ class Antispam(Action):
         )
         if threshold <= 0:
             return df
+        if df.isStreaming:
+            from file_d_spark.streaming import antispam_stream
+
+            return antispam_stream(
+                df, source_field, threshold, int(interval_s * 1000)
+            )
         exceptions = self.params.get("exceptions", [])
 
         src = get_col_safe(parse_selector(source_field), df.schema).cast("string")

@@ -81,6 +81,31 @@ class Pipeline:
         the sink via file_d_spark.sinks or DataFrame.write)."""
         return self.apply(self.read(spark))
 
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        from file_d_spark.sources import build_source
+
+        return build_source(spark, self.plan, streaming=True)
+
+    def run_stream(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str | None = None,
+        trigger_available_now: bool = True,
+    ):
+        """source -> actions -> streaming sink.  At-least-once delivery
+        via checkpointing (the reference's offset-commit loop,
+        /root/reference/pipeline/pipeline.go:606-649, maps onto Spark's
+        checkpoint/WAL — SURVEY §3.2)."""
+        from file_d_spark.sinks import build_stream_sink
+
+        df = self.apply(self.read_stream(spark))
+        return build_stream_sink(
+            df,
+            self.plan,
+            checkpoint_dir=checkpoint_dir,
+            trigger_available_now=trigger_available_now,
+        )
+
     def write(self, df: DataFrame):
         from file_d_spark.sinks import build_sink
 

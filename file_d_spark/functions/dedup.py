@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 
 from file_d_spark.functions.text import tokens
 
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism before CPU-heavy array work.
+
+    Small corpora arrive as one file split; without this the entire
+    shingle/signature computation pipelines into a single task.  At
+    real scale the scan already has many splits — the round-robin
+    repartition of a small input is noise there."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
 # --------------------------------------------------------------------------
 # exact
 # --------------------------------------------------------------------------
@@ -78,15 +88,22 @@ def jaccard_pairs(
     only shuffles are the shingle join and one small groupBy on
     (id_a, id_b).
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("set_size", F.size("shingles"))
     sizes = sh.select("doc", "set_size")
-    posting = sh.select("doc", F.explode("shingles").alias("shingle"))
+    posting = sh.select("doc", "set_size", F.explode("shingles").alias("shingle"))
+    # size filter inside the join: jaccard >= t needs t*|A| <= |B|
+    # (and symmetrically), so mismatched sizes never pair up
     common = (
         posting.alias("a")
-        .join(posting.alias("b"), "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
+        .join(
+            posting.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.set_size") >= threshold * F.col("a.set_size"))
+            & (F.col("a.set_size") >= threshold * F.col("b.set_size")),
+        )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -116,14 +133,18 @@ def jaccard_pairs(
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """K min-hash values per shingle set.  Hash family: xxhash64 of the
     shingle salted with the hash index — deterministic, no fitted
-    model, computed in one pass over the array (no explode)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+    model.  Single fold over the array: each shingle is hashed K ways
+    once and folded into the running elementwise min (vs K separate
+    array traversals — ~K× less array overhead)."""
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -143,7 +164,7 @@ def minhash_lsh_pairs(
     j ≈ (1/16)^(1/4) ≈ 0.5 — high recall at threshold 0.7.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
@@ -221,7 +242,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     63 bit-sums as independent aggregate expressions (single shuffle),
     then reassemble the signature arithmetically.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = toks.groupBy("doc").agg(

@@ -50,10 +50,12 @@ def brute_force_topk(
     scan is embarrassingly parallel and the only shuffle is the
     per-query window for rank.
     """
+    from file_d_spark.functions.dedup import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -118,7 +120,11 @@ def lsh_topk(
     recall)."""
     per_band = planes // bands
 
+    from file_d_spark.functions.dedup import spread
+
     def banded(df: DataFrame, role: str) -> DataFrame:
+        if role == "neighbor":
+            df = spread(df)
         sig = df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),

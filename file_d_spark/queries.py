@@ -466,6 +466,72 @@ def q_decoder_syslog(spark, sf_dir):
     return p.apply(df).select("event_id", "facility", "severity", "app_name", "message")
 
 
+@query(
+    "multiline_join",
+    """
+    WITH lines AS (
+      SELECT user_id AS src, event_id AS seq,
+             CASE WHEN event_id % 5 = 0 THEN 'start ' || event_type
+                  WHEN event_id % 5 IN (1, 2) THEN ' cont' || (event_id % 5)
+                  ELSE 'plain ' || event_type END AS log
+      FROM events),
+    flags AS (
+      SELECT src, seq, log,
+             (log LIKE 'start %') AS is_start,
+             (log LIKE ' %') AS is_cont
+      FROM lines),
+    grps AS (
+      SELECT *, sum(CASE WHEN is_start OR NOT is_cont THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY src ORDER BY seq) AS grp
+      FROM flags),
+    rns AS (
+      SELECT *, row_number() OVER (PARTITION BY src, grp ORDER BY seq) AS rn
+      FROM grps),
+    led AS (
+      SELECT *, bool_or(is_start AND rn = 1)
+                  OVER (PARTITION BY src, grp) AS leader_start
+      FROM rns)
+    SELECT src, min(seq) AS seq, string_agg(log, '' ORDER BY seq) AS log
+    FROM led WHERE leader_start GROUP BY src, grp
+    UNION ALL
+    SELECT src, seq, log FROM led WHERE NOT leader_start
+    """,
+)
+def q_multiline_join(spark, sf_dir):
+    """multiline join action (batch): start/continue sequences per
+    source collapse into one event; the oracle replays the same
+    prefix-scan in SQL (SURVEY §2.3 #12)."""
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.col("user_id").alias("src"),
+        F.col("event_id").alias("seq"),
+        F.when(
+            F.col("event_id") % 5 == 0, F.concat(F.lit("start "), F.col("event_type"))
+        )
+        .when(
+            (F.col("event_id") % 5).isin(1, 2),
+            F.concat(F.lit(" cont"), (F.col("event_id") % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("plain "), F.col("event_type")))
+        .alias("log"),
+    )
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "join",
+                    "field": "log",
+                    "start": "^start ",
+                    "continue": "^ ",
+                    "source_field": "src",
+                    "seq_field": "seq",
+                }
+            ]
+        }
+    )
+    return p.apply(lines).select("src", "seq", "log")
+
+
 # ===========================================================================
 # relational / scale queries (TPC-H-ish tables)
 # ===========================================================================
@@ -662,9 +728,9 @@ def q_dedup_exact(spark, sf_dir):
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
     sh AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(w)),
-                                               i -> w[i] || ' ' || w[i+1])) ws
-           FROM t WHERE len(w) >= 2)
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ws
+           FROM t WHERE len(w) >= 3)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.ws, b.ws))::DOUBLE /
                  (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
@@ -675,9 +741,13 @@ def q_dedup_exact(spark, sf_dir):
     """,
 )
 def q_dedup_jaccard(spark, sf_dir):
-    """exact n-gram Jaccard pairs >= 0.7 via inverted shingle index."""
+    """exact n-gram Jaccard pairs >= 0.7 via inverted shingle index.
+
+    Trigram shingles: more selective posting lists than bigrams (the
+    synthetic corpus has a ~30-word vocabulary, so bigram postings are
+    pathologically hot — trigrams cut join fan-out ~25x)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.7)
+    return dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.7)
 
 
 @query("dedup_minhash_lsh")  # no SQL oracle: LSH banding is the point
@@ -687,7 +757,7 @@ def q_dedup_minhash(spark, sf_dir):
     query is asserted in tests."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", n=2, num_hashes=64, bands=16, threshold=0.7
+        d, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.7
     )
 
 

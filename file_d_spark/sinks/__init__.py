@@ -127,6 +127,55 @@ SINKS: dict[str, Callable[[DataFrame, dict[str, Any]], Any]] = {
 }
 
 
+def build_stream_sink(
+    df: DataFrame,
+    plan,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming sink: built-in writers for file/kafka/console/noop;
+    everything else through foreachBatch reusing the batch writers.
+    Returns the started StreamingQuery."""
+    cfg = dict(plan.output)
+    typ = cfg.pop("type", "devnull")
+    schema_ddl = cfg.get("schema")
+    if schema_ddl:
+        schema = T.StructType.fromDDL(schema_ddl)
+        df = coerce_to_schema(df, schema, strict=bool(cfg.get("strict", False)))
+
+    writer = df.writeStream.outputMode(cfg.get("output_mode", "append"))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif "processing_time" in cfg:
+        writer = writer.trigger(processingTime=cfg["processing_time"])
+
+    if typ == "file":
+        fmt = cfg.get("format", "json")
+        return writer.format(fmt).option("path", cfg.get("path") or cfg.get("target_file")).start()
+    if typ == "kafka":
+        return (
+            writer.format("kafka")
+            .option("kafka.bootstrap.servers", cfg.get("brokers", "localhost:9092"))
+            .option("topic", cfg.get("default_topic", "events"))
+            .start()
+        )
+    if typ == "stdout":
+        return writer.format("console").start()
+    if typ == "devnull":
+        return writer.format("noop").start()
+    if typ in SINKS:
+        # reuse the batch writer per micro-batch (ES/Loki/... sinks)
+        batch_writer = SINKS[typ]
+
+        def for_each(batch_df: DataFrame, epoch_id: int):
+            batch_writer(batch_df, cfg)
+
+        return writer.foreachBatch(for_each).start()
+    raise ValueError(f"unsupported streaming output type: {typ!r}")
+
+
 def build_sink(df: DataFrame, plan) -> Any:
     cfg = dict(plan.output)
     typ = cfg.pop("type", "devnull")

@@ -71,6 +71,15 @@ def build_source(spark: SparkSession, plan: PipelinePlan, streaming: bool = Fals
                 "_offset": df["offset"],
             }
         )
+    if typ in ("http", "socket"):
+        # push-style inputs land in a spool dir (see sources/ingest.py);
+        # the spool is read with the file source — same decode path
+        spool = cfg.get("spool_dir")
+        if not spool:
+            raise ValueError(f"{typ} input requires spool_dir")
+        reader = spark.readStream if streaming else spark.read
+        df = reader.format("text").load(spool)
+        return _decode_lines(df, plan)
     if typ == "parquet":
         return spark.read.parquet(cfg["path"])
     if typ == "fake":

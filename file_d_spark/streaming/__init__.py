@@ -1,0 +1,15 @@
+"""Structured Streaming layer: stateful operators + stream runner."""
+
+from file_d_spark.streaming.stateful import (
+    antispam_stream,
+    cardinality_stream,
+    multiline_join_stream,
+    throttle_stream,
+)
+
+__all__ = [
+    "antispam_stream",
+    "cardinality_stream",
+    "multiline_join_stream",
+    "throttle_stream",
+]

@@ -1,0 +1,313 @@
+"""The stateful quartet as Structured Streaming operators
+(applyInPandasWithState): multiline join, throttle, cardinality,
+antispam.
+
+These are the only operators whose semantics need cross-batch state
+(SURVEY.md §4 "custom Spark work needed").  Each is keyed — Spark
+hash-partitions the stream by key, the state store holds per-key state
+across micro-batches, and per-key arrival order within a batch is
+restored by sorting on the sequence column (cross-batch order is the
+source's: file offsets / kafka offsets are monotone per key).
+
+Reference semantics:
+  join         /root/reference/plugin/action/join/join.go:152-218
+               (+ stream timeout flush: pipeline/streamer.go:148-166)
+  throttle     /root/reference/plugin/action/throttle/throttle.go:60-140
+               in_memory_limiter.go:15-60 (sliding bucket ring)
+  cardinality  /root/reference/plugin/action/cardinality/cardinality.go:126-169
+  antispam     /root/reference/pipeline/antispam/antispammer.go:24-120
+               (ban above threshold, unban after 4 idle maintenance ticks)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# The stateful fns run in executor Python workers, which may not have
+# this repo on sys.path (the driver may run from any cwd).  Pickling
+# this module by value makes the closures self-contained.
+try:  # pragma: no cover
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
+
+def _concat_frames(frames: Iterator[pd.DataFrame]) -> pd.DataFrame:
+    parts = [p for p in frames if len(p)]
+    if not parts:
+        return pd.DataFrame()
+    return pd.concat(parts, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# multiline join
+# ---------------------------------------------------------------------------
+
+
+def multiline_join_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    field: str,
+    start_re: str,
+    continue_re: str | None,
+    negate: bool = False,
+    event_timeout_ms: int = 30_000,
+) -> DataFrame:
+    """Streaming multiline join keyed by (source, stream).
+
+    State = (buffer, pending-first-row).  A sequence left open at batch
+    end stays in state; the processing-time timeout flushes it
+    (reference: stream timeout events after ``event_timeout``)."""
+    import re
+
+    start_pat = re.compile(start_re)
+    cont_pat = re.compile(continue_re) if continue_re else None
+
+    out_schema = df.schema
+    # state: the buffered joined text + the first row of the open
+    # sequence, serialized as a json record
+    state_schema = "buf string, first_row string"
+
+    data_cols = [f.name for f in df.schema.fields]
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import base64
+        import pickle
+
+        def pack(rec: dict) -> str:
+            return base64.b64encode(pickle.dumps(rec)).decode()
+
+        def unpack(s: str) -> dict:
+            return pickle.loads(base64.b64decode(s))
+
+        if state.hasTimedOut:
+            buf, first_packed = state.get
+            state.remove()
+            if first_packed:
+                row = unpack(first_packed)
+                row[field] = buf
+                yield pd.DataFrame([row])[data_cols]
+            return
+
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values(seq_col, kind="mergesort")
+
+        buf, first_packed = state.get if state.exists else ("", None)
+        out_rows: list[dict] = []
+
+        def flush():
+            nonlocal buf, first_packed
+            if first_packed is not None:
+                row = unpack(first_packed)
+                row[field] = buf
+                out_rows.append(row)
+            buf, first_packed = "", None
+
+        for rec in pdf.to_dict("records"):
+            value = rec.get(field)
+            value = "" if value is None else str(value)
+            if start_pat.search(value):
+                flush()
+                first_packed = pack(rec)
+                buf = value
+                continue
+            joining = first_packed is not None
+            if joining:
+                ok = bool(cont_pat.search(value)) if cont_pat else False
+                if negate:
+                    ok = not ok
+                if ok:
+                    buf += value
+                    continue
+                flush()
+            out_rows.append(rec)
+
+        if first_packed is not None:
+            state.update((buf, first_packed))
+            state.setTimeoutDuration(event_timeout_ms)
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(out_rows)[data_cols]
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# throttle
+# ---------------------------------------------------------------------------
+
+
+def throttle_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_interval_s: int,
+    buckets_count: int,
+    limit: int,
+) -> DataFrame:
+    """Streaming throttle: per-key sliding ring of ``buckets_count``
+    buckets of ``bucket_interval_s``; admits up to ``limit`` events per
+    bucket; events older than the ring horizon are dropped."""
+    out_schema = df.schema
+    # ring serialized as parallel arrays (bucket epoch-id -> used count)
+    state_schema = "bucket_ids array<long>, used array<long>"
+    data_cols = [f.name for f in df.schema.fields]
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        if state.exists:
+            bucket_ids, used = state.get
+            ring: dict[int, int] = dict(zip(bucket_ids, used))
+        else:
+            ring = {}
+        max_bucket = max(ring) if ring else -1
+        keep_mask = []
+        for ts in pd.to_datetime(pdf[ts_col]):
+            b = int(ts.timestamp()) // bucket_interval_s
+            max_bucket = max(max_bucket, b)
+            if b <= max_bucket - buckets_count:
+                keep_mask.append(False)  # dead-time cutoff
+                continue
+            n = ring.get(b, 0)
+            if n < limit:
+                ring[b] = n + 1
+                keep_mask.append(True)
+            else:
+                keep_mask.append(False)
+        # evict buckets outside the ring
+        for b in [b for b in ring if b <= max_bucket - buckets_count]:
+            del ring[b]
+        state.update((list(ring.keys()), list(ring.values())))
+        out = pdf[pd.Series(keep_mask, index=pdf.index)]
+        if len(out):
+            yield out[data_cols]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# cardinality
+# ---------------------------------------------------------------------------
+
+
+def cardinality_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    limit: int,
+    mode: str = "discard",
+) -> DataFrame:
+    """Streaming cardinality guard: tracks distinct ``value_col`` per
+    key; over ``limit`` the key's events are discarded / the field
+    nulled / passed (mode nothing)."""
+    out_schema = df.schema
+    state_schema = "values array<string>, over boolean"
+    data_cols = [f.name for f in df.schema.fields]
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        if state.exists:
+            values, over = state.get
+            seen = set(values)
+        else:
+            seen, over = set(), False
+        out_rows = []
+        for rec in pdf.to_dict("records"):
+            v = str(rec.get(value_col))
+            if not over:
+                seen.add(v)
+                if len(seen) > limit:
+                    over = True
+            if over:
+                if mode == "discard":
+                    continue
+                if mode == "remove_fields":
+                    rec[value_col] = None
+            out_rows.append(rec)
+        # cap stored set at limit+1 — once over, membership is moot
+        state.update((sorted(seen)[: limit + 1], over))
+        if out_rows:
+            yield pd.DataFrame(out_rows)[data_cols]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# antispam
+# ---------------------------------------------------------------------------
+
+
+def antispam_stream(
+    df: DataFrame,
+    source_col: str,
+    threshold: int,
+    maintenance_interval_ms: int = 60_000,
+    unban_idle_ticks: int = 4,
+) -> DataFrame:
+    """Streaming antispam: counts per source within a maintenance
+    window (processing-time timeout = the maintenance tick); a source
+    over ``threshold`` is banned; after ``unban_idle_ticks`` quiet
+    ticks it is unbanned (reference antispammer.go:24-120)."""
+    out_schema = df.schema
+    state_schema = "count long, banned boolean, idle int"
+    data_cols = [f.name for f in df.schema.fields]
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            count, banned, idle = state.get
+            if count == 0:
+                idle += 1
+            if banned and idle >= unban_idle_ticks:
+                state.remove()
+                return
+            state.update((0, banned, idle))
+            state.setTimeoutDuration(maintenance_interval_ms)
+            return
+
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        count, banned, idle = state.get if state.exists else (0, False, 0)
+        count += len(pdf)
+        if count > threshold:
+            banned = True
+        state.update((count, banned, 0))
+        state.setTimeoutDuration(maintenance_interval_ms)
+        if not banned:
+            yield pdf[data_cols]
+
+    return df.groupBy(source_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
