@@ -104,7 +104,35 @@ class Throttle(Action):
             F.col(c) for c in self.params.get("order_fields", [])
         ]
         w = Window.partitionBy("__fd_key__", "__fd_bucket__").orderBy(*order_cols)
-        if limit_kind == "size" and size_field:
+        dist_cfg = self.params.get("limit_distribution") or {}
+        if dist_cfg.get("field") and dist_cfg.get("ratios"):
+            # per-value ratio shares of the limit
+            # (/root/reference/plugin/action/throttle/distribution.go:33-90):
+            # group i gets round(ratio_i*limit); unlisted values share
+            # round((1-sum)*limit)
+            dist_field = get_col_safe(
+                parse_selector(dist_cfg["field"]), df.schema
+            ).cast("string")
+            ratios = dist_cfg["ratios"]
+            idx_expr = F.lit(-1)
+            group_limits = []
+            for i, r in enumerate(ratios):
+                idx_expr = F.when(
+                    dist_field.isin([str(v) for v in r["values"]]), F.lit(i)
+                ).otherwise(idx_expr)
+                group_limits.append(round(float(r["ratio"]) * limit))
+            def_ratio = round(1 - sum(float(r["ratio"]) for r in ratios), 2)
+            def_limit = round(def_ratio * limit)
+            limit_expr = F.element_at(
+                F.array(*[F.lit(x) for x in group_limits + [def_limit]]),
+                F.when(idx_expr >= 0, idx_expr + 1).otherwise(len(group_limits) + 1),
+            )
+            df = df.withColumn("__fd_dist__", F.when(idx_expr >= 0, idx_expr).otherwise(F.lit(-1)))
+            wd = Window.partitionBy("__fd_key__", "__fd_bucket__", "__fd_dist__").orderBy(
+                *order_cols
+            )
+            admitted = F.row_number().over(wd) <= limit_expr
+        elif limit_kind == "size" and size_field:
             size_col = F.octet_length(
                 get_col_safe(parse_selector(size_field), df.schema).cast("string")
             )
@@ -119,7 +147,9 @@ class Throttle(Action):
             df.withColumn("__fd_keep__", in_window & admitted)
             .filter(F.col("__fd_keep__"))
         )
-        return out.drop("__fd_key__", "__fd_bucket__", "__fd_ts__", "__fd_keep__")
+        return out.drop(
+            "__fd_key__", "__fd_bucket__", "__fd_ts__", "__fd_keep__", "__fd_dist__"
+        )
 
 
 @register("cardinality")

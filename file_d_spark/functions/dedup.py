@@ -91,6 +91,7 @@ def jaccard_pairs(
     sh = spread(df).select(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("set_size", F.size("shingles"))
+    sh = sh.cache()  # read 3x (posting a/b, sizes) — shingle once
     sizes = sh.select("doc", "set_size")
     posting = sh.select("doc", "set_size", F.explode("shingles").alias("shingle"))
     # size filter inside the join: jaccard >= t needs t*|A| <= |B|
@@ -168,6 +169,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
+    sh = sh.cache()  # reused by banding + candidate verification
     sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     banded = sig.select(
         "doc",

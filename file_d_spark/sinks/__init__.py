@@ -117,6 +117,76 @@ def sink_loki(df: DataFrame, cfg: dict[str, Any]):
     _http_batch_sink(df, cfg, encode)
 
 
+def sink_gelf(df: DataFrame, cfg: dict[str, Any]):
+    """GELF envelopes: version/host/short_message + _-prefixed extras,
+    null-byte framed (/root/reference/plugin/output/gelf/gelf.go:18-58)."""
+    host_field = cfg.get("host_field", "host")
+    msg_field = cfg.get("short_message_field", "message")
+
+    def encode(docs: list[dict]) -> list[str]:
+        out = []
+        for d in docs:
+            g = {
+                "version": "1.1",
+                "host": str(d.get(host_field, "unknown")),
+                "short_message": str(d.get(msg_field, "")),
+            }
+            for k, v in d.items():
+                if k not in (host_field, msg_field):
+                    g["_" + k] = v
+            out.append(json.dumps(g, default=str) + "\x00")
+        return out
+
+    _http_batch_sink(df, cfg, encode)
+
+
+def sink_splunk(df: DataFrame, cfg: dict[str, Any]):
+    """Splunk HEC event envelopes (+copy_fields)
+    (/root/reference/plugin/output/splunk/splunk.go:22-111)."""
+    copy_fields = cfg.get("copy_fields", [])
+
+    def encode(docs: list[dict]) -> list[str]:
+        out = []
+        for d in docs:
+            env: dict[str, Any] = {"event": d}
+            for cp in copy_fields:
+                if cp in d:
+                    env[cp] = d[cp]
+            out.append(json.dumps(env, default=str))
+        return ["\n".join(out)]
+
+    _http_batch_sink(df, cfg, encode)
+
+
+def sink_http(df: DataFrame, cfg: dict[str, Any]):
+    """Generic HTTP batch POST of NDJSON bodies
+    (/root/reference/plugin/output/http/http.go:54)."""
+
+    def encode(docs: list[dict]) -> list[str]:
+        return ["\n".join(json.dumps(d, default=str) for d in docs) + "\n"]
+
+    _http_batch_sink(df, cfg, encode)
+
+
+def sink_jdbc(df: DataFrame, cfg: dict[str, Any]):
+    """postgres/clickhouse-over-JDBC writer.  Typed coercion happens in
+    build_sink via the declared schema; ``unique`` columns dedup before
+    write (the reference's ON CONFLICT DO NOTHING —
+    /root/reference/plugin/output/postgres/postgres.go:121-137).
+    Requires the JDBC driver jar on the classpath (not bundled here)."""
+    unique = cfg.get("unique") or []
+    if unique:
+        df = df.dropDuplicates(unique)
+    (
+        df.write.format("jdbc")
+        .option("url", cfg["url"])
+        .option("dbtable", cfg["table"])
+        .options(**cfg.get("options", {}))
+        .mode(cfg.get("mode", "append"))
+        .save()
+    )
+
+
 SINKS: dict[str, Callable[[DataFrame, dict[str, Any]], Any]] = {
     "file": sink_file,
     "s3": sink_file,  # s3a:// path in cfg['path'] — same writer
@@ -124,6 +194,11 @@ SINKS: dict[str, Callable[[DataFrame, dict[str, Any]], Any]] = {
     "devnull": sink_devnull,
     "elasticsearch": sink_elasticsearch,
     "loki": sink_loki,
+    "gelf": sink_gelf,
+    "splunk": sink_splunk,
+    "http": sink_http,
+    "postgres": sink_jdbc,
+    "clickhouse": sink_jdbc,
 }
 
 

@@ -17,6 +17,29 @@ from file_d_spark.config import PipelinePlan
 from file_d_spark.decoders import get_decoder
 
 
+def apply_meta_templates(df: DataFrame, meta: dict[str, str]) -> DataFrame:
+    """Input meta templates: ``field: "{{ .topic }}-{{ .partition }}"``
+    rendered from source metadata columns
+    (/root/reference/pipeline/metadata/templater.go:19-50).  ``{{ .x }}``
+    references resolve to column ``_x`` (or ``x``)."""
+    import re
+
+    for field, template in (meta or {}).items():
+        parts: list[F.Column] = []
+        idx = 0
+        for m in re.finditer(r"\{\{\s*\.(\w+)\s*\}\}", template):
+            if m.start() > idx:
+                parts.append(F.lit(template[idx : m.start()]))
+            name = m.group(1)
+            col = f"_{name.lower()}" if f"_{name.lower()}" in df.columns else name.lower()
+            parts.append(F.col(col).cast("string") if col in df.columns else F.lit(""))
+            idx = m.end()
+        if idx < len(template):
+            parts.append(F.lit(template[idx:]))
+        df = df.withColumn(field, F.concat(*parts) if parts else F.lit(""))
+    return df
+
+
 def _decode_lines(df: DataFrame, plan: PipelinePlan, line_col: str = "value") -> DataFrame:
     """Apply the pipeline's decoder to raw text lines, producing the
     event columns + source metadata (reference: pipeline.In,
@@ -41,6 +64,16 @@ def _decode_lines(df: DataFrame, plan: PipelinePlan, line_col: str = "value") ->
 def build_source(spark: SparkSession, plan: PipelinePlan, streaming: bool = False) -> DataFrame:
     cfg = dict(plan.input)
     typ = cfg.pop("type", "fake")
+    meta = cfg.pop("meta", None)
+    df = _build_source_inner(spark, plan, typ, cfg, streaming)
+    if meta:
+        df = apply_meta_templates(df, meta)
+    return df
+
+
+def _build_source_inner(
+    spark: SparkSession, plan: PipelinePlan, typ: str, cfg: dict, streaming: bool
+) -> DataFrame:
     if typ == "file":
         paths = cfg.get("watching_dir") or cfg.get("path")
         glob = cfg.get("filename_pattern", "*")
@@ -71,6 +104,46 @@ def build_source(spark: SparkSession, plan: PipelinePlan, streaming: bool = Fals
                 "_offset": df["offset"],
             }
         )
+    if typ == "k8s":
+        # file input + pod metadata from the k8s filename convention
+        # [pod]_[namespace]_[container]-[id].log + a (small, broadcast)
+        # pod-registry dimension for node/labels enrichment
+        # (/root/reference/plugin/input/k8s/k8s.go:73)
+        paths = cfg.get("watching_dir") or cfg.get("path")
+        reader = spark.readStream if streaming else spark.read
+        df = (
+            reader.format("text")
+            .option("pathGlobFilter", cfg.get("filename_pattern", "*.log"))
+            .option("recursiveFileLookup", "true")
+            .load(paths)
+        )
+        if plan.settings.decoder == "auto":
+            # k8s input suggests the CRI decoder (pipeline.go:904-918)
+            plan = PipelinePlan(
+                plan.name,
+                type(plan.settings)(**{**plan.settings.__dict__, "decoder": "cri"}),
+                plan.input,
+                plan.actions,
+                plan.output,
+            )
+        decoded = _decode_lines(df, plan)
+        fname = F.regexp_extract(F.col("_source_name"), r"([^/]+)\.log$", 1)
+        k8s_re = r"^(.+)_(.+)_(.+)-([0-9a-f]{64})$"
+        decoded = (
+            decoded.withColumn("k8s_pod", F.regexp_extract(fname, k8s_re, 1))
+            .withColumn("k8s_namespace", F.regexp_extract(fname, k8s_re, 2))
+            .withColumn("k8s_container", F.regexp_extract(fname, k8s_re, 3))
+            .withColumn("k8s_container_id", F.regexp_extract(fname, k8s_re, 4))
+        )
+        registry_path = cfg.get("pod_registry")
+        if registry_path:
+            registry = spark.read.json(registry_path)
+            decoded = decoded.join(
+                F.broadcast(registry),
+                on=["k8s_pod", "k8s_namespace"],
+                how="left",
+            )
+        return decoded
     if typ in ("http", "socket"):
         # push-style inputs land in a spool dir (see sources/ingest.py);
         # the spool is read with the file source — same decode path

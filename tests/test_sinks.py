@@ -1,0 +1,116 @@
+"""Sink tests: payload encoders (with a filesystem-backed transport —
+foreachPartition runs in executor processes), typed-schema coercion
+(F10 fixture style), and file sink round-trip."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+
+def _collector(tmpdir):
+    """Transport stub: each payload appended as one file (executors
+    share the local filesystem)."""
+    os.makedirs(tmpdir, exist_ok=True)
+
+    def send(payload: str):
+        import tempfile
+
+        fd, path = tempfile.mkstemp(dir=tmpdir, suffix=".payload")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+
+    return send
+
+
+def _payloads(tmpdir):
+    return [open(p).read() for p in sorted(glob.glob(f"{tmpdir}/*.payload"))]
+
+
+def test_es_bulk_sink(spark, tmp_path):
+    from file_d_spark.sinks import sink_elasticsearch
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "msg string, n long").coalesce(1)
+    out = str(tmp_path / "es")
+    sink_elasticsearch(df, {"index_format": "logs-x", "transport": _collector(out)})
+    payloads = _payloads(out)
+    assert payloads
+    lines = [l for p in payloads for l in p.strip().split("\n")]
+    actions = [json.loads(l) for l in lines[0::2]]
+    docs = sorted(json.loads(l)["msg"] for l in lines[1::2])
+    assert all(a == {"index": {"_index": "logs-x"}} for a in actions)
+    assert docs == ["a", "b"]
+
+
+def test_gelf_sink(spark, tmp_path):
+    from file_d_spark.sinks import sink_gelf
+
+    df = spark.createDataFrame(
+        [("host1", "boom", "extra")], "host string, message string, svc string"
+    ).coalesce(1)
+    out = str(tmp_path / "gelf")
+    sink_gelf(df, {"transport": _collector(out)})
+    (payload,) = _payloads(out)
+    assert payload.endswith("\x00")
+    g = json.loads(payload.rstrip("\x00"))
+    assert g["version"] == "1.1"
+    assert g["host"] == "host1"
+    assert g["short_message"] == "boom"
+    assert g["_svc"] == "extra"
+
+
+def test_splunk_sink(spark, tmp_path):
+    from file_d_spark.sinks import sink_splunk
+
+    df = spark.createDataFrame([("x", "h1")], "msg string, host string").coalesce(1)
+    out = str(tmp_path / "splunk")
+    sink_splunk(df, {"copy_fields": ["host"], "transport": _collector(out)})
+    (payload,) = _payloads(out)
+    env = json.loads(payload)
+    assert env["event"]["msg"] == "x"
+    assert env["host"] == "h1"
+
+
+def test_coerce_to_schema_strict_vs_not(spark):
+    from file_d_spark.sinks import coerce_to_schema
+
+    df = spark.createDataFrame(
+        [("12", "2024-01-01T00:00:00Z", "true", "not-a-number")],
+        "c_i64 string, c_dt string, c_bool string, c_bad string",
+    )
+    schema = T.StructType.fromDDL(
+        "c_i64 bigint, c_dt timestamp, c_bool boolean, c_bad double, c_missing string"
+    )
+    row = coerce_to_schema(df, schema, strict=False).collect()[0]
+    assert row.c_i64 == 12
+    assert row.c_bool is True
+    assert row.c_bad is None  # non-strict: unparsable -> NULL
+    assert row.c_missing is None
+    assert row.c_dt.year == 2024
+
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        # strict mode surfaces the bad cast (ANSI)
+        coerce_to_schema(df, schema, strict=True).collect()
+
+
+def test_file_sink_partitioned(spark, tmp_path):
+    from file_d_spark import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], "k string, v long"
+    )
+    out = str(tmp_path / "out")
+    p = Pipeline.from_dict(
+        {"output": {"type": "file", "format": "json", "path": out, "partition_by": ["k"]}}
+    )
+    p.write(df)
+    assert os.path.isdir(os.path.join(out, "k=a"))
+    rows = []
+    for path in glob.glob(f"{out}/k=*/part-*"):
+        with open(path) as fh:
+            rows += [json.loads(l) for l in fh if l.strip()]
+    assert sorted(r["v"] for r in rows) == [1, 2, 3]
