@@ -78,6 +78,30 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a, b) with cosine >=
+    threshold.  Exact all-pairs via broadcast nested-loop (corpus side
+    spread across cores); the LSH-banded variant (rh_signature buckets)
+    is the 100 TB path — this is the verification/oracle baseline."""
+    from file_d_spark.functions.dedup import spread
+
+    a = spread(corpus).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane: a fixed LCG on
     (plane_idx, component) — reproducible across engines/runs with no

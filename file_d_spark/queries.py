@@ -866,13 +866,38 @@ def q_ann_brute(spark, sf_dir):
     return similarity.brute_force_topk(e, queries, k=10)
 
 
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT id_a, id_b, round(sim, 6) AS sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                  i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS sim
+      FROM v a, v b WHERE a.vec_id < b.vec_id)
+    WHERE sim >= 0.45
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    the banded rh_signature join is the scale path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, threshold=0.45).select(
+        "id_a", "id_b", "sim"
+    )
+
+
 @query("ann_lsh")  # no SQL oracle: approximate by design
 def q_ann_lsh(spark, sf_dir):
     """random-hyperplane LSH top-10 — banded-join scale path; recall
     vs brute force asserted in tests."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(e, queries, dim=64, k=10, planes=16, bands=4)
+    return similarity.lsh_topk(e, queries, dim=64, k=10, planes=16, bands=8)
 
 
 @query(

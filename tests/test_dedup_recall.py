@@ -1,0 +1,73 @@
+"""Recall of the approximate near-dup / ANN paths against their exact
+counterparts — the correctness story for the hash-dependent operators
+that have no SQL oracle."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from file_d_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    from file_d_spark.functions import dedup
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.7
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    # verification step guarantees precision == 1.0
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall}"
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    """simhash is token-frequency weighted, so its exact counterpart is
+    full-text near-duplication (the seeded trigram-jaccard pairs), NOT
+    word-set jaccard — a tiny vocabulary makes word SETS near-identical
+    across unrelated docs while frequencies still differ."""
+    from file_d_spark.functions import dedup
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8, chunks=9).collect()
+    }
+    assert exact
+    hit = len(sim & exact) / len(exact)
+    assert hit >= 0.8, f"simhash hit-rate {hit}"
+
+
+def test_ann_lsh_recall_vs_brute(spark, sf_dir):
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(e, q, k=10).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(e, q, dim=64, k=10, planes=16, bands=8).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    # uniform-random gaussian embeddings are the LSH worst case (no
+    # cluster structure, top-10 barely above random): 2-bit bands trade
+    # candidate pruning for recall
+    assert recall >= 0.75, f"ann-lsh recall {recall}"
