@@ -134,18 +134,14 @@ def jaccard_pairs(
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """K min-hash values per shingle set.  Hash family: xxhash64 of the
     shingle salted with the hash index — deterministic, no fitted
-    model.  Single fold over the array: each shingle is hashed K ways
-    once and folded into the running elementwise min (vs K separate
-    array traversals — ~K× less array overhead)."""
-    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
-    return F.aggregate(
-        shingles,
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
+    model.  K independent array_min(transform(...)) expressions: each
+    is a tight codegen loop over the array (measured faster than a
+    single fold building K-wide intermediate arrays per element)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -170,7 +166,14 @@ def minhash_lsh_pairs(
         word_shingles(F.col(text_col), n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
     sh = sh.cache()  # reused by banding + candidate verification
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # signatures are tiny (doc + K longs): cache so the self-join's two
+    # branches and the band explode never recompute the K×|shingles|
+    # hash pass
+    sig = (
+        sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        .select("doc", "sig")
+        .cache()
+    )
     banded = sig.select(
         "doc",
         F.explode(

@@ -84,6 +84,41 @@ def q_filter_doif(spark, sf_dir):
 
 
 @query(
+    "filter_len_cmp",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE NOT (octet_length(text::BLOB) < 200
+               OR len(string_split(text, ' ')) > 60
+               OR n_chars > 400)
+    """,
+)
+def q_filter_len_cmp(spark, sf_dir):
+    """discard + byte_len_cmp / array_len_cmp / int_val_cmp do_if ops
+    (SURVEY §2.4 length comparisons)."""
+    df = load_table(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    )
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "discard",
+                    "do_if": {
+                        "op": "or",
+                        "operands": [
+                            {"op": "byte_len_cmp", "field": "text", "cmp_op": "lt", "value": 200},
+                            {"op": "array_len_cmp", "field": "words", "cmp_op": "gt", "value": 60},
+                            {"op": "int_val_cmp", "field": "n_chars", "cmp_op": "gt", "value": 400},
+                        ],
+                    },
+                }
+            ]
+        }
+    )
+    return p.apply(df).select("doc_id", "n_chars")
+
+
+@query(
     "project_keep_fields",
     "SELECT event_id, user_id, props FROM events",
 )

@@ -40,7 +40,12 @@ def apply_meta_templates(df: DataFrame, meta: dict[str, str]) -> DataFrame:
     return df
 
 
-def _decode_lines(df: DataFrame, plan: PipelinePlan, line_col: str = "value") -> DataFrame:
+def _decode_lines(
+    df: DataFrame,
+    plan: PipelinePlan,
+    line_col: str = "value",
+    meta_cols: list | None = None,
+) -> DataFrame:
     """Apply the pipeline's decoder to raw text lines, producing the
     event columns + source metadata (reference: pipeline.In,
     /root/reference/pipeline/pipeline.go:488-543)."""
@@ -48,10 +53,12 @@ def _decode_lines(df: DataFrame, plan: PipelinePlan, line_col: str = "value") ->
     params = dict(plan.settings.decoder_params or {})
     params.setdefault("schema", plan.settings.extra.get("schema"))
     fm = decoder(F.col(line_col), params)
-    out_cols = [F.input_file_name().alias("_source_name")]
+    out_cols = list(
+        meta_cols if meta_cols is not None else [F.input_file_name().alias("_source_name")]
+    )
     for name, col in fm.items():
         if name == "__struct__":
-            tmp = df.select(col.alias("__s__"), F.lit(1).alias("__x__"))
+            tmp = df.select(col.alias("__s__"))
             for f in tmp.schema["__s__"].dataType.fields:
                 out_cols.append(col.getField(f.name).alias(f.name))
         elif name == "__map__":
@@ -77,6 +84,22 @@ def _build_source_inner(
     if typ == "file":
         paths = cfg.get("watching_dir") or cfg.get("path")
         glob = cfg.get("filename_pattern", "*")
+        if streaming and cfg.get("tail"):
+            # byte-offset tailing (reference file-input semantics:
+            # follow growing files, not just new ones)
+            from file_d_spark.sources.tail_file import TailFileDataSource
+
+            spark.dataSource.register(TailFileDataSource)
+            df = (
+                spark.readStream.format("tail_file")
+                .option("path", paths)
+                .option("glob", glob)
+                .load()
+            )
+            df = df.withColumnsRenamed({"file": "_source_name", "offset": "_offset"})
+            return _decode_lines(
+                df, plan, meta_cols=[F.col("_source_name"), F.col("_offset")]
+            )
         reader = spark.readStream if streaming else spark.read
         df = (
             reader.format("text")
