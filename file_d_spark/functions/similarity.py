@@ -102,6 +102,77 @@ def cosine_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_lists``
+    inverted lists, probe the ``n_probe`` closest lists per query,
+    exact-rerank inside the probed lists.
+
+    Centroids are picked deterministically (every corpus-size/n_lists-th
+    vector by id order) — no fitted model, reproducible across runs.
+    At scale: centroid assignment is one broadcast pass; the search
+    join hits only n_probe/n_lists of the corpus per query.
+    """
+    from file_d_spark.functions.dedup import spread
+
+    n = corpus.count()
+    stride = max(n // n_lists, 1)
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_lists * stride)
+        .filter((F.col(id_col) % stride) == 0)
+        .limit(n_lists)
+        .select(
+            (F.col(id_col) / stride).cast("int").alias("list_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    )
+    # assign each corpus vector to its nearest centroid
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("c_sim").desc(), F.col("list_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", cosine(F.col("neighbor_vec"), F.col("centroid")))
+        .withColumn("a_rank", F.row_number().over(assign_w))
+        .filter(F.col("a_rank") == 1)
+        .select("neighbor_id", "neighbor_vec", "list_id")
+    )
+    # per query: the n_probe closest lists
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("list_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", cosine(F.col("query_vec"), F.col("centroid")))
+        .withColumn("p_rank", F.row_number().over(probe_w))
+        .filter(F.col("p_rank") <= n_probe)
+        .select("query_id", "query_vec", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane: a fixed LCG on
     (plane_idx, component) — reproducible across engines/runs with no

@@ -935,6 +935,15 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(e, queries, dim=64, k=10, planes=16, bands=8)
 
 
+@query("ann_ivf")  # no SQL oracle: approximate by design
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN top-10: deterministic coarse quantizer, probe the
+    closest lists, exact rerank; recall vs brute force in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(e, queries, k=10, n_lists=16, n_probe=6)
+
+
 @query(
     "multimodal_meta",
     """

@@ -241,11 +241,33 @@ def build_stream_sink(
     if typ == "devnull":
         return writer.format("noop").start()
     if typ in SINKS:
-        # reuse the batch writer per micro-batch (ES/Loki/... sinks)
+        # reuse the batch writer per micro-batch (ES/Loki/... sinks);
+        # a failing batch lands in the dead queue instead of poisoning
+        # the stream (reference: router dead queue + retries —
+        # /root/reference/pipeline/router.go:29-33, fd/file.d.go:260-290)
         batch_writer = SINKS[typ]
+        dead_queue_dir = cfg.get("dead_queue")
+        retries = int(cfg.get("retry", 1))
 
         def for_each(batch_df: DataFrame, epoch_id: int):
-            batch_writer(batch_df, cfg)
+            batch_df = batch_df.persist()
+            try:
+                last_err = None
+                for _ in range(max(retries, 1)):
+                    try:
+                        batch_writer(batch_df, cfg)
+                        return
+                    except Exception as e:  # noqa: BLE001
+                        last_err = e
+                if dead_queue_dir:
+                    (
+                        batch_df.write.mode("append")
+                        .json(f"{dead_queue_dir}/epoch={epoch_id}")
+                    )
+                else:
+                    raise last_err
+            finally:
+                batch_df.unpersist()
 
         return writer.foreachBatch(for_each).start()
     raise ValueError(f"unsupported streaming output type: {typ!r}")

@@ -71,3 +71,23 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     # cluster structure, top-10 barely above random): 2-bit bands trade
     # candidate pruning for recall
     assert recall >= 0.75, f"ann-lsh recall {recall}"
+
+
+def test_ann_ivf_recall_vs_brute(spark, sf_dir):
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(e, q, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(e, q, k=10, n_lists=16, n_probe=6).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    # probing 6/16 lists of structureless vectors: recall well above
+    # the 37.5% corpus coverage (neighbors correlate with centroids)
+    assert recall >= 0.5, f"ann-ivf recall {recall}"
