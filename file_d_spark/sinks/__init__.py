@@ -37,9 +37,14 @@ def coerce_to_schema(df: DataFrame, schema: T.StructType, strict: bool = False) 
 
 
 def sink_file(df: DataFrame, cfg: dict[str, Any]):
+    """Rolling-file output.  The reference's retention/sealing
+    (file.go:63-112) maps to time partitioning + compression: files
+    partitioned by a time column age out by partition directory."""
     fmt = cfg.get("format", "json")
     path = cfg["target_file" if "target_file" in cfg else "path"]
     writer = df.write.mode(cfg.get("mode", "overwrite"))
+    if cfg.get("compression"):  # gzip sealing analogue
+        writer = writer.option("compression", cfg["compression"])
     partition_by = cfg.get("partition_by")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -51,6 +56,36 @@ def sink_file(df: DataFrame, cfg: dict[str, Any]):
         writer.csv(path, header=True)
     else:
         writer.format(fmt).save(path)
+
+
+def sink_socket(df: DataFrame, cfg: dict[str, Any]):
+    """Raw TCP/UDP line writer
+    (/root/reference/plugin/output/socket/socket.go:109).  Each
+    partition opens one connection and writes newline-framed JSON."""
+    host = cfg.get("host", "127.0.0.1")
+    port = int(cfg["port"])
+    mode = cfg.get("mode", "tcp")
+
+    def send_partition(rows):
+        import json as _json
+        import socket as _socket
+
+        if mode == "udp":
+            s = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+            for row in rows:
+                s.sendto(
+                    (_json.dumps(row.asDict(recursive=True), default=str) + "\n").encode(),
+                    (host, port),
+                )
+            s.close()
+            return
+        with _socket.create_connection((host, port)) as s:
+            for row in rows:
+                s.sendall(
+                    (_json.dumps(row.asDict(recursive=True), default=str) + "\n").encode()
+                )
+
+    df.foreachPartition(send_partition)
 
 
 def sink_stdout(df: DataFrame, cfg: dict[str, Any]):
@@ -199,6 +234,7 @@ SINKS: dict[str, Callable[[DataFrame, dict[str, Any]], Any]] = {
     "http": sink_http,
     "postgres": sink_jdbc,
     "clickhouse": sink_jdbc,
+    "socket": sink_socket,
 }
 
 

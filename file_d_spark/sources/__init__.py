@@ -167,9 +167,10 @@ def _build_source_inner(
                 how="left",
             )
         return decoded
-    if typ in ("http", "socket"):
-        # push-style inputs land in a spool dir (see sources/ingest.py);
-        # the spool is read with the file source — same decode path
+    if typ in ("http", "socket", "journalctl", "dmesg"):
+        # push/process inputs land in a spool dir (sources/ingest.py,
+        # sources/procs.py); the spool is read with the file source —
+        # same decode path
         spool = cfg.get("spool_dir")
         if not spool:
             raise ValueError(f"{typ} input requires spool_dir")

@@ -1,0 +1,62 @@
+"""journalctl/dmesg process pumps (injected command) and the socket
+sink (live local TCP server)."""
+
+import json
+import socketserver
+import threading
+
+
+def test_journalctl_pump_to_pipeline(spark, tmp_path):
+    from file_d_spark import Pipeline
+    from file_d_spark.sources.procs import journalctl_pump
+
+    spool = str(tmp_path / "spool")
+    lines = [json.dumps({"MESSAGE": f"boot {i}", "PRIORITY": str(i % 8)}) for i in range(6)]
+    pump = journalctl_pump(
+        spool, cmd=["printf", "%s\n" * len(lines), *lines]
+    ).start()
+    pump.wait(10)
+
+    p = Pipeline.from_dict(
+        {
+            "settings": {
+                "decoder": "json",
+                "decoder_params": {"schema": "MESSAGE string, PRIORITY string"},
+            },
+            "input": {"type": "journalctl", "spool_dir": spool},
+            "actions": [
+                {"type": "convert_log_level", "field": "PRIORITY", "style": "string"}
+            ],
+        }
+    )
+    rows = p.run_batch(spark).orderBy("MESSAGE").collect()
+    assert len(rows) == 6
+    assert rows[0].MESSAGE == "boot 0"
+    assert rows[3].PRIORITY == "error"  # 3 -> error
+
+
+def test_socket_sink_tcp(spark, tmp_path):
+    from file_d_spark import Pipeline
+
+    received = []
+    done = threading.Event()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                received.append(json.loads(line))
+            done.set()
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long").coalesce(1)
+        Pipeline.from_dict(
+            {"output": {"type": "socket", "host": "127.0.0.1", "port": port}}
+        ).write(df)
+        done.wait(20)
+    finally:
+        srv.shutdown()
+    assert sorted(r["k"] for r in received) == ["a", "b"]
