@@ -91,11 +91,15 @@ def jaccard_pairs(
     sh = spread(df).select(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("set_size", F.size("shingles"))
-    sh = sh.cache()  # read 3x (posting a/b, sizes) — shingle once
-    sizes = sh.select("doc", "set_size")
-    posting = sh.select("doc", "set_size", F.explode("shingles").alias("shingle"))
+    # cache the EXPLODED posting (flat narrow rows), not the shingle
+    # arrays — array materialization is the expensive part; the flat
+    # form feeds both sides of the self-join from memory
+    posting = sh.select(
+        "doc", "set_size", F.explode("shingles").alias("shingle")
+    ).cache()
     # size filter inside the join: jaccard >= t needs t*|A| <= |B|
-    # (and symmetrically), so mismatched sizes never pair up
+    # (and symmetrically), so mismatched sizes never pair up; sizes
+    # ride along so no join-back is needed
     common = (
         posting.alias("a")
         .join(
@@ -105,15 +109,16 @@ def jaccard_pairs(
             & (F.col("b.set_size") >= threshold * F.col("a.set_size"))
             & (F.col("a.set_size") >= threshold * F.col("b.set_size")),
         )
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        common.join(sizes.withColumnRenamed("doc", "doc_a"), "doc_a")
-        .withColumnRenamed("set_size", "size_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b"), "doc_b")
-        .withColumnRenamed("set_size", "size_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("common").cast("double")
@@ -161,14 +166,15 @@ def minhash_lsh_pairs(
     j ≈ (1/16)^(1/4) ≈ 0.5 — high recall at threshold 0.7.
     """
     rows_per_band = num_hashes // bands
-    sh = spread(df).select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+    slim = spread(df).select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__text__")
+    )
+    sh = slim.select(
+        "doc", word_shingles(F.col("__text__"), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sh = sh.cache()  # reused by banding + candidate verification
-    # signatures are tiny (doc + K longs): cache so the self-join's two
-    # branches and the band explode never recompute the K×|shingles|
-    # hash pass
+    # signatures are tiny (doc + K longs): cache THEM, never the heavy
+    # shingle arrays (materializing 200-element string arrays costs
+    # more than recomputing the split for the few candidate docs)
     sig = (
         sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
         .select("doc", "sig")
@@ -200,8 +206,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact verification of candidates only
-    sets = sh.withColumn("set_size", F.size("shingles"))
+    # exact verification of candidates only: recompute shingles just
+    # for candidate docs (candidates are few — the broadcast join
+    # prunes the shingle pass to those rows)
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc"))
+        .union(candidates.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sets = (
+        slim.join(F.broadcast(cand_docs), "doc")
+        .select("doc", word_shingles(F.col("__text__"), n).alias("shingles"))
+        .withColumn("set_size", F.size("shingles"))
+    )
     verified = (
         candidates.join(
             sets.select(
@@ -241,28 +258,32 @@ SIMHASH_BITS = 63  # stay inside a signed long
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """63-bit SimHash per document from token xxhash64s.
+    """63-bit SimHash per document from token xxhash64s
+    (frequency-weighted: repeated tokens vote repeatedly).
 
-    Pure DataFrame: explode tokens once, one groupBy(doc) computing all
-    63 bit-sums as independent aggregate expressions (single shuffle),
-    then reassemble the signature arithmetically.
-    """
-    toks = spread(df).select(
-        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = toks.groupBy("doc").agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+    Pure per-row expressions — hash the token array once, then 63
+    array-aggregate bit votes; NO shuffle at all (the groupBy variant
+    costs an exchange of every token)."""
+
+    def bit_vote(i: int) -> Column:
+        return F.aggregate(
+            F.col("__hashes__"),
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+
+    hashed = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias(
+            "__hashes__"
+        ),
     )
-    sig = bit_sums.select(
+    sig = hashed.select(
         "doc",
         sum(
             [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                F.when(bit_vote(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
                 for i in range(SIMHASH_BITS)
             ],
             F.lit(0),
