@@ -53,6 +53,11 @@ def decode_json(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
     if schema:
         parsed = F.from_json(src, schema)
         return {"__struct__": parsed}
+    if params.get("variant"):
+        # Spark 4 VariantType: lazily-parsed JSON — the closest
+        # analogue to the reference's insane-json tree (SURVEY §1.1);
+        # fields read on demand with variant_get, no declared schema
+        return {"__map__": F.parse_json(src)}
     return {"__map__": F.from_json(src, "map<string,string>")}
 
 

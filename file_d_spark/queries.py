@@ -249,6 +249,50 @@ def q_json_extract(spark, sf_dir):
 
 
 @query(
+    "json_variant_extract",
+    "SELECT event_id, json_extract_string(props, '$.k') AS p_k FROM events",
+)
+def q_json_variant(spark, sf_dir):
+    """VariantType path: parse_json once, variant_get per path — the
+    lazy-JSON analogue of the reference's insane-json tree."""
+    df = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return df.select(
+        "event_id", F.variant_get(v, "$.k", "string").alias("p_k")
+    )
+
+
+@query("kitchen_sink_actions")  # rows-only: now()/hostname/xxhash64 outputs
+def q_kitchen_sink(spark, sf_dir):
+    """Chain of the non-oracle-able actions (nondeterministic or
+    engine-specific outputs): set_time, add_host, hash(xxhash64,
+    normalized), convert_utf8_bytes, debug observe.  The driver's
+    rows-only check pins cardinality + schema stability."""
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {"type": "set_time", "field": "ingested_at", "format": "unixtime"},
+                {"type": "add_host", "field": "host"},
+                {"type": "modify", "msg": "evt ${event_id} from ${user_id} at ${ts}"},
+                {
+                    "type": "hash",
+                    "result_field": "msg_hash",
+                    "fields": [{"field": "msg", "format": "normalize"}],
+                },
+                {"type": "convert_utf8_bytes", "fields": ["event_type"]},
+                {"type": "debug", "message": "ks"},
+                {
+                    "type": "keep_fields",
+                    "fields": ["event_id", "ingested_at", "host", "msg_hash", "event_type"],
+                },
+            ]
+        }
+    )
+    return p.apply(df)
+
+
+@query(
     "mask_digits",
     """
     SELECT event_id,

@@ -107,6 +107,41 @@ def test_cardinality_stream(spark, stream_reader):
     assert counts.get("t1", 0) <= 4
 
 
+def test_windowed_agg_with_watermark(spark, stream_reader):
+    """Tumbling-window streaming aggregation with a watermark — the
+    throttle bucket ring / dead-time cutoff in declarative form
+    (SURVEY §2.3 #28: late data beyond the horizon is dropped)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        {"k": "a", "ts": "2024-01-01T00:00:10.000Z", "v": 1.0},
+        {"k": "a", "ts": "2024-01-01T00:00:50.000Z", "v": 2.0},
+        {"k": "b", "ts": "2024-01-01T00:01:10.000Z", "v": 5.0},
+    ]
+    df = stream_reader(rows, "k string, ts timestamp, v double")
+    agg = (
+        df.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "1 minute"), "k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wagg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.window.start.isoformat()): (r.n, r.total)
+        for r in spark.sql("SELECT * FROM wagg").collect()
+    }
+    # watermark = max(ts) - 5s = 00:01:05 -> the 00:00 window is
+    # finalized and emitted; the 00:01 window is still open (append
+    # mode withholds it) — exactly the bucket-ring horizon behavior
+    assert got == {("a", "2024-01-01T00:00:00"): (2, 3.0)}
+
+
 def test_antispam_stream(spark, stream_reader):
     from file_d_spark.streaming import antispam_stream
 
