@@ -70,6 +70,9 @@ def main():
         run_query(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # queries are independent; drop their cached relations so one
+        # query's cache doesn't pressure the next one's memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
