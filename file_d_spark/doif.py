@@ -186,7 +186,31 @@ def _compile_check_type(node: dict[str, Any], schema: T.StructType) -> Column:
         return F.lit("object" in values)  # event root is an object
     if not has_path(schema, parts):
         return F.lit("nil" in values)
-    cat = _static_type_category(schema_type_at(schema, parts))
+    t = schema_type_at(schema, parts)
+    from file_d_spark.fields import _is_variant
+
+    if _is_variant(t):
+        # dynamic JSON: the runtime type comes from the variant itself
+        top = get_col(parts[:1], schema)
+        path = "$" + "".join(
+            "." + x.replace(".", "\\.") for x in parts[1:]
+        )
+        v = F.try_variant_get(top, path, "variant")
+        type_str = F.schema_of_variant(v)
+        cat = (
+            F.when(v.isNull(), F.lit("nil"))
+            .when(type_str.startswith("OBJECT"), F.lit("object"))
+            .when(type_str.startswith("ARRAY"), F.lit("array"))
+            .when(type_str == "STRING", F.lit("string"))
+            .when(type_str.isin("VOID", "NULL"), F.lit("null"))
+            .when(
+                type_str.rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"),
+                F.lit("number"),
+            )
+            .otherwise(F.lit("other"))
+        )
+        return cat.isin(values)
+    cat = _static_type_category(t)
     col = get_col(parts, schema)
     static_match = cat in values
     if "null" in values:

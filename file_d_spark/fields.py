@@ -51,7 +51,9 @@ def join_selector(parts: list[str]) -> str:
 
 def schema_type_at(schema: T.DataType, parts: list[str]) -> T.DataType | None:
     """Static type of the field at ``parts``, or None if the path cannot
-    exist in this schema (the reference's "nil/absent" case)."""
+    exist in this schema (the reference's "nil/absent" case).  Paths
+    into VariantType resolve to VariantType (dynamic — any sub-path may
+    exist at runtime)."""
     cur: T.DataType = schema
     for p in parts:
         if isinstance(cur, T.StructType):
@@ -61,9 +63,15 @@ def schema_type_at(schema: T.DataType, parts: list[str]) -> T.DataType | None:
             cur = names[p]
         elif isinstance(cur, T.MapType):
             cur = cur.valueType
+        elif _is_variant(cur):
+            return cur  # everything below a variant is variant
         else:
             return None
     return cur
+
+
+def _is_variant(t: T.DataType) -> bool:
+    return type(t).__name__ == "VariantType"
 
 
 def has_path(schema: T.DataType, parts: list[str]) -> bool:
@@ -72,14 +80,20 @@ def has_path(schema: T.DataType, parts: list[str]) -> bool:
 
 def get_col(parts: list[str], schema: T.StructType | None = None) -> Column:
     """Column for a selector.  Uses getField/getItem chaining so part
-    names containing dots (escaped in the selector) are safe."""
+    names containing dots (escaped in the selector) are safe.  A path
+    crossing a VariantType column finishes with variant_get (dynamic
+    JSON access — SURVEY §1.3)."""
     if not parts:
         raise ValueError("empty selector has no column form (event root)")
     col = F.col("`" + parts[0].replace("`", "``") + "`")
     cur_t: T.DataType | None = None
     if schema is not None:
         cur_t = schema_type_at(schema, parts[:1])
-    for p in parts[1:]:
+    for i, p in enumerate(parts[1:], start=1):
+        if cur_t is not None and _is_variant(cur_t):
+            rest = parts[i:]
+            path = "$." + ".".join(x.replace(".", "\\.") for x in rest)
+            return F.try_variant_get(col, path, "string")
         if isinstance(cur_t, T.MapType):
             col = col.getItem(p)
             cur_t = cur_t.valueType
