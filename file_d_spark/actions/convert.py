@@ -73,9 +73,12 @@ class ConvertDate(Action):
             xtime.parse_time(col, src_formats[0]),
         )
         rendered = xtime.format_time(parsed, target)
-        value = F.when(parsed.isNotNull(), rendered.cast("string")).otherwise(
-            col.cast("string")
+        on_fail = (
+            F.lit(None).cast("string")  # remove_on_fail: NULL the field
+            if self.params.get("remove_on_fail", False)
+            else col.cast("string")
         )
+        value = F.when(parsed.isNotNull(), rendered.cast("string")).otherwise(on_fail)
         return self.set_gated(df, parts, value, pred)
 
 
@@ -95,7 +98,10 @@ class ConvertLogLevel(Action):
             if style == "number"
             else log_level_name_col(src)
         )
-        value = F.coalesce(out, col.cast("string"))
+        if self.params.get("remove_on_fail", False):
+            value = out  # unknown level -> NULL (field removed)
+        else:
+            value = F.coalesce(out, col.cast("string"))
         return self.set_gated(df, parts, value, pred)
 
 

@@ -82,24 +82,28 @@ class RemoveFields(Action):
 
 @register("rename")
 class Rename(Action):
-    """Rename fields.  Params are ``old_path: new_path`` pairs plus an
-    optional ``override`` flag (default true).  With override=false an
-    existing target survives.  The reference also un-escapes a leading
-    ``_`` used to express literal keys starting with underscores."""
+    """Rename fields: each ``source_path: new_name`` pair MOVES the
+    node to the event ROOT under ``new_name`` (reference rename.go
+    Do(): ``AddFieldNoAlloc(event.Root, name)`` — the nested example in
+    its doc block understates this).  ``override`` defaults to FALSE
+    (rename.go Start(): preserve unless override=true), in which case
+    an existing root field with the new name blocks the rename.  A
+    source key starting with ``_`` is an escape: exactly one leading
+    underscore is stripped (``__HOSTNAME`` addresses ``_HOSTNAME``)."""
 
     shape_changing = True
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
-        override = True
+        override = False
         pairs: list[tuple[str, str]] = []
         for k, v in self.params.items():
             if k == "override":
-                override = bool(v)
+                override = v if isinstance(v, bool) else str(v).lower() == "true"
                 continue
-            key = k[1:] if k.startswith("__") else k
+            key = k[1:] if k.startswith("_") else k
             pairs.append((key, str(v)))
         for old, new in pairs:
-            df = rename_field(df, parse_selector(old), parse_selector(new), override)
+            df = rename_field(df, parse_selector(old), [new], override)
         return df
 
 

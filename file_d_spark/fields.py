@@ -159,11 +159,23 @@ def set_field(df: DataFrame, parts: list[str], value: Column) -> DataFrame:
 
 
 def drop_field(df: DataFrame, parts: list[str]) -> DataFrame:
-    """Drop the field at ``parts`` if present; no-op otherwise."""
+    """Drop the field at ``parts`` if present; no-op otherwise.
+
+    Spark cannot represent an empty struct (CANNOT_DROP_ALL_FIELDS),
+    so dropping the last member of a nested struct drops the
+    now-empty ancestor instead (closest typed analogue of the
+    reference leaving ``{}``)."""
     if not parts:
         raise ValueError("cannot drop the event root")
     if not has_path(df.schema, parts):
         return df
+    # walk up while the ancestor struct would become empty
+    while len(parts) > 1:
+        parent_t = schema_type_at(df.schema, parts[:-1])
+        if isinstance(parent_t, T.StructType) and len(parent_t.fields) <= 1:
+            parts = parts[:-1]
+        else:
+            break
     if len(parts) == 1:
         return df.drop(parts[0])
     top = parts[0]

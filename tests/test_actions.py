@@ -46,6 +46,24 @@ def test_remove_fields(spark):
     assert out.collect()[0].s.asDict() == {"x": "a"}
 
 
+def test_rename_nested_to_root_and_escape(spark):
+    """rename moves the node to ROOT (rename.go Do: AddFieldNoAlloc on
+    event.Root); leading-_ escape: '_HOSTNAME' key addresses field
+    'HOSTNAME', '__HOSTNAME' addresses '_HOSTNAME'."""
+    out = run_actions(
+        spark,
+        [((("v",),), "h1", "h2")],
+        "a struct<b struct<sub string>>, HOSTNAME string, _HOSTNAME string",
+        [{"type": "rename", "a.b.sub": "renamed", "_HOSTNAME": "plain", "__HOSTNAME": "underscored"}],
+    )
+    row = out.collect()[0]
+    assert row.renamed == "v"          # nested source lands at root
+    # emptied ancestors collapse (Spark can't hold an empty struct)
+    assert "a" not in out.columns
+    assert row.plain == "h1"           # _HOSTNAME key -> HOSTNAME field
+    assert row.underscored == "h2"     # __HOSTNAME -> _HOSTNAME field
+
+
 def test_rename_no_override(spark):
     out = run_actions(
         spark,
