@@ -52,6 +52,71 @@ def run_query(df) -> int:
     return 0
 
 
+def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
+    """The reference's headline scenarios (README.md:34-38 /
+    BASELINE.md): files->devnull and files->json-decode->devnull,
+    reported in GB/s.  Input: the events table rendered once to JSONL
+    and replicated to ~512 MB (cached under /tmp between runs)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from file_d_spark.engine import Pipeline
+    from file_d_spark.tables import load_table
+
+    cache_dir = f"/tmp/fd_bench_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = os.path.join(cache_dir, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        line = F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value", "props")
+        )
+        one = ev.select(line.alias("value"))
+        # replicate to ~512MB so the scan is not dominated by startup
+        one_bytes = one.agg(F.sum(F.octet_length("value"))).collect()[0][0] or 1
+        copies = max(1, (512 * 1024 * 1024) // one_bytes)
+        big = one.crossJoin(
+            spark.range(copies).select(F.col("id").alias("__copy__"))
+        ).select("value")
+        big.write.mode("overwrite").text(cache_dir)
+        open(marker, "w").write("ok")
+
+    size_bytes = sum(
+        os.path.getsize(os.path.join(cache_dir, f))
+        for f in os.listdir(cache_dir)
+        if f.startswith("part-")
+    )
+
+    out = {}
+    # scenario 1: files -> devnull (raw pass-through)
+    p1 = Pipeline.from_dict(
+        {"settings": {"decoder": "raw"}, "input": {"type": "file", "path": cache_dir}}
+    )
+    t0 = time.time()
+    run_query(p1.run_batch(spark))
+    out["files_devnull_gbps"] = round(size_bytes / (time.time() - t0) / 1e9, 3)
+
+    # scenario 2: files -> json decode -> devnull
+    p2 = Pipeline.from_dict(
+        {
+            "settings": {
+                "decoder": "json",
+                "decoder_params": {
+                    "schema": "event_id long, user_id long, event_type string, "
+                    "value double, props string"
+                },
+            },
+            "input": {"type": "file", "path": cache_dir},
+        }
+    )
+    t0 = time.time()
+    run_query(p2.run_batch(spark))
+    out["files_json_devnull_gbps"] = round(size_bytes / (time.time() - t0) / 1e9, 3)
+    out["throughput_input_mb"] = round(size_bytes / 1e6, 1)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from file_d_spark.queries import QUERIES
@@ -74,6 +139,8 @@ def main():
         # query's cache doesn't pressure the next one's memory
         spark.catalog.clearCache()
 
+    throughput = throughput_metrics(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -83,6 +150,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "throughput": throughput,
                 "sf": float(sf) if sf else None,
             }
         )

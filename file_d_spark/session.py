@@ -31,6 +31,9 @@ def get_spark(app_name: str = "file_d_spark", cpus: int | None = None) -> SparkS
         # the driver's testdata parquet stores TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert in tables.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # split files finely enough that a single-file source still
+        # feeds all local cores (default 128MB -> 4 tasks for 0.5GB)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
