@@ -84,7 +84,9 @@ def _compile_field_op(node: dict[str, Any], schema: T.StructType) -> Column:
             result = result | col.contains(F.lit(v))
         return result & col.isNotNull()
     if op == "contains_any":
-        # any single character of any value present in the field
+        # any single character of the value present in the field; the
+        # reference allows exactly ONE value (field_op.go:247-249) —
+        # accepting several here is a harmless superset
         chars = sorted({ch for v in str_values for ch in v})
         for ch in chars:
             result = result | col.contains(F.lit(ch))

@@ -136,16 +136,41 @@ def jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
+_MH_PRIME = (1 << 31) - 1  # Mersenne prime; products stay < 2^62
+
+
+def _mh_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) pairs for the universal hash family
+    h_i(x) = (a_i*x + b_i) mod P — deterministic, no RNG state."""
+    out = []
+    x = 0x9E3779B9
+    for _ in range(num_hashes):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        a = (x % (_MH_PRIME - 1)) + 1
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        b = x % _MH_PRIME
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """K min-hash values per shingle set.  Hash family: xxhash64 of the
-    shingle salted with the hash index — deterministic, no fitted
-    model.  K independent array_min(transform(...)) expressions: each
-    is a tight codegen loop over the array (measured faster than a
-    single fold building K-wide intermediate arrays per element)."""
+    """K min-hash values per shingle set.
+
+    The expensive string hash (xxhash64) runs ONCE per shingle; the K
+    functions derive arithmetically via a universal hash family
+    h_i(x) = (a_i*x + b_i) mod P over a 31-bit prime field — K cheap
+    multiply-add passes instead of K string-hash passes (K× smaller
+    codegen, which otherwise blows the JIT method limit and silently
+    deoptimizes), and no long overflow under ANSI mode."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+
+    def _fn(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))
+
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
+            F.array_min(F.transform(base, _fn(a, b)))
+            for a, b in _mh_constants(num_hashes)
         ]
     )
 
@@ -172,14 +197,13 @@ def minhash_lsh_pairs(
     sh = slim.select(
         "doc", word_shingles(F.col("__text__"), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    # signatures are tiny (doc + K longs): cache THEM, never the heavy
-    # shingle arrays (materializing 200-element string arrays costs
-    # more than recomputing the split for the few candidate docs)
-    sig = (
-        sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-        .select("doc", "sig")
-        .cache()
-    )
+    # cache the BANDED table (doc, band, bucket — 16 narrow rows/doc):
+    # it feeds both sides of the self-join, so the K×|shingles| hash
+    # pass runs exactly once; the heavy shingle arrays are never
+    # materialized anywhere
+    sig = sh.withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_hashes)
+    ).select("doc", "sig")
     banded = sig.select(
         "doc",
         F.explode(
@@ -198,7 +222,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    ).select("doc", "bb.band", "bb.bucket").cache()
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
