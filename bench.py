@@ -88,7 +88,7 @@ def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
         if f.startswith("part-")
     )
 
-    def best_of(pipeline, runs: int = 2) -> float:
+    def best_of(pipeline, runs: int = 3) -> float:
         # steady-state rate (page cache + JIT warm), like the
         # reference's repeated-run numbers
         best = 0.0
@@ -134,6 +134,10 @@ def main():
 
     load_table(spark, sf_dir, "region").count()
 
+    # headline throughput first, on a fresh JVM — accumulated codegen/
+    # GC state from the query suite depresses it ~2x otherwise
+    throughput = throughput_metrics(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -144,8 +148,6 @@ def main():
         # queries are independent; drop their cached relations so one
         # query's cache doesn't pressure the next one's memory
         spark.catalog.clearCache()
-
-    throughput = throughput_metrics(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
