@@ -1,0 +1,47 @@
+"""xtime: format alias resolution, Go-layout translation, parse/format
+round-trips through Spark."""
+
+from pyspark.sql import functions as F
+
+from file_d_spark import xtime
+
+
+def test_alias_resolution():
+    assert xtime.resolve_format("rfc3339") == "yyyy-MM-dd'T'HH:mm:ssXXX"
+    assert xtime.resolve_format("UNIXTIME") == "unixtime"
+    assert xtime.resolve_format(None) == xtime.resolve_format("rfc3339nano")
+    assert xtime.resolve_format("nginx_errorlog") == "yyyy/MM/dd HH:mm:ss"
+
+
+def test_go_layout_translation():
+    assert xtime.go_layout_to_spark("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss"
+    assert (
+        xtime.go_layout_to_spark("2006-01-02T15:04:05.000000Z07:00")
+        == "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    )
+    assert xtime.go_layout_to_spark("Jan _2 15:04:05") == "MMM ppd HH:mm:ss"
+
+
+def test_parse_and_format_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("2024-03-05T06:07:08Z", "1709618828", "2024/03/05 06:07:08")],
+        "rfc string, unix string, nginx string",
+    )
+    row = df.select(
+        xtime.parse_time(F.col("rfc"), "rfc3339").alias("t1"),
+        xtime.parse_time(F.col("unix"), "unixtime").alias("t2"),
+        xtime.parse_time(F.col("nginx"), "nginx_errorlog").alias("t3"),
+        xtime.format_time(
+            xtime.parse_time(F.col("rfc"), "rfc3339"), "unixtime"
+        ).alias("u"),
+    ).collect()[0]
+    assert row.t1 == row.t2 == row.t3
+    assert row.u == 1709618828
+
+
+def test_unparsable_yields_null(spark):
+    df = spark.createDataFrame([("definitely not a date",)], "s string")
+    assert (
+        df.select(xtime.parse_time(F.col("s"), "rfc3339").alias("t")).collect()[0].t
+        is None
+    )
