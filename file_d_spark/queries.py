@@ -293,6 +293,74 @@ def q_kitchen_sink(spark, sf_dir):
 
 
 @query(
+    "parse_re2_extract",
+    r"""
+    SELECT event_id,
+           regexp_extract('u=' || user_id || ' t=' || event_type,
+                          'u=(\d+) t=(\w+)', 1) AS uid,
+           regexp_extract('u=' || user_id || ' t=' || event_type,
+                          'u=(\d+) t=(\w+)', 2) AS typ
+    FROM events
+    """,
+)
+def q_parse_re2(spark, sf_dir):
+    """parse_re2: named-group regex parse merged into root."""
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("u="), F.col("user_id").cast("string"),
+            F.lit(" t="), F.col("event_type"),
+        ).alias("line"),
+    )
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {"type": "parse_re2", "field": "line", "re": r"u=(?P<uid>\d+) t=(?P<typ>\w+)"},
+                {"type": "keep_fields", "fields": ["event_id", "uid", "typ"]},
+            ]
+        }
+    )
+    return p.apply(df)
+
+
+@query(
+    "json_encode_roundtrip",
+    """
+    SELECT event_id,
+           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS enc
+    FROM events
+    """,
+)
+def q_json_encode(spark, sf_dir):
+    """json_encode of a struct field (compact JSON, stable key order)."""
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", F.struct("event_id", "event_type").alias("enc")
+    )
+    p = Pipeline.from_dict({"actions": [{"type": "json_encode", "field": "enc"}]})
+    return p.apply(df)
+
+
+@query(
+    "cube_agg",
+    """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS cnt, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY CUBE (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+    """,
+)
+def q_cube(spark, sf_dir):
+    """cube aggregation (relational breadth beyond the reference:
+    grouping-set rollups come free from Catalyst)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@query(
     "mask_digits",
     """
     SELECT event_id,
