@@ -835,6 +835,46 @@ def q_topk(spark, sf_dir):
 
 
 @query(
+    "union_pipelines",
+    """
+    SELECT event_id, 'errors' AS pipeline FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, 'big_spend' AS pipeline FROM events
+    WHERE round(value * 100)::BIGINT > 15000
+    """,
+)
+def q_union_pipelines(spark, sf_dir):
+    """multiple pipelines side by side over one source, outputs
+    unioned (reference runs pipelines independently —
+    fd/file.d.go:78-86; Spark unions them in one plan, sharing the
+    scan)."""
+    df = load_table(spark, sf_dir, "events")
+    p1 = Pipeline.from_dict(
+        {
+            "actions": [
+                {"type": "discard", "do_if": {"op": "not", "operands": [
+                    {"op": "equal", "field": "event_type", "values": ["error"]}]}},
+                {"type": "modify", "pipeline": "errors"},
+                {"type": "keep_fields", "fields": ["event_id", "pipeline"]},
+            ]
+        }
+    )
+    p2 = Pipeline.from_dict(
+        {
+            "actions": [
+                {"type": "discard", "do_if": {"op": "not", "operands": [
+                    {"op": "int_val_cmp", "field": "value_cents", "cmp_op": "gt", "value": 15000}]}},
+                {"type": "modify", "pipeline": "big_spend"},
+                {"type": "keep_fields", "fields": ["event_id", "pipeline"]},
+            ]
+        }
+    )
+    # int_val_cmp truncates doubles; pre-scale to cents for exactness
+    df2 = df.withColumn("value_cents", F.round(F.col("value") * 100).cast("long"))
+    return p1.apply(df).unionByName(p2.apply(df2))
+
+
+@query(
     "tumbling_agg",
     """
     SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

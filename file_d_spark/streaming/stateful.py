@@ -220,10 +220,13 @@ def cardinality_stream(
     value_col: str,
     limit: int,
     mode: str = "discard",
+    ttl_ms: int = 0,
 ) -> DataFrame:
     """Streaming cardinality guard: tracks distinct ``value_col`` per
     key; over ``limit`` the key's events are discarded / the field
-    nulled / passed (mode nothing)."""
+    nulled / passed (mode nothing).  With ``ttl_ms`` the per-key set
+    expires after inactivity (the reference keeps the distinct sets in
+    a TTL cache — cardinality.go:126-169)."""
     out_schema = df.schema
     state_schema = "values array<string>, over boolean"
     data_cols = [f.name for f in df.schema.fields]
@@ -231,6 +234,9 @@ def cardinality_stream(
     def fn(
         key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # TTL expiry: forget the key's distinct set
+            return
         pdf = _concat_frames(frames)
         if not len(pdf):
             return
@@ -254,11 +260,16 @@ def cardinality_stream(
             out_rows.append(rec)
         # cap stored set at limit+1 — once over, membership is moot
         state.update((sorted(seen)[: limit + 1], over))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
         if out_rows:
             yield pd.DataFrame(out_rows)[data_cols]
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
     return df.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout
     )
 
 
