@@ -36,8 +36,11 @@ def _nanos_cols(path: str) -> tuple[str, ...]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # the driver's session may not carry this conf; it is runtime-settable
+    # the driver's session may not carry these confs; both are
+    # runtime-settable.  UTC keeps timestamp formatting/epoch math
+    # aligned with DuckDB's naive-UTC timestamps regardless of host TZ.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nanos_cols(path):
