@@ -805,7 +805,11 @@ def q_sessionize(spark, sf_dir):
     """sessionization: 30-min inactivity gap splits sessions."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # fractional-second gap: cast ts to double (epoch seconds incl. micros)
+    # to match DuckDB's epoch(ts); unix_timestamp truncates to whole seconds
+    # and misclassifies gaps near the 1800 s boundary.
+    ts_sec = F.col("ts").cast("double")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
         e.withColumn("new_s", new_s)
