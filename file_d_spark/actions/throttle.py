@@ -50,10 +50,25 @@ def _parse_duration_seconds(v, default: float) -> float:
     return num * units.get(unit, 1.0)
 
 
+def _require_ungated_stream(pred: Column | None, name: str) -> None:
+    """Streaming statefuls run through applyInPandasWithState keyed on
+    the op's own key — a do_if gate would need a second keyed state
+    path.  Match the shape-changing actions' behavior: refuse loudly
+    rather than silently treating the gate as unconditional
+    (/root/reference/pipeline/processor.go:190-243 gates every plugin)."""
+    if pred is not None:
+        raise ValueError(
+            f"action {name!r}: do_if/match_fields gating is not supported "
+            "in streaming mode; gate the stream with a discard action or "
+            "split the pipeline instead"
+        )
+
+
 @register("throttle")
 class Throttle(Action):
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         if df.isStreaming:
+            _require_ungated_stream(pred, "throttle")
             from file_d_spark.streaming import throttle_stream
 
             return throttle_stream(
@@ -88,15 +103,24 @@ class Throttle(Action):
         ts = F.coalesce(ts, F.current_timestamp())
 
         bucket = F.floor(F.unix_timestamp(ts) / F.lit(int(bucket_s)))
+        # rows failing the gate bypass the action entirely: always kept,
+        # never counted against any limit (processor.go:190-243 semantics)
+        match = F.lit(True) if pred is None else pred
         df = (
             df.withColumn("__fd_key__", key)
             .withColumn("__fd_bucket__", bucket)
             .withColumn("__fd_ts__", ts)
+            .withColumn("__fd_m__", match)
         )
-        # dead-time cutoff: older than the ring horizon vs newest event
-        horizon = F.max("__fd_ts__").over(Window.partitionBy(F.lit(1)))
+        # dead-time cutoff: older than the ring horizon vs newest event.
+        # Scalar agg + broadcast cross-join — NOT a global window, which
+        # would funnel every row through one partition.
+        hmax = df.filter(F.col("__fd_m__")).agg(
+            F.max("__fd_ts__").alias("__fd_hmax__")
+        )
+        df = df.crossJoin(F.broadcast(hmax))
         in_window = F.unix_timestamp("__fd_ts__") > (
-            F.unix_timestamp(horizon) - F.lit(int(bucket_s * buckets_count))
+            F.unix_timestamp("__fd_hmax__") - F.lit(int(bucket_s * buckets_count))
         )
         # arrival order within a bucket; extra order_fields give a
         # deterministic tiebreak for equal timestamps (batch mode)
@@ -104,6 +128,14 @@ class Throttle(Action):
             F.col(c) for c in self.params.get("order_fields", [])
         ]
         w = Window.partitionBy("__fd_key__", "__fd_bucket__").orderBy(*order_cols)
+
+        def running_matching(win, counted: Column) -> Column:
+            """Running total of ``counted`` over gate-matching rows only,
+            in arrival order — the gated analogue of row_number/sum."""
+            return F.sum(F.when(F.col("__fd_m__"), counted).otherwise(F.lit(0))).over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            )
+
         dist_cfg = self.params.get("limit_distribution") or {}
         if dist_cfg.get("field") and dist_cfg.get("ratios"):
             # per-value ratio shares of the limit
@@ -131,24 +163,24 @@ class Throttle(Action):
             wd = Window.partitionBy("__fd_key__", "__fd_bucket__", "__fd_dist__").orderBy(
                 *order_cols
             )
-            admitted = F.row_number().over(wd) <= limit_expr
+            admitted = running_matching(wd, F.lit(1)) <= limit_expr
         elif limit_kind == "size" and size_field:
             size_col = F.octet_length(
                 get_col_safe(parse_selector(size_field), df.schema).cast("string")
             )
-            running = F.sum(size_col).over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            admitted = running <= F.lit(limit)
+            admitted = running_matching(w, size_col) <= F.lit(limit)
         else:
-            admitted = F.row_number().over(w) <= F.lit(limit)
+            admitted = running_matching(w, F.lit(1)) <= F.lit(limit)
         # window exprs can't live in a WHERE clause — materialize first
         out = (
-            df.withColumn("__fd_keep__", in_window & admitted)
+            df.withColumn(
+                "__fd_keep__", ~F.col("__fd_m__") | (in_window & admitted)
+            )
             .filter(F.col("__fd_keep__"))
         )
         return out.drop(
-            "__fd_key__", "__fd_bucket__", "__fd_ts__", "__fd_keep__", "__fd_dist__"
+            "__fd_key__", "__fd_bucket__", "__fd_ts__", "__fd_keep__",
+            "__fd_dist__", "__fd_m__", "__fd_hmax__",
         )
 
 
@@ -164,37 +196,38 @@ class Cardinality(Action):
         limit = int(self.params.get("limit", 1000))
         mode = self.params.get("action", "discard")
         if df.isStreaming:
+            _require_ungated_stream(pred, "cardinality")
             from file_d_spark.streaming import cardinality_stream
 
             return cardinality_stream(df, key_field, fields[0], limit, mode)
 
         key = get_col_safe(parse_selector(key_field), df.schema).cast("string")
         probe = F.concat_ws(
-            "",
+            "\x01",
             *[
                 get_col_safe(parse_selector(f), df.schema).cast("string")
                 for f in fields
             ],
         )
+        # gate: non-matching rows bypass — excluded from the distinct
+        # count and never dropped / field-stripped
+        match = F.lit(True) if pred is None else pred
+        tagged = df.withColumn("__fd_k__", key).withColumn("__fd_m__", match)
         per_key = (
-            df.withColumn("__fd_k__", key)
+            tagged.filter(F.col("__fd_m__"))
             .withColumn("__fd_v__", probe)
             .groupBy("__fd_k__")
             .agg(F.countDistinct("__fd_v__").alias("__fd_card__"))
             .filter(F.col("__fd_card__") > limit)
             .select("__fd_k__")
         )
-        over_limit = F.broadcast(per_key)
-        tagged = df.withColumn("__fd_k__", key)
+        over_limit = F.broadcast(per_key.withColumn("__fd_over__", F.lit(True)))
         if mode == "discard":
-            out = tagged.join(over_limit, "__fd_k__", "left_anti")
-            return out.drop("__fd_k__")
+            flagged = tagged.join(over_limit, "__fd_k__", "left")
+            out = flagged.filter(~F.col("__fd_m__") | F.col("__fd_over__").isNull())
+            return out.drop("__fd_k__", "__fd_m__", "__fd_over__")
         if mode == "remove_fields":
-            flagged = tagged.join(
-                over_limit.withColumn("__fd_over__", F.lit(True)),
-                "__fd_k__",
-                "left",
-            )
+            flagged = tagged.join(over_limit, "__fd_k__", "left")
             for f in fields:
                 parts = parse_selector(f)
                 old = get_col_safe(parts, df.schema)
@@ -203,10 +236,10 @@ class Cardinality(Action):
                 flagged = set_field(
                     flagged,
                     parts,
-                    F.when(F.col("__fd_over__").isNull(), old),
+                    F.when(~F.col("__fd_m__") | F.col("__fd_over__").isNull(), old),
                 )
-            return flagged.drop("__fd_k__", "__fd_over__")
-        return tagged.drop("__fd_k__")
+            return flagged.drop("__fd_k__", "__fd_m__", "__fd_over__")
+        return tagged.drop("__fd_k__", "__fd_m__")
 
 
 @register("antispam")
@@ -224,6 +257,7 @@ class Antispam(Action):
         if threshold <= 0:
             return df
         if df.isStreaming:
+            _require_ungated_stream(pred, "antispam")
             from file_d_spark.streaming import antispam_stream
 
             return antispam_stream(
@@ -261,23 +295,27 @@ class Antispam(Action):
                 p = ~p
             exc_pred = exc_pred | p
 
+        # gate: non-matching rows bypass — not counted, never banned
+        match = F.lit(True) if pred is None else pred
         tagged = (
             df.withColumn("__fd_src__", src)
             .withColumn("__fd_win__", win)
             .withColumn("__fd_exc__", exc_pred)
+            .withColumn("__fd_m__", match)
         )
         counts = (
-            tagged.filter(~F.col("__fd_exc__"))
+            tagged.filter(F.col("__fd_m__") & ~F.col("__fd_exc__"))
             .groupBy("__fd_src__", "__fd_win__")
             .agg(F.count(F.lit(1)).alias("__fd_n__"))
             .filter(F.col("__fd_n__") > threshold)
             .select("__fd_src__", "__fd_win__")
+            .withColumn("__fd_ban__", F.lit(True))
         )
-        out = tagged.join(
-            F.broadcast(counts), ["__fd_src__", "__fd_win__"], "left_anti"
-        ).unionByName(
-            tagged.join(F.broadcast(counts), ["__fd_src__", "__fd_win__"], "left_semi").filter(
-                F.col("__fd_exc__")
-            )
+        # single broadcast left join (was anti ∪ semi — two joins)
+        flagged = tagged.join(
+            F.broadcast(counts), ["__fd_src__", "__fd_win__"], "left"
         )
-        return out.drop("__fd_src__", "__fd_win__", "__fd_exc__")
+        out = flagged.filter(
+            ~F.col("__fd_m__") | F.col("__fd_ban__").isNull() | F.col("__fd_exc__")
+        )
+        return out.drop("__fd_src__", "__fd_win__", "__fd_exc__", "__fd_m__", "__fd_ban__")

@@ -26,7 +26,18 @@ def apply_input_guards(df: DataFrame, plan: PipelinePlan, raw_field: str | None)
     if s.max_event_size and raw_field and raw_field in df.columns:
         size = F.octet_length(F.col(raw_field).cast("string"))
         if s.cut_off_event_by_limit:
-            cut = F.substring(F.col(raw_field), 1, s.max_event_size)
+            # byte-based trim to match the reference's octet limit:
+            # F.substring counts characters, so multi-byte UTF-8 events
+            # would exceed max_event_size bytes. Trim the encoded bytes
+            # and decode back (a split multi-byte sequence at the cut
+            # point yields U+FFFD, matching a hard byte truncation).
+            cut = F.make_valid_utf8(
+                F.substring(
+                    F.encode(F.col(raw_field).cast("string"), "UTF-8"),
+                    1,
+                    s.max_event_size,
+                ).cast("string")
+            )
             df = df.withColumn(raw_field, cut)
             if s.cut_off_event_by_limit_field:
                 df = df.withColumn(

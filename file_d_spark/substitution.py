@@ -49,9 +49,9 @@ def _split_top(s: str, sep: str) -> list[str]:
             quote = ch
             cur.append(ch)
             continue
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         if ch == sep and depth == 0:
             out.append("".join(cur))
@@ -135,24 +135,29 @@ def _apply_filter(col: Column, name: str, args: list) -> Column:
         groups = args[2] if len(args) > 2 else [0]
         sep = str(args[3]) if len(args) > 3 else ","
         empty_on_no_match = bool(args[4]) if len(args) > 4 else False
+        if not isinstance(groups, list):
+            groups = [groups]
         per_group = [F.regexp_extract_all(col, F.lit(regex), int(g)) for g in groups]
-        if len(per_group) == 1:
-            matches = per_group[0]
-        else:
-            # interleave group captures per occurrence
-            matches = F.flatten(
-                F.zip_with(
-                    per_group[0],
-                    per_group[1],
-                    lambda a, b: F.array(a, b),
-                )
-                if len(per_group) == 2
-                else F.arrays_zip(*per_group).cast(
-                    T.ArrayType(T.ArrayType(T.StringType()))
-                )
-            )
+        # ``limit`` counts occurrences (matches), not emitted elements
+        occ_n = F.size(per_group[0])
         if limit >= 0:
-            matches = F.slice(matches, 1, limit)
+            occ_n = F.least(occ_n, F.lit(limit))
+        if len(per_group) == 1:
+            matches = F.slice(per_group[0], 1, occ_n)
+        else:
+            # interleave group captures per occurrence: occurrence i
+            # contributes [g1[i], g2[i], ...].  Built with an index
+            # transform (arrays_zip's array<struct> can't cast to
+            # array<array<string>>).  Closure factory: HOF lambdas
+            # reject default-arg tricks.
+            def _occ(pgs):
+                return lambda i: F.array(*[F.element_at(pg, i) for pg in pgs])
+
+            idx = F.sequence(F.lit(1), occ_n)
+            matches = F.when(
+                occ_n > 0,
+                F.flatten(F.transform(idx, _occ(per_group))),
+            ).otherwise(F.array().cast(T.ArrayType(T.StringType())))
         joined = F.array_join(matches, sep)
         if empty_on_no_match:
             return joined

@@ -339,3 +339,142 @@ def test_throttle_size_kind(spark):
     )
     # 10-byte payloads, 35-byte budget -> 3 admitted per bucket
     assert out.count() == 3
+
+
+def test_throttle_gated_bypass(spark):
+    # rows failing the do_if gate bypass the throttle: kept, not counted
+    rows = [("k", f"2024-01-01T00:00:{i:02d}Z", "keep" if i % 2 else "skip")
+            for i in range(10)]
+    out = run_actions(
+        spark,
+        rows,
+        "key string, time string, kind string",
+        [
+            {
+                "type": "throttle",
+                "do_if": {"op": "equal", "field": "kind", "values": ["keep"]},
+                "throttle_field": "key",
+                "time_field": "time",
+                "time_field_format": "rfc3339",
+                "bucket_interval": "1m",
+                "buckets_count": 100000,
+                "default_limit": 2,
+            }
+        ],
+    )
+    got = out.collect()
+    # 5 'skip' rows bypass untouched + first 2 of the 5 'keep' rows
+    assert len(got) == 7
+    kinds = sorted(r.kind for r in got)
+    assert kinds.count("skip") == 5 and kinds.count("keep") == 2
+
+
+def test_cardinality_gated_bypass(spark):
+    rows = [("k", f"v{i}", "count") for i in range(6)] + [
+        ("k", f"w{i}", "bypass") for i in range(6)
+    ]
+    out = run_actions(
+        spark,
+        rows,
+        "key string, val string, kind string",
+        [
+            {
+                "type": "cardinality",
+                "do_if": {"op": "equal", "field": "kind", "values": ["count"]},
+                "key": "key",
+                "fields": ["val"],
+                "limit": 3,
+                "action": "discard",
+            }
+        ],
+    )
+    got = out.collect()
+    # matching rows push key 'k' over the limit and are dropped;
+    # bypass rows survive even though they share the key
+    assert len(got) == 6
+    assert all(r.kind == "bypass" for r in got)
+
+
+def test_antispam_gated_bypass(spark):
+    rows = [("spammy", f"2024-01-01T00:00:{i:02d}Z", "count") for i in range(5)] + [
+        ("spammy", f"2024-01-01T00:00:{i:02d}Z", "bypass") for i in range(5)
+    ]
+    out = run_actions(
+        spark,
+        rows,
+        "source_name string, ts string, kind string",
+        [
+            {
+                "type": "antispam",
+                "do_if": {"op": "equal", "field": "kind", "values": ["count"]},
+                "threshold": 3,
+                "maintenance_interval": "1m",
+            }
+        ],
+    )
+    got = out.collect()
+    # banned source drops only the gated rows; bypass rows all pass
+    assert len(got) == 5
+    assert all(r.kind == "bypass" for r in got)
+
+
+def test_max_event_size_cutoff_bytes(spark):
+    # 3-byte UTF-8 chars: 10 chars = 30 bytes; cutoff at 7 bytes keeps
+    # 2 whole chars (6 bytes) + a replacement char from the split seq
+    from file_d_spark.config import PipelinePlan
+    from file_d_spark.engine import apply_input_guards
+
+    df = spark.createDataFrame([("€" * 10,), ("ascii",)], "raw string")
+    plan = PipelinePlan.from_dict(
+        "p",
+        {
+            "settings": {
+                "max_event_size": 7,
+                "cut_off_event_by_limit": True,
+                "cut_off_event_by_limit_field": "was_cut",
+            },
+            "actions": [],
+        },
+    )
+    out = apply_input_guards(df, plan, "raw").collect()
+    by_first = {r.raw[:1] if r.raw else "": r for r in out}
+    euro = by_first["€"]
+    assert euro.was_cut is True
+    assert len(euro.raw.encode("utf-8", "replace")) <= 9  # 2 chars + U+FFFD
+    assert euro.raw[:2] == "€€"
+    assert by_first["a"].raw == "ascii" and by_first["a"].was_cut is False
+
+
+def test_substitution_re_multigroup(spark):
+    # re() filter with multiple capture groups: interleave per occurrence
+    out = run_actions(
+        spark,
+        [("a=1 b=2 c=3",)],
+        "line string",
+        [
+            {
+                "type": "modify",
+                "pairs": r'${line|re("(\w)=(\d)", -1, [1,2], "-")}',
+            }
+        ],
+    )
+    row = out.collect()[0]
+    assert row.pairs == "a-1-b-2-c-3"
+
+
+def test_substitution_re_three_groups_limit(spark):
+    out = run_actions(
+        spark,
+        [("x12y x34z",), ("nomatch",)],
+        "line string",
+        [
+            {
+                "type": "modify",
+                "trip": r'${line|re("(\w)(\d)(\d)", 3, [1,2,3], "/")}',
+            }
+        ],
+    )
+    rows = {r.line: r.trip for r in out.collect()}
+    assert rows["x12y x34z"] == "x/1/2/x/3/4"
+    # no match + default emptyOnNotMatched=false -> original value
+    assert rows["nomatch"] == "nomatch"
