@@ -59,18 +59,66 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(col: Column, n: int = 2) -> Column:
-    """Distinct n-word shingles of a text column."""
+    """Distinct n-word shingles of a text column.
+
+    Built from n SHIFTED SLICES zipped together, NOT an index transform
+    with element_at(toks, i+j): higher-order functions evaluate
+    interpreted, and a lambda that references the captured token
+    expression re-evaluates the whole split/trim per element — O(len·n)
+    string splits per document.  Slices evaluate the token expression
+    once each (O(n) total) and the zip lambdas touch only their element
+    arguments."""
     toks = tokens(col)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+    length = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    zipped = F.slice(toks, 1, length)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped,
+            F.slice(toks, j + 1, length),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return F.array_distinct(zipped)
+
+
+
+def _verify_pairs(sh, candidates, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
+
+    ``candidates`` is cached — it feeds the cand-doc broadcast AND the
+    final spine, and without the cache every broadcast job re-executes
+    the whole candidate-generation subtree.  ``sh`` is the CACHED
+    (doc, shingles, set_size) frame, so verification reads the shingle
+    sets from memory instead of recomputing them; both join sides
+    reference byte-identical plans so ReuseExchange ships one
+    broadcast, not two.
+    """
+    candidates = candidates.cache()
+    cand_docs = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc")
+    ).distinct()
+    sets = sh.join(F.broadcast(cand_docs), "doc").select(
+        "doc", "shingles", "set_size"
+    )
+    return (
+        candidates.join(
+            F.broadcast(sets.alias("sa")), F.col("doc_a") == F.col("sa.doc")
+        )
+        .join(F.broadcast(sets.alias("sb")), F.col("doc_b") == F.col("sb.doc"))
+        .withColumn(
+            "common", F.size(F.array_intersect("sa.shingles", "sb.shingles"))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sa.set_size") + F.col("sb.set_size") - F.col("common")),
+                6,
             ),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -81,53 +129,74 @@ def jaccard_pairs(
     n: int = 2,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold.
+    """All pairs with shingle-set Jaccard >= threshold — exact, via a
+    PREFIX-FILTERED inverted index (AllPairs/PPJoin family).
 
-    Implementation: inverted index join.  |A∩B| falls out of the
-    shingle self-join group count; set sizes broadcast back in.  The
-    only shuffles are the shingle join and one small groupBy on
-    (id_a, id_b).
+    Order shingles by ascending global frequency (ties by value) and
+    index only each doc's prefix — the first |A| - ceil(t*|A|) + 1
+    shingles.  Any pair with J >= t must share a shingle in BOTH
+    prefixes, so the candidate join only touches each doc's RAREST
+    shingles: a globally hot shingle (boilerplate, stack-trace
+    preamble) falls out of every prefix and its posting list never
+    self-joins — this removes the quadratic hot-key blowup of a plain
+    inverted index.  Candidates are then verified with the exact
+    Jaccard on the full shingle sets, so the filter is lossless.
+
+    Shuffles are all linear in the posting count: freq groupBy
+    (shingle), rank window (doc), prefix self-join (shingle),
+    pair-groupBy.  No shuffle is quadratic in a posting list.
     """
-    sh = spread(df).select(
-        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("set_size", F.size("shingles"))
-    # cache the EXPLODED posting (flat narrow rows), not the shingle
-    # arrays — array materialization is the expensive part; the flat
-    # form feeds both sides of the self-join from memory
-    posting = sh.select(
-        "doc", "set_size", F.explode("shingles").alias("shingle")
-    ).cache()
+    from pyspark.sql import Window
+
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), n).alias("shingles"),
+        )
+        .withColumn("set_size", F.size("shingles"))
+        .filter(F.col("set_size") > 0)
+        .cache()
+    )  # one shingle pass, reused by the posting AND the verify stage
+    posting = sh.select("doc", "set_size", F.explode("shingles").alias("shingle"))
+    # global shingle frequency as a window count (NOT a groupBy +
+    # broadcast join: at 100 TB the vocabulary itself is huge, so the
+    # freq table must stay distributed; the window shuffles postings by
+    # shingle once and never collects them)
+    ranked = (
+        posting.withColumn(
+            "__freq__", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .withColumn(
+            "__rank__",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("__freq__", "shingle")
+            ),
+        )
+    )
+    prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    prefix = ranked.filter(F.col("__rank__") <= prefix_len).select(
+        "doc", "set_size", "shingle"
+    )
     # size filter inside the join: jaccard >= t needs t*|A| <= |B|
-    # (and symmetrically), so mismatched sizes never pair up; sizes
-    # ride along so no join-back is needed
-    common = (
-        posting.alias("a")
+    # (and symmetrically), so mismatched sizes never pair up.
+    # Pairs sharing several prefix shingles come out duplicated; the
+    # verify stage dedups the (tiny) post-filter output instead of
+    # paying a pair-groupBy shuffle on the full candidate set here —
+    # prefix lengths are ~0.3|A|, so the duplication factor is small.
+    candidates = (
+        prefix.alias("a")
         .join(
-            posting.alias("b"),
+            prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc") < F.col("b.doc"))
             & (F.col("b.set_size") >= threshold * F.col("a.set_size"))
             & (F.col("a.set_size") >= threshold * F.col("b.set_size")),
         )
-        .groupBy(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
     )
-    return (
-        common.withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    return _verify_pairs(sh, candidates, threshold).dropDuplicates(
+        ["doc_a", "doc_b"]
     )
 
 
@@ -153,16 +222,26 @@ def _mh_constants(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """K min-hash values per shingle set.
+def base_hashes(shingles: Column) -> Column:
+    """One xxhash64 per shingle, folded into the 31-bit prime field.
+    MUST be materialized as a real column before fanning out into the
+    K min-hash derivations: higher-order functions evaluate
+    interpreted, so an expression referenced by K lambdas would re-run
+    the string-hash pass K times per row."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
 
-    The expensive string hash (xxhash64) runs ONCE per shingle; the K
-    functions derive arithmetically via a universal hash family
-    h_i(x) = (a_i*x + b_i) mod P over a 31-bit prime field — K cheap
-    multiply-add passes instead of K string-hash passes (K× smaller
-    codegen, which otherwise blows the JIT method limit and silently
-    deoptimizes), and no long overflow under ANSI mode."""
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+
+def minhash_signature(base: Column, num_hashes: int = 64) -> Column:
+    """K min-hash values from a materialized :func:`base_hashes`
+    column.
+
+    The expensive string hash runs ONCE per shingle (in the base
+    column); the K functions derive arithmetically via a universal
+    hash family h_i(x) = (a_i*x + b_i) mod P over a 31-bit prime
+    field — K cheap multiply-add passes instead of K string-hash
+    passes (K× smaller codegen, which otherwise blows the JIT method
+    limit and silently deoptimizes), and no long overflow under ANSI
+    mode."""
 
     def _fn(a: int, b: int):
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))
@@ -191,19 +270,22 @@ def minhash_lsh_pairs(
     j ≈ (1/16)^(1/4) ≈ 0.5 — high recall at threshold 0.7.
     """
     rows_per_band = num_hashes // bands
-    slim = spread(df).select(
-        F.col(id_col).alias("doc"), F.col(text_col).alias("__text__")
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), n).alias("shingles"),
+        )
+        .withColumn("set_size", F.size("shingles"))
+        .filter(F.col("set_size") > 0)
+        .cache()
+    )  # one shingle pass, reused by the signature AND the verify stage
+    # two projections: base hashes materialize once (referenced 64×
+    # by the derivations — CollapseProject keeps the non-cheap column)
+    hashed = sh.select("doc", base_hashes(F.col("shingles")).alias("__base__"))
+    sig = hashed.select(
+        "doc", minhash_signature(F.col("__base__"), num_hashes).alias("sig")
     )
-    sh = slim.select(
-        "doc", word_shingles(F.col("__text__"), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    # cache the BANDED table (doc, band, bucket — 16 narrow rows/doc):
-    # it feeds both sides of the self-join, so the K×|shingles| hash
-    # pass runs exactly once; the heavy shingle arrays are never
-    # materialized anywhere
-    sig = sh.withColumn(
-        "sig", minhash_signature(F.col("shingles"), num_hashes)
-    ).select("doc", "sig")
     banded = sig.select(
         "doc",
         F.explode(
@@ -223,55 +305,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket").cache()
+    # dedup pairs via groupBy on the pair key (a pair colliding in
+    # several bands must verify once, not once per band)
     candidates = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("__nb__"))
+        .drop("__nb__")
     )
-    # exact verification of candidates only: recompute shingles just
-    # for candidate docs (candidates are few — the broadcast join
-    # prunes the shingle pass to those rows)
-    cand_docs = (
-        candidates.select(F.col("doc_a").alias("doc"))
-        .union(candidates.select(F.col("doc_b").alias("doc")))
-        .distinct()
-    )
-    sets = (
-        slim.join(F.broadcast(cand_docs), "doc")
-        .select("doc", word_shingles(F.col("__text__"), n).alias("shingles"))
-        .withColumn("set_size", F.size("shingles"))
-    )
-    verified = (
-        candidates.join(
-            sets.select(
-                F.col("doc").alias("doc_a"),
-                F.col("shingles").alias("sh_a"),
-                F.col("set_size").alias("size_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            sets.select(
-                F.col("doc").alias("doc_b"),
-                F.col("shingles").alias("sh_b"),
-                F.col("set_size").alias("size_b"),
-            ),
-            "doc_b",
-        )
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    return _verify_pairs(sh, candidates, threshold)
 
 
 # --------------------------------------------------------------------------

@@ -115,50 +115,72 @@ def ivf_topk(
     inverted lists, probe the ``n_probe`` closest lists per query,
     exact-rerank inside the probed lists.
 
-    Centroids are picked deterministically (every corpus-size/n_lists-th
-    vector by id order) — no fitted model, reproducible across runs.
-    At scale: centroid assignment is one broadcast pass; the search
-    join hits only n_probe/n_lists of the corpus per query.
+    Centroids are a tiny driver-side model (n_lists vectors, picked
+    deterministically by hash order — the analogue of a KMeans fit)
+    embedded as literals, so corpus assignment is ONE NARROW
+    PROJECTION: an in-row argmax over the centroid similarities.  No
+    corpus count, no crossJoin row blowup, no per-row window — the
+    only shuffle left is the probed-list search join itself.
     """
+    import math
+
     from file_d_spark.functions.dedup import spread
 
-    n = corpus.count()
-    stride = max(n // n_lists, 1)
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_lists * stride)
-        .filter((F.col(id_col) % stride) == 0)
+    cents = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
         .limit(n_lists)
-        .select(
-            (F.col(id_col) / stride).cast("int").alias("list_id"),
-            F.col(vec_col).alias("centroid"),
+        .collect()
+    )  # TakeOrdered of n_lists rows — the "fitted model", not data
+    cent_vecs = [[float(x) for x in r[1]] for r in cents]
+    cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cent_vecs]
+
+    def cent_sims(vec: Column) -> Column:
+        """array of dot(vec, c_i)/|c_i| — argmax equals cosine argmax
+        since |vec| is constant across centroids."""
+        return F.array(
+            *[
+                dot(vec, F.array(*[F.lit(x) for x in cv])) / F.lit(cn)
+                for cv, cn in zip(cent_vecs, cent_norms)
+            ]
         )
-    )
+
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
     )
-    # assign each corpus vector to its nearest centroid
-    assign_w = Window.partitionBy("neighbor_id").orderBy(
-        F.col("c_sim").desc(), F.col("list_id")
-    )
+    # in-row argmax: first index of the max similarity (deterministic
+    # tie-break by list order, matching the old window's list_id asc)
     assigned = (
-        c.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", cosine(F.col("neighbor_vec"), F.col("centroid")))
-        .withColumn("a_rank", F.row_number().over(assign_w))
-        .filter(F.col("a_rank") == 1)
-        .select("neighbor_id", "neighbor_vec", "list_id")
+        c.withColumn("__sims__", cent_sims(F.col("neighbor_vec")))
+        .withColumn(
+            "list_id",
+            (
+                F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1
+            ).cast("int"),
+        )
+        .drop("__sims__")
     )
-    # per query: the n_probe closest lists
+    # per query: the n_probe closest lists, via an in-row partial sort
+    # of (−sim, idx) structs — queries are few and broadcast anyway
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("c_sim").desc(), F.col("list_id")
+    qsims = cent_sims(F.col("query_vec"))
+    ranked_lists = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cent_vecs) - 1)),
+            lambda i: F.struct(
+                (-F.element_at(qsims, i + 1)).alias("negsim"),
+                i.cast("int").alias("idx"),
+            ),
+        )
     )
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", cosine(F.col("query_vec"), F.col("centroid")))
-        .withColumn("p_rank", F.row_number().over(probe_w))
-        .filter(F.col("p_rank") <= n_probe)
-        .select("query_id", "query_vec", "list_id")
+    probes = q.select(
+        "query_id",
+        "query_vec",
+        F.explode(
+            F.transform(
+                F.slice(ranked_lists, 1, n_probe), lambda s: s["idx"]
+            )
+        ).alias("list_id"),
     )
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
