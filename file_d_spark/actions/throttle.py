@@ -69,6 +69,12 @@ class Throttle(Action):
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         if df.isStreaming:
             _require_ungated_stream(pred, "throttle")
+            if self.params.get("rules"):
+                raise ValueError(
+                    "action 'throttle': per-rule overrides (rules) are "
+                    "batch-only; split the stream into separately "
+                    "throttled pipelines instead"
+                )
             from file_d_spark.streaming import throttle_stream
 
             return throttle_stream(
@@ -90,6 +96,29 @@ class Throttle(Action):
         limit_kind = self.params.get("limit_kind", "count")
         size_field = self.params.get("limit_size_field", "")
 
+        # rule list: config rules in order, then the implicit default
+        # rule (matches everything) — first match wins, and each rule
+        # owns its own limiters (throttle.go:117-125,467-475: limiter
+        # key embeds the rule index, so counting is per (rule, key))
+        specs = []
+        for rcfg in self.params.get("rules") or []:
+            specs.append(
+                {
+                    "limit": int(rcfg.get("limit", limit)),
+                    "kind": rcfg.get("limit_kind", "count"),
+                    "conditions": rcfg.get("conditions") or {},
+                    "dist": rcfg.get("limit_distribution") or {},
+                }
+            )
+        specs.append(
+            {
+                "limit": limit,
+                "kind": limit_kind,
+                "conditions": {},
+                "dist": self.params.get("limit_distribution") or {},
+            }
+        )
+
         key = (
             get_col_safe(parse_selector(key_field), df.schema).cast("string")
             if key_field
@@ -102,6 +131,29 @@ class Throttle(Action):
         ts = tcol if isinstance(t, T.TimestampType) else xtime.parse_time(tcol, time_fmt)
         ts = F.coalesce(ts, F.current_timestamp())
 
+        # first matching rule index (conditions are an AND field map,
+        # rule.go:50-59: string equality per field)
+        def rule_cond(conditions: dict) -> Column:
+            cond = F.lit(True)
+            for fld, val in conditions.items():
+                col = get_col_safe(parse_selector(str(fld)), df.schema)
+                cond = cond & (col.cast("string") == F.lit(str(val)))
+            return cond
+
+        rule_idx = F.lit(len(specs) - 1)
+        for i in reversed(range(len(specs) - 1)):
+            rule_idx = F.when(rule_cond(specs[i]["conditions"]), F.lit(i)).otherwise(
+                rule_idx
+            )
+
+        size_col = (
+            F.octet_length(
+                get_col_safe(parse_selector(size_field), df.schema).cast("string")
+            )
+            if size_field
+            else F.lit(1)
+        )
+
         bucket = F.floor(F.unix_timestamp(ts) / F.lit(int(bucket_s)))
         # rows failing the gate bypass the action entirely: always kept,
         # never counted against any limit (processor.go:190-243 semantics)
@@ -111,6 +163,7 @@ class Throttle(Action):
             .withColumn("__fd_bucket__", bucket)
             .withColumn("__fd_ts__", ts)
             .withColumn("__fd_m__", match)
+            .withColumn("__fd_rule__", rule_idx)
         )
         # dead-time cutoff: older than the ring horizon vs newest event.
         # Scalar agg + broadcast cross-join — NOT a global window, which
@@ -127,21 +180,12 @@ class Throttle(Action):
         order_cols = [F.col("__fd_ts__")] + [
             F.col(c) for c in self.params.get("order_fields", [])
         ]
-        w = Window.partitionBy("__fd_key__", "__fd_bucket__").orderBy(*order_cols)
 
-        def running_matching(win, counted: Column) -> Column:
-            """Running total of ``counted`` over gate-matching rows only,
-            in arrival order — the gated analogue of row_number/sum."""
-            return F.sum(F.when(F.col("__fd_m__"), counted).otherwise(F.lit(0))).over(
-                win.rowsBetween(Window.unboundedPreceding, 0)
-            )
-
-        dist_cfg = self.params.get("limit_distribution") or {}
-        if dist_cfg.get("field") and dist_cfg.get("ratios"):
-            # per-value ratio shares of the limit
-            # (/root/reference/plugin/action/throttle/distribution.go:33-90):
-            # group i gets round(ratio_i*limit); unlisted values share
-            # round((1-sum)*limit)
+        def dist_exprs(dist_cfg: dict, rule_limit: int):
+            """(group_idx, per-row limit) for a limit_distribution
+            block (distribution.go:33-90): group i gets
+            round(ratio_i*limit); unlisted values share
+            round((1-sum)*limit)."""
             dist_field = get_col_safe(
                 parse_selector(dist_cfg["field"]), df.schema
             ).cast("string")
@@ -152,25 +196,42 @@ class Throttle(Action):
                 idx_expr = F.when(
                     dist_field.isin([str(v) for v in r["values"]]), F.lit(i)
                 ).otherwise(idx_expr)
-                group_limits.append(round(float(r["ratio"]) * limit))
+                group_limits.append(round(float(r["ratio"]) * rule_limit))
             def_ratio = round(1 - sum(float(r["ratio"]) for r in ratios), 2)
-            def_limit = round(def_ratio * limit)
+            def_limit = round(def_ratio * rule_limit)
             limit_expr = F.element_at(
                 F.array(*[F.lit(x) for x in group_limits + [def_limit]]),
                 F.when(idx_expr >= 0, idx_expr + 1).otherwise(len(group_limits) + 1),
             )
-            df = df.withColumn("__fd_dist__", F.when(idx_expr >= 0, idx_expr).otherwise(F.lit(-1)))
-            wd = Window.partitionBy("__fd_key__", "__fd_bucket__", "__fd_dist__").orderBy(
-                *order_cols
-            )
-            admitted = running_matching(wd, F.lit(1)) <= limit_expr
-        elif limit_kind == "size" and size_field:
-            size_col = F.octet_length(
-                get_col_safe(parse_selector(size_field), df.schema).cast("string")
-            )
-            admitted = running_matching(w, size_col) <= F.lit(limit)
-        else:
-            admitted = running_matching(w, F.lit(1)) <= F.lit(limit)
+            return idx_expr, limit_expr
+
+        # per-row (counted value, limit, distribution group) from the
+        # matched rule, as chained CASE branches
+        counted = F.lit(1)
+        limit_col = F.lit(limit)
+        dist_col = F.lit(-1)
+        for i, spec in enumerate(specs):
+            is_rule = F.col("__fd_rule__") == i
+            r_counted = size_col if (spec["kind"] == "size" and size_field) else F.lit(1)
+            d = spec["dist"]
+            if d.get("field") and d.get("ratios"):
+                d_idx, d_limit = dist_exprs(d, spec["limit"])
+                r_limit, r_dist = d_limit, d_idx
+                r_counted = F.lit(1)  # distributions count events
+            else:
+                r_limit, r_dist = F.lit(spec["limit"]), F.lit(-1)
+            counted = F.when(is_rule, r_counted).otherwise(counted)
+            limit_col = F.when(is_rule, r_limit).otherwise(limit_col)
+            dist_col = F.when(is_rule, r_dist).otherwise(dist_col)
+        df = df.withColumn("__fd_dist__", dist_col)
+
+        w = Window.partitionBy(
+            "__fd_key__", "__fd_bucket__", "__fd_rule__", "__fd_dist__"
+        ).orderBy(*order_cols)
+        running = F.sum(
+            F.when(F.col("__fd_m__"), counted).otherwise(F.lit(0))
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        admitted = running <= limit_col
         # window exprs can't live in a WHERE clause — materialize first
         out = (
             df.withColumn(
@@ -180,7 +241,7 @@ class Throttle(Action):
         )
         return out.drop(
             "__fd_key__", "__fd_bucket__", "__fd_ts__", "__fd_keep__",
-            "__fd_dist__", "__fd_m__", "__fd_hmax__",
+            "__fd_dist__", "__fd_m__", "__fd_hmax__", "__fd_rule__",
         )
 
 

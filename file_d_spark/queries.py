@@ -465,6 +465,51 @@ def q_throttle(spark, sf_dir):
 
 
 @query(
+    "throttle_rules",
+    """
+    SELECT event_id FROM (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN 1
+                  WHEN event_type = 'click' THEN 3
+                  ELSE 2 END AS lim,
+             row_number() OVER (
+               PARTITION BY user_id, floor(epoch(ts))::BIGINT // 3600,
+                 CASE WHEN event_type = 'error' THEN 0
+                      WHEN event_type = 'click' THEN 1
+                      ELSE 2 END
+               ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn <= lim
+    """,
+)
+def q_throttle_rules(spark, sf_dir):
+    """throttle with per-rule limit overrides
+    (/root/reference/plugin/action/throttle/throttle.go:117-125):
+    errors capped at 1/user/hour, clicks at 3, everything else at the
+    default 2; each rule owns its own limiter."""
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "throttle",
+                    "throttle_field": "user_id",
+                    "time_field": "ts",
+                    "bucket_interval": "1h",
+                    "buckets_count": 1000000,
+                    "default_limit": 2,
+                    "order_fields": ["event_id"],
+                    "rules": [
+                        {"limit": 1, "conditions": {"event_type": "error"}},
+                        {"limit": 3, "conditions": {"event_type": "click"}},
+                    ],
+                }
+            ]
+        }
+    )
+    return p.apply(df).select("event_id")
+
+
+@query(
     "cardinality_limit",
     """
     SELECT event_id FROM events

@@ -478,3 +478,74 @@ def test_substitution_re_three_groups_limit(spark):
     assert rows["x12y x34z"] == "x/1/2/x/3/4"
     # no match + default emptyOnNotMatched=false -> original value
     assert rows["nomatch"] == "nomatch"
+
+
+def test_throttle_rules_override(spark):
+    # rule 0: kind=error capped at 1; rule 1: kind=warn capped at 3;
+    # default limit 2 for everything else; separate limiter per rule
+    rows = []
+    for i in range(5):
+        rows.append(("k", f"2024-01-01T00:00:{i:02d}Z", "error", i))
+        rows.append(("k", f"2024-01-01T00:00:{i:02d}Z", "warn", 10 + i))
+        rows.append(("k", f"2024-01-01T00:00:{i:02d}Z", "info", 20 + i))
+    out = run_actions(
+        spark,
+        rows,
+        "key string, time string, kind string, seq int",
+        [
+            {
+                "type": "throttle",
+                "throttle_field": "key",
+                "time_field": "time",
+                "time_field_format": "rfc3339",
+                "bucket_interval": "1m",
+                "buckets_count": 100000,
+                "default_limit": 2,
+                "order_fields": ["seq"],
+                "rules": [
+                    {"limit": 1, "conditions": {"kind": "error"}},
+                    {"limit": 3, "conditions": {"kind": "warn"}},
+                ],
+            }
+        ],
+    )
+    got = sorted((r.kind, r.seq) for r in out.collect())
+    assert got == [
+        ("error", 0),
+        ("info", 20), ("info", 21),
+        ("warn", 10), ("warn", 11), ("warn", 12),
+    ]
+
+
+def test_throttle_rules_size_kind(spark):
+    # rule with limit_kind=size budgets bytes; default stays count
+    rows = [("k", f"2024-01-01T00:00:{i:02d}Z", "big", "x" * 10, i) for i in range(5)]
+    rows += [("k", f"2024-01-01T00:00:{i:02d}Z", "other", "y", 10 + i) for i in range(5)]
+    out = run_actions(
+        spark,
+        rows,
+        "key string, time string, kind string, payload string, seq int",
+        [
+            {
+                "type": "throttle",
+                "throttle_field": "key",
+                "time_field": "time",
+                "time_field_format": "rfc3339",
+                "bucket_interval": "1m",
+                "buckets_count": 100000,
+                "default_limit": 3,
+                "limit_size_field": "payload",
+                "order_fields": ["seq"],
+                "rules": [
+                    {"limit": 25, "limit_kind": "size", "conditions": {"kind": "big"}},
+                ],
+            }
+        ],
+    )
+    got = sorted((r.kind, r.seq) for r in out.collect())
+    # big: 10-byte payloads, 25-byte budget -> 2 admitted
+    # other: default count limit 3
+    assert got == [
+        ("big", 0), ("big", 1),
+        ("other", 10), ("other", 11), ("other", 12),
+    ]
