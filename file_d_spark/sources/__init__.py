@@ -114,14 +114,23 @@ def _build_source_inner(
                 .option("recursiveFileLookup", "true")
                 .load(paths)
             )
-            return df.withColumn("_source_name", F.input_file_name())
+            # materialize _source_name only when meta templates will
+            # read it: an always-on filename string costs ~25% of the
+            # decode throughput, and add_file_name falls back to
+            # input_file_name() on its own
+            if plan.input.get("meta"):
+                df = df.withColumn("_source_name", F.input_file_name())
+            return df
         df = (
             reader.format("text")
             .option("pathGlobFilter", glob)
             .option("recursiveFileLookup", "true")
             .load(paths)
         )
-        return _decode_lines(df, plan)
+        # same throughput consideration as the json fast path: only
+        # carry the filename column when meta templates consume it
+        meta_cols = None if plan.input.get("meta") else []
+        return _decode_lines(df, plan, meta_cols=meta_cols)
     if typ == "kafka":
         reader = spark.readStream if streaming else spark.read
         df = (
