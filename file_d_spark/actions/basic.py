@@ -83,13 +83,68 @@ class SetTime(Action):
 
 @register("debug")
 class Debug(Action):
-    """Log passthrough.  The reference writes sampled events to stderr
-    (zap sampling).  Spark-side we attach an ``observe`` metric so the
-    count is visible without perturbing the plan; events pass through."""
+    """Log passthrough with the reference's zap-sampler semantics
+    (debug.go:46,83): per ``interval`` window, the first ``first``
+    events log as-is, then every ``thereafter``-th.  Events always
+    pass through.
+
+    Spark-side the sampled subset is written to the driver log via
+    :func:`file_d_spark.metrics.debug_log` when ``collect: true``
+    (batch only — an extra bounded job); otherwise only an ``observe``
+    counter of would-log events is attached, keeping the plan free of
+    driver round-trips."""
+
+    def sample_predicate(self, df: DataFrame) -> Column:
+        """would-log decision per row: rank events in arrival order
+        within each interval bucket and apply first/thereafter."""
+        from pyspark.sql import Window
+
+        first = int(self.params.get("first", 0) or 0)
+        thereafter = int(self.params.get("thereafter", 0) or 0)
+        if first <= 0 and thereafter <= 0:
+            return F.lit(True)  # no sampler configured: log everything
+        interval_s = None
+        if self.params.get("interval"):
+            import re
+
+            m = re.fullmatch(
+                r"([\d.]+)\s*([a-z]*)", str(self.params["interval"]).strip()
+            )
+            units = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+            if m:
+                interval_s = float(m.group(1)) * units.get(m.group(2) or "s", 1.0)
+        time_field = self.params.get("time_field", "")
+        if interval_s and time_field and time_field in df.columns:
+            bucket = F.floor(
+                F.unix_timestamp(F.col(time_field).cast("timestamp"))
+                / F.lit(max(interval_s, 0.001))
+            )
+        else:
+            bucket = F.lit(0)  # whole batch = one interval
+        order = self.params.get("order_fields") or []
+        order_cols = (
+            [F.col(c) for c in order] if order else [F.monotonically_increasing_id()]
+        )
+        rn = F.row_number().over(Window.partitionBy(bucket).orderBy(*order_cols))
+        keep_first = rn <= first
+        if thereafter > 0:
+            every_mth = (rn > first) & (F.pmod(rn - first, thereafter) == 0)
+        else:
+            every_mth = F.lit(False)
+        return keep_first | every_mth
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
-        name = self.params.get("message", "debug")
+        name = self.params.get("message", "event sample")
         cond = pred if pred is not None else F.lit(True)
+        if self.params.get("collect") and not df.isStreaming:
+            from file_d_spark.metrics import debug_log
+
+            would = self.sample_predicate(df) & cond
+            cap = int(self.params.get("max_samples", 100))
+            sampled = df.withColumn("__fd_log__", would).filter("__fd_log__")
+            for row in sampled.drop("__fd_log__").limit(cap).collect():
+                debug_log(name, row.asDict(recursive=True))
+            return df
         try:
             return df.observe(
                 f"fd_debug_{name}", F.sum(F.when(cond, 1).otherwise(0)).alias("events")

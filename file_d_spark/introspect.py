@@ -1,0 +1,149 @@
+"""Pipeline introspection: the reference's per-action HTTP control
+plane re-expressed for a lazy engine.
+
+file.d serves, per pipeline action, ``/info`` (received / discarded /
+passed counters) and ``/sample`` (one event captured before and after
+the action), plus the antispam ``/ban_list``
+(/root/reference/pipeline/pipeline.go:959-1033).  file.d counts live
+traffic; a Spark pipeline is a lazy plan, so the inspector records the
+intermediate frame at every action boundary and answers each endpoint
+with a bounded job against it (counts and limit-1 samples).  Streaming
+counters come from :class:`file_d_spark.metrics.ProgressRing` instead
+— observed metrics ride along with each micro-batch.
+
+    insp = PipelineInspector(pipeline, df)
+    insp.result                # final frame, same as pipeline.apply(df)
+    insp.info(0)               # [{'status': 'received', 'count': ...}, ...]
+    insp.sample(0)             # {'before': {...}, 'after': {...}}
+    srv = insp.serve(port=0)   # HTTP surface mirroring the reference
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from file_d_spark.actions import build_action
+
+
+class PipelineInspector:
+    def __init__(self, pipeline, df: DataFrame):
+        self.plan = pipeline.plan
+        self.frames: list[DataFrame] = [df]
+        self.action_types: list[str] = []
+        cur = df
+        for cfg in self.plan.actions:
+            cur = build_action(cfg).apply(cur)
+            self.action_types.append(cfg.get("type", "?"))
+            self.frames.append(cur)
+        self.result = cur
+
+    # -- /info ----------------------------------------------------------
+    def info(self, action_index: int) -> list[dict[str, Any]]:
+        """Counters for one action, reference statuses: received /
+        discarded / passed (pipeline.go:967-996)."""
+        received = self.frames[action_index].count()
+        passed = self.frames[action_index + 1].count()
+        return [
+            {"status": "received", "count": received},
+            {"status": "discarded", "count": max(received - passed, 0)},
+            {"status": "passed", "count": passed},
+        ]
+
+    # -- /sample --------------------------------------------------------
+    def sample(self, action_index: int) -> dict[str, Any]:
+        """One event before and after the action — bounded limit(1)
+        jobs (the reference watches a live processor; a lazy engine
+        re-derives the same view from the recorded frames)."""
+
+        def first_row(df: DataFrame):
+            rows = df.limit(1).collect()
+            return rows[0].asDict(recursive=True) if rows else None
+
+        return {
+            "before": first_row(self.frames[action_index]),
+            "after": first_row(self.frames[action_index + 1]),
+        }
+
+    # -- /ban_list ------------------------------------------------------
+    def ban_list(self) -> list[dict[str, Any]]:
+        """Sources currently over an antispam threshold, re-derived
+        from that action's input frame with its own counting rules
+        (antispammer.go:24-120 exposes the live ban map)."""
+        from pyspark.sql import functions as F
+
+        from file_d_spark.actions.throttle import _parse_duration_seconds
+        from file_d_spark.fields import get_col_safe, parse_selector
+
+        out: list[dict[str, Any]] = []
+        for i, cfg in enumerate(self.plan.actions):
+            if cfg.get("type") != "antispam" or int(cfg.get("threshold", 0)) <= 0:
+                continue
+            df = self.frames[i]
+            src_field = cfg.get("source_field", "source_name")
+            time_field = cfg.get("time_field", "ts")
+            interval_s = _parse_duration_seconds(
+                cfg.get("maintenance_interval"), 60.0
+            )
+            src = get_col_safe(parse_selector(src_field), df.schema).cast("string")
+            tcol = get_col_safe(parse_selector(time_field), df.schema)
+            ts = F.coalesce(tcol.cast("timestamp"), F.current_timestamp())
+            win = F.floor(F.unix_timestamp(ts) / F.lit(int(interval_s)))
+            banned = (
+                df.select(src.alias("s"), win.alias("w"))
+                .groupBy("s", "w")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > int(cfg["threshold"]))
+                .select("s")
+                .distinct()
+                .collect()
+            )
+            out.extend({"action": i, "source": r.s} for r in banned)
+        return out
+
+    # -- HTTP surface ---------------------------------------------------
+    def serve(self, port: int = 0, host: str = "127.0.0.1"):
+        """Start a daemon thread serving the reference's URL shape:
+        /pipelines/<name>/action/<idx>/info | /sample, plus
+        /pipelines/<name>/ban_list.  Returns the HTTPServer (bound
+        port in ``server_address[1]``); call ``shutdown()`` to stop."""
+        insp = self
+        name = self.plan.name
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                parts = [p for p in self.path.split("/") if p]
+                try:
+                    if parts[:2] == ["pipelines", name]:
+                        if parts[2:] == ["ban_list"]:
+                            return self._json(insp.ban_list())
+                        if len(parts) == 5 and parts[2] == "action":
+                            idx = int(parts[3])
+                            if parts[4] == "info":
+                                return self._json(insp.info(idx))
+                            if parts[4] == "sample":
+                                return self._json(insp.sample(idx))
+                    self.send_error(404)
+                except Exception as ex:  # surface errors as JSON
+                    self.send_response(500)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(json.dumps({"error": str(ex)}).encode())
+
+            def _json(self, payload):
+                body = json.dumps(payload, default=str).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = ThreadingHTTPServer((host, port), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv

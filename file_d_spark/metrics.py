@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
 
+#: ring of (message, event) samples written by the debug action —
+#: the analogue of the reference's zap-sampled stderr log
+DEBUG_LOG: collections.deque = collections.deque(maxlen=1000)
+
+_log = __import__("logging").getLogger("file_d_spark.debug")
+
+
+def debug_log(message: str, event: dict) -> None:
+    DEBUG_LOG.append({"message": message, "event": event})
+    _log.info("%s: %s", message, json.dumps(event, default=str))
+
+
 def observe_events(df: DataFrame, name: str = "fd_pipeline") -> DataFrame:
     """Attach an event counter + byte-size accumulator to the chain."""
     first_col = df.columns[0]

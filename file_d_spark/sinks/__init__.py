@@ -222,6 +222,49 @@ def sink_jdbc(df: DataFrame, cfg: dict[str, Any]):
     )
 
 
+def kafka_sink_options(cfg: dict[str, Any]) -> dict[str, str]:
+    """file.d kafka output config -> Spark kafka writer options
+    (/root/reference/plugin/output/kafka/kafka.go:53-170).  Batching
+    (workers_count/batch_*) is Spark's job; delivery knobs map to the
+    kafka producer client configs."""
+    brokers = cfg.get("brokers", "localhost:9092")
+    if isinstance(brokers, (list, tuple)):
+        brokers = ",".join(brokers)
+    ack = {"no": "0", "leader": "1", "all-isr": "all"}[cfg.get("ack", "leader")]
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "kafka.client.id": cfg.get("client_id", "file-d"),
+        "kafka.acks": ack,
+        "kafka.retries": str(int(cfg.get("retry", 10))),
+        "kafka.max.request.size": str(int(cfg.get("max_message_bytes", 1000000))),
+    }
+    if cfg.get("compression", "none") != "none":
+        opts["kafka.compression.type"] = cfg["compression"]
+    if not cfg.get("use_topic_field"):
+        opts["topic"] = cfg.get("default_topic", "events")
+    return opts
+
+
+def kafka_sink_frame(df: DataFrame, cfg: dict[str, Any]) -> DataFrame:
+    """Shape events into the kafka wire frame: value = JSON of all
+    event columns; with use_topic_field the per-event topic column
+    routes each record (kafka.go:68-73), falling back to
+    default_topic."""
+    event_cols = [c for c in df.columns if not c.startswith("_")]
+    out = [F.to_json(F.struct(*event_cols)).alias("value")]
+    if cfg.get("use_topic_field"):
+        topic_field = cfg.get("topic_field", "topic")
+        src = (
+            F.col(topic_field).cast("string")
+            if topic_field in df.columns
+            else F.lit(None).cast("string")
+        )
+        out.append(
+            F.coalesce(src, F.lit(cfg.get("default_topic", "events"))).alias("topic")
+        )
+    return df.select(*out)
+
+
 SINKS: dict[str, Callable[[DataFrame, dict[str, Any]], Any]] = {
     "file": sink_file,
     "s3": sink_file,  # s3a:// path in cfg['path'] — same writer
@@ -266,12 +309,16 @@ def build_stream_sink(
         fmt = cfg.get("format", "json")
         return writer.format(fmt).option("path", cfg.get("path") or cfg.get("target_file")).start()
     if typ == "kafka":
-        return (
-            writer.format("kafka")
-            .option("kafka.bootstrap.servers", cfg.get("brokers", "localhost:9092"))
-            .option("topic", cfg.get("default_topic", "events"))
-            .start()
-        )
+        framed = kafka_sink_frame(df, cfg)
+        w = framed.writeStream.outputMode(cfg.get("output_mode", "append"))
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        w = w.format("kafka")
+        for k, v in kafka_sink_options(cfg).items():
+            w = w.option(k, v)
+        return w.start()
     if typ == "stdout":
         return writer.format("console").start()
     if typ == "devnull":
@@ -314,6 +361,14 @@ def build_sink(df: DataFrame, plan) -> Any:
     typ = cfg.pop("type", "devnull")
     if typ not in SINKS:
         raise ValueError(f"unsupported output type: {typ!r}; known {sorted(SINKS)}")
+    if typ == "clickhouse" and cfg.get("columns"):
+        # native CH column types (Enum/IPv4-6/DateTime64/...) —
+        # clickhouse.go:213-252 strict_types semantics
+        from file_d_spark.sinks.clickhouse_types import coerce_clickhouse
+
+        df = coerce_clickhouse(
+            df, cfg["columns"], strict=bool(cfg.get("strict_types", False))
+        )
     schema_ddl = cfg.get("schema")
     if schema_ddl:
         schema = T.StructType.fromDDL(schema_ddl)

@@ -68,6 +68,101 @@ def _decode_lines(
     return df.select(*out_cols)
 
 
+def _duration_ms(v, default_ms: int) -> int:
+    if v is None:
+        return default_ms
+    import re as _re
+
+    m = _re.fullmatch(r"([\d.]+)\s*([a-z]*)", str(v).strip())
+    if not m:
+        return default_ms
+    units = {"ms": 1, "s": 1000, "m": 60000, "h": 3600000}
+    return int(float(m.group(1)) * units.get(m.group(2) or "s", 1000))
+
+
+def kafka_source_options(cfg: dict) -> dict[str, str]:
+    """file.d kafka input config -> Spark kafka reader options
+    (/root/reference/plugin/input/kafka/kafka.go:77-214).
+
+    Consumer-group coordination (consumer_group, balancer,
+    auto_commit) is superseded by Spark's own offset tracking: the
+    checkpoint/WAL IS the committed offset, so group.id is passed only
+    for broker-side quota/ACL identity."""
+    brokers = cfg.get("brokers", "localhost:9092")
+    if isinstance(brokers, (list, tuple)):
+        brokers = ",".join(brokers)
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": ",".join(cfg.get("topics", [])),
+        # offset: newest|oldest -> startingOffsets latest|earliest
+        "startingOffsets": (
+            "earliest" if cfg.get("offset", "newest") == "oldest" else "latest"
+        ),
+        "kafka.client.id": cfg.get("client_id", "file-d"),
+        "kafka.group.id": cfg.get("consumer_group", "file-d"),
+        "includeHeaders": "true",
+        "kafka.fetch.max.bytes": str(int(cfg.get("fetch_max_bytes", 52428800))),
+        "kafka.fetch.min.bytes": str(int(cfg.get("fetch_min_bytes", 1))),
+        "kafka.fetch.max.wait.ms": str(
+            _duration_ms(cfg.get("consumer_max_wait_time"), 250)
+        ),
+        "kafka.session.timeout.ms": str(
+            _duration_ms(cfg.get("session_timeout"), 10000)
+        ),
+        "kafka.heartbeat.interval.ms": str(
+            _duration_ms(cfg.get("heartbeat_interval"), 3000)
+        ),
+    }
+    if cfg.get("is_sasl_enabled"):
+        mech = cfg.get("sasl_mechanism", "SCRAM-SHA-512")
+        opts["kafka.sasl.mechanism"] = mech
+        opts["kafka.security.protocol"] = (
+            "SASL_SSL" if cfg.get("is_ssl_enabled") else "SASL_PLAINTEXT"
+        )
+        module = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule"
+            if mech == "PLAIN"
+            else "org.apache.kafka.common.security.scram.ScramLoginModule"
+        )
+        opts["kafka.sasl.jaas.config"] = (
+            f'{module} required username="{cfg.get("sasl_username", "user")}" '
+            f'password="{cfg.get("sasl_password", "password")}";'
+        )
+    elif cfg.get("is_ssl_enabled"):
+        opts["kafka.security.protocol"] = "SSL"
+    return opts
+
+
+def decode_kafka_frame(df: DataFrame, plan: PipelinePlan) -> DataFrame:
+    """Decode a kafka wire frame (key/value/topic/partition/offset/
+    timestamp[/headers]) into event columns + the reference's meta
+    columns (kafka.go meta templates: topic, partition, offset).
+    Pure frame transform — contract-testable without a broker."""
+    meta_cols = [
+        F.col("topic").alias("_topic"),
+        F.col("partition").alias("_partition"),
+        F.col("offset").alias("_offset"),
+    ]
+    if "headers" in df.columns:
+        # array<struct<key,value:binary>> -> map<string,string>
+        meta_cols.append(
+            F.map_from_entries(
+                F.transform(
+                    F.col("headers"),
+                    lambda h: F.struct(
+                        h["key"].alias("key"),
+                        h["value"].cast("string").alias("value"),
+                    ),
+                )
+            ).alias("_headers")
+        )
+    return _decode_lines(
+        df.withColumn("value", F.col("value").cast("string")),
+        plan,
+        meta_cols=meta_cols,
+    )
+
+
 def build_source(spark: SparkSession, plan: PipelinePlan, streaming: bool = False) -> DataFrame:
     cfg = dict(plan.input)
     typ = cfg.pop("type", "fake")
@@ -133,23 +228,10 @@ def _build_source_inner(
         return _decode_lines(df, plan, meta_cols=meta_cols)
     if typ == "kafka":
         reader = spark.readStream if streaming else spark.read
-        df = (
-            reader.format("kafka")
-            .option("kafka.bootstrap.servers", cfg.get("brokers", "localhost:9092"))
-            .option("subscribe", ",".join(cfg.get("topics", [])))
-            .load()
-        )
-        decoded = _decode_lines(
-            df.withColumn("value", F.col("value").cast("string")), plan
-        )
-        # kafka meta columns (reference meta templates: topic/partition/offset)
-        return decoded.withColumns(
-            {
-                "_topic": df["topic"],
-                "_partition": df["partition"],
-                "_offset": df["offset"],
-            }
-        )
+        r = reader.format("kafka")
+        for k, v in kafka_source_options(cfg).items():
+            r = r.option(k, v)
+        return decode_kafka_frame(r.load(), plan)
     if typ == "k8s":
         # file input + pod metadata from the k8s filename convention
         # [pod]_[namespace]_[container]-[id].log + a (small, broadcast)
