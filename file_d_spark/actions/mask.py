@@ -77,19 +77,54 @@ def _segment_pattern(pattern: str) -> list[tuple[str, str]] | None:
     return segs
 
 
+_OPEN = "\x02"  # sentinels wrapping to-be-starred content; control
+_CLOSE = "\x03"  # bytes never appear in the reference's log corpora
+
+
+def _star_fill(col: Column) -> Column:
+    """Replace every sentinel-wrapped span with a ``*`` run of the
+    SAME length — the reference masks per character (mask.go:138-193).
+    regexp_replace cannot emit length-dependent runs, so the masked
+    content is wrapped in sentinels by the regex pass and starred out
+    here with split + per-piece rebuild (each piece holds at most one
+    closing sentinel)."""
+    pieces = F.split(col, _OPEN)
+
+    def rebuild(piece: Column) -> Column:
+        pos = F.instr(piece, _CLOSE)
+        return F.when(
+            pos > 0,
+            F.concat(
+                F.repeat(F.lit("*"), (pos - 1).cast("int")),
+                piece.substr(pos + 1, F.length(piece)),
+            ),
+        ).otherwise(piece)
+
+    return F.when(
+        col.contains(_OPEN), F.concat_ws("", F.transform(pieces, rebuild))
+    ).otherwise(col)
+
+
 def _mask_expr(col: Column, mask_cfg: dict) -> Column:
     pattern = mask_cfg["re"]
     groups = mask_cfg.get("groups", [0])
     replace_word = mask_cfg.get("replace_word")
     cut = bool(mask_cfg.get("cut_values", False)) or mask_cfg.get("mode") == "cut"
-    # reference masks each char with '*'; regexp_replace cannot emit a
-    # length-dependent run, so a fixed '***' stands in (documented
-    # divergence — identity semantics preserved, literal width not)
-    fill = "" if cut else (replace_word if replace_word is not None else "***")
+    # star masking wraps content in sentinels and length-preserves;
+    # replace_word/cut substitute the literal directly
+    star = replace_word is None and not cut
+    fill = "" if cut else (replace_word if replace_word is not None else "")
+
+    def finish(replaced: Column) -> Column:
+        return _star_fill(replaced) if star else replaced
 
     n_groups = _pyre.compile(pattern).groups
     if groups == [0] or not groups or n_groups == 0:
-        return F.regexp_replace(col, pattern, fill)
+        repl = f"{_OPEN}$0{_CLOSE}" if star else fill
+        return finish(F.regexp_replace(col, pattern, repl))
+
+    def group_repl(idx: int) -> str:
+        return f"{_OPEN}${idx}{_CLOSE}" if star else fill
 
     # group-targeted: recapture inter-group literals so they survive
     segs = _segment_pattern(pattern)
@@ -103,13 +138,15 @@ def _mask_expr(col: Column, mask_cfg: dict) -> Column:
             else:
                 orig_idx += 1
                 new_pattern.append(text)
-                repl.append(fill if orig_idx in groups else f"${new_idx}")
-        return F.regexp_replace(col, "".join(new_pattern), "".join(repl))
+                repl.append(
+                    group_repl(new_idx) if orig_idx in groups else f"${new_idx}"
+                )
+        return finish(F.regexp_replace(col, "".join(new_pattern), "".join(repl)))
     # complex pattern fallback: keep non-target groups, lose literals
     repl_parts = [
-        fill if g in groups else f"${g}" for g in range(1, n_groups + 1)
+        group_repl(g) if g in groups else f"${g}" for g in range(1, n_groups + 1)
     ]
-    return F.regexp_replace(col, pattern, "".join(repl_parts))
+    return finish(F.regexp_replace(col, pattern, "".join(repl_parts)))
 
 
 @register("mask")

@@ -364,7 +364,7 @@ def q_cube(spark, sf_dir):
     "mask_digits",
     """
     SELECT event_id,
-           regexp_replace(props, '[0-9]+', '***', 'g') AS props,
+           regexp_replace(props, '[0-9]', '*', 'g') AS props,
            CASE WHEN regexp_matches(props, '[0-9]') THEN 'true' END AS masked
     FROM events
     """,

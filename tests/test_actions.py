@@ -233,9 +233,9 @@ def test_mask_group_replacement(spark):
         ],
     )
     rows = out.orderBy("msg").collect()
-    # masked groups become '***' (fixed-width fill; see mask.py note),
+    # masked groups become '*' runs of the original width;
     # inter-group literals and unmasked group 4 survive
-    assert rows[0].msg == "card *** *** *** 3456 used"
+    assert rows[0].msg == "card **** **** **** 3456 used"
     assert rows[0].masked == "true"
     assert rows[1].msg == "no digits here"
     assert rows[1].masked is None
@@ -549,3 +549,64 @@ def test_throttle_rules_size_kind(spark):
         ("big", 0), ("big", 1),
         ("other", 10), ("other", 11), ("other", 12),
     ]
+
+
+
+MASK_CARD_RE = r"\b(\d{1,4})\D?(\d{1,4})\D?(\d{1,4})\D?(\d{1,4})\b"
+
+
+def test_mask_reference_golden_cases(spark):
+    """Golden pairs lifted from the reference's own unit tests
+    (/root/reference/plugin/action/mask/mask_test.go:33-140)."""
+    cases = [
+        # (input, masks, expected)
+        ("12.34.5678", [{"re": r"\d", "groups": [0]}], "**.**.****"),
+        ("ab.cd.efgh", [{"re": r"\d", "groups": [0]}], "ab.cd.efgh"),
+        ("-ab-axxb-", [{"re": "a(x*)b", "groups": [1]}], "-ab-a**b-"),
+        ("-ab-axxb-", [{"re": "a(x*)b", "groups": [0]}], "-**-****-"),
+        (
+            "4445-2222-3333-4444",
+            [{"re": MASK_CARD_RE, "groups": [1, 2, 3, 4]}],
+            "****-****-****-****",
+        ),
+        (
+            "4445-2222-3333-0263",
+            [{"re": MASK_CARD_RE, "groups": [1, 2, 3]}],
+            "****-****-****-0263",
+        ),
+        (
+            "issued card number 3528-3889-3793-9946 and card number 4035-3005-3980-4083",
+            [{"re": MASK_CARD_RE, "groups": [1, 2, 3, 4]}],
+            "issued card number ****-****-****-**** and card number ****-****-****-****",
+        ),
+        (
+            "card number 3528-3889-3793-9946",
+            [{"re": MASK_CARD_RE, "groups": [1, 2, 3]}],
+            "card number ****-****-****-9946",
+        ),
+        (
+            "card number 3528 3889 3793 9946",
+            [{"re": MASK_CARD_RE, "groups": [1, 2, 3]}],
+            "card number **** **** **** 9946",
+        ),
+        (
+            "card number 3528388937939946",
+            [{"re": r"\b(\d{4})\s?\-?(\d{4})\s?\-?(\d{4})\s?\-?(\d{4})\b", "groups": [1, 2, 3]}],
+            "card number ************9946",
+        ),
+        (
+            "user details: 89247123906",
+            [{"re": r"\b(\d{11})\b", "groups": [1], "replace_word": "***MASKED***"}],
+            "user details: ***MASKED***",
+        ),
+    ]
+    rows = [(i, text) for i, (text, _, _) in enumerate(cases)]
+    for i, (text, masks, expected) in enumerate(cases):
+        out = run_actions(
+            spark,
+            [(text,)],
+            "msg string",
+            [{"type": "mask", "masks": masks, "process_fields": ["msg"]}],
+        )
+        got = out.collect()[0].msg
+        assert got == expected, f"case {i}: {text!r} -> {got!r} != {expected!r}"
