@@ -610,3 +610,69 @@ def test_mask_reference_golden_cases(spark):
         )
         got = out.collect()[0].msg
         assert got == expected, f"case {i}: {text!r} -> {got!r} != {expected!r}"
+
+
+import os as _os
+
+import pytest as _pytest
+
+_JT_SAMPLES = "/root/reference/plugin/action/join_template/sample"
+
+
+@_pytest.mark.skipif(not _os.path.isdir(_JT_SAMPLES), reason="reference corpus absent")
+@_pytest.mark.parametrize(
+    "template,filename,expected",
+    [
+        ("go_panic", "go_panic.txt", 18),
+        ("cs_exception", "cs_exception.txt", 3),
+        ("go_data_race", "go_data_race.txt", 9),
+    ],
+)
+def test_join_template_reference_corpus(spark, template, filename, expected):
+    """The reference's own join_template test corpora
+    (join_template_test.go:27-54): each sample file holds the raw
+    multiline blocks; joining must produce the expected event count."""
+    raw = open(_os.path.join(_JT_SAMPLES, filename)).read()
+    content = raw.replace("# ===next===\n", "")
+    lines = [ln for ln in content.split("\n") if ln != ""]
+    rows = [(i, ln) for i, ln in enumerate(lines)]
+    out = run_actions(
+        spark,
+        rows,
+        "seq long, log string",
+        [
+            {
+                "type": "join_template",
+                "template": template,
+                "field": "log",
+                "seq_field": "seq",
+            }
+        ],
+    )
+    assert out.count() == expected
+
+
+@_pytest.mark.skipif(not _os.path.isdir(_JT_SAMPLES), reason="reference corpus absent")
+def test_join_template_mixed_templates(spark):
+    """Reference's mixed case (join_template_test.go:47-52): all three
+    corpora concatenated, all three templates OR-combined → 18+3+9 events."""
+    content = ""
+    for fn in ("go_panic.txt", "cs_exception.txt", "go_data_race.txt"):
+        content += open(_os.path.join(_JT_SAMPLES, fn)).read()
+    content = content.replace("# ===next===\n", "")
+    lines = [ln for ln in content.split("\n") if ln != ""]
+    rows = [(i, ln) for i, ln in enumerate(lines)]
+    out = run_actions(
+        spark,
+        rows,
+        "seq long, log string",
+        [
+            {
+                "type": "join_template",
+                "templates": ["go_panic", "cs_exception", "go_data_race"],
+                "field": "log",
+                "seq_field": "seq",
+            }
+        ],
+    )
+    assert out.count() == 18 + 3 + 9
