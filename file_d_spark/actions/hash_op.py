@@ -25,6 +25,12 @@ from file_d_spark.functions.normalize import normalize_tokens
 class HashAction(Action):
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         result_field = parse_selector(self.params["result_field"])
+        # action-level normalizer config (hash.go:287-327):
+        # {builtin_patterns: "all"|"no"|"a|b", custom_patterns: [
+        #   {placeholder, re, priority: first|last}]}
+        norm_cfg = self.params.get("normalizer") or {}
+        builtin = norm_cfg.get("builtin_patterns", "all")
+        customs = norm_cfg.get("custom_patterns") or []
         candidates: list[Column] = []
         for fcfg in self.params.get("fields", []):
             if isinstance(fcfg, str):
@@ -34,7 +40,11 @@ class HashAction(Action):
             if max_size > 0:
                 col = F.substring(col, 1, max_size)
             if fcfg.get("format", "no") == "normalize":
-                col = normalize_tokens(col, fcfg.get("normalize_patterns"))
+                col = normalize_tokens(
+                    col,
+                    fcfg.get("normalize_patterns", builtin),
+                    custom_patterns=customs,
+                )
             candidates.append(col)
         if not candidates:
             raise ValueError("hash action needs a fields list")
