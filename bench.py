@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     # training-data ops
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_cluster",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",

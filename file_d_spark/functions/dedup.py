@@ -411,3 +411,96 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Group near-dup pairs into duplicate clusters: (id, cluster_id)
+    where cluster_id = min id reachable in the pair graph.
+
+    A dedup pipeline needs clusters, not pairs — if A~B and B~C, keeping
+    "one of each pair" would drop both B and C; the right unit is the
+    connected component with one representative (min id) kept.
+
+    Scale design: label propagation (Pregel-style), each round one
+    shuffle-join of labels against the symmetrized edge list + a
+    min-aggregate.  Rounds needed = graph diameter, which for near-dup
+    clusters is tiny (dups of one source document form near-cliques);
+    ``max_iter`` bounds pathological chains.  Lineage is truncated each
+    round with localCheckpoint so the loop's plan stays flat (without
+    it, round k replays rounds 1..k-1).  For adversarial long-chain
+    graphs the alternating large-star/small-star variant bounds rounds
+    by O(log n); near-dup graphs don't need it.
+    """
+    # materialize the pair list ONCE before symmetrizing: the union's
+    # two branches would otherwise re-execute the (expensive) pair
+    # subtree twice in the same job
+    pairs = pairs.select(src, dst).localCheckpoint(eager=True)
+    edges = pairs.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).unionByName(
+        pairs.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
+    )
+    edges = edges.repartition("id").localCheckpoint(eager=True)
+
+    labels = (
+        edges.select("id")
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor's current label, min over neighbors
+        msgs = (
+            edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .groupBy("id")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce("nbr_min", F.col("label")) < F.col("label")
+                ).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        if new_labels.filter("changed").limit(1).count() == 0:
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Per-document cluster assignment: every doc in ``df`` gets a
+    cluster_id (its component's min id; singletons map to themselves)
+    plus is_representative for the survivor."""
+    cc = connected_components(pairs, src, dst)
+    return (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_representative", (F.col(id_col) == F.col("cluster_id"))
+        )
+    )

@@ -986,6 +986,49 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.7)
 
 
+@query(
+    "dedup_cluster",
+    """
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ws
+           FROM t WHERE len(w) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        -- lossless prune: J>=t implies min(|A|,|B|)/max(|A|,|B|)>=t
+        AND least(len(a.ws), len(b.ws))::DOUBLE
+            / greatest(len(a.ws), len(b.ws)) >= 0.7
+        AND len(list_intersect(a.ws, b.ws))::DOUBLE /
+            (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.7),
+    edges AS (SELECT da AS a, db AS b FROM pairs
+              UNION SELECT db, da FROM pairs),
+    cc(id, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.id = e.b),
+    lab AS (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+           (d.doc_id = coalesce(l.cluster_id, d.doc_id))::INT AS is_representative
+    FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+    """,
+)
+def q_dedup_cluster(spark, sf_dir):
+    """Duplicate clusters = connected components over near-dup pairs
+    (label propagation; one representative per cluster).  The oracle
+    replays the same graph with a recursive CTE (min reachable id)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.7)
+    out = dedup.dedup_clusters(d, pairs, id_col="doc_id")
+    return out.select(
+        "doc_id", "cluster_id", F.col("is_representative").cast("int").alias("is_representative")
+    )
+
+
 @query("dedup_minhash_lsh")  # no SQL oracle: LSH banding is the point
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs (verified >= 0.7) — the 100 TB path.

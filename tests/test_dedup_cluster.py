@@ -1,0 +1,44 @@
+"""Unit tests for connected-components duplicate clustering
+(functions/dedup.py::connected_components / dedup_clusters)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from file_d_spark.functions.dedup import connected_components, dedup_clusters
+
+
+def test_cc_chain_and_island(spark):
+    # chain 1-2-3-4 (one component), island 10-11, singleton edgeless
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_merging_components(spark):
+    # two chains joined by a late edge: {1-2, 3-4} + (2,3) => one comp
+    pairs = spark.createDataFrame(
+        [(3, 4), (1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_dedup_clusters_representatives(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 5), (5, 6)], "doc_a long, doc_b long")
+    out = dedup_clusters(docs, pairs).orderBy("doc_id").collect()
+    by_id = {r.doc_id: r for r in out}
+    # singletons map to themselves and are representatives
+    for i in (1, 3, 4):
+        assert by_id[i].cluster_id == i and by_id[i].is_representative
+    # cluster {2,5,6} keeps 2
+    for i in (2, 5, 6):
+        assert by_id[i].cluster_id == 2
+    assert by_id[2].is_representative
+    assert not by_id[5].is_representative and not by_id[6].is_representative
