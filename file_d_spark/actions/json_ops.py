@@ -142,7 +142,15 @@ class Decode(Action):
         col = get_col_safe(parts, df.schema).cast("string")
         fm = decoder(col, self.params.get("params") or self.params)
         df = _merge_fieldmap(self, df, fm, pred, prefix, target_field=parts)
-        if not self.params.get("keep_origin", False) and "__map__" not in fm:
+        # the origin field is dropped unless kept explicitly — or unless
+        # the decoder itself wrote a same-named field (e.g. postgres
+        # "log"), which the reference overwrites in place
+        decoded_names = {prefix + n for n in fm if not n.startswith("__")}
+        if (
+            not self.params.get("keep_origin", False)
+            and "__map__" not in fm
+            and ".".join(parts) not in decoded_names
+        ):
             df = drop_field(df, parts)
         return df
 

@@ -46,19 +46,49 @@ def decode_json(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
     schema = params.get("schema")
     max_fields_size = params.get("json_max_fields_size")
     src = line
-    if max_fields_size:
-        # reference trims oversized string fields; approximate with a
-        # whole-line cap before parsing
+    if max_fields_size and not isinstance(max_fields_size, dict):
+        # legacy scalar form: whole-line cap before parsing
         src = F.substring(src, 1, int(max_fields_size))
+        max_fields_size = None
     if schema:
         parsed = F.from_json(src, schema)
+        if max_fields_size:
+            from pyspark.sql.types import StringType, _parse_datatype_string
+
+            st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
+            for fld, size in max_fields_size.items():
+                # reference truncates STRING values only (decoder/json.go:
+                # checkFieldsSize node.IsString() gate)
+                if any(
+                    f.name == fld and isinstance(f.dataType, StringType)
+                    for f in st.fields
+                ):
+                    parsed = parsed.withField(
+                        fld, F.substring(parsed.getField(fld), 1, int(size))
+                    )
         return {"__struct__": parsed}
     if params.get("variant"):
         # Spark 4 VariantType: lazily-parsed JSON — the closest
         # analogue to the reference's insane-json tree (SURVEY §1.1);
         # fields read on demand with variant_get, no declared schema
         return {"__map__": F.parse_json(src)}
-    return {"__map__": F.from_json(src, "map<string,string>")}
+    parsed = F.from_json(src, "map<string,string>")
+    if max_fields_size:
+        # map mode stringifies every scalar, so stringness of the
+        # original value is read off the raw line ("fld": "...) — the
+        # reference truncates only string values (decoder/json.go)
+        import re as _pyre
+
+        def _truncator(fld: str, size: int, quoted: Column):
+            def fn(k: Column, v: Column) -> Column:
+                return F.when((k == fld) & quoted, F.substring(v, 1, size)).otherwise(v)
+
+            return fn
+
+        for fld, size in max_fields_size.items():
+            quoted = src.rlike('"' + _pyre.escape(fld) + '"\\s*:\\s*"')
+            parsed = F.transform_values(parsed, _truncator(fld, int(size), quoted))
+    return {"__map__": parsed}
 
 
 def decode_raw(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
@@ -77,9 +107,13 @@ def decode_cri(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
     }
 
 
+# the log tail skips the severity word plus two bytes (postgres.go:163-168:
+# `pos = IndexByte(data, ' '); row.Log = data[pos+2:]`), which strips
+# "LOG:  " (word, space, second space) — replicated byte-for-byte with
+# `[^ ]+ .`
 PG_PATTERN = (
     r"^(.+? GMT) \[(\d+)\] => \[([\d-]+)\] "
-    r"client=([^,]*),db=([^,]*),user=([^ ]*) (.*)$"
+    r"client=([^,]*),db=([^,]*),user=([^ ]*) [^ ]+ .(.*)$"
 )
 
 
@@ -109,20 +143,50 @@ def decode_nginx_error(line: Column, params: dict[str, Any] | None = None) -> Fi
         "message": _rx(line, NGINX_PATTERN, 6),
     }
     if params.get("nginx_with_custom_fields"):
-        # "a: b, c: d" custom fields at the message tail become a map
+        # nginx.go:163-199 extractCustomFields: walk the tail backwards
+        # over ", " separators; each trailing "key: value" segment with a
+        # letters-only key becomes a field (value dequoted, "key: " ->
+        # empty); the first invalid segment stops the walk and everything
+        # before it stays in message.  Columnar: fields = maximal valid
+        # suffix of the ", "-split segments (index >= 1), message = the
+        # prefix rejoined.  The reference splats fields at event root; a
+        # typed engine keeps them in a custom_fields map.
         msg = out["message"]
-        out["custom_fields"] = F.map_filter(
-            F.map_from_entries(
-                F.transform(
-                    F.split(msg, ", "),
-                    lambda kv: F.struct(
-                        F.trim(F.substring_index(kv, ":", 1)).alias("key"),
-                        F.trim(F.substring_index(kv, ":", -1)).alias("value"),
-                    ),
-                )
+        segs = F.split(msg, ", ")
+        n = F.size(segs)
+        seg_ok = lambda s: s.rlike(r"^\p{L}+:")  # noqa: E731
+        # count of trailing valid segments (never counting segs[0])
+        trailing = F.aggregate(
+            F.slice(F.reverse(segs), 1, F.greatest(n - 1, F.lit(0))),
+            F.struct(F.lit(0).alias("c"), F.lit(False).alias("stop")),
+            lambda acc, s: F.struct(
+                F.when(acc.getField("stop") | ~seg_ok(s), acc.getField("c"))
+                .otherwise(acc.getField("c") + 1)
+                .alias("c"),
+                (acc.getField("stop") | ~seg_ok(s)).alias("stop"),
             ),
-            lambda k, v: k.rlike("^\\w+$"),
+            lambda acc: acc.getField("c"),
         )
+        k = n - trailing
+        fields = F.slice(segs, k + 1, trailing)
+
+        def entry(seg: Column) -> Column:
+            key = F.substring_index(seg, ":", 1)
+            # value bytes after ':': "" unless more than one byte
+            # (nginx.go:188-191), dequoted with Trim(`"`)
+            after = F.substring(seg, F.length(key) + 2, F.lit(2_000_000_000))
+            value = F.when(
+                F.length(after) > 1,
+                F.regexp_replace(
+                    F.substring(seg, F.length(key) + 3, F.lit(2_000_000_000)),
+                    '^"+|"+$',
+                    "",
+                ),
+            ).otherwise("")
+            return F.struct(key.alias("key"), value.alias("value"))
+
+        out["custom_fields"] = F.map_from_entries(F.transform(fields, entry))
+        out["message"] = F.array_join(F.slice(segs, 1, k), ", ")
     return out
 
 
@@ -145,8 +209,8 @@ def _pri_fields(pri: Column, params: dict[str, Any]) -> FieldMap:
         "LOCAL5", "LOCAL6", "LOCAL7",
     ]
     severities = [
-        "EMERGENCY", "ALERT", "CRITICAL", "ERROR",
-        "WARNING", "NOTICE", "INFO", "DEBUG",
+        "EMERG", "ALERT", "CRIT", "ERROR",
+        "WARN", "NOTICE", "INFO", "DEBUG",
     ]
     fac: Column = fac_num.cast("string")
     sev: Column = sev_num.cast("string")

@@ -268,7 +268,8 @@ def test_decoder_golden_pairs(spark):
     assert row.time == "2021-06-22 16:24:27 GMT"
     assert row.pid == "7291"
     assert row.db == "test_db"
-    assert row.log == "LOG:  listening on socket"
+    # severity word + 2 bytes stripped (postgres.go:163-168)
+    assert row.log == "listening on socket"
 
     df = spark.createDataFrame(
         [("2022/08/17 10:49:27 [error] 2725122#2725123: *798 connect() failed",)],

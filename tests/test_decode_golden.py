@@ -1,0 +1,194 @@
+"""Golden decode-action cases replayed from the reference's own test
+table (/root/reference/plugin/action/decode/decode_test.go:35-420).
+Typed-engine divergences (documented): schemaless json lands as a map
+under the source field instead of splatting at root; nginx custom
+fields land in a custom_fields map."""
+
+from __future__ import annotations
+
+from file_d_spark import Pipeline
+
+
+def _decode(spark, line, cfg):
+    df = spark.createDataFrame([("error", line)], "level string, log string")
+    return Pipeline.from_dict({"actions": [cfg]}).apply(df).collect()[0]
+
+
+def test_json_map(spark):
+    row = _decode(
+        spark,
+        '{"field1":"value1","field2":"value2"}',
+        {"type": "decode", "field": "log"},
+    )
+    assert row.level == "error"
+    assert row.log == {"field1": "value1", "field2": "value2"}
+
+
+def test_json_max_fields_size(spark):
+    row = _decode(
+        spark,
+        '{"field1":"value long long long","field2":"value2","field3":true}',
+        {
+            "type": "decode",
+            "field": "log",
+            "decoder": "json",
+            "params": {
+                "json_max_fields_size": {"field1": 5, "field2": 10, "field3": 1}
+            },
+        },
+    )
+    # string fields truncated to their per-field cap; non-strings kept
+    # whole (decode_test.go:69-88)
+    assert row.log == {"field1": "value", "field2": "value2", "field3": "true"}
+
+
+def test_json_max_fields_size_schema(spark):
+    row = _decode(
+        spark,
+        '{"field1":"value long long long","field3":true}',
+        {
+            "type": "decode",
+            "field": "log",
+            "decoder": "json",
+            "params": {
+                "schema": "field1 string, field3 boolean",
+                "json_max_fields_size": {"field1": 5, "field3": 1},
+            },
+        },
+    )
+    assert row.field1 == "value"
+    assert row.field3 is True
+
+
+def test_postgres(spark):
+    row = _decode(
+        spark,
+        "2021-06-22 16:24:27 GMT [7291] => [3-1] "
+        "client=test_client,db=test_db,user=test_user LOG:  "
+        'listening on Unix socket "/var/run/postgresql/.s.PGSQL.5432"',
+        {"type": "decode", "field": "log", "decoder": "postgres"},
+    )
+    assert row.time == "2021-06-22 16:24:27 GMT"
+    assert row.pid == "7291"
+    assert row.pid_message_number == "3-1"
+    assert row.client == "test_client"
+    assert row.db == "test_db"
+    assert row.user == "test_user"
+    assert row.log == 'listening on Unix socket "/var/run/postgresql/.s.PGSQL.5432"'
+
+
+def test_postgres_prefix(spark):
+    row = _decode(
+        spark,
+        "2021-06-22 16:24:27 GMT [7291] => [3-1] "
+        "client=test_client,db=test_db,user=test_user LOG:  x",
+        {"type": "decode", "field": "log", "decoder": "postgres", "prefix": "p_"},
+    )
+    assert row.p_time == "2021-06-22 16:24:27 GMT"
+    assert row.p_user == "test_user"
+    assert row.p_log == "x"
+
+
+def test_nginx_error(spark):
+    row = _decode(
+        spark,
+        "2022/08/17 10:49:27 [error] 2725122#2725122: *792412315 "
+        "lua udp socket read timed out, context: ngx.timer\n",
+        {"type": "decode", "field": "log", "decoder": "nginx_error"},
+    )
+    assert row.time == "2022/08/17 10:49:27"
+    assert row.level == "error"
+    assert row.pid == "2725122"
+    assert row.tid == "2725122"
+    assert row.cid == "792412315"
+    assert row.message == "lua udp socket read timed out, context: ngx.timer"
+
+
+def test_nginx_error_custom_fields(spark):
+    row = _decode(
+        spark,
+        "2022/08/18 09:29:37 [error] 844935#844935: *44934601 "
+        "upstream timed out (110: Operation timed out), while connecting "
+        "to upstream, client: 10.125.172.251, server: , "
+        'request: "POST /download HTTP/1.1", '
+        'upstream: "http://10.117.246.15:84/download", '
+        'host: "mpm-youtube-downloader-38.name.tldn:84"\n',
+        {
+            "type": "decode",
+            "field": "log",
+            "decoder": "nginx_error",
+            "params": {"nginx_with_custom_fields": True},
+        },
+    )
+    # decode_test.go:172-196: message cut at the first custom field;
+    # values dequoted; empty "server: " kept as empty string
+    assert row.message == (
+        "upstream timed out (110: Operation timed out), while connecting to upstream"
+    )
+    assert row.custom_fields == {
+        "client": "10.125.172.251",
+        "server": "",
+        "request": "POST /download HTTP/1.1",
+        "upstream": "http://10.117.246.15:84/download",
+        "host": "mpm-youtube-downloader-38.name.tldn:84",
+    }
+
+
+def test_syslog_rfc3164(spark):
+    row = _decode(
+        spark,
+        "<34>Oct  5 22:14:15 mymachine.example.com myproc[10]: "
+        "'myproc' failed on /dev/pts/8",
+        {"type": "decode", "field": "log", "decoder": "syslog_rfc3164"},
+    )
+    assert row.priority == "34"
+    assert row.facility == "4"
+    assert row.severity == "2"
+    assert row.timestamp == "Oct  5 22:14:15"
+    assert row.hostname == "mymachine.example.com"
+    assert row.app_name == "myproc"
+    assert row.process_id == "10"
+    assert row.message == "'myproc' failed on /dev/pts/8"
+
+
+def test_syslog_rfc3164_string_priority(spark):
+    row = _decode(
+        spark,
+        "<34>Oct  5 22:14:15 mymachine.example.com myproc[10]: x",
+        {
+            "type": "decode",
+            "field": "log",
+            "decoder": "syslog_rfc3164",
+            "params": {
+                "syslog_facility_format": "string",
+                "syslog_severity_format": "string",
+            },
+        },
+    )
+    # syslog.go:112-189: AUTH / CRIT (not AUTHPRIV/CRITICAL)
+    assert row.facility == "AUTH"
+    assert row.severity == "CRIT"
+
+
+def test_syslog_rfc5424_structured_data(spark):
+    row = _decode(
+        spark,
+        "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com myproc 10 ID47 "
+        '[exampleSDID@32473 iut="3" eventSource="Application" eventID="1011"] '
+        "An application event log",
+        {"type": "decode", "field": "log", "decoder": "syslog_rfc5424"},
+    )
+    assert row.priority == "165"
+    assert row.facility == "20"
+    assert row.severity == "5"
+    assert row.proto_version == "1"
+    assert row.timestamp == "2003-10-11T22:14:15.003Z"
+    assert row.hostname == "mymachine.example.com"
+    assert row.app_name == "myproc"
+    assert row.process_id == "10"
+    assert row.message_id == "ID47"
+    assert row.message == "An application event log"
+    sd = row.structured_data["exampleSDID@32473"]
+    assert sd["iut"] == "3"
+    assert sd["eventSource"] == "Application"
+    assert sd["eventID"] == "1011"
