@@ -114,9 +114,14 @@ class JsonExtract(Action):
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         src = parse_selector(self.params["field"])
         prefix = self.params.get("prefix", "")
+        # extract_field (deprecated singular) accepted alongside
+        # extract_fields (json_extract.go Config)
         paths = self.params.get("extract_fields", [])
         if isinstance(paths, str):
             paths = [paths]
+        single = self.params.get("extract_field")
+        if single:
+            paths = [single] + list(paths)
         col = get_col_safe(src, df.schema).cast("string")
         for p in paths:
             pparts = parse_selector(p)

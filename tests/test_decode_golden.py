@@ -192,3 +192,96 @@ def test_syslog_rfc5424_structured_data(spark):
     assert sd["iut"] == "3"
     assert sd["eventSource"] == "Application"
     assert sd["eventID"] == "1011"
+
+
+def test_json_extract_multi_types(spark):
+    """json_extract_test.go:62-84 extract_multi: every JSON value type
+    extracted to root as its textual form (objects/arrays as compact
+    JSON; null as SQL NULL in the typed engine)."""
+    line = (
+        '{"test":"test_value","extracted_str":"str","extracted_int":10,'
+        '"extracted_float":123.45,"extracted_bool":false,"extracted_null":null,'
+        '"extracted_obj":{"ext1":"val1","ext2":25},"extracted_arr":[1,2,3,4,5]}'
+    )
+    df = spark.createDataFrame([("value1", line)], "field1 string, json_field string")
+    row = (
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "json_extract",
+                        "field": "json_field",
+                        "extract_fields": [
+                            "extracted_str",
+                            "extracted_int",
+                            "extracted_float",
+                            "extracted_bool",
+                            "extracted_null",
+                            "extracted_obj",
+                            "extracted_arr",
+                        ],
+                    }
+                ]
+            }
+        )
+        .apply(df)
+        .collect()[0]
+    )
+    assert row.extracted_str == "str"
+    assert row.extracted_int == "10"
+    assert row.extracted_float == "123.45"
+    assert row.extracted_bool == "false"
+    assert row.extracted_null is None
+    assert row.extracted_obj == '{"ext1":"val1","ext2":25}'
+    assert row.extracted_arr == "[1,2,3,4,5]"
+
+
+def test_json_extract_nested_and_singular(spark):
+    """json_extract_test.go:48-61,86-103: nested source field, nested
+    extract paths (leaf name lands at root), deprecated singular
+    extract_field config."""
+    line = '{"ext1":{"ext2":{"ext3":{"ext4":"test4","ext5":10},"ext7":"test7"},"ext5":"test5"},"ext2":2,"ext6":"test6"}'
+    df = spark.createDataFrame([(line,)], "json_field string")
+    row = (
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "json_extract",
+                        "field": "json_field",
+                        "extract_fields": [
+                            "ext1.ext2.ext3.ext4",
+                            "ext1.ext5",
+                            "ext6",
+                            "ext1.ext2.ext7",
+                        ],
+                    }
+                ]
+            }
+        )
+        .apply(df)
+        .collect()[0]
+    )
+    assert (row.ext4, row.ext5, row.ext6, row.ext7) == (
+        "test4",
+        "test5",
+        "test6",
+        "test7",
+    )
+
+    row2 = (
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "json_extract",
+                        "field": "json_field",
+                        "extract_field": "ext6",
+                    }
+                ]
+            }
+        )
+        .apply(df)
+        .collect()[0]
+    )
+    assert row2.ext6 == "test6"
