@@ -77,6 +77,8 @@ class Throttle(Action):
                 )
             from file_d_spark.streaming import throttle_stream
 
+            if int(self.params.get("default_limit", 5000)) < 0:
+                return df  # negative limit = unlimited (throttle_test.go:153-181)
             return throttle_stream(
                 df,
                 key_col=self.params.get("throttle_field", ""),
@@ -154,7 +156,10 @@ class Throttle(Action):
             else F.lit(1)
         )
 
-        bucket = F.floor(F.unix_timestamp(ts) / F.lit(int(bucket_s)))
+        # micros-based buckets so sub-second intervals (100ms in the
+        # reference tests) don't truncate to a zero-width bucket
+        bucket_us = max(1, int(bucket_s * 1e6))
+        bucket = F.floor(F.unix_micros(ts) / F.lit(bucket_us))
         # rows failing the gate bypass the action entirely: always kept,
         # never counted against any limit (processor.go:190-243 semantics)
         match = F.lit(True) if pred is None else pred
@@ -172,8 +177,8 @@ class Throttle(Action):
             F.max("__fd_ts__").alias("__fd_hmax__")
         )
         df = df.crossJoin(F.broadcast(hmax))
-        in_window = F.unix_timestamp("__fd_ts__") > (
-            F.unix_timestamp("__fd_hmax__") - F.lit(int(bucket_s * buckets_count))
+        in_window = F.unix_micros("__fd_ts__") > (
+            F.unix_micros("__fd_hmax__") - F.lit(bucket_us * buckets_count)
         )
         # arrival order within a bucket; extra order_fields give a
         # deterministic tiebreak for equal timestamps (batch mode)
@@ -231,12 +236,13 @@ class Throttle(Action):
         running = F.sum(
             F.when(F.col("__fd_m__"), counted).otherwise(F.lit(0))
         ).over(w.rowsBetween(Window.unboundedPreceding, 0))
-        admitted = running <= limit_col
+        # a negative limit means unlimited and bypasses even the
+        # dead-time cutoff (in_memory_limiter.go:66-69 returns true
+        # before touching the bucket ring; throttle_test.go:153-181)
+        admitted = (limit_col < 0) | (in_window & (running <= limit_col))
         # window exprs can't live in a WHERE clause — materialize first
         out = (
-            df.withColumn(
-                "__fd_keep__", ~F.col("__fd_m__") | (in_window & admitted)
-            )
+            df.withColumn("__fd_keep__", ~F.col("__fd_m__") | admitted)
             .filter(F.col("__fd_keep__"))
         )
         return out.drop(
