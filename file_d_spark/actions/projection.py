@@ -39,6 +39,15 @@ class KeepFields(Action):
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         selectors = [parse_selector(f) for f in self.params.get("fields", [])]
+        # a selector subsumed by a shorter one keeps the whole subtree
+        # regardless of config order (keep_fields_test.go
+        # TestRemoveNestedFieldsInConfig: ["a.b","a.c","a"] == ["a"])
+        keys = {tuple(p) for p in selectors}
+        selectors = [
+            p
+            for p in selectors
+            if not any(tuple(p[:i]) in keys for i in range(1, len(p)))
+        ]
         keep_tree: dict = {}
         for parts in selectors:
             if not has_path(df.schema, parts):
@@ -117,9 +126,19 @@ class Move(Action):
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         mode = self.params.get("mode", "allow")
         target = parse_selector(self.params["target"])
+        # move_test.go TestConfigValidate: unknown modes are rejected,
+        # block mode caps the target depth at 1
+        if mode not in ("allow", "block"):
+            raise ValueError(f"move: invalid mode {mode!r}")
+        if mode == "block" and len(target) > 1:
+            raise ValueError('move: in "block" mode, the maximum "target" depth is 1')
         fields = [parse_selector(f) for f in self.params.get("fields", [])]
         if mode == "allow":
-            movers = [p for p in fields if has_path(df.schema, p)]
+            # the target itself is never moved into itself
+            # (move_test.go allow_target_in_fields)
+            movers = [
+                p for p in fields if p != target and has_path(df.schema, p)
+            ]
         else:
             listed = {tuple(p) for p in fields}
             listed.add(tuple(target[:1]))
