@@ -168,22 +168,30 @@ class ParseRe2(Action):
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         parts = parse_selector(self.params["field"])
         prefix = self.params.get("prefix", "")
-        pattern = self.params["re"]
+        # reference config key is `re2` (parse_re2.go Config); `re`
+        # kept as an alias for round-1 configs
+        pattern = self.params.get("re2") or self.params["re"]
         col = get_col_safe(parts, df.schema).cast("string")
         group_index = _pyre.compile(pattern).groupindex
         if not group_index:
             raise ValueError("parse_re2 requires named capture groups")
-        # Go/Python write named groups (?P<x>...); Java wants (?<x>...)
-        jpattern = pattern.replace("(?P<", "(?<")
+        # Go/Python write named groups (?P<x>...); Java restricts group
+        # names to alphanumerics (no underscores), so strip the names —
+        # extraction is by group INDEX, which naming doesn't affect
+        jpattern = _pyre.sub(r"\(\?P<[^>]+>", "(", pattern)
+        matched = col.rlike(jpattern)
         for name, idx in group_index.items():
             v = F.regexp_extract(col, jpattern, idx)
             df = self.set_gated(
                 df,
                 [prefix + name],
-                F.when(col.rlike(jpattern), v),
+                F.when(matched, v),
                 pred,
             )
-        return df
+        # the source field is removed on match (parse_re2.go:79
+        # jsonNode.Suicide()); non-matching rows keep it untouched
+        src = get_col_safe(parts, df.schema)
+        return self.set_gated(df, parts, F.when(~matched, src), pred)
 
 
 @register("parse_es")

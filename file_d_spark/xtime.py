@@ -103,15 +103,30 @@ def parse_time(col: Column, fmt: str | None) -> Column:
     Unparsable values -> NULL (try semantics, like xtime.ParseTime
     returning err -> caller skips)."""
     pattern = resolve_format(fmt)
+    # try_cast, not cast: ANSI mode throws on malformed numerics, but
+    # unparsable values must yield NULL (xtime.ParseTime err semantics)
     if pattern == "unixtime":
-        return F.timestamp_seconds(col.cast("double"))
+        return F.timestamp_seconds(col.try_cast("double"))
     if pattern == "unixtimemilli":
-        return F.timestamp_millis(col.cast("long"))
+        return F.timestamp_millis(col.try_cast("long"))
     if pattern == "unixtimemicro":
-        return F.timestamp_micros(col.cast("long"))
+        return F.timestamp_micros(col.try_cast("long"))
     if pattern == "unixtimenano":
-        return F.timestamp_micros((col.cast("long") / 1000).cast("long"))
-    return F.try_to_timestamp(col.cast("string"), F.lit(pattern))
+        return F.timestamp_micros((col.try_cast("long") / 1000).cast("long"))
+    expr = col.cast("string")
+    # Spark's parser rejects day-of-week letters ('E') and has no
+    # space-padded day ('ppd', Go's _2): the weekday is redundant for
+    # parsing — strip it from both pattern and value; collapse the
+    # padding run so plain 'd' parses both " 2" and "12"
+    if "EEE" in pattern:
+        import re as _re
+
+        pattern = _re.sub(r"EEEE?,? ?", "", pattern)
+        expr = F.regexp_replace(expr, r"^[A-Za-z]{3,9},?\s+", "")
+    if "ppd" in pattern:
+        pattern = pattern.replace("ppd", "d")
+        expr = F.regexp_replace(expr, r"\s+", " ")
+    return F.try_to_timestamp(expr, F.lit(pattern))
 
 
 def format_time(ts: Column, fmt: str | None) -> Column:
@@ -125,5 +140,9 @@ def format_time(ts: Column, fmt: str | None) -> Column:
         return F.unix_micros(ts)
     if pattern == "unixtimenano":
         return F.unix_micros(ts) * F.lit(1000)
-    # optional-section brackets are parse-only; strip for formatting
-    return F.date_format(ts, pattern.replace("[", "").replace("]", ""))
+    # optional-section brackets are parse-only; strip for formatting.
+    # 'ppd' (Go _2 space-padded day) has no Spark formatter equivalent —
+    # plain 'd' (width divergence documented vs Go's space pad)
+    return F.date_format(
+        ts, pattern.replace("[", "").replace("]", "").replace("ppd", "d")
+    )

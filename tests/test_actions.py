@@ -162,9 +162,12 @@ def test_parse_re2(spark):
         "line string",
         [{"type": "parse_re2", "field": "line", "re": "user=(?P<user>\\w+) id=(?P<id>\\d+)"}],
     )
-    rows = out.orderBy("line").collect()
-    assert rows[1].user == "alice" and rows[1].id == "42"
-    assert rows[0].user is None
+    rows = {r.user: r for r in out.collect()}
+    assert rows["alice"].id == "42"
+    # the source field is removed on match (parse_re2.go:79), kept
+    # on non-matching rows
+    assert rows["alice"].line is None
+    assert rows[None].line == "garbage"
 
 
 def test_convert_log_level_styles(spark):
