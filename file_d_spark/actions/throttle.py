@@ -12,11 +12,15 @@ Batch semantics:
   throttle     events are bucketed into tumbling windows of
                ``bucket_interval``; within each (key, bucket) the first
                ``limit`` events in arrival order are admitted, the rest
-               dropped.  Events older than ``buckets_count *
-               bucket_interval`` behind the max timestamp are dropped
-               (the reference's dead-time cutoff).  Implemented with a
-               single window/row_number — one shuffle on (key, bucket),
-               which AQE splits if a key is skewed.
+               dropped.  Events outside the ``buckets_count`` ring
+               (vs the newest timestamp, the batch analogue of the
+               wall clock) are CLAMPED into the latest bucket and
+               counted there (buckets.go:231-235 rebuildBuckets).
+               Implemented with a single window — one shuffle on
+               (key, bucket), which AQE splits if a key is skewed;
+               limit_distribution configs switch to an exact
+               applyInPandas replay per (key, bucket, rule) because
+               default-reserve stealing is order-dependent.
   cardinality  per-key distinct count of a field; keys over ``limit``
                either drop their events, lose the field, or pass.
   antispam     per-(source, maintenance-window) counts; sources over
@@ -170,15 +174,24 @@ class Throttle(Action):
             .withColumn("__fd_m__", match)
             .withColumn("__fd_rule__", rule_idx)
         )
-        # dead-time cutoff: older than the ring horizon vs newest event.
-        # Scalar agg + broadcast cross-join — NOT a global window, which
-        # would funnel every row through one partition.
+        # bucket-ring clamp (buckets.go:231-235 rebuildBuckets: "events
+        # from past or future goes to the latest bucket" — they are
+        # counted there, NOT dropped).  The batch analogue of the wall
+        # clock is the newest event timestamp; the scalar agg +
+        # broadcast cross-join avoids a single-partition global window.
         hmax = df.filter(F.col("__fd_m__")).agg(
             F.max("__fd_ts__").alias("__fd_hmax__")
         )
         df = df.crossJoin(F.broadcast(hmax))
-        in_window = F.unix_micros("__fd_ts__") > (
-            F.unix_micros("__fd_hmax__") - F.lit(bucket_us * buckets_count)
+        max_bucket = F.floor(F.unix_micros("__fd_hmax__") / F.lit(bucket_us))
+        min_bucket = max_bucket - F.lit(int(buckets_count) - 1)
+        df = df.withColumn(
+            "__fd_bucket__",
+            F.when(
+                (F.col("__fd_bucket__") < min_bucket)
+                | (F.col("__fd_bucket__") > max_bucket),
+                max_bucket,
+            ).otherwise(F.col("__fd_bucket__")),
         )
         # arrival order within a bucket; extra order_fields give a
         # deterministic tiebreak for equal timestamps (batch mode)
@@ -186,69 +199,145 @@ class Throttle(Action):
             F.col(c) for c in self.params.get("order_fields", [])
         ]
 
-        def dist_exprs(dist_cfg: dict, rule_limit: int):
-            """(group_idx, per-row limit) for a limit_distribution
-            block (distribution.go:33-90): group i gets
-            round(ratio_i*limit); unlisted values share
-            round((1-sum)*limit)."""
-            dist_field = get_col_safe(
-                parse_selector(dist_cfg["field"]), df.schema
-            ).cast("string")
-            ratios = dist_cfg["ratios"]
-            idx_expr = F.lit(-1)
-            group_limits = []
-            for i, r in enumerate(ratios):
-                idx_expr = F.when(
-                    dist_field.isin([str(v) for v in r["values"]]), F.lit(i)
-                ).otherwise(idx_expr)
-                group_limits.append(round(float(r["ratio"]) * rule_limit))
-            def_ratio = round(1 - sum(float(r["ratio"]) for r in ratios), 2)
-            def_limit = round(def_ratio * rule_limit)
-            limit_expr = F.element_at(
-                F.array(*[F.lit(x) for x in group_limits + [def_limit]]),
-                F.when(idx_expr >= 0, idx_expr + 1).otherwise(len(group_limits) + 1),
+        helper_cols = [
+            "__fd_key__", "__fd_bucket__", "__fd_ts__",
+            "__fd_m__", "__fd_hmax__", "__fd_rule__",
+        ]
+        any_dist = any(
+            s["dist"].get("field") and s["dist"].get("ratios") for s in specs
+        )
+        if any_dist:
+            # distributions have sequential semantics — a default-group
+            # event over its reserve STEALS from the most-free
+            # distribution at that instant (in_memory_limiter.go
+            # getDistrData) — which no window expression can replay.
+            # Exact path: applyInPandas per (key, bucket, rule) group;
+            # parallelism across groups, faithful replay within one.
+            return self._admit_exact(
+                df,
+                specs,
+                size_col,
+                list(self.params.get("order_fields", [])),
+                helper_cols,
             )
-            return idx_expr, limit_expr
 
-        # per-row (counted value, limit, distribution group) from the
-        # matched rule, as chained CASE branches
+        # per-row (counted value, limit) from the matched rule
         counted = F.lit(1)
         limit_col = F.lit(limit)
-        dist_col = F.lit(-1)
         for i, spec in enumerate(specs):
             is_rule = F.col("__fd_rule__") == i
             r_counted = size_col if (spec["kind"] == "size" and size_field) else F.lit(1)
-            d = spec["dist"]
-            if d.get("field") and d.get("ratios"):
-                d_idx, d_limit = dist_exprs(d, spec["limit"])
-                r_limit, r_dist = d_limit, d_idx
-                r_counted = F.lit(1)  # distributions count events
-            else:
-                r_limit, r_dist = F.lit(spec["limit"]), F.lit(-1)
             counted = F.when(is_rule, r_counted).otherwise(counted)
-            limit_col = F.when(is_rule, r_limit).otherwise(limit_col)
-            dist_col = F.when(is_rule, r_dist).otherwise(dist_col)
-        df = df.withColumn("__fd_dist__", dist_col)
+            limit_col = F.when(is_rule, F.lit(spec["limit"])).otherwise(limit_col)
 
         w = Window.partitionBy(
-            "__fd_key__", "__fd_bucket__", "__fd_rule__", "__fd_dist__"
+            "__fd_key__", "__fd_bucket__", "__fd_rule__"
         ).orderBy(*order_cols)
         running = F.sum(
             F.when(F.col("__fd_m__"), counted).otherwise(F.lit(0))
         ).over(w.rowsBetween(Window.unboundedPreceding, 0))
-        # a negative limit means unlimited and bypasses even the
-        # dead-time cutoff (in_memory_limiter.go:66-69 returns true
-        # before touching the bucket ring; throttle_test.go:153-181)
-        admitted = (limit_col < 0) | (in_window & (running <= limit_col))
+        # a negative limit means unlimited (in_memory_limiter.go:66-69
+        # returns true before touching the bucket ring)
+        admitted = (limit_col < 0) | (running <= limit_col)
         # window exprs can't live in a WHERE clause — materialize first
         out = (
             df.withColumn("__fd_keep__", ~F.col("__fd_m__") | admitted)
             .filter(F.col("__fd_keep__"))
         )
-        return out.drop(
-            "__fd_key__", "__fd_bucket__", "__fd_ts__", "__fd_keep__",
-            "__fd_dist__", "__fd_m__", "__fd_hmax__", "__fd_rule__",
+        return out.drop("__fd_keep__", *helper_cols)
+
+    def _admit_exact(self, df, specs, size_col, order_fields, helper_cols):
+        """Sequential replay of in_memory_limiter.isAllowed per
+        (key, bucket, rule) group, including default-distribution
+        stealing (getDistrData).  Arrow-batched; the group key carries
+        all the state the reference's limiter map keys on, so this
+        shards exactly like the reference's per-limiter locks."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        # per-rule static config for the closure
+        rule_cfgs = []
+        for s in specs:
+            d = s["dist"]
+            if d.get("field") and d.get("ratios"):
+                ratios = d["ratios"]
+                dlims = [
+                    round(float(r["ratio"]) * s["limit"]) for r in ratios
+                ]
+                def_ratio = round(1 - sum(float(r["ratio"]) for r in ratios), 2)
+                dlims = [round(def_ratio * s["limit"])] + dlims
+            else:
+                dlims = None
+            rule_cfgs.append(
+                {"limit": int(s["limit"]), "kind": s["kind"], "dlims": dlims}
+            )
+
+        # distribution index per row: 0 = default, i+1 = ratios[i]
+        didx = F.lit(-1)
+        for i, s in enumerate(specs):
+            d = s["dist"]
+            if not (d.get("field") and d.get("ratios")):
+                continue
+            field_val = get_col_safe(
+                parse_selector(d["field"]), df.schema
+            ).cast("string")
+            idx_expr = F.lit(0)
+            for j, r in enumerate(d["ratios"]):
+                idx_expr = F.when(
+                    field_val.isin([str(v) for v in r["values"]]), F.lit(j + 1)
+                ).otherwise(idx_expr)
+            didx = F.when(F.col("__fd_rule__") == i, idx_expr).otherwise(didx)
+
+        counted = F.lit(1)
+        for i, s in enumerate(specs):
+            if s["kind"] == "size":
+                counted = F.when(
+                    F.col("__fd_rule__") == i, size_col
+                ).otherwise(counted)
+
+        df = df.withColumn("__fd_didx__", didx).withColumn("__fd_cnt__", counted)
+        order_names = ["__fd_ts__"] + [str(c) for c in order_fields]
+        out_schema = df.drop("__fd_didx__", "__fd_cnt__").schema
+
+        def admit(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_names, kind="mergesort")
+            cfg = rule_cfgs[int(pdf["__fd_rule__"].iloc[0])]
+            dlims = cfg["dlims"]
+            buckets: dict[int, int] = {}
+            keep = []
+            for m, cnt, di in zip(
+                pdf["__fd_m__"], pdf["__fd_cnt__"], pdf["__fd_didx__"]
+            ):
+                if not m:
+                    keep.append(True)  # gate bypass: never counted
+                    continue
+                if cfg["limit"] < 0:
+                    keep.append(True)  # negative limit = unlimited
+                    continue
+                cnt = int(cnt)
+                if dlims is None:
+                    buckets[0] = buckets.get(0, 0) + cnt
+                    keep.append(buckets[0] <= cfg["limit"])
+                    continue
+                idx, lim = int(di), dlims[int(di)]
+                if idx == 0 and buckets.get(0, 0) + cnt > lim:
+                    # steal reserve from the most-free distribution
+                    maxdiff = -1
+                    for i in range(1, len(dlims)):
+                        diff = dlims[i] - (buckets.get(i, 0) + cnt)
+                        if diff > maxdiff:
+                            maxdiff, idx, lim = diff, i, dlims[i]
+                buckets[idx] = buckets.get(idx, 0) + cnt
+                keep.append(buckets[idx] <= lim)
+            return pdf[pd.Series(keep, index=pdf.index)].drop(
+                columns=["__fd_didx__", "__fd_cnt__"]
+            )
+
+        out = df.groupBy("__fd_key__", "__fd_bucket__", "__fd_rule__").applyInPandas(
+            admit, schema=out_schema
         )
+        return out.drop(*helper_cols)
 
 
 @register("cardinality")

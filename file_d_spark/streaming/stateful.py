@@ -164,7 +164,9 @@ def throttle_stream(
 ) -> DataFrame:
     """Streaming throttle: per-key sliding ring of ``buckets_count``
     buckets of ``bucket_interval_s``; admits up to ``limit`` events per
-    bucket; events older than the ring horizon are dropped."""
+    bucket; events outside the ring are CLAMPED into the newest bucket
+    and counted there (buckets.go:231-235 rebuildBuckets — "events
+    from past or future goes to the latest bucket")."""
     out_schema = df.schema
     # ring serialized as parallel arrays (bucket epoch-id -> used count)
     state_schema = "bucket_ids array<long>, used array<long>"
@@ -188,8 +190,7 @@ def throttle_stream(
             b = int(ts.timestamp()) // bucket_interval_s
             max_bucket = max(max_bucket, b)
             if b <= max_bucket - buckets_count:
-                keep_mask.append(False)  # dead-time cutoff
-                continue
+                b = max_bucket  # ring clamp: count in the latest bucket
             n = ring.get(b, 0)
             if n < limit:
                 ring[b] = n + 1

@@ -36,8 +36,55 @@ def test_throttle_limit_distribution(spark):
     )
     out = p.apply(df)
     counts = {r.severity: r.c for r in out.groupBy("severity").count().withColumnRenamed("count", "c").collect()}
-    # limit 10: error 50% -> 5, warn 30% -> 3, default 20% -> 2
-    assert counts == {"error": 5, "warn": 3, "info": 2}
+    # limit 10, reserves: error 50% -> 5, warn 30% -> 3, default 20% -> 2.
+    # Exact reference replay (in_memory_limiter.go getDistrData) over the
+    # interleaved e,w,i sequence: info's 3rd event STEALS error's free
+    # slot (default over reserve, error most free), then error's own
+    # 5th event fills its last — error 4, warn 3, info 3.
+    assert counts == {"error": 4, "warn": 3, "info": 3}
+    assert sum(counts.values()) == 10  # the full limit is used
+
+
+def test_throttle_distribution_steal_golden(spark):
+    """throttle_test.go:848-944 TestThrottleWithDistribution, event for
+    event: limit 12, error 0.5 -> 6, warn/info 0.3 -> 4, default -> 2;
+    two default-group events steal free slots from 'warn,info' and
+    'error'; expected survivors {error:5, info:2, warn:1, debug:3, "":1}."""
+    levels = [
+        "error", "info", "error", "", "debug", "error", "error", "debug",
+        "warn", "error", "info", "debug", "info", "warn", "", "error", "debug",
+    ]
+    rows = [("pod_1", f"2024-01-01T00:00:00.{i:03d}Z", lvl, i) for i, lvl in enumerate(levels)]
+    df = spark.createDataFrame(rows, "k8s_pod string, time string, level string, n long")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "throttle",
+                    "throttle_field": "k8s_pod",
+                    "time_field": "time",
+                    "time_field_format": "rfc3339nano",
+                    "bucket_interval": "1s",
+                    "buckets_count": 1,
+                    "default_limit": 12,
+                    "order_fields": ["n"],
+                    "limit_distribution": {
+                        "field": "level",
+                        "enabled": True,
+                        "ratios": [
+                            {"ratio": 0.5, "values": ["error"]},
+                            {"ratio": 0.3, "values": ["warn", "info"]},
+                        ],
+                    },
+                }
+            ]
+        }
+    )
+    out = p.apply(df)
+    counts = {}
+    for r in out.collect():
+        counts[r.level] = counts.get(r.level, 0) + 1
+    assert counts == {"error": 5, "info": 2, "warn": 1, "debug": 3, "": 1}
 
 
 def test_throttle_negative_limit_unlimited(spark):
