@@ -342,22 +342,42 @@ class Throttle(Action):
 
 @register("cardinality")
 class Cardinality(Action):
-    """Limit per-key distinct values of ``fields``.  Batch: exact
-    count(distinct) via one aggregation, broadcast back (keys are few
-    relative to events).  action: discard|remove_fields|nothing."""
+    """Limit per-key distinct values of ``fields``
+    (cardinality.go:126-169,259).  ``key`` accepts one selector or a
+    list (KeyFields, slice:true); defaults match the reference
+    (action: nothing, limit: 10000).
+
+    With ``order_fields`` the batch path replays the reference's
+    SEQUENTIAL admission exactly (Do: an event is discarded once the
+    key has accumulated ``limit`` distinct values BEFORE it, even if
+    its own value is already cached) via two windows.  Without an
+    order, batch admission is necessarily order-free: keys whose total
+    distinct count reaches the limit have all their events acted on
+    (documented divergence — a plain DataFrame has no arrival order)."""
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
-        key_field = self.params["key"]
+        key_cfg = self.params["key"]
+        key_fields = [key_cfg] if isinstance(key_cfg, str) else list(key_cfg)
         fields = self.params.get("fields", [])
-        limit = int(self.params.get("limit", 1000))
-        mode = self.params.get("action", "discard")
+        limit = int(self.params.get("limit", 10000))
+        mode = self.params.get("action", "nothing")
+        order_fields = list(self.params.get("order_fields", []))
         if df.isStreaming:
             _require_ungated_stream(pred, "cardinality")
             from file_d_spark.streaming import cardinality_stream
 
-            return cardinality_stream(df, key_field, fields[0], limit, mode)
+            return cardinality_stream(df, key_fields[0], fields[0], limit, mode)
 
-        key = get_col_safe(parse_selector(key_field), df.schema).cast("string")
+        key = F.concat_ws(
+            "\x01",
+            *[
+                F.coalesce(
+                    get_col_safe(parse_selector(k), df.schema).cast("string"),
+                    F.lit(""),
+                )
+                for k in key_fields
+            ],
+        )
         probe = F.concat_ws(
             "\x01",
             *[
@@ -365,6 +385,10 @@ class Cardinality(Action):
                 for f in fields
             ],
         )
+        if mode == "nothing":
+            return df
+        if order_fields:
+            return self._sequential(df, key, probe, limit, mode, order_fields, fields, pred)
         # gate: non-matching rows bypass — excluded from the distinct
         # count and never dropped / field-stripped
         match = F.lit(True) if pred is None else pred
@@ -374,7 +398,8 @@ class Cardinality(Action):
             .withColumn("__fd_v__", probe)
             .groupBy("__fd_k__")
             .agg(F.countDistinct("__fd_v__").alias("__fd_card__"))
-            .filter(F.col("__fd_card__") > limit)
+            # reference trigger is >= limit (cardinality.go:272)
+            .filter(F.col("__fd_card__") >= limit)
             .select("__fd_k__")
         )
         over_limit = F.broadcast(per_key.withColumn("__fd_over__", F.lit(True)))
@@ -396,6 +421,59 @@ class Cardinality(Action):
                 )
             return flagged.drop("__fd_k__", "__fd_m__", "__fd_over__")
         return tagged.drop("__fd_k__", "__fd_m__")
+
+    def _sequential(self, df, key, probe, limit, mode, order_fields, fields, pred):
+        """Exact replay of cardinality.go Do in event order: an event
+        is acted on iff its key accumulated ``limit`` distinct values
+        strictly before it.  Two windows — first-occurrence flag per
+        (key, value), then a cumulative distinct count per key — both
+        shuffle on the key, which is the same partitioning the
+        reference's per-key cache implies."""
+        match = F.lit(True) if pred is None else pred
+        seq = [F.col(c) for c in order_fields]
+        tagged = (
+            df.withColumn("__fd_k__", key)
+            .withColumn("__fd_v__", probe)
+            .withColumn("__fd_m__", match)
+        )
+        w_first = Window.partitionBy("__fd_k__", "__fd_v__").orderBy(*seq)
+        # only gate-matching rows populate the cache
+        first_seen = F.when(
+            F.col("__fd_m__")
+            & (
+                F.row_number().over(w_first) == 1
+                if pred is None
+                else F.sum(F.col("__fd_m__").cast("int")).over(
+                    w_first.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                == 1
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        tagged = tagged.withColumn("__fd_new__", first_seen)
+        w_cum = (
+            Window.partitionBy("__fd_k__")
+            .orderBy(*seq)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        distinct_before = F.coalesce(
+            F.sum("__fd_new__").over(w_cum), F.lit(0)
+        )
+        over = F.col("__fd_m__") & (distinct_before >= F.lit(limit))
+        tagged = tagged.withColumn("__fd_over__", over)
+        helpers = ["__fd_k__", "__fd_v__", "__fd_m__", "__fd_new__", "__fd_over__"]
+        if mode == "discard":
+            return tagged.filter(~F.col("__fd_over__")).drop(*helpers)
+        # remove_fields: strip the counted fields from over-limit events
+        from file_d_spark.fields import set_field
+
+        for f in fields:
+            parts = parse_selector(f)
+            old = get_col_safe(parts, tagged.schema)
+            tagged = set_field(
+                tagged, parts, F.when(~F.col("__fd_over__"), old)
+            )
+        return tagged.drop(*helpers)
 
 
 @register("antispam")

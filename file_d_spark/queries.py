@@ -512,14 +512,24 @@ def q_throttle_rules(spark, sf_dir):
 @query(
     "cardinality_limit",
     """
-    SELECT event_id FROM events
-    WHERE user_id NOT IN (
-      SELECT user_id FROM events
-      GROUP BY user_id HAVING count(DISTINCT props) > 50)
+    SELECT event_id FROM (
+      SELECT event_id,
+             COALESCE(SUM(first_seen) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS db
+      FROM (
+        SELECT event_id, user_id,
+               CASE WHEN row_number() OVER (
+                 PARTITION BY user_id, props ORDER BY event_id) = 1
+                 THEN 1 ELSE 0 END AS first_seen
+        FROM events) t
+    ) WHERE db < 50
     """,
 )
 def q_cardinality(spark, sf_dir):
-    """cardinality: drop events of keys exceeding 50 distinct props."""
+    """cardinality, exact reference admission (cardinality.go Do): an
+    event is dropped once its key accumulated 50 distinct props
+    strictly before it in event order."""
     df = load_table(spark, sf_dir, "events")
     p = Pipeline.from_dict(
         {
@@ -530,6 +540,7 @@ def q_cardinality(spark, sf_dir):
                     "fields": ["props"],
                     "limit": 50,
                     "action": "discard",
+                    "order_fields": ["event_id"],
                 }
             ]
         }

@@ -90,6 +90,12 @@ def parse_template(template: str) -> list[str | _Ref]:
     i, n = 0, len(template)
     lit: list[str] = []
     while i < n:
+        if template.startswith("$$", i):
+            # escaped dollar (substitution_test.go parse_escape:
+            # "$$100" renders "$100")
+            lit.append("$")
+            i += 2
+            continue
         if template.startswith("${", i):
             end = template.find("}", i)
             # allow nested braces inside quoted filter args

@@ -373,6 +373,63 @@ def test_throttle_gated_bypass(spark):
     assert kinds.count("skip") == 5 and kinds.count("keep") == 2
 
 
+def test_cardinality_sequential_exact(spark):
+    """cardinality.go Do replay: with limit 3 and values a,b,c,a,d in
+    order, the 4th event (cached value 'a') is still discarded — the
+    check precedes the cache probe — as is the new value 'd'."""
+    rows = [(i, "k", v) for i, v in enumerate(["a", "b", "c", "a", "d"])]
+    out = run_actions(
+        spark,
+        rows,
+        "seq long, key string, val string",
+        [
+            {
+                "type": "cardinality",
+                "key": "key",
+                "fields": ["val"],
+                "limit": 3,
+                "action": "discard",
+                "order_fields": ["seq"],
+            }
+        ],
+    )
+    assert sorted(r.seq for r in out.collect()) == [0, 1, 2]
+
+
+def test_cardinality_multi_key_fields(spark):
+    """KeyFields is a list (cardinality.go:132, slice:true); missing
+    key fields read as empty string."""
+    rows = [(i, "h1", f"v{i}") for i in range(4)] + [(10 + i, "h2", "v0") for i in range(2)]
+    out = run_actions(
+        spark,
+        rows,
+        "seq long, host string, val string",
+        [
+            {
+                "type": "cardinality",
+                "key": ["host", "not_exists_field"],
+                "fields": ["val"],
+                "limit": 3,
+                "action": "discard",
+                "order_fields": ["seq"],
+            }
+        ],
+    )
+    got = sorted(r.seq for r in out.collect())
+    # h1 admits its first 3 distinct values; h2 is a separate key
+    assert got == [0, 1, 2, 10, 11]
+
+
+def test_cardinality_default_action_nothing(spark):
+    out = run_actions(
+        spark,
+        [(i, "k", f"v{i}") for i in range(5)],
+        "seq long, key string, val string",
+        [{"type": "cardinality", "key": "key", "fields": ["val"], "limit": 2}],
+    )
+    assert out.count() == 5  # default action is "nothing" (reference)
+
+
 def test_cardinality_gated_bypass(spark):
     rows = [("k", f"v{i}", "count") for i in range(6)] + [
         ("k", f"w{i}", "bypass") for i in range(6)
