@@ -53,18 +53,39 @@ def decode_json(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
     if schema:
         parsed = F.from_json(src, schema)
         if max_fields_size:
-            from pyspark.sql.types import StringType, _parse_datatype_string
+            from functools import reduce
+
+            from pyspark.sql.types import (
+                StringType,
+                StructType,
+                _parse_datatype_string,
+            )
 
             st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
+
+            def type_at(path: list[str]):
+                node = st
+                for p in path:
+                    if not isinstance(node, StructType):
+                        return None
+                    m = {f.name: f.dataType for f in node.fields}
+                    if p not in m:
+                        return None
+                    node = m[p]
+                return node
+
             for fld, size in max_fields_size.items():
-                # reference truncates STRING values only (decoder/json.go:
-                # checkFieldsSize node.IsString() gate)
-                if any(
-                    f.name == fld and isinstance(f.dataType, StringType)
-                    for f in st.fields
-                ):
+                if int(size) != float(size):
+                    raise ValueError(
+                        f"json_max_fields_size[{fld!r}] must be an integer"
+                    )
+                path = str(fld).split(".") if fld else []
+                # reference truncates STRING values only, at any depth
+                # (decoder/json.go checkFieldsSize node.IsString() gate)
+                if path and isinstance(type_at(path), StringType):
+                    leaf = reduce(lambda c, p: c.getField(p), path, parsed)
                     parsed = parsed.withField(
-                        fld, F.substring(parsed.getField(fld), 1, int(size))
+                        ".".join(path), F.substring(leaf, 1, int(size))
                     )
         return {"__struct__": parsed}
     if params.get("variant"):

@@ -285,3 +285,88 @@ def test_json_extract_nested_and_singular(spark):
         .collect()[0]
     )
     assert row2.ext6 == "test6"
+
+
+def test_json_max_fields_size_nested_golden(spark):
+    """decoder/json_test.go valid_max_fields_size: nested paths
+    truncate, non-string values (numbers, bools, arrays) pass through
+    untouched regardless of a configured size."""
+    line = (
+        '{"f1":"v12345","f2":{"f2_1":100,"f2_2":{"f2_2_1":true,'
+        '"f2_2_2":"v123456789"},"f2_3":[1,2,3]},"f3":null}'
+    )
+    schema = (
+        "f1 string, f2 struct<f2_1:long, f2_2:struct<f2_2_1:boolean,"
+        "f2_2_2:string>, f2_3:array<long>>, f3 string"
+    )
+    row = _decode(
+        spark,
+        line,
+        {
+            "type": "decode",
+            "field": "log",
+            "decoder": "json",
+            "params": {
+                "schema": schema,
+                "json_max_fields_size": {
+                    "": 1,
+                    "not_exists": 100,
+                    "f2.f2_1": 1,
+                    "f2.f2_2.f2_2_1": 3,
+                    "f1": 5,
+                    "f2.f2_2.f2_2_2": 7,
+                },
+            },
+        },
+    )
+    assert row.f1 == "v1234"
+    assert row.f2.f2_1 == 100          # number: size 1 ignored
+    assert row.f2.f2_2.f2_2_1 is True  # bool: size 3 ignored
+    assert row.f2.f2_2.f2_2_2 == "v123456"
+    assert list(row.f2.f2_3) == [1, 2, 3]
+
+
+def test_json_max_fields_size_nested_single(spark):
+    """decoder/json_test.go valid_max_fields_size_single."""
+    line = (
+        '{"f1":"v12345","f2":{"f2_1":100,"f2_2":{"f2_2_1":true,'
+        '"f2_2_2":"v123456789"},"f2_3":[1,2,3]},"f3":null}'
+    )
+    schema = (
+        "f1 string, f2 struct<f2_1:long, f2_2:struct<f2_2_1:boolean,"
+        "f2_2_2:string>, f2_3:array<long>>, f3 string"
+    )
+    row = _decode(
+        spark,
+        line,
+        {
+            "type": "decode",
+            "field": "log",
+            "decoder": "json",
+            "params": {
+                "schema": schema,
+                "json_max_fields_size": {"f2.f2_2.f2_2_2": 4},
+            },
+        },
+    )
+    assert row.f1 == "v12345"
+    assert row.f2.f2_2.f2_2_2 == "v123"
+
+
+def test_json_max_fields_size_non_integer_rejected(spark):
+    import pytest
+
+    with pytest.raises(Exception):
+        _decode(
+            spark,
+            '{"t":"x"}',
+            {
+                "type": "decode",
+                "field": "log",
+                "decoder": "json",
+                "params": {
+                    "schema": "t string",
+                    "json_max_fields_size": {"t": 1.2},
+                },
+            },
+        )
