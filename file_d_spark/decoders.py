@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -328,16 +330,71 @@ def decode_csv(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
 
 
 def decode_protobuf(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    """protobuf decoder (decoder/protobuf.go:35-82): the reference's
+    config surface is ``proto_file`` (a path or inline .proto source) +
+    ``proto_message``.  With a compiled descriptor set and the
+    spark-protobuf jar the native ``from_protobuf`` runs JVM-side;
+    otherwise the pure-Python proto3 wire decoder (protowire.py)
+    decodes via an Arrow-batched pandas UDF into protojson-shaped JSON
+    parsed by ``from_json`` — same output either way."""
     params = params or {}
-    try:
-        from pyspark.sql.protobuf.functions import from_protobuf
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("protobuf decoder needs spark-protobuf") from e
+    msg_name = params.get("proto_message")
     desc = params.get("proto_desc_file")
-    msg = params.get("proto_message")
-    if not desc or not msg:
-        raise ValueError("protobuf decoder requires proto_desc_file + proto_message")
-    return {"__struct__": from_protobuf(line.cast("binary"), msg, descFilePath=desc)}
+    if desc and msg_name:
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        return {
+            "__struct__": from_protobuf(line.cast("binary"), msg_name, descFilePath=desc)
+        }
+    proto_file = params.get("proto_file")
+    if not proto_file or not msg_name:
+        raise ValueError(
+            "protobuf decoder requires proto_file + proto_message "
+            "(or proto_desc_file + proto_message for the jar path)"
+        )
+    import os
+
+    from file_d_spark import protowire
+
+    if str(proto_file).endswith(".proto"):
+        for base in [""] + [
+            str(p) for p in params.get("proto_import_paths") or []
+        ]:
+            cand = os.path.join(base, proto_file) if base else proto_file
+            if os.path.exists(cand):
+                text = open(cand).read()
+                break
+        else:
+            raise ValueError(f"proto file not found: {proto_file}")
+    else:
+        text = str(proto_file)
+    registry = protowire.parse_proto(text)
+    if msg_name not in registry:
+        raise ValueError(f"message {msg_name!r} not found in proto file")
+    msg = registry[msg_name]
+    schema = f"struct<{protowire.spark_schema(msg, registry)}>"
+
+    import json as _json
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(protowire)
+
+    @F.pandas_udf("string")
+    def pb_to_json(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return _json.dumps(
+                    protowire.decode_message(bytes(v), msg, registry)
+                )
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return {"__struct__": F.from_json(pb_to_json(line.cast("binary")), schema)}
 
 
 DECODERS: dict[str, Callable[[Column, dict[str, Any] | None], FieldMap]] = {
