@@ -92,6 +92,12 @@ class Throttle(Action):
                 ),
                 buckets_count=int(self.params.get("buckets_count", 60)),
                 limit=int(self.params.get("default_limit", 5000)),
+                limiter_expiration_ms=int(
+                    _parse_duration_seconds(
+                        self.params.get("limiter_expiration"), 1800.0
+                    )
+                    * 1000
+                ),
             )
         key_field = self.params.get("throttle_field", "")
         time_field = self.params.get("time_field", "time")

@@ -161,12 +161,17 @@ def throttle_stream(
     bucket_interval_s: int,
     buckets_count: int,
     limit: int,
+    limiter_expiration_ms: int = 30 * 60_000,
 ) -> DataFrame:
     """Streaming throttle: per-key sliding ring of ``buckets_count``
     buckets of ``bucket_interval_s``; admits up to ``limit`` events per
     bucket; events outside the ring are CLAMPED into the newest bucket
     and counted there (buckets.go:231-235 rebuildBuckets — "events
-    from past or future goes to the latest bucket")."""
+    from past or future goes to the latest bucket").  Idle keys drop
+    their ring after ``limiter_expiration_ms`` (throttle.go:129
+    LimiterExpiration default 30m + maintenance goroutine) — without
+    this the per-key state store grows unboundedly at 100 TB key
+    cardinalities."""
     out_schema = df.schema
     # ring serialized as parallel arrays (bucket epoch-id -> used count)
     state_schema = "bucket_ids array<long>, used array<long>"
@@ -175,6 +180,9 @@ def throttle_stream(
     def fn(
         key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # limiter expiration: forget the idle ring
+            return
         pdf = _concat_frames(frames)
         if not len(pdf):
             return
@@ -201,12 +209,19 @@ def throttle_stream(
         for b in [b for b in ring if b <= max_bucket - buckets_count]:
             del ring[b]
         state.update((list(ring.keys()), list(ring.values())))
+        if limiter_expiration_ms:
+            state.setTimeoutDuration(limiter_expiration_ms)
         out = pdf[pd.Series(keep_mask, index=pdf.index)]
         if len(out):
             yield out[data_cols]
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if limiter_expiration_ms
+        else GroupStateTimeout.NoTimeout
+    )
     return df.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout
     )
 
 
