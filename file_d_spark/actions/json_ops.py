@@ -138,7 +138,13 @@ class JsonExtract(Action):
 @register("decode")
 class Decode(Action):
     """Run any decoder (§2.2) on a string field mid-pipeline and merge
-    the result into root.  ``keep_origin`` keeps the source field."""
+    the result into root.  ``keep_origin`` keeps the source field.
+
+    Divergence vs decode.go checkError: the reference passes the whole
+    event untouched when decoding fails; a typed column cannot hold
+    both the parsed shape and the raw string per row, so failed rows
+    get NULL decoded fields instead (set keep_origin to retain the raw
+    line alongside)."""
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         parts = parse_selector(self.params.get("field", "message"))
