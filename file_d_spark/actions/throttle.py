@@ -54,6 +54,27 @@ def _parse_duration_seconds(v, default: float) -> float:
     return num * units.get(unit, 1.0)
 
 
+def _validate_distribution(dist: dict) -> None:
+    """parseLimitDistribution validation (distribution.go:33-90):
+    ratios in [0,1], non-empty values, no duplicates, sum <= 1."""
+    ratios = dist.get("ratios") or []
+    seen: set[str] = set()
+    total = 0.0
+    for i, r in enumerate(ratios):
+        ratio = float(r.get("ratio", -1))
+        if ratio < 0 or ratio > 1:
+            raise ValueError("'ratio' value must be in range [0.0;1.0]")
+        if not r.get("values"):
+            raise ValueError(f"empty 'values' in ratio #{i}")
+        for v in r["values"]:
+            if str(v) in seen:
+                raise ValueError(f"value '{v}' is duplicated in 'ratios' list")
+            seen.add(str(v))
+        total += ratio
+    if total > 1 + 1e-9:
+        raise ValueError("sum of ratios must be less than or equal to 1")
+
+
 def _require_ungated_stream(pred: Column | None, name: str) -> None:
     """Streaming statefuls run through applyInPandasWithState keyed on
     the op's own key — a do_if gate would need a second keyed state
@@ -130,6 +151,9 @@ class Throttle(Action):
                 "dist": self.params.get("limit_distribution") or {},
             }
         )
+        for s in specs:
+            if s["dist"].get("field") or s["dist"].get("ratios"):
+                _validate_distribution(s["dist"])
 
         key = (
             get_col_safe(parse_selector(key_field), df.schema).cast("string")

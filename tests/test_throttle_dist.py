@@ -112,3 +112,49 @@ def test_throttle_negative_limit_unlimited(spark):
         ],
     )
     assert out.count() == 200
+
+
+def test_distribution_config_validation(spark):
+    """distribution_test.go Test_parseLimitDistribution error rows:
+    out-of-range ratio, empty values, duplicated value, ratio sum > 1."""
+    import pytest
+
+    from tests.test_actions import run_actions
+
+    rows = [("k", "2024-01-01T00:00:00Z", "error", 0)]
+    schema = "k string, time string, severity string, n long"
+
+    def run_dist(ratios):
+        return run_actions(
+            spark,
+            rows,
+            schema,
+            [
+                {
+                    "type": "throttle",
+                    "throttle_field": "k",
+                    "time_field": "time",
+                    "bucket_interval": "1m",
+                    "buckets_count": 10,
+                    "default_limit": 10,
+                    "limit_distribution": {"field": "severity", "ratios": ratios},
+                }
+            ],
+        ).count()
+
+    with pytest.raises(Exception, match="range"):
+        run_dist([{"ratio": 1.5, "values": ["error"]}])
+    with pytest.raises(Exception, match="empty 'values'"):
+        run_dist([{"ratio": 0.5, "values": []}])
+    with pytest.raises(Exception, match="duplicated"):
+        run_dist([
+            {"ratio": 0.5, "values": ["error"]},
+            {"ratio": 0.3, "values": ["error"]},
+        ])
+    with pytest.raises(Exception, match="sum of ratios"):
+        run_dist([
+            {"ratio": 0.8, "values": ["error"]},
+            {"ratio": 0.7, "values": ["warn"]},
+        ])
+    # valid config still runs
+    assert run_dist([{"ratio": 0.5, "values": ["error"]}]) == 1
