@@ -129,9 +129,29 @@ class JsonExtract(Action):
                 f"['{x}']" if "." in x else x for x in pparts
             ).replace(".['", "['")
             out_name = prefix + pparts[-1]
-            df = self.set_gated(
-                df, [out_name], F.get_json_object(col, json_path), pred
-            )
+            value = F.get_json_object(col, json_path)
+            if len(pparts) == 1:
+                # truncated-JSON salvage (json_extract_test.go
+                # partial_json; insane-json parses what it can): when
+                # the full parse failed, recover a COMPLETE top-level
+                # "key":"value" pair by regex, unescaping via a
+                # reconstructed one-field JSON.  coalesce runs it only
+                # on rows where get_json_object returned NULL.
+                key_re = _pyre.escape(pparts[0]).replace("\\", "\\\\")
+                captured = F.regexp_extract(
+                    col,
+                    f'"{key_re}"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"',
+                    1,
+                )
+                salvage = F.when(
+                    captured != "",
+                    F.get_json_object(
+                        F.concat(F.lit('{"v":"'), captured, F.lit('"}')),
+                        "$.v",
+                    ),
+                )
+                value = F.coalesce(value, salvage)
+            df = self.set_gated(df, [out_name], value, pred)
         return df
 
 

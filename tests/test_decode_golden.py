@@ -370,3 +370,104 @@ def test_json_max_fields_size_non_integer_rejected(spark):
                 },
             },
         )
+
+
+def test_json_extract_multi_nested_golden(spark):
+    """json_extract_test.go extract_multi_nested."""
+    line = (
+        '{"ext1":{"ext2":{"ext3":{"ext4":"test4","ext5":10},"ext7":"test7"},'
+        '"ext5":"test5"},"ext2":2,"ext6":"test6"}'
+    )
+    df = spark.createDataFrame([("value1", line)], "field1 string, json_field string")
+    row = (
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "json_extract",
+                        "field": "json_field",
+                        "extract_fields": [
+                            "ext1.ext2.ext3.ext4",
+                            "ext1.ext5",
+                            "ext6",
+                            "ext1.ext2.ext7",
+                        ],
+                    }
+                ]
+            }
+        )
+        .apply(df)
+        .collect()[0]
+    )
+    assert row.ext4 == "test4"
+    assert row.ext5 == "test5"
+    assert row.ext6 == "test6"
+    assert row.ext7 == "test7"
+
+
+def test_json_extract_partial_json_golden(spark):
+    """json_extract_test.go partial_json: a field fully present before
+    the truncation is recovered; the truncated one is absent."""
+    line = '{"test":"test_value","extracted1":"text","extracted2":"long text ...'
+    df = spark.createDataFrame([("value1", line)], "field1 string, json_field string")
+    row = (
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "json_extract",
+                        "field": "json_field",
+                        "extract_fields": ["extracted1", "extracted2"],
+                    }
+                ]
+            }
+        )
+        .apply(df)
+        .collect()[0]
+    )
+    assert row.extracted1 == "text"
+    assert row.extracted2 is None
+
+
+def test_json_extract_duple_and_prefix_golden(spark):
+    """extracted_field_duple + extract_with_prefix."""
+    line = '{"test":"test_value","extracted":"text"}'
+    df = spark.createDataFrame([("value1", line)], "field1 string, json_field string")
+    row = (
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "json_extract",
+                        "field": "json_field",
+                        "extract_field": "extracted",
+                        "extract_fields": ["extracted"],
+                    }
+                ]
+            }
+        )
+        .apply(df)
+        .collect()[0]
+    )
+    assert row.extracted == "text"
+
+    line2 = '{"test":"test_value","extracted1":"text1","extracted2":"text2"}'
+    df2 = spark.createDataFrame([("value1", line2)], "field1 string, json_field string")
+    row2 = (
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "json_extract",
+                        "field": "json_field",
+                        "extract_fields": ["extracted1", "extracted2"],
+                        "prefix": "ext_",
+                    }
+                ]
+            }
+        )
+        .apply(df2)
+        .collect()[0]
+    )
+    assert row2.asDict()["ext_extracted1"] == "text1"
+    assert row2.asDict()["ext_extracted2"] == "text2"
