@@ -1,0 +1,262 @@
+"""Corpus-management operators for training-data pipelines: line-level
+dedup (CCNet-style), benchmark decontamination, deterministic hash
+splits, stratified sampling, PII redaction, URL normalization.
+
+Scale designs:
+  line_dedup       explode lines -> one shuffle on the line digest ->
+                   keep the globally-first occurrence (min (doc, pos))
+                   -> regroup by doc.  Linear; the digest groupBy is
+                   the only wide dependency, exactly like exact_dedup.
+  decontaminate    n-gram equi-join of corpus against a (small) eval
+                   set: eval n-grams broadcast, so the corpus-side
+                   pass is narrow — no corpus shuffle at all.
+  hash_split /     md5-hex prefix thresholding — deterministic,
+  stratified       engine-portable (the same md5 hex string compares
+  sampling         identically everywhere), no RNG state, no shuffle.
+  pii_redact       chained regexp_replace, whole-stage codegen.
+  url ops          pure string expressions (lowercase host, strip
+                   default port / fragment / tracking params, sort
+                   query keys); dedup is then exact_dedup on the
+                   normalized form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from file_d_spark.functions.quality import _ngram_col
+from file_d_spark.functions.text import tokens
+
+# --------------------------------------------------------------------------
+# CCNet-style line-level exact dedup across the corpus
+# --------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Deduplicate at line granularity across the WHOLE corpus: a line
+    survives only in the first document (smallest id, then smallest
+    line position) that contains it; later occurrences are dropped and
+    the documents re-joined.  CCNet dedups paragraphs this way before
+    any fuzzy matching — it removes boilerplate (headers, cookie
+    banners) that whole-document dedup never catches.
+
+    Output: (id, clean_text, n_lines_kept, n_lines_dropped); documents
+    whose lines are all dropped still appear (clean_text = '').
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        )
+        .filter(F.trim("line") != "")
+        .withColumn("__digest__", F.xxhash64(F.trim(F.col("line"))))
+    )
+    w = Window.partitionBy("__digest__").orderBy("doc", "pos")
+    kept = lines.withColumn("__rn__", F.row_number().over(w))
+    return (
+        kept.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn__") == 1,
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.sum((F.col("__rn__") == 1).cast("int")).alias("n_lines_kept"),
+            F.sum((F.col("__rn__") > 1).cast("int")).alias("n_lines_dropped"),
+        )
+        .withColumnRenamed("doc", id_col)
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with the eval
+    set (the standard train/test contamination check: GPT-3 used 13-gram
+    overlap, PaLM 8-gram).  Returns (id, n_hits, contaminated) for
+    every corpus document.
+
+    The eval side is aggregated to DISTINCT n-gram digests and
+    broadcast, so the corpus pass is a narrow map + broadcast-hash
+    semi-join — no corpus shuffle.  At 100 TB the eval set (benchmarks)
+    is MBs, so the broadcast always fits.
+    """
+
+    def grams(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(_ngram_col(tokens(F.col(text_col)), n))
+            ).alias("g"),
+        ).withColumn("__digest__", F.xxhash64("g")).drop("g")
+
+    eval_grams = grams(eval_set).select("__digest__").distinct()
+    hits = (
+        grams(corpus)
+        .join(F.broadcast(eval_grams), "__digest__")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic hash splits + stratified sampling
+# --------------------------------------------------------------------------
+
+
+def _hash_frac(key: Column) -> Column:
+    """Deterministic uniform [0,1) from the md5 of the key — the first
+    8 hex chars as a fraction of 2^32.  Pure string/arith expressions
+    that evaluate identically in Spark and DuckDB (both emit lowercase
+    md5 hex of the UTF-8 bytes), so splits are portable across engines
+    and stable across runs/partitionings — the property a training
+    pipeline needs so that re-runs never migrate documents between
+    train and validation."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 32))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row to a named split by deterministic key hash.
+
+    ``weights`` maps split name -> fraction (must sum to <= 1; any
+    remainder goes to the last split).  Same key + salt => same split,
+    on any engine, at any scale, with no shuffle."""
+    frac = _hash_frac(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    names = list(weights)
+    bound = 0.0
+    expr = F.lit(names[-1])
+    cases = []
+    for name in names[:-1]:
+        bound += weights[name]
+        cases.append((bound, name))
+    for bound, name in reversed(cases):
+        expr = F.when(frac < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its hash
+    fraction falls below its stratum's rate.  Unlike
+    ``df.sampleBy`` this is reproducible across runs and engines
+    (no RNG, no partition sensitivity)."""
+    frac = _hash_frac(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    rate = F.lit(default_fraction)
+    for value, f in fractions.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(rate)
+    return df.filter(frac < rate)
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# (name, pattern, replacement) — conservative patterns that translate
+# 1:1 between Java and RE2/PCRE so oracle engines agree byte-for-byte
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]?\(?\d{1,4}\)?(?:[ -]?\d{2,4}){2,3}", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def pii_redact(text_col: Column) -> dict[str, Column]:
+    """Redact the PII pattern family; returns the redacted column plus
+    a per-category hit count.  Chained regexp_replace — all codegen."""
+    out: dict[str, Column] = {}
+    red = text_col
+    total = F.lit(0)
+    for name, pat, repl in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+        out[f"n_{name}"] = n
+        total = total + n
+        red = F.regexp_replace(red, pat, repl)
+    out["n_pii"] = total
+    out["redacted"] = red
+    return out
+
+
+# --------------------------------------------------------------------------
+# URL normalization (web-corpus dedup key)
+# --------------------------------------------------------------------------
+
+TRACKING_PARAMS = [
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "ref",
+]
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL form for dedup: lowercase scheme+host, strip
+    fragment, default ports, trailing slash on bare paths, and
+    tracking query params; surviving query keys sorted.  Pure string
+    expressions (split/filter/sort/join) — no UDF."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda kv: (kv != "")
+        & ~F.split(kv, "=")[0].isin(*TRACKING_PARAMS),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )

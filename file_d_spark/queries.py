@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from file_d_spark.engine import Pipeline
-from file_d_spark.functions import dedup, multimodal, similarity, text
+from file_d_spark.functions import (
+    corpus,
+    dedup,
+    multimodal,
+    quality,
+    similarity,
+    text,
+)
 from file_d_spark.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1219,6 +1226,433 @@ def q_multimodal(spark, sf_dir):
         d.withColumn("blob", F.encode("text", "utf-8")), "blob", "image", "doc_id"
     )
     return multimodal.extract_media_metadata(media, fake=True)
+
+
+# ===========================================================================
+# corpus-quality / corpus-management operators (Gopher, C4, CCNet,
+# decontamination, deterministic splits, PII, URL canonicalization)
+# ===========================================================================
+
+
+@query(
+    "quality_repetition",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    base AS (
+      SELECT doc_id, toks, len(toks) AS n_words,
+             greatest(coalesce(list_sum(list_transform(toks, t -> length(t))), 0), 1) AS wc,
+             list_transform(range(1, greatest(len(toks)-1, 0)+1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS tg,
+             list_transform(range(1, greatest(len(toks)-4, 0)+1),
+                            i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]) AS dg
+      FROM b),
+    top AS (
+      SELECT doc_id, max(c * (length(g) - 1)) AS top_chars FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(tg) AS g FROM base) GROUP BY doc_id, g)
+      GROUP BY doc_id),
+    dup AS (
+      SELECT doc_id, sum(CASE WHEN c > 1 THEN c * (length(g) - 4) ELSE 0 END) AS dup_chars FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(dg) AS g FROM base) GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT b.doc_id, b.n_words,
+           round(CASE WHEN n_words > 0
+                      THEN 1.0 - len(list_distinct(toks))::DOUBLE / n_words
+                      ELSE 0.0 END, 4) AS dup_word_frac,
+           round(least(coalesce(t.top_chars, 0)::DOUBLE / wc, 1.0), 4) AS top_ngram_char_frac,
+           round(least(coalesce(d.dup_chars, 0)::DOUBLE / wc, 1.0), 4) AS dup_ngram_char_frac
+    FROM base b LEFT JOIN top t USING (doc_id) LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (Rae et al. 2021 A1.1): most
+    frequent 2-gram char share, duplicated 5-gram char share, repeated
+    word fraction — linear explode/groupBy aggregation, no per-doc
+    quadratic scans."""
+    d = load_table(spark, sf_dir, "documents")
+    return quality.repetition_metrics(d, "doc_id", "text", top_n=2, dup_n=5)
+
+
+@query(
+    "quality_gopher",
+    r"""
+    WITH b AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS ltoks,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(toks) AS n_words,
+        round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
+              / greatest(len(toks), 1), 4) AS mean_word_len,
+        round(((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+              / greatest(len(toks), 1), 4) AS symbol_word_ratio,
+        round(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^([-*•])')))::DOUBLE
+              / greatest(len(lines), 1), 4) AS bullet_line_frac,
+        round(len(list_filter(lines, ln -> regexp_matches(ln, '(\.\.\.|…)$')))::DOUBLE
+              / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
+        round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+              / greatest(len(toks), 1), 4) AS alpha_word_frac,
+        len(list_intersect(list_distinct(ltoks),
+            ['the','a','of','and','to','in','is','it','for','on'])) AS stopword_hits
+      FROM b)
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac, stopword_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND stopword_hits >= 2)::INT AS keep
+    FROM s
+    """,
+)
+def q_quality_gopher(spark, sf_dir):
+    """Gopher rule filter: per-document signals + keep flag under the
+    published thresholds — all pure column expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    s = quality.gopher_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[s[k].alias(k) for k in (
+            "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "stopword_hits",
+        )],
+        quality.gopher_keep(F.col("text")).cast("int").alias("keep"),
+    )
+
+
+@query(
+    "c4_line_clean",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 37 = 0 THEN text || ' { javascript'
+                  ELSE text || '.' END AS text2
+      FROM documents),
+    l AS (SELECT doc_id, text2, string_split(text2, chr(10)) AS lines FROM aug),
+    k AS (SELECT doc_id, text2, lines,
+            list_filter(lines,
+              ln -> len(list_filter(string_split_regex(trim(ln), '\s+'), t -> t <> '')) >= 3
+                    AND regexp_matches(trim(ln), '[.!?"]$')) AS kept
+          FROM l)
+    SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+           len(kept) AS n_lines_kept, len(lines) - len(kept) AS n_lines_dropped
+    FROM k
+    WHERE NOT (contains(lower(text2), 'lorem ipsum')
+               OR contains(lower(text2), 'javascript')
+               OR contains(lower(text2), '{'))
+      AND len(kept) > 0
+    """,
+)
+def q_c4_line_clean(spark, sf_dir):
+    """C4 §2.2 line cleaning over the corpus with deterministic
+    punctuation / bad-substring augmentation so both the line filter
+    and the document drop paths fire on the synthetic corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.col("text"), F.lit(" { javascript")),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(".")))
+        .alias("text2"),
+    )
+    return quality.c4_clean(aug, "doc_id", "text2")
+
+
+@query(
+    "line_dedup",
+    r"""
+    WITH aug AS (
+      SELECT doc_id, text || chr(10) || 'subscribe to our newsletter today.' AS text2
+      FROM documents),
+    l AS (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM aug),
+    x AS (SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls)+1)) AS pos FROM l),
+    r AS (SELECT doc_id, pos, line,
+            row_number() OVER (PARTITION BY trim(line) ORDER BY doc_id, pos) AS rn
+          FROM x WHERE trim(line) <> '')
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS clean_text,
+           count(*) FILTER (WHERE rn = 1) AS n_lines_kept,
+           count(*) FILTER (WHERE rn > 1) AS n_lines_dropped
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide line dedup: a line survives only at its
+    first (doc, pos) occurrence — removes boilerplate whole-document
+    dedup never catches.  A shared boilerplate line is appended to
+    every document so the cross-document path fires."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nsubscribe to our newsletter today.")
+        ).alias("text2"),
+    )
+    return corpus.line_dedup(aug, "doc_id", "text2")
+
+
+@query(
+    "decontaminate",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+      FROM documents),
+    g AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, greatest(len(toks)-4, 0)+1),
+              i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS gs
+          FROM b),
+    e AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 50 = 0),
+    c AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 50 != 0),
+    h AS (SELECT doc_id, count(*) AS n_hits FROM c JOIN e USING (g) GROUP BY doc_id)
+    SELECT doc_id, coalesce(n_hits, 0) AS n_hits,
+           (coalesce(n_hits, 0) > 0)::INT AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) LEFT JOIN h USING (doc_id)
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with the (deterministic) eval slice — eval n-grams
+    broadcast, corpus pass stays narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_set = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    out = corpus.decontaminate(train, eval_set, "doc_id", "text", n=5)
+    return out.select(
+        "doc_id", "n_hits", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
+@query(
+    "hash_split_stats",
+    """
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'cccccccd' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'e6666667' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, count(*) AS n_docs FROM s GROUP BY split, lang
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5-prefix
+    thresholding — engine-portable and re-run stable (the oracle
+    thresholds are the same md5 hex compared lexicographically)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = corpus.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return s.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(doc_id::VARCHAR || 'v1'), 1, 8) <
+          CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+                    WHEN 'zh' THEN '1999999a' ELSE '0ccccccd' END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language subsample (en 50%, de 25%, zh 10%,
+    rest 5%) via hash thresholding — reproducible across engines and
+    partitionings, unlike RNG sampleBy."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.25, "zh": 0.1},
+        default_fraction=0.05, salt="v1",
+    ).select("doc_id", "lang")
+
+
+@query(
+    "pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@test.example.org or 10.'
+                  || (doc_id % 200) || '.0.' || (doc_id % 250)
+                  || ' tel +1 (555) 123-4567 ssn 123-45-6789' AS t0
+      FROM documents),
+    s1 AS (SELECT doc_id,
+             len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM aug),
+    s2 AS (SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+             regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ipv4,
+             len(regexp_extract_all(t2, '\+\d{1,3}[ -]?\(?\d{1,4}\)?(?:[ -]?\d{2,4}){2,3}')) AS n_phone,
+             regexp_replace(t2, '\+\d{1,3}[ -]?\(?\d{1,4}\)?(?:[ -]?\d{2,4}){2,3}', '<PHONE>', 'g') AS t3
+           FROM s2),
+    s4 AS (SELECT doc_id, n_email, n_ipv4, n_phone,
+             len(regexp_extract_all(t3, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+             regexp_replace(t3, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t4
+           FROM s3)
+    SELECT doc_id, n_email, n_ipv4, n_phone, n_ssn,
+           n_email + n_ipv4 + n_phone + n_ssn AS n_pii, t4 AS redacted
+    FROM s4
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (email/IPv4/phone/SSN) with per-category counts —
+    deterministic PII injected so every pattern fires; chained
+    regexp_replace stays in whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@test.example.org or 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel +1 (555) 123-4567 ssn 123-45-6789"),
+        ).alias("text2"),
+    )
+    r = corpus.pii_redact(F.col("text2"))
+    return aug.select(
+        "doc_id",
+        r["n_email"].alias("n_email"),
+        r["n_ipv4"].alias("n_ipv4"),
+        r["n_phone"].alias("n_phone"),
+        r["n_ssn"].alias("n_ssn"),
+        r["n_pii"].alias("n_pii"),
+        r["redacted"].alias("redacted"),
+    )
+
+
+@query(
+    "url_normalize_dedup",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'HTTPS://WWW.Example.com:443/Articles/' || (doc_id % 25) || '?utm_source=feed&b=2&a=1#frag'
+          WHEN 1 THEN 'https://www.example.com/Articles/' || (doc_id % 25) || '?a=1&b=2'
+          WHEN 2 THEN 'http://Example.COM:80?fbclid=xyz'
+          ELSE 'https://blog.example.com/post/' || (doc_id % 25) || '/'
+        END AS url
+      FROM documents),
+    n AS (
+      SELECT doc_id,
+        lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          || '://'
+          || regexp_replace(lower(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''),
+                '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]+)', 1)), ':(80|443)$', '')
+          || CASE WHEN regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]+', ''), '^([^?]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]+', ''), '^([^?]*)', 1) END
+          || CASE WHEN coalesce(array_to_string(list_sort(list_filter(string_split(
+                    regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]+', ''), '\?(.*)$', 1), '&'),
+                    kv -> kv <> '' AND NOT list_contains(
+                      ['utm_source','utm_medium','utm_campaign','utm_term','utm_content','gclid','fbclid','ref'],
+                      string_split(kv, '=')[1]))), '&'), '') = ''
+                  THEN ''
+                  ELSE '?' || coalesce(array_to_string(list_sort(list_filter(string_split(
+                    regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]+', ''), '\?(.*)$', 1), '&'),
+                    kv -> kv <> '' AND NOT list_contains(
+                      ['utm_source','utm_medium','utm_campaign','utm_term','utm_content','gclid','fbclid','ref'],
+                      string_split(kv, '=')[1]))), '&'), '') END
+          AS url_norm
+      FROM aug)
+    SELECT url_norm, count(*) AS n_urls, min(doc_id) AS first_doc
+    FROM n GROUP BY url_norm
+    """,
+)
+def q_url_normalize_dedup(spark, sf_dir):
+    """Web-corpus URL canonicalization + dedup: lowercase scheme/host,
+    strip default ports / fragments / tracking params, sort query keys,
+    then group by the canonical form.  Constructed URL variants that
+    MUST collapse (tracking params, case, port, fragment) prove the
+    normalization."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    url = (
+        F.when(
+            doc_id % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.com:443/Articles/"),
+                (doc_id % 25).cast("string"),
+                F.lit("?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            doc_id % 4 == 1,
+            F.concat(
+                F.lit("https://www.example.com/Articles/"),
+                (doc_id % 25).cast("string"),
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(doc_id % 4 == 2, F.lit("http://Example.COM:80?fbclid=xyz"))
+        .otherwise(
+            F.concat(
+                F.lit("https://blog.example.com/post/"),
+                (doc_id % 25).cast("string"),
+                F.lit("/"),
+            )
+        )
+    )
+    aug = d.select("doc_id", url.alias("url"))
+    return (
+        aug.select("doc_id", corpus.url_normalize(F.col("url")).alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "token_stats_by_lang",
+    r"""
+    WITH b AS (
+      SELECT lang, source,
+             len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS nt
+      FROM documents)
+    SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS total_tokens,
+           round(avg(nt), 4) AS avg_tokens,
+           min(nt) AS min_tokens, max(nt) AS max_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM b GROUP BY lang
+    """,
+)
+def q_token_stats_by_lang(spark, sf_dir):
+    """Per-language token accounting (the budgeting pass a training
+    mix needs) — one partial-aggregated groupBy, no extra pass."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = text.token_count(F.col("text")).cast("long")
+    return (
+        d.select("lang", "source", nt.alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.round(F.avg("nt"), 4).alias("avg_tokens"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
 
 
 # ===========================================================================

@@ -1,0 +1,268 @@
+"""Unit tests for the corpus-quality / corpus-management operators
+(functions/quality.py, functions/corpus.py) on synthetic multi-line
+documents — the shapes the single-line testdata corpus can't exercise."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from file_d_spark.functions import corpus, quality
+
+
+def rows(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+# --------------------------------------------------------------------------
+# repetition metrics
+# --------------------------------------------------------------------------
+
+
+def test_repetition_metrics_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # all-same: dup_word 0.75
+            (2, "w x y z"),            # no repetition
+            (3, "p q p q p q"),        # dominated by one bigram
+        ],
+        ["id", "t"],
+    )
+    out = {
+        r["id"]: r
+        for r in quality.repetition_metrics(df, "id", "t", top_n=2, dup_n=2).collect()
+    }
+    assert out[1]["n_words"] == 4
+    assert out[1]["dup_word_frac"] == 0.75
+    # 'a a' occurs 3 times x 2 chars over 4 word chars -> clamped to 1.0
+    assert out[1]["top_ngram_char_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup_ngram_char_frac"] == 0.0
+    # 'p q' x3 + 'q p' x2 both duplicated -> every 2-gram occurrence is a dup
+    assert out[3]["dup_ngram_char_frac"] == 1.0
+
+
+def test_repetition_metrics_short_doc(spark):
+    # fewer words than dup_n: no n-grams, fractions must be 0 (not null)
+    df = spark.createDataFrame([(1, "only two")], ["id", "t"])
+    r = quality.repetition_metrics(df, "id", "t", top_n=2, dup_n=5).collect()[0]
+    assert r["dup_ngram_char_frac"] == 0.0
+    assert r["n_words"] == 2
+
+
+# --------------------------------------------------------------------------
+# gopher filter
+# --------------------------------------------------------------------------
+
+GOOD_DOC = " ".join(["the quick brown fox jumps over the lazy dog again and"] * 6)
+
+
+def test_gopher_keep_and_signals(spark):
+    docs = [
+        (1, GOOD_DOC, True),
+        (2, "too short for the rules", False),          # < 50 words
+        (3, " ".join(["###"] * 60), False),             # symbols, no alpha, no stopwords
+        (4, "\n".join(["- item in a list of things"] * 60), False),  # bullets
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in docs], ["id", "t"])
+    out = df.select(
+        "id", quality.gopher_keep(F.col("t")).alias("keep")
+    ).collect()
+    expect = {i: k for i, _, k in docs}
+    for r in out:
+        assert r["keep"] == expect[r["id"]], r["id"]
+    sig = df.filter("id = 4").select(
+        *[v.alias(k) for k, v in quality.gopher_signals(F.col("t")).items()]
+    ).collect()[0]
+    assert sig["bullet_line_frac"] == 1.0
+
+
+def test_gopher_ellipsis_rule(spark):
+    text = "\n".join(
+        ["the line goes on and on..."] * 40 + ["a normal line of text"] * 60
+    )
+    df = spark.createDataFrame([(1, text)], ["id", "t"])
+    sig = df.select(
+        *[v.alias(k) for k, v in quality.gopher_signals(F.col("t")).items()]
+    ).collect()[0]
+    assert sig["ellipsis_line_frac"] == 0.4
+    assert not df.select(quality.gopher_keep(F.col("t")).alias("k")).collect()[0]["k"]
+
+
+# --------------------------------------------------------------------------
+# c4 cleaning
+# --------------------------------------------------------------------------
+
+
+def test_c4_clean_line_rules(spark):
+    text = "\n".join(
+        [
+            "This is a good sentence.",      # kept
+            "short.",                        # < 3 words
+            "no terminal punctuation here",  # no punct
+            'He said "stop".',               # kept (quote counts)
+        ]
+    )
+    df = spark.createDataFrame([(1, text), (2, "Lorem Ipsum dolor sit amet.")], ["id", "t"])
+    out = quality.c4_clean(df, "id", "t")
+    got = {r["id"]: r for r in out.collect()}
+    assert 2 not in got  # lorem ipsum doc dropped
+    assert got[1]["n_lines_kept"] == 2
+    assert got[1]["n_lines_dropped"] == 2
+    assert got[1]["clean_text"] == 'This is a good sentence.\nHe said "stop".'
+
+
+def test_c4_clean_drops_braces_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "var x = { a: 1 }."), (2, "nothing ends right")], ["id", "t"]
+    )
+    assert quality.c4_clean(df, "id", "t").count() == 0
+
+
+# --------------------------------------------------------------------------
+# line dedup
+# --------------------------------------------------------------------------
+
+
+def test_line_dedup_cross_document(spark):
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique one\n{boiler}"),
+            (2, f"{boiler}\nunique two"),
+            (3, f"unique three\n{boiler}\nunique three"),  # intra-doc dup too
+        ],
+        ["id", "t"],
+    )
+    out = {r["id"]: r for r in corpus.line_dedup(df, "id", "t").collect()}
+    assert out[1]["clean_text"] == f"unique one\n{boiler}"   # first occurrence wins
+    assert out[2]["clean_text"] == "unique two"
+    assert out[2]["n_lines_dropped"] == 1
+    assert out[3]["clean_text"] == "unique three"
+    assert out[3]["n_lines_dropped"] == 2
+
+
+def test_line_dedup_all_dropped_doc_survives(spark):
+    df = spark.createDataFrame([(1, "same line"), (2, "same line")], ["id", "t"])
+    out = {r["id"]: r for r in corpus.line_dedup(df, "id", "t").collect()}
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_lines_kept"] == 0
+
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+
+
+def test_decontaminate_ngram_overlap(spark):
+    eval_set = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")], ["id", "t"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix text the secret benchmark answer is forty two exactly suffix"),
+            (2, "completely unrelated training document with other words"),
+        ],
+        ["id", "t"],
+    )
+    out = {r["id"]: r for r in corpus.decontaminate(train, eval_set, "id", "t", n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+
+
+# --------------------------------------------------------------------------
+# hash split / stratified sample
+# --------------------------------------------------------------------------
+
+
+def test_hash_split_deterministic_and_total(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = corpus.hash_split(df, "k", w).groupBy("split").count().collect()
+    b = corpus.hash_split(df, "k", w).groupBy("split").count().collect()
+    assert {r["split"]: r["count"] for r in a} == {r["split"]: r["count"] for r in b}
+    counts = {r["split"]: r["count"] for r in a}
+    assert sum(counts.values()) == 2000
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    df = spark.range(500).withColumnRenamed("id", "k")
+    w = {"a": 0.5, "b": 0.5}
+    base = rows(corpus.hash_split(df, "k", w), "k", "split")
+    salted = rows(corpus.hash_split(df, "k", w, salt="x"), "k", "split")
+    assert base != salted
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)], ["k", "lang"]
+    )
+    out = corpus.stratified_sample(df, "k", "lang", {"en": 0.5, "de": 0.1})
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert 0.4 < counts["en"] / 1000 < 0.6
+    assert 0.05 < counts["de"] / 1000 < 0.15
+    # default_fraction=0 drops unknown strata entirely
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert corpus.stratified_sample(df2, "k", "lang", {"en": 0.5}).count() == 0
+
+
+# --------------------------------------------------------------------------
+# pii redaction
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,field,n,redacted_sub",
+    [
+        ("mail bob.smith+x@corp.example.com now", "n_email", 1, "<EMAIL>"),
+        ("server at 192.168.1.254 down", "n_ipv4", 1, "<IP>"),
+        ("call +44 20 7946 0958 today", "n_phone", 1, "<PHONE>"),
+        ("ssn is 078-05-1120 ok", "n_ssn", 1, "<SSN>"),
+        ("clean text with no pii at all", "n_pii", 0, "clean text"),
+    ],
+)
+def test_pii_redact_patterns(spark, text, field, n, redacted_sub):
+    df = spark.createDataFrame([(text,)], ["t"])
+    r = corpus.pii_redact(F.col("t"))
+    got = df.select(
+        r[field].alias("n"), r["redacted"].alias("red")
+    ).collect()[0]
+    assert got["n"] == n
+    assert redacted_sub in got["red"]
+
+
+def test_pii_redact_multiple_and_total(spark):
+    df = spark.createDataFrame(
+        [("a@b.co and c@d.org from 10.0.0.1",)], ["t"]
+    )
+    r = corpus.pii_redact(F.col("t"))
+    got = df.select(
+        r["n_email"].alias("e"), r["n_ipv4"].alias("i"), r["n_pii"].alias("p"),
+        r["redacted"].alias("red"),
+    ).collect()[0]
+    assert (got["e"], got["i"], got["p"]) == (2, 1, 3)
+    assert got["red"] == "<EMAIL> and <EMAIL> from <IP>"
+
+
+# --------------------------------------------------------------------------
+# url normalization
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        ("HTTPS://WWW.Ex.com:443/A/b?utm_source=x&b=2&a=1#f", "https://www.ex.com/A/b?a=1&b=2"),
+        ("https://www.ex.com/A/b?a=1&b=2", "https://www.ex.com/A/b?a=1&b=2"),
+        ("http://Ex.COM:80", "http://ex.com/"),
+        ("http://ex.com/?fbclid=abc", "http://ex.com/"),
+        ("https://ex.com/p?z=1&gclid=g&a=2", "https://ex.com/p?a=2&z=1"),
+        ("https://ex.com:8080/p", "https://ex.com:8080/p"),  # non-default port kept
+    ],
+)
+def test_url_normalize(spark, raw, want):
+    df = spark.createDataFrame([(raw,)], ["u"])
+    got = df.select(corpus.url_normalize(F.col("u")).alias("n")).collect()[0]["n"]
+    assert got == want
