@@ -16,8 +16,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from file_d_spark.actions.base import Action, register
-from file_d_spark.fields import get_col_safe, parse_selector
+from file_d_spark.fields import get_col_safe, parse_selector, schema_type_at
 from file_d_spark.functions.normalize import normalize_tokens
 
 
@@ -32,10 +34,21 @@ class HashAction(Action):
         builtin = norm_cfg.get("builtin_patterns", "all")
         customs = norm_cfg.get("custom_patterns") or []
         candidates: list[Column] = []
-        for fcfg in self.params.get("fields", []):
+        if not self.params.get("fields"):
+            raise ValueError("hash action needs a fields list")
+        for fcfg in self.params["fields"]:
             if isinstance(fcfg, str):
                 fcfg = {"field": fcfg}
-            col = get_col_safe(parse_selector(fcfg["field"]), df.schema).cast("string")
+            parts = parse_selector(fcfg["field"])
+            # hash.go:430-436: array/object nodes are skipped in the
+            # first-present scan; absent fields yield nil and fall
+            # through to the next candidate
+            dtype = schema_type_at(df.schema, parts)
+            if isinstance(dtype, (T.StructType, T.ArrayType, T.MapType)):
+                continue
+            if dtype is None:
+                continue  # statically absent — never present at runtime
+            col = get_col_safe(parts, df.schema).cast("string")
             max_size = int(fcfg.get("max_size", 0) or 0)
             if max_size > 0:
                 col = F.substring(col, 1, max_size)
@@ -47,6 +60,15 @@ class HashAction(Action):
                 )
             candidates.append(col)
         if not candidates:
-            raise ValueError("hash action needs a fields list")
+            # every configured field is absent or non-scalar: the
+            # reference passes the event through with no result field
+            return df
         first_present = F.coalesce(*candidates) if len(candidates) > 1 else candidates[0]
-        return self.set_gated(df, result_field, F.xxhash64(first_present), pred)
+        # no candidate present on this row -> leave the result null
+        # (JSON-encode drops it), NOT the hash of the empty input
+        return self.set_gated(
+            df,
+            result_field,
+            F.when(first_present.isNotNull(), F.xxhash64(first_present)),
+            pred,
+        )
