@@ -116,43 +116,133 @@ class ConvertUtf8Bytes(Action):
     """
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        replace_non_graphic = bool(self.params.get("replace_non_graphic", False))
+
         @F.pandas_udf("string")
         def decode_escapes(s: pd.Series) -> pd.Series:
-            import re
+            # faithful port of the reference scanner
+            # (convert_utf8_bytes.go:171-268): a `\\` pair is a token
+            # (so `\\x86` stays literal while `\xD0` decodes), `\u`
+            # pairs UTF-16 surrogates, `\U` takes 8 hex digits, octal
+            # needs a 0-3 lead digit, and every malformed escape falls
+            # back to its literal spelling
+            import unicodedata
 
-            pat = re.compile(
-                r"\\u([0-9a-fA-F]{4})|\\x([0-9a-fA-F]{2})|\\([0-7]{3})"
-            )
+            REPL = "�".encode()
+
+            def to_rune(u: int) -> int:
+                # Go rune(uint64) truncates to int32
+                r = u & 0xFFFFFFFF
+                return r - (1 << 32) if r >= (1 << 31) else r
+
+            def rune_bytes(r: int) -> bytes:
+                if 0 <= r <= 0x10FFFF and not (0xD800 <= r <= 0xDFFF):
+                    return chr(r).encode("utf-8")
+                return REPL  # Go string(invalid rune) == U+FFFD
+
+            def is_graphic(r: int) -> bool:
+                if not (0 <= r <= 0x10FFFF) or (0xD800 <= r <= 0xDFFF):
+                    return False
+                cat = unicodedata.category(chr(r))
+                return cat[0] in "LMNPS" or cat == "Zs"
 
             def one(v):
                 if v is None:
                     return None
-
-                out = []
-                bytebuf = bytearray()
-
-                def flush():
-                    nonlocal bytebuf
-                    if bytebuf:
-                        out.append(bytes(bytebuf).decode("utf-8", "replace"))
-                        bytebuf = bytearray()
-
-                idx = 0
-                for m in pat.finditer(v):
-                    if m.start() > idx:
-                        flush()
-                        out.append(v[idx : m.start()])
-                    if m.group(1):  # \uXXXX
-                        flush()
-                        out.append(chr(int(m.group(1), 16)))
-                    elif m.group(2):  # \xNN — may be a UTF-8 byte run
-                        bytebuf.append(int(m.group(2), 16))
-                    else:  # octal
-                        bytebuf.append(int(m.group(3), 8))
-                    idx = m.end()
-                flush()
-                out.append(v[idx:])
-                return "".join(out)
+                idx = v.find("\\")
+                if idx < 0:
+                    return v
+                buf = bytearray(v[:idx].encode("utf-8"))
+                s = v[idx + 1 :]
+                while s != "":
+                    ch = s[0]
+                    if ch == "\\":
+                        s = s[1:]
+                        buf += b"\\\\"
+                    elif ch in ("u", "U"):
+                        s = s[1:]
+                        size = 8 if ch == "U" else 4
+                        if len(s) < size:
+                            buf += b"\\" + ch.encode()
+                        else:
+                            ss = s[:size]
+                            try:
+                                u = int(ss, 16)
+                                if any(c in "+-_ " for c in ss):
+                                    raise ValueError
+                            except ValueError:
+                                buf += b"\\" + ch.encode()
+                            else:
+                                s = s[size:]
+                                r = to_rune(u)
+                                if replace_non_graphic and not is_graphic(r):
+                                    r = 0xFFFD
+                                if size == 8 or not (0xD800 <= r <= 0xDFFF):
+                                    buf += rune_bytes(r)
+                                elif len(s) < 6 or s[:2] != "\\u":
+                                    buf += b"\\u" + ss.encode()
+                                else:
+                                    try:
+                                        u2 = int(s[2:6], 16)
+                                        if any(c in "+-_ " for c in s[2:6]):
+                                            raise ValueError
+                                    except ValueError:
+                                        buf += b"\\u" + ss.encode()
+                                    else:
+                                        # utf16.DecodeRune: FFFD unless
+                                        # a valid hi+lo pair
+                                        if (
+                                            0xD800 <= r <= 0xDBFF
+                                            and 0xDC00 <= u2 <= 0xDFFF
+                                        ):
+                                            cp = (
+                                                0x10000
+                                                + ((r - 0xD800) << 10)
+                                                + (u2 - 0xDC00)
+                                            )
+                                            buf += chr(cp).encode("utf-8")
+                                        else:
+                                            buf += REPL
+                                        s = s[6:]
+                    elif ch == "x":
+                        s = s[1:]
+                        if len(s) < 2:
+                            buf += b"\\x"
+                        else:
+                            sb = s[:2]
+                            pos = 2
+                            while len(s) - pos >= 4 and s[pos : pos + 2] == "\\x":
+                                sb += s[pos + 2 : pos + 4]
+                                pos += 4
+                            try:
+                                hex_bytes = bytes.fromhex(sb)
+                            except ValueError:
+                                buf += b"\\x" + s[:pos].encode("utf-8")
+                            else:
+                                buf += hex_bytes
+                            s = s[pos:]
+                    elif ch in "0123":
+                        if len(s) < 3:
+                            buf += b"\\"
+                        else:
+                            try:
+                                if not all(c in "01234567" for c in s[:3]):
+                                    raise ValueError
+                                byte = int(s[:3], 8)
+                            except ValueError:
+                                buf += b"\\"
+                            else:
+                                buf.append(byte)
+                                s = s[3:]
+                    else:
+                        buf += b"\\"
+                    j = s.find("\\")
+                    if j < 0:
+                        buf += s.encode("utf-8")
+                        break
+                    buf += s[:j].encode("utf-8")
+                    s = s[j + 1 :]
+                return bytes(buf).decode("utf-8", "replace")
 
             return s.map(one)
 
