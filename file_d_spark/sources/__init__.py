@@ -20,23 +20,15 @@ from file_d_spark.decoders import get_decoder
 def apply_meta_templates(df: DataFrame, meta: dict[str, str]) -> DataFrame:
     """Input meta templates: ``field: "{{ .topic }}-{{ .partition }}"``
     rendered from source metadata columns
-    (/root/reference/pipeline/metadata/templater.go:19-50).  ``{{ .x }}``
-    references resolve to column ``_x`` (or ``x``)."""
-    import re
+    (/root/reference/pipeline/metadata/templater.go:59-213) with
+    template-to-template references resolved in dependency order,
+    ``default`` pipes, ``index`` access and if/else — see
+    sources/templater.py.  ``{{ .x }}`` references resolve to column
+    ``_x`` (or ``x``) or a previously rendered template field."""
+    from file_d_spark.sources.templater import compile_meta_templates
 
-    for field, template in (meta or {}).items():
-        parts: list[F.Column] = []
-        idx = 0
-        for m in re.finditer(r"\{\{\s*\.(\w+)\s*\}\}", template):
-            if m.start() > idx:
-                parts.append(F.lit(template[idx : m.start()]))
-            name = m.group(1)
-            col = f"_{name.lower()}" if f"_{name.lower()}" in df.columns else name.lower()
-            parts.append(F.col(col).cast("string") if col in df.columns else F.lit(""))
-            idx = m.end()
-        if idx < len(template):
-            parts.append(F.lit(template[idx:]))
-        df = df.withColumn(field, F.concat(*parts) if parts else F.lit(""))
+    for field, col in compile_meta_templates(meta or {}, df).items():
+        df = df.withColumn(field, col)
     return df
 
 
