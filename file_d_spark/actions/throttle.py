@@ -164,8 +164,9 @@ class Throttle(Action):
         from pyspark.sql import types as T
 
         t = df.schema[time_field].dataType if time_field in df.columns else None
-        ts = tcol if isinstance(t, T.TimestampType) else xtime.parse_time(tcol, time_fmt)
-        ts = F.coalesce(ts, F.current_timestamp())
+        # loud on un-timestampable types; parse failures -> null bucket
+        # (never backfill wall clock — see round-2 postmortem)
+        ts = xtime.ensure_timestamp(tcol, t, time_fmt, context="throttle time_field")
 
         # first matching rule index (conditions are an AND field map,
         # rule.go:50-59: string equality per field)
@@ -534,8 +535,8 @@ class Antispam(Action):
         from pyspark.sql import types as T
 
         t = df.schema[time_field].dataType if time_field in df.columns else None
-        ts = tcol if isinstance(t, T.TimestampType) else xtime.parse_time(tcol, None)
-        win = F.floor(F.unix_timestamp(F.coalesce(ts, F.current_timestamp())) / F.lit(int(interval_s)))
+        ts = xtime.ensure_timestamp(tcol, t, None, context="antispam time_field")
+        win = F.floor(F.unix_timestamp(ts) / F.lit(int(interval_s)))
 
         exc_pred = F.lit(False)
         for rule in exceptions:

@@ -141,6 +141,10 @@ def _compile_ts_cmp(node: dict[str, Any], schema: T.StructType) -> Column:
     t = schema_type_at(schema, parts)
     if isinstance(t, T.TimestampType):
         ts = col
+    elif isinstance(t, (T.TimestampNTZType, T.DateType)):
+        # exact under the pinned UTC session TZ; keeps the comparison
+        # against the LTZ literal/current_timestamp() type-consistent
+        ts = col.cast("timestamp")
     else:
         ts = xtime.parse_time(col, node.get("format", "rfc3339nano"))
     raw_value = node.get("value", "now")
@@ -176,7 +180,7 @@ def _static_type_category(t: T.DataType) -> str:
         return "number"
     if isinstance(t, T.BooleanType):
         return "bool"
-    if isinstance(t, T.TimestampType) or isinstance(t, T.DateType):
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return "string"  # JSON-encoded timestamps are strings
     return "other"
 

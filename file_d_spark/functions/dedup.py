@@ -83,7 +83,18 @@ def word_shingles(col: Column, n: int = 2) -> Column:
 
 
 
-def _verify_pairs(sh, candidates, threshold: float) -> DataFrame:
+# Above this many candidate pairs, the candidate docs' shingle sets no
+# longer fit a comfortable broadcast (each set is ~1-5 KB of shingle
+# strings; 100k pairs ≈ ≤200k docs ≈ several hundred MB serialized on
+# the driver) — fall back to shuffle joins keyed on doc id.  Same
+# result, two extra exchanges; only a near-everything-duplicate corpus
+# reaches this.
+_VERIFY_BROADCAST_MAX_PAIRS = 100_000
+
+
+def _verify_pairs(
+    sh, candidates, threshold: float, broadcast_max: int | None = None
+) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
 
     ``candidates`` is cached — it feeds the cand-doc broadcast AND the
@@ -93,19 +104,28 @@ def _verify_pairs(sh, candidates, threshold: float) -> DataFrame:
     sets from memory instead of recomputing them; both join sides
     reference byte-identical plans so ReuseExchange ships one
     broadcast, not two.
+
+    While candidates are sparse (the normal case) the shingle sets of
+    candidate docs are broadcast; above ``broadcast_max`` pairs
+    (default ``_VERIFY_BROADCAST_MAX_PAIRS``) the broadcast would blow
+    driver memory, so the joins run as shuffles instead.
     """
+    if broadcast_max is None:
+        broadcast_max = _VERIFY_BROADCAST_MAX_PAIRS
     candidates = candidates.cache()
+    n_pairs = candidates.count()  # materializes the cache; reused below
+    hint = F.broadcast if n_pairs <= broadcast_max else (lambda d: d)
     cand_docs = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc")
     ).distinct()
-    sets = sh.join(F.broadcast(cand_docs), "doc").select(
+    sets = sh.join(hint(cand_docs), "doc").select(
         "doc", "shingles", "set_size"
     )
     return (
         candidates.join(
-            F.broadcast(sets.alias("sa")), F.col("doc_a") == F.col("sa.doc")
+            hint(sets.alias("sa")), F.col("doc_a") == F.col("sa.doc")
         )
-        .join(F.broadcast(sets.alias("sb")), F.col("doc_b") == F.col("sb.doc"))
+        .join(hint(sets.alias("sb")), F.col("doc_b") == F.col("sb.doc"))
         .withColumn(
             "common", F.size(F.array_intersect("sa.shingles", "sb.shingles"))
         )

@@ -868,10 +868,11 @@ def q_sessionize(spark, sf_dir):
     """sessionization: 30-min inactivity gap splits sessions."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # fractional-second gap: cast ts to double (epoch seconds incl. micros)
-    # to match DuckDB's epoch(ts); unix_timestamp truncates to whole seconds
-    # and misclassifies gaps near the 1800 s boundary.
-    ts_sec = F.col("ts").cast("double")
+    # fractional-second gap to match DuckDB's epoch(ts); unix_timestamp
+    # truncates to whole seconds and misclassifies gaps near the 1800 s
+    # boundary.  unix_micros, not cast("double"): the cast is illegal on
+    # TIMESTAMP_NTZ and double loses microseconds at ~1.7e9 epoch anyway.
+    ts_sec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
     gap = ts_sec - F.lag(ts_sec).over(w)
     new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (

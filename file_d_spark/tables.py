@@ -47,6 +47,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div — float division loses microsecond precision on
         # ~1.7e18 nanos values (double mantissa is 53 bits)
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) loads as
+    # TIMESTAMP_NTZ; normalize to TimestampType — exact under the pinned
+    # UTC session TZ and matches DuckDB's naive timestamps
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -146,3 +146,45 @@ def format_time(ts: Column, fmt: str | None) -> Column:
     return F.date_format(
         ts, pattern.replace("[", "").replace("]", "").replace("ppd", "d")
     )
+
+
+def ensure_timestamp(
+    col: Column, t, fmt: str | None, *, context: str = "time field"
+) -> Column:
+    """Column in any supported time representation -> TimestampType.
+
+    - TimestampType: pass through
+    - TimestampNTZType: cast — exact under the pinned UTC session TZ
+    - DateType: cast (midnight)
+    - string / integral / floating: parse with ``fmt`` (unparsable
+      values -> NULL so downstream bucketing carries a null bucket)
+    - anything else: raise at plan-compile time.  A time column that
+      can't produce timestamps must fail loudly — silently backfilling
+      wall clock collapses every event into one time bucket and turns a
+      config error into wrong answers (see round-2 postmortem).
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.TimestampType):
+        return col
+    if isinstance(t, (T.TimestampNTZType, T.DateType)):
+        return col.cast("timestamp")
+    if t is None or isinstance(
+        t,
+        (
+            T.StringType,
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DecimalType,
+        ),
+    ):
+        return parse_time(col, fmt)
+    raise TypeError(
+        f"{context}: cannot derive a timestamp from column type "
+        f"{t.simpleString()}; expected timestamp/timestamp_ntz/date/"
+        f"string/numeric"
+    )

@@ -93,3 +93,39 @@ def test_ann_ivf_recall_vs_brute(spark, sf_dir):
     # is that probing the query's NEAREST lists beats random coverage
     # (true neighbors correlate with the query's closest centroids).
     assert recall >= 0.42, f"ann-ivf recall {recall} not above coverage"
+
+
+def test_verify_pairs_shuffle_fallback_matches_broadcast(spark, docs):
+    """Above the broadcast threshold _verify_pairs must switch to
+    shuffle joins and return identical pairs (guard for the
+    near-everything-duplicate corpus case)."""
+    from pyspark.sql import functions as F
+
+    from file_d_spark.functions import dedup
+
+    sh = (
+        docs.limit(60)
+        .select(
+            F.col("doc_id").alias("doc"),
+            dedup.word_shingles(F.col("text"), 3).alias("shingles"),
+        )
+        .withColumn("set_size", F.size("shingles"))
+        .cache()
+    )
+    ids = sh.select("doc")
+    cands = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    broadcast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup._verify_pairs(sh, cands, 0.5, broadcast_max=10**9).collect()
+    }
+    shuffle = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup._verify_pairs(sh, cands, 0.5, broadcast_max=0).collect()
+    }
+    assert broadcast == shuffle
+    assert broadcast  # fixture corpus has near-dups; non-empty check
