@@ -153,3 +153,62 @@ def test_antispam_stream(spark, stream_reader):
     _run_stream(out, "anti")
     got = {r.source for r in spark.sql("SELECT DISTINCT source FROM anti").collect()}
     assert got == {"quiet"}
+
+
+def test_antispam_stream_idle_unban(spark, tmp_path):
+    """A banned source that goes quiet for ``unban_idle_ticks``
+    maintenance ticks is unbanned (reference antispammer.go:24-120:
+    counter decays each maintenance cycle; 4 idle cycles -> unban)."""
+    import json
+    import time
+
+    from file_d_spark.streaming import antispam_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write(name, rows):
+        tmp = tmp_path / (name + ".tmp")
+        tmp.write_text("\n".join(json.dumps(r) for r in rows))
+        tmp.rename(src / name)  # atomic: the reader never sees partials
+
+    sdf = spark.readStream.schema("source string, i long").json(str(src))
+    out = antispam_stream(
+        sdf, "source", threshold=3,
+        maintenance_interval_ms=1500, unban_idle_ticks=2,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("unban")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # over-threshold burst -> spammy is banned, nothing emitted
+        write("b0.json", [{"source": "spammy", "i": i} for i in range(10)])
+        time.sleep(3)
+        # heartbeats from another source keep micro-batches (and thus
+        # state-timeout processing) running while spammy stays idle
+        for k in range(12):
+            write(f"hb{k}.json", [{"source": "other", "i": k}])
+            time.sleep(0.7)
+        # spammy returns after >2 idle maintenance ticks: unbanned
+        write("b1.json", [{"source": "spammy", "i": 100}])
+        seen = set()
+        deadline = time.time() + 40
+        while time.time() < deadline:
+            seen = {
+                (r.source, r.i)
+                for r in spark.sql("SELECT source, i FROM unban").collect()
+            }
+            if ("spammy", 100) in seen:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert ("spammy", 100) in seen, f"still banned after idle ticks: {sorted(seen)}"
+    # the original burst stays suppressed; heartbeats flowed through
+    assert not any(s == "spammy" and i < 100 for s, i in seen)
+    assert ("other", 0) in seen
