@@ -68,3 +68,72 @@ def test_legacy_dollar_brace(monkeypatch):
         'pipelines:\n  p:\n    input: {type: file, path: "${LEGACY_PATH}"}\n'
     )
     assert plans["p"].input["path"] == "/data"
+
+def _vault_server(secrets):
+    """Tiny in-process Vault KV API: GET /v1/<path> -> {"data": ...}."""
+    import http.server
+    import json
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            path = self.path.lstrip("/").removeprefix("v1/")
+            if self.headers.get("X-Vault-Token") != "tok123":
+                self.send_response(403)
+                self.end_headers()
+                return
+            if path not in secrets:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = json.dumps({"data": secrets[path]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_vault_http_client_kv1_and_kv2():
+    """VaultClient over a real HTTP round-trip (KV v1 flat data and
+    KV v2 nested data.data), wired through a config vault: block."""
+    srv = _vault_server(
+        {
+            "secret/kafka": {"password": "pw-v1"},
+            "secret/data/pg": {"data": {"dsn": "pg://host/db"}, "metadata": {}},
+        }
+    )
+    try:
+        addr = f"http://127.0.0.1:{srv.server_address[1]}"
+        plans = load_config(
+            f"""
+vault: {{address: {addr}, token: tok123}}
+pipelines:
+  p:
+    input: {{type: kafka, sasl_password: "vault(secret/kafka, password)"}}
+    output: {{type: postgres, conn_string: "vault(secret/data/pg, dsn)"}}
+"""
+        )
+        assert plans["p"].input["sasl_password"] == "pw-v1"
+        assert plans["p"].output["conn_string"] == "pg://host/db"
+    finally:
+        srv.shutdown()
+
+
+def test_vault_http_client_missing_key():
+    from file_d_spark.config import VaultClient
+
+    srv = _vault_server({"secret/kafka": {"password": "x"}})
+    try:
+        addr = f"http://127.0.0.1:{srv.server_address[1]}"
+        with pytest.raises(KeyError):
+            VaultClient(addr, "tok123").get_secret("secret/kafka", "absent")
+    finally:
+        srv.shutdown()
