@@ -129,3 +129,41 @@ def test_verify_pairs_shuffle_fallback_matches_broadcast(spark, docs):
     }
     assert broadcast == shuffle
     assert broadcast  # fixture corpus has near-dups; non-empty check
+
+
+def test_simhash_swar_matches_naive_votes(spark, docs):
+    """The SWAR lane-counted signature must equal the naive per-bit
+    aggregate formulation bit-for-bit (same hash family, same votes)."""
+    from pyspark.sql import functions as F
+
+    from file_d_spark.functions import dedup
+    from file_d_spark.functions.text import tokens
+
+    def naive_bit_vote(i):
+        return F.aggregate(
+            F.col("__hashes__"),
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+
+    sample = docs.limit(50)
+    naive = sample.select(
+        F.col("doc_id").alias("doc"),
+        F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t)).alias(
+            "__hashes__"
+        ),
+    ).select(
+        "doc",
+        sum(
+            [
+                F.when(naive_bit_vote(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(dedup.SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    fast = dedup.simhash(sample, "doc_id", "text")
+    want = {(r.doc, r.simhash) for r in naive.collect()}
+    got = {(r.doc, r.simhash) for r in fast.collect()}
+    assert got == want
