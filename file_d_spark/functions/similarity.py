@@ -25,6 +25,16 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_lit(vec: Column, plane: list[float]) -> Column:
+    """Dot product against a CONSTANT vector.  The literal array folds
+    to a single Literal, so this is one zip_with/aggregate pass per
+    row.  (Unrolling to a scalar multiply-add chain is a trap: 16
+    planes x 64 dims builds a ~3 MB expression tree per task that blows
+    the codegen method limit and evaluates interpreted, measured 5x
+    SLOWER than the folded-literal HOF form.)"""
+    return dot(vec, F.array(*[F.lit(float(v)) for v in plane]))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -53,15 +63,25 @@ def brute_force_topk(
     from file_d_spark.functions.dedup import spread
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
+    # norms computed ONCE per row on each side — cosine() inline would
+    # re-derive |q| and |c| per PAIR (3x the array traversals)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "sim",
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -91,12 +111,22 @@ def cosine_pairs(
     from file_d_spark.functions.dedup import spread
 
     a = spread(corpus).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("norm_a"),
     )
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("norm_b"),
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "sim",
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
@@ -137,10 +167,11 @@ def ivf_topk(
 
     def cent_sims(vec: Column) -> Column:
         """array of dot(vec, c_i)/|c_i| — argmax equals cosine argmax
-        since |vec| is constant across centroids."""
+        since |vec| is constant across centroids.  Unrolled literal
+        dots (dot_lit) keep the corpus-assignment scan in codegen."""
         return F.array(
             *[
-                dot(vec, F.array(*[F.lit(x) for x in cv])) / F.lit(cn)
+                dot_lit(vec, cv) / F.lit(cn)
                 for cv, cn in zip(cent_vecs, cent_norms)
             ]
         )
@@ -212,8 +243,8 @@ def rh_signature(vec: Column, dim: int, planes: int = 16) -> Column:
     of <vec, plane_i>.  Returns a long."""
     bits = []
     for i in range(planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, i)])
-        bits.append(F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        proj = dot_lit(vec, _hyperplane(dim, i))
+        bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0]).cast("long")
 
 
@@ -245,11 +276,13 @@ def lsh_topk(
         sig = df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
+            norm(F.col(vec_col)).alias(f"{role}_norm"),
             rh_signature(F.col(vec_col), dim, planes).alias("sig"),
         )
         return sig.select(
             f"{role}_id",
             f"{role}_vec",
+            f"{role}_norm",
             F.explode(
                 F.array(
                     *[
@@ -263,17 +296,23 @@ def lsh_topk(
                     ]
                 )
             ).alias("bb"),
-        ).select(f"{role}_id", f"{role}_vec", "bb.band", "bb.val")
+        ).select(f"{role}_id", f"{role}_vec", f"{role}_norm", "bb.band", "bb.val")
 
-    cand = (
+    # score candidates in place, THEN dedup on the (query, neighbor) pair
+    # key: a multi-band collision re-scores a pair (cheap, map-side) but
+    # the groupBy shuffles only ids + one double — the pre-scoring
+    # distinct() shuffled both full vectors per candidate row
+    scored = (
         banded(corpus, "neighbor")
         .join(F.broadcast(banded(queries, "query")), ["band", "val"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
-        .distinct()
-    )
-    scored = cand.withColumn(
-        "sim", cosine(F.col("query_vec"), F.col("neighbor_vec"))
+        .withColumn(
+            "sim",
+            dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("query_norm") * F.col("neighbor_norm")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
