@@ -90,8 +90,18 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """argmax language by stopword hits; 'und' (undetermined) when all
-    scores are zero.  Ties break by fixed language order en>de>es>fr."""
+    scores are zero.  Ties break by fixed language order en>de>es>fr.
+
+    NOTE for hot paths: as a single expression the token chain is
+    re-evaluated for every score reference (HOFs sit outside codegen's
+    subexpression elimination).  Per-row cost is ~9 tokenization passes;
+    prefer :func:`with_lang_id` on DataFrames, which stages the token
+    array and the four score columns through materialized projections."""
     scores = lang_scores(col)
+    return _argmax_lang({k: v for k, v in scores.items()})
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
     best = F.greatest(*scores.values())
     result = F.lit("und")
     # reversed so earlier langs win ties via later when() precedence
@@ -100,6 +110,32 @@ def lang_id(col: Column) -> Column:
             result
         )
     return result
+
+
+def with_lang_id(df, text_col: str, out_col: str = "lang_guess"):
+    """DataFrame-level language ID: identical result to ``lang_id`` but
+    the distinct-token array and the per-language hit counts are staged
+    as real columns, so tokenization runs ONCE per row and the argmax
+    reads four materialized ints.  (CollapseProject keeps the stages
+    apart because the intermediate columns are non-cheap and referenced
+    more than once.)"""
+    sc_cols = {lang: f"__sc_{lang}__" for lang in LANG_STOPWORDS}
+    staged = df.withColumn(
+        "__ltoks__", F.array_distinct(tokens(F.lower(F.col(text_col))))
+    ).withColumns(
+        {
+            name: F.size(
+                F.array_intersect(
+                    "__ltoks__", F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+                )
+            )
+            for lang, name in sc_cols.items()
+        }
+    )
+    out = staged.withColumn(
+        out_col, _argmax_lang({lang: F.col(name) for lang, name in sc_cols.items()})
+    )
+    return out.drop("__ltoks__", *sc_cols.values())
 
 
 def fingerprint(col: Column) -> Column:

@@ -1181,14 +1181,14 @@ def q_text_quality(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
-    return d.select(
+    return text.with_lang_id(d, "text").select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.round(
             spaces.cast("double") / F.greatest(F.size(toks), F.lit(1)), 4
         ).alias("space_per_token"),
-        text.lang_id(F.col("text")).alias("lang_guess"),
+        "lang_guess",
     )
 
 
@@ -1222,7 +1222,7 @@ def q_text_langid(spark, sf_dir):
     before intersect to match set semantics.
     """
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_guess"))
+    return text.with_lang_id(d, "text").select("doc_id", "lang_guess")
 
 
 @query(
