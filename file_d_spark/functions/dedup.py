@@ -53,6 +53,99 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame, seen_df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Exact incremental dedup: new docs whose content digest does NOT
+    appear in the seen corpus (left-anti join on the digest).  This is
+    the correctness baseline; at 100 TB prefer :func:`bloom_dedup`,
+    which replaces the seen-side shuffle with a broadcast filter."""
+    digest = F.md5(F.col(content_col).cast("string")).alias("__digest__")
+    new_d = new_df.withColumn("__digest__", digest)
+    seen_d = seen_df.select(digest)
+    return new_d.join(seen_d, "__digest__", "left_anti").drop("__digest__")
+
+
+def _bloom_positions(content_col: str, k: int, m: int) -> list[Column]:
+    """k bit positions per row by double hashing: pos_i = (b1 + i*b2)
+    mod m with b1/b2 folded into the 31-bit prime field (products stay
+    far below 2^63 — no long overflow under ANSI mode)."""
+    s = F.col(content_col).cast("string")
+    b1 = F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+    b2 = F.pmod(F.xxhash64(s, F.lit(0x5BD1E995)), F.lit(_MH_PRIME - 2)) + 1
+    return [F.pmod(b1 + F.lit(i) * b2, F.lit(m)) for i in range(k)]
+
+
+def bloom_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    content_col: str,
+    id_col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Incremental dedup via a Bloom filter of the seen corpus — the
+    scale path for "drop what we already have" against a reference
+    corpus FAR larger than the new batch.
+
+    Built from public primitives (this Spark build exposes no
+    bloom_filter_agg / might_contain): the seen side maps each digest
+    to k bit positions and bit_or-aggregates them into sparse 64-bit
+    words — ONE shuffle of tiny (word_idx, bits) rows with map-side
+    partial combine — which densify driver-side into a single
+    array<long> literal the new batch's scan probes in place (no join,
+    no shuffle of either data side).
+
+    Guarantees NO false negatives (every true duplicate is dropped);
+    ~``fpp`` of genuinely-new docs are dropped as false positives —
+    acceptable for corpus building, not for billing.
+
+    ``expected_items`` sizes the filter; pass the known corpus count to
+    skip the sizing count job.  Practical bound: the word array is
+    ~1.2 bits/item/0.1fpp — at fpp=1% a 10M-doc corpus is a ~12 MB
+    literal; beyond that raise fpp, shard the filter per seen-corpus
+    partition range, or register a JVM bloom UDAF."""
+    import math
+
+    if expected_items is None:
+        expected_items = max(seen_df.count(), 1)
+    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2.0) ** 2)))
+    k = max(1, round(m / expected_items * math.log(2.0)))
+    n_words = (m + 63) // 64
+    if n_words > (1 << 22):
+        raise ValueError(
+            f"bloom_dedup: {n_words} words exceeds the driver-literal bound; "
+            "raise fpp or shard the filter"
+        )
+    sparse = (
+        seen_df.select(
+            F.explode(F.array(*_bloom_positions(content_col, k, m))).alias("pos")
+        )
+        .selectExpr(
+            "pos div 64 AS w",
+            "shiftleft(1L, cast(pmod(pos, 64) AS int)) AS b",
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in sparse:
+        words[r.w] = r.bits
+    bloom = F.lit(words)  # one array literal, ships with the task binary
+    hits = [
+        F.bit_get(
+            F.get(bloom, (pos / 64).cast("int")), F.pmod(pos, F.lit(64))
+        )
+        == 1
+        for pos in _bloom_positions(content_col, k, m)
+    ]
+    might_contain = hits[0]
+    for h in hits[1:]:
+        might_contain = might_contain & h
+    return new_df.filter(~might_contain)
+
+
 # --------------------------------------------------------------------------
 # shingles + exact jaccard via inverted index
 # --------------------------------------------------------------------------

@@ -1757,6 +1757,82 @@ def q_token_stats_by_lang(spark, sf_dir):
     )
 
 
+@query(
+    "asof_enrich",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    pur AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS pv
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id, round(p.pv, 2) AS purchase_value,
+           p.ts AS purchase_ts
+    FROM clicks c ASOF LEFT JOIN pur p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_enrich(spark, sf_dir):
+    """As-of join: each click gets the user's most recent purchase at
+    or before the click (functions/asof.py — union + keyed window, one
+    shuffle; oracle is DuckDB's native ASOF JOIN).  Right side is
+    pre-deduped per (user, ts) so exact-tie winners are deterministic."""
+    from file_d_spark.functions.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("pv"))
+    )
+    joined = asof_join(clicks, pur, on="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("pv", 2).alias("purchase_value"),
+        F.col("ts_right").alias("purchase_ts"),
+    )
+
+
+@query(
+    "dedup_incremental",
+    """
+    SELECT n.doc_id, n.lang, n.source
+    FROM documents n
+    WHERE n.doc_id % 5 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents s
+        WHERE s.doc_id % 5 <> 0 AND md5(s.text) = md5(n.text))
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of a new batch (doc_id % 5 = 0) against the
+    already-ingested corpus: exact digest anti-join baseline
+    (functions/dedup.py incremental_dedup; bloom_dedup is the
+    shuffle-free 100 TB path, rows-checked as dedup_incremental_bloom)."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    seen = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_dedup(new, seen, "text", "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query("dedup_incremental_bloom")
+def q_dedup_incremental_bloom(spark, sf_dir):
+    """Bloom-filter incremental dedup (no oracle: Spark's bloom bit
+    layout isn't reproducible in DuckDB; the no-false-negative and
+    FP-bound guarantees are unit-tested against the exact path)."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    seen = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.bloom_dedup(
+        new, seen, "text", "doc_id", expected_items=10_000
+    ).select("doc_id", "lang", "source")
+
+
 # ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in
@@ -1772,6 +1848,7 @@ _SWEEP_TAIL = [
     "dedup_simhash",        # rows-only: hash-dependent signature
     "ann_lsh",              # rows-only: approximate by design
     "ann_ivf",              # rows-only: approximate by design
+    "dedup_incremental_bloom",  # rows-only: bloom layout engine-specific
 ]
 
 
