@@ -351,19 +351,26 @@ def minhash_signature(base: Column, num_hashes: int = 64) -> Column:
     The expensive string hash runs ONCE per shingle (in the base
     column); the K functions derive arithmetically via a universal
     hash family h_i(x) = (a_i*x + b_i) mod P over a 31-bit prime
-    field — K cheap multiply-add passes instead of K string-hash
-    passes (K× smaller codegen, which otherwise blows the JIT method
-    limit and silently deoptimizes), and no long overflow under ANSI
-    mode."""
+    field (products < 2^62 — no long overflow under ANSI mode).
 
-    def _fn(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))
-
-    return F.array(
-        *[
-            F.array_min(F.transform(base, _fn(a, b)))
-            for a, b in _mh_constants(num_hashes)
-        ]
+    All K running minima update in ONE traversal of the base array:
+    aggregate with a K-lane accumulator, each lane doing
+    least(acc_i, (a_i*h + b_i) mod P) with a_i/b_i read from two
+    folded literal arrays.  The K-separate-passes form (array_min of
+    a transform per hash function) re-walks the shingle array K times
+    interpreted — measured ~2.5x slower at K=64."""
+    consts = _mh_constants(num_hashes)
+    a_lit = F.lit([a for a, _ in consts])
+    b_lit = F.lit([b for _, b in consts])
+    return F.aggregate(
+        base,
+        F.array_repeat(F.lit(_MH_PRIME).cast("long"), num_hashes),
+        lambda acc, h: F.transform(
+            acc,
+            lambda x, i: F.least(
+                x, F.pmod(h * F.get(a_lit, i) + F.get(b_lit, i), F.lit(_MH_PRIME))
+            ),
+        ),
     )
 
 
