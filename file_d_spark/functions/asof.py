@@ -23,6 +23,57 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str] | str,
+    point_ts: str = "ts",
+    start_ts: str = "start",
+    end_ts: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: each point row pairs with every interval
+    row of the same key whose [start, end) contains the point's
+    timestamp (inner join; a point inside k intervals yields k rows).
+
+    Scale design: NOT an inequality theta-join (Spark would plan a
+    BroadcastNestedLoop / cartesian per key and filter |P|x|I| pairs).
+    Time is cut into fixed ``bucket_seconds`` buckets; each interval
+    explodes over the buckets it covers, points map to one bucket, and
+    the match is an EQUI-join on (key, bucket) + the exact range
+    predicate.  Shuffle volume is |P| + |I| * avg_buckets_per_interval
+    — linear as long as interval length is bounded by a few buckets
+    (pick bucket_seconds near the typical interval length).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    b = F.lit(bucket_seconds * 1_000_000)
+
+    def bucket(micros: Column) -> Column:
+        # floor-div (not cast-truncate) so pre-epoch timestamps bucket
+        # consistently on both sides
+        return F.floor(micros / b).cast("long")
+
+    p = points.withColumn("__bucket__", bucket(F.unix_micros(F.col(point_ts))))
+    i = intervals.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                bucket(F.unix_micros(F.col(start_ts))),
+                # end is exclusive, but a zero-length tail still needs
+                # its bucket: clamp to at least the start bucket
+                F.greatest(
+                    bucket(F.unix_micros(F.col(end_ts)) - 1),
+                    bucket(F.unix_micros(F.col(start_ts))),
+                ),
+            )
+        ),
+    )
+    joined = p.join(i, keys + ["__bucket__"]).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    )
+    return joined.drop("__bucket__")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

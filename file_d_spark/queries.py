@@ -1797,6 +1797,43 @@ def q_asof_enrich(spark, sf_dir):
 
 
 @query(
+    "range_join_attribution",
+    """
+    WITH pur AS (
+      SELECT event_id AS purchase_id, user_id, ts AS start_ts,
+             ts + INTERVAL 1 HOUR AS end_ts
+      FROM events WHERE event_type = 'purchase'),
+    clk AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, p.purchase_id
+    FROM clk c JOIN pur p
+      ON c.user_id = p.user_id AND c.ts >= p.start_ts AND c.ts < p.end_ts
+    """,
+)
+def q_range_join_attribution(spark, sf_dir):
+    """Point-in-interval join: views landing inside any 1-hour
+    post-purchase attribution window of the same user
+    (functions/asof.py interval_join — bucketized equi-join, linear
+    shuffle; the inequality-join plan Spark would pick on its own is
+    a per-key nested loop).  Oracle: the plain inequality join."""
+    from file_d_spark.functions.asof import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    clk = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        clk, pur, on="user_id", point_ts="ts",
+        start_ts="start_ts", end_ts="end_ts", bucket_seconds=3600,
+    ).select("event_id", "user_id", "purchase_id")
+
+
+@query(
     "dedup_incremental",
     """
     SELECT n.doc_id, n.lang, n.source

@@ -99,3 +99,44 @@ def test_bloom_dedup_no_false_negatives(spark, sf_dir):
     assert exact, "fixture should have novel docs"
     # false positives only cost novel docs; 0.01 nominal, 0.05 loose bound
     assert len(exact - bloom) <= max(1, int(0.05 * n_new))
+
+
+def test_interval_join_matches_inequality_join(spark, sf_dir):
+    """Bucketized interval_join must equal the plain inequality join,
+    including intervals spanning multiple buckets and bucket edges."""
+    from file_d_spark.functions.asof import interval_join
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("end_ts"),
+    )
+    clk = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    # bucket (1h) deliberately smaller than the interval (90min) so
+    # multi-bucket explode is exercised
+    got = {
+        (r.event_id, r.pid)
+        for r in interval_join(
+            clk, pur, on="user_id", point_ts="ts",
+            start_ts="start_ts", end_ts="end_ts", bucket_seconds=3600,
+        ).collect()
+    }
+    want = {
+        (r.event_id, r.pid)
+        for r in clk.alias("c")
+        .join(
+            pur.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.ts") >= F.col("p.start_ts"))
+            & (F.col("c.ts") < F.col("p.end_ts")),
+        )
+        .select("c.event_id", "p.pid")
+        .collect()
+    }
+    assert got == want
+    assert got, "fixture should produce in-window pairs"
