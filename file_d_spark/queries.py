@@ -1006,6 +1006,31 @@ def q_tumbling(spark, sf_dir):
     )
 
 
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact continuous percentiles + distinct users per event type.
+    Spark's `percentile` matches DuckDB quantile_cont interpolation;
+    the sketch variants (percentile_approx / approx_count_distinct)
+    are the drop-in 100 TB path where exactness isn't required."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
 # ===========================================================================
 # training-data pipeline operators (documents / embeddings)
 # ===========================================================================
