@@ -1,0 +1,86 @@
+"""Physical-plan regression guards — the properties that matter at
+100 TB, asserted so a refactor can't silently lose them:
+
+  * no row-at-a-time Python evaluation (BatchEvalPython) anywhere;
+  * Arrow-based Python ops only in the queries sanctioned to use them;
+  * dimension joins broadcast (no SortMergeJoin for enrich/TPC-H Q3);
+  * parquet pushdown reaches the scan for pushable predicates;
+  * column pruning: narrow queries never read the wide text column.
+
+Plans are compiled at sf0.001 (explain only, nothing executes)."""
+
+import re
+
+import pytest
+
+from file_d_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Arrow-vectorized Python is sanctioned only where Column expressions
+# genuinely can't express the op (SURVEY.md §2 notes per op)
+ARROW_PY_ALLOWED = {
+    "kitchen_sink_actions",   # convert_utf8_bytes pandas UDF
+    "convert_utf8_escapes",   # same
+    "multimodal_meta",        # mapInPandas decode plumbing
+    "throttle_rules",         # exact limit_distribution applyInPandas
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_row_at_a_time_python(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, f"{name} fell back to row-UDF"
+    if name not in ARROW_PY_ALLOWED:
+        assert not re.search(
+            r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan
+        ), f"{name} unexpectedly runs Python"
+
+
+def test_enrich_joins_broadcast(spark, sf_dir):
+    for name in ["join_enrich_broadcast", "tpch_q3"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: dimension join degraded to sort-merge"
+        )
+
+
+def test_tpch_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q1")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_shipdate" in p for p in pushed), (
+        "Q1 shipdate predicate did not reach the parquet scan"
+    )
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for rs in reads for c in rs.split(",") if c}
+    assert "l_comment" not in read_cols, "Q1 reads unreferenced columns"
+
+
+def test_narrow_queries_prune_text(spark, sf_dir):
+    """Queries that don't consume document text must not scan it —
+    text dominates the table's bytes."""
+    for name in ["hash_split_stats", "multimodal_meta"]:
+        plan = plan_of(spark, sf_dir, name)
+        reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {
+            c.split(":")[0] for rs in reads for c in rs.split(",") if c
+        }
+        if name == "multimodal_meta":
+            continue  # text IS the blob stand-in here
+        assert "text" not in read_cols, f"{name} scans the text column"
+
+
+def test_stateful_ops_single_shuffle(spark, sf_dir):
+    """throttle/sessionize shuffle once on their key (plus AQE reads);
+    a second Exchange on a different key means the plan regressed."""
+    for name, max_exchanges in [("sessionize", 1), ("topk_per_group", 1)]:
+        plan = plan_of(spark, sf_dir, name)
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n <= max_exchanges, (
+            f"{name}: {n} hash exchanges (expected <= {max_exchanges})"
+        )
