@@ -258,6 +258,15 @@ def jaccard_pairs(
     Shuffles are all linear in the posting count: freq groupBy
     (shingle), rank window (doc), prefix self-join (shingle),
     pair-groupBy.  No shuffle is quadratic in a posting list.
+
+    Rejected alternative (round 3, measured): replacing the freq/rank
+    windows with a binary hot/cold bitmap (top-K frequency set, probed
+    in-row or per posting) runs 4-5x SLOWER end-to-end.  On a
+    small-vocabulary corpus nearly every shingle is "hot", so the
+    binary split loses the graded order — prefixes then admit
+    mid-frequency shingles and the candidate join explodes.  The
+    pruning power lives in ranking each doc's shingles by EXACT global
+    frequency, which the window pair computes in two linear shuffles.
     """
     from pyspark.sql import Window
 
