@@ -138,6 +138,35 @@ def with_lang_id(df, text_col: str, out_col: str = "lang_guess"):
     return out.drop("__ltoks__", *sc_cols.values())
 
 
+def char_entropy(df, id_col: str, text_col: str):
+    """Shannon entropy (bits) of the character distribution per
+    document — a cheap perplexity proxy: machine-generated or
+    low-quality text (repeated boilerplate, base64 blobs, single-char
+    floods) sits at the entropy extremes.
+
+    Linear aggregation form (explode -> groupBy(doc, char) ->
+    groupBy(doc)), same scale shape as the Gopher repetition metrics:
+    shuffles on (doc, char), never quadratic per document.  Uses
+    H = log2(n) - sum(k*log2(k))/n so one pass over the counts
+    suffices."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+        ).alias("__ch__"),
+    )
+    counts = chars.groupBy(id_col, "__ch__").agg(
+        F.count(F.lit(1)).alias("__k__")
+    )
+    return counts.groupBy(id_col).agg(
+        F.round(
+            F.log2(F.sum("__k__"))
+            - F.sum(F.col("__k__") * F.log2("__k__")) / F.sum("__k__"),
+            4,
+        ).alias("entropy")
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set.  Two documents with the same bag of words

@@ -1783,6 +1783,25 @@ def q_token_stats_by_lang(spark, sf_dir):
 
 
 @query(
+    "text_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+    cnt AS (
+      SELECT doc_id, c, count(*) AS k FROM ch WHERE c <> '' GROUP BY doc_id, c)
+    SELECT doc_id,
+           round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 4) AS entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_text_entropy(spark, sf_dir):
+    """Character-entropy perplexity proxy (functions/text.char_entropy
+    — linear explode/groupBy, the Gopher-metrics scale shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.char_entropy(d, "doc_id", "text")
+
+
+@query(
     "asof_enrich",
     """
     WITH clicks AS (
@@ -1909,6 +1928,7 @@ def q_dedup_incremental_bloom(spark, sf_dir):
 # (c) the rows-only approximate ops last (their correctness lives in
 # recall/subset tests, so a missing row loses the least evidence).
 _SWEEP_TAIL = [
+    "join_enrich_broadcast",  # broadcast-join shape also proven by tpch_q3
     "cube_agg",             # relational demo; test_actions cube golden
     "union_pipelines",      # unionByName demo; e2e covered
     "tumbling_agg",         # windowed-agg demo; throttle covers buckets
