@@ -212,3 +212,44 @@ def test_antispam_stream_idle_unban(spark, tmp_path):
     # the original burst stays suppressed; heartbeats flowed through
     assert not any(s == "spammy" and i < 100 for s, i in seen)
     assert ("other", 0) in seen
+
+
+def test_session_window_stream(spark, stream_reader):
+    """Streaming sessionization via Spark's native session_window —
+    the streaming counterpart of the batch sessionize query (gap-based
+    sessions close when no event arrives within the gap and the
+    watermark passes)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user u1: two events 10s apart (one session), then a 2min gap,
+        # then another event (second session)
+        {"u": "u1", "ts": "2024-01-01T00:00:00.000Z", "v": 1.0},
+        {"u": "u1", "ts": "2024-01-01T00:00:10.000Z", "v": 2.0},
+        {"u": "u1", "ts": "2024-01-01T00:02:30.000Z", "v": 4.0},
+        # u2: single event
+        {"u": "u2", "ts": "2024-01-01T00:00:05.000Z", "v": 9.0},
+        # late closer so the watermark passes every session's gap
+        {"u": "zz", "ts": "2024-01-01T00:10:00.000Z", "v": 0.0},
+    ]
+    df = stream_reader(rows, "u string, ts timestamp, v double")
+    agg = (
+        df.withWatermark("ts", "5 seconds")
+        .groupBy(F.session_window("ts", "60 seconds"), "u")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.u, r.session_window.start.isoformat()): (r.n, r.total)
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    assert got[("u1", "2024-01-01T00:00:00")] == (2, 3.0)
+    assert got[("u1", "2024-01-01T00:02:30")] == (1, 4.0)
+    assert got[("u2", "2024-01-01T00:00:05")] == (1, 9.0)
