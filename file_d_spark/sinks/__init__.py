@@ -36,10 +36,53 @@ def coerce_to_schema(df: DataFrame, schema: T.StructType, strict: bool = False) 
     return df.select(*cols)
 
 
+def apply_retention(path: str, partition_by: list[str], retention: str) -> int:
+    """Prune partition directories older than the retention horizon —
+    the reference's retention_interval file aging (file.go:63-112)
+    expressed against time-partitioned output: a partition dir like
+    ``day=2024-01-01`` ages out when its value parses older than
+    now - interval.  Driver-side directory listing only (one entry per
+    partition, not per file); returns the number of pruned dirs."""
+    import datetime as dt
+    import os
+    import re
+    import shutil
+
+    from file_d_spark.xtime import parse_duration_s
+
+    if not partition_by:
+        return 0
+    horizon = dt.datetime.now(dt.timezone.utc) - dt.timedelta(
+        seconds=parse_duration_s(retention)
+    )
+    key = partition_by[0]
+    pruned = 0
+    if not os.path.isdir(path):
+        return 0
+    for entry in os.listdir(path):
+        m = re.fullmatch(re.escape(key) + r"=(.+)", entry)
+        if not m:
+            continue
+        val = m.group(1)
+        stamp = None
+        for fmt in ("%Y-%m-%d", "%Y-%m-%d-%H", "%Y%m%d"):
+            try:
+                stamp = dt.datetime.strptime(val, fmt).replace(
+                    tzinfo=dt.timezone.utc
+                )
+                break
+            except ValueError:
+                continue
+        if stamp is not None and stamp < horizon:
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            pruned += 1
+    return pruned
+
+
 def sink_file(df: DataFrame, cfg: dict[str, Any]):
-    """Rolling-file output.  The reference's retention/sealing
-    (file.go:63-112) maps to time partitioning + compression: files
-    partitioned by a time column age out by partition directory."""
+    """Rolling-file output.  The reference's sealing (file.go:63-112)
+    maps to time partitioning + compression; ``retention_interval``
+    prunes aged-out partition directories after each write."""
     fmt = cfg.get("format", "json")
     path = cfg["target_file" if "target_file" in cfg else "path"]
     writer = df.write.mode(cfg.get("mode", "overwrite"))
@@ -56,6 +99,10 @@ def sink_file(df: DataFrame, cfg: dict[str, Any]):
         writer.csv(path, header=True)
     else:
         writer.format(fmt).save(path)
+    if cfg.get("retention_interval"):
+        apply_retention(
+            path, list(partition_by or []), cfg["retention_interval"]
+        )
 
 
 def sink_socket(df: DataFrame, cfg: dict[str, Any]):

@@ -72,14 +72,21 @@ def _duration_ms(v, default_ms: int) -> int:
     return int(float(m.group(1)) * units.get(m.group(2) or "s", 1000))
 
 
-def kafka_source_options(cfg: dict) -> dict[str, str]:
+def kafka_source_options(
+    cfg: dict, capacity: int | None = None, streaming: bool = False
+) -> dict[str, str]:
     """file.d kafka input config -> Spark kafka reader options
     (/root/reference/plugin/input/kafka/kafka.go:77-214).
 
     Consumer-group coordination (consumer_group, balancer,
     auto_commit) is superseded by Spark's own offset tracking: the
     checkpoint/WAL IS the committed offset, so group.id is passed only
-    for broker-side quota/ACL identity."""
+    for broker-side quota/ACL identity.
+
+    ``capacity`` (the reference's bounded event pool,
+    pipeline/event.go:246-290) maps onto maxOffsetsPerTrigger when
+    streaming — per-trigger admission is Spark's backpressure; an
+    explicit ``max_offsets_per_trigger`` in cfg wins."""
     brokers = cfg.get("brokers", "localhost:9092")
     if isinstance(brokers, (list, tuple)):
         brokers = ",".join(brokers)
@@ -122,6 +129,11 @@ def kafka_source_options(cfg: dict) -> dict[str, str]:
         )
     elif cfg.get("is_ssl_enabled"):
         opts["kafka.security.protocol"] = "SSL"
+    if streaming:
+        if cfg.get("max_offsets_per_trigger"):
+            opts["maxOffsetsPerTrigger"] = str(int(cfg["max_offsets_per_trigger"]))
+        elif capacity:
+            opts["maxOffsetsPerTrigger"] = str(int(capacity))
     return opts
 
 
@@ -188,6 +200,20 @@ def _build_source_inner(
                 df, plan, meta_cols=[F.col("_source_name"), F.col("_offset")]
             )
         reader = spark.readStream if streaming else spark.read
+        if streaming:
+            # backpressure: the reference bounds in-flight events with a
+            # capacity'd event pool (pipeline/event.go:246-290); Spark's
+            # analogue is per-trigger admission.  File sources admit by
+            # files/bytes (explicit options); kafka maps capacity to
+            # maxOffsetsPerTrigger below.
+            if cfg.get("max_files_per_trigger"):
+                reader = reader.option(
+                    "maxFilesPerTrigger", int(cfg["max_files_per_trigger"])
+                )
+            if cfg.get("max_bytes_per_trigger"):
+                reader = reader.option(
+                    "maxBytesPerTrigger", str(cfg["max_bytes_per_trigger"])
+                )
         decoder_name = plan.settings.decoder
         schema = (plan.settings.decoder_params or {}).get("schema") or plan.settings.extra.get("schema")
         if decoder_name == "json" and schema:
@@ -225,7 +251,10 @@ def _build_source_inner(
     if typ == "kafka":
         reader = spark.readStream if streaming else spark.read
         r = reader.format("kafka")
-        for k, v in kafka_source_options(cfg).items():
+        opts = kafka_source_options(
+            cfg, capacity=plan.settings.capacity, streaming=streaming
+        )
+        for k, v in opts.items():
             r = r.option(k, v)
         return decode_kafka_frame(r.load(), plan)
     if typ == "k8s":

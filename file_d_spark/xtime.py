@@ -13,6 +13,30 @@ from pyspark.sql import functions as F
 
 UNIX_ALIASES = {"unixtime", "unixtimemilli", "unixtimemicro", "unixtimenano"}
 
+_DURATION_UNITS = {
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+    "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
+}
+
+
+def parse_duration_s(s: str | int | float) -> float:
+    """Go-style duration string → seconds ("30s", "5m", "1h30m",
+    "300ms", "7d"; bare numbers are seconds).  Raises on anything
+    unparseable — config typos must not silently become zero."""
+    import re
+
+    if isinstance(s, (int, float)):
+        return float(s)
+    text = s.strip()
+    parts = re.findall(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d)", text)
+    consumed = "".join(f"{n}{u}" for n, u in parts)
+    if parts and consumed == text.replace(" ", ""):
+        return sum(float(n) * _DURATION_UNITS[u] for n, u in parts)
+    try:
+        return float(text)
+    except ValueError:
+        raise ValueError(f"unparseable duration: {s!r}") from None
+
 # alias -> Spark/JDK pattern (see Spark "Datetime Patterns" docs)
 FORMAT_ALIASES: dict[str, str] = {
     "ansic": "EEE MMM ppd HH:mm:ss yyyy",

@@ -162,3 +162,20 @@ def test_sink_frame_topic_routing(spark):
     # without use_topic_field only value is produced
     out2 = kafka_sink_frame(df.select("x", "y"), {"default_topic": "t"})
     assert out2.columns == ["value"]
+
+
+def test_capacity_maps_to_max_offsets_per_trigger():
+    """Pipeline capacity (the reference's bounded event pool) becomes
+    per-trigger offset admission on the streaming kafka reader; an
+    explicit max_offsets_per_trigger option wins; batch reads get no
+    trigger option at all."""
+    base = {"brokers": ["b:9092"], "topics": ["t"]}
+    opts = kafka_source_options(dict(base), capacity=2048, streaming=True)
+    assert opts["maxOffsetsPerTrigger"] == "2048"
+    opts = kafka_source_options(
+        dict(base, max_offsets_per_trigger=500), capacity=2048, streaming=True
+    )
+    assert opts["maxOffsetsPerTrigger"] == "500"
+    assert "maxOffsetsPerTrigger" not in kafka_source_options(
+        dict(base), capacity=2048, streaming=False
+    )

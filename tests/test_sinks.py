@@ -114,3 +114,47 @@ def test_file_sink_partitioned(spark, tmp_path):
         with open(path) as fh:
             rows += [json.loads(l) for l in fh if l.strip()]
     assert sorted(r["v"] for r in rows) == [1, 2, 3]
+
+
+def test_parse_duration_s():
+    from file_d_spark.xtime import parse_duration_s
+
+    assert parse_duration_s("30s") == 30.0
+    assert parse_duration_s("1h30m") == 5400.0
+    assert parse_duration_s("300ms") == 0.3
+    assert parse_duration_s("7d") == 7 * 86400.0
+    assert parse_duration_s(45) == 45.0
+    assert parse_duration_s("2.5") == 2.5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_duration_s("soon")
+
+
+def test_sink_file_retention_prunes_old_partitions(spark, tmp_path):
+    """retention_interval ages out time-partition directories
+    (file.go:63-112 retention analogue)."""
+    import datetime as dt
+    import os
+
+    from file_d_spark.sinks import sink_file
+
+    old_day = (dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=10)).strftime(
+        "%Y-%m-%d"
+    )
+    new_day = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    df = spark.createDataFrame(
+        [(1, old_day), (2, new_day)], "id long, day string"
+    )
+    out = str(tmp_path / "out")
+    sink_file(
+        df,
+        {
+            "path": out,
+            "format": "json",
+            "partition_by": ["day"],
+            "retention_interval": "7d",
+        },
+    )
+    dirs = {e for e in os.listdir(out) if e.startswith("day=")}
+    assert dirs == {f"day={new_day}"}
