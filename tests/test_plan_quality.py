@@ -84,3 +84,34 @@ def test_stateful_ops_single_shuffle(spark, sf_dir):
         assert n <= max_exchanges, (
             f"{name}: {n} hash exchanges (expected <= {max_exchanges})"
         )
+
+
+def test_action_chain_fuses_into_few_projections(spark, sf_dir):
+    """A long scalar-action chain must compile into a handful of fused
+    projections (CollapseProject + codegen), NOT one operator per
+    action — the engine's per-event plugin chain becomes one pass."""
+    from file_d_spark.engine import Pipeline
+    from file_d_spark.tables import load_table
+
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {"type": "add_host"},
+                {"type": "set_time", "field": "reset_time", "format": "rfc3339"},
+                {"type": "modify", "tag": "u${user_id}-${event_type}"},
+                {"type": "rename", "value": "val2"},
+                {"type": "json_encode", "field": "props"},
+                {"type": "mask", "masks": [{"re": r"\d{4}", "replace_word": "X"}],
+                 "process_fields": ["props"]},
+                {"type": "remove_fields", "fields": ["event_id"]},
+                {"type": "discard", "do_if": {"op": "equal", "field": "event_type",
+                                              "values": ["view"]}},
+            ]
+        }
+    )
+    df = p.apply(load_table(spark, sf_dir, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_project = plan.count("Project ")
+    assert n_project <= 3, f"8-action chain produced {n_project} Project nodes"
+    # "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert re.search(r"\*\(\d+\) Project", plan), "projection left codegen"
