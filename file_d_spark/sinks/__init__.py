@@ -170,15 +170,65 @@ def _http_batch_sink(df: DataFrame, cfg: dict[str, Any], encoder: Callable[[list
     df.foreachPartition(send_partition)
 
 
+_GO_TO_STRFTIME = [
+    ("2006", "%Y"), ("01", "%m"), ("02", "%d"),
+    ("15", "%H"), ("04", "%M"), ("05", "%S"),
+]
+
+
+def _go_time_to_strftime(layout: str) -> str:
+    for go, py in _GO_TO_STRFTIME:
+        layout = layout.replace(go, py)
+    return layout
+
+
+def build_index_name(
+    doc: dict, index_format: str, index_values: list[str], now_str: str
+) -> str:
+    """Reference index routing (elasticsearch.go:487-514): each '%' in
+    index_format consumes the next index_values entry — '@time' is the
+    formatted wall time, otherwise the event field's value ('not_set'
+    when empty/absent).  Placeholder/value count mismatch is a config
+    error (the reference Fatals)."""
+    out = []
+    repl = 0
+    for c in index_format:
+        if c != "%":
+            out.append(c)
+            continue
+        if repl >= len(index_values):
+            raise ValueError(
+                "count of placeholders and values isn't match, "
+                "check index_format/index_values config params"
+            )
+        value = index_values[repl]
+        repl += 1
+        if value in ("@time", "@@time"):
+            out.append(now_str)
+        else:
+            v = doc.get(value)
+            out.append(str(v) if v not in (None, "") else "not_set")
+    return "".join(out)
+
+
 def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
-    """ES _bulk payloads: action line + source line per event
-    (/root/reference/plugin/output/elasticsearch/elasticsearch.go:60)."""
-    index = cfg.get("index_format", "logs")
+    """ES _bulk payloads: action line + source line per event, with
+    per-event index routing via index_format '%' placeholders +
+    index_values ('@time' -> wall time in time_format)
+    (/root/reference/plugin/output/elasticsearch/elasticsearch.go:60,
+    110-126, 487-514)."""
+    import datetime as dt
+
+    index_format = cfg.get("index_format", "file-d-%")
+    index_values = list(cfg.get("index_values", ["@time"]))
+    time_format = _go_time_to_strftime(cfg.get("time_format", "2006-01-02"))
+    now_str = dt.datetime.now(dt.timezone.utc).strftime(time_format)
 
     def encode(docs: list[dict]) -> list[str]:
         lines = []
         for d in docs:
-            lines.append(json.dumps({"index": {"_index": index}}))
+            name = build_index_name(d, index_format, index_values, now_str)
+            lines.append(json.dumps({"index": {"_index": name}}))
             lines.append(json.dumps(d, default=str))
         return ["\n".join(lines) + "\n"]
 

@@ -158,3 +158,35 @@ def test_sink_file_retention_prunes_old_partitions(spark, tmp_path):
     )
     dirs = {e for e in os.listdir(out) if e.startswith("day=")}
     assert dirs == {f"day={new_day}"}
+
+
+def test_es_index_routing_placeholders(spark, tmp_path):
+    """index_format '%' placeholders consume index_values: event fields
+    route per event, '@time' is wall time in time_format, empty fields
+    become 'not_set' (elasticsearch.go:487-514)."""
+    import datetime as dt
+
+    from file_d_spark.sinks import build_index_name, sink_elasticsearch
+
+    df = spark.createDataFrame(
+        [("svc-a", 1), ("", 2)], "service string, n long"
+    ).coalesce(1)
+    out = str(tmp_path / "esr")
+    sink_elasticsearch(
+        df,
+        {
+            "index_format": "my-index-%-%",
+            "index_values": ["service", "@time"],
+            "time_format": "2006-01-02",
+            "transport": _collector(out),
+        },
+    )
+    lines = [l for p in _payloads(out) for l in p.strip().split("\n")]
+    today = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    names = sorted(json.loads(l)["index"]["_index"] for l in lines[0::2])
+    assert names == [f"my-index-not_set-{today}", f"my-index-svc-a-{today}"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_index_name({}, "a-%-%", ["only_one"], "t")
