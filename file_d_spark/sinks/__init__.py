@@ -362,9 +362,53 @@ def kafka_sink_frame(df: DataFrame, cfg: dict[str, Any]) -> DataFrame:
     return df.select(*out)
 
 
+def sink_s3(df: DataFrame, cfg: dict[str, Any]):
+    """S3 output with multi-bucket fan-out
+    (/root/reference/plugin/output/s3/s3.go:28-90): events carrying
+    ``bucket_field_event`` route to that bucket when it's one of the
+    configured ``multi_buckets``; everything else lands in the default
+    ``bucket``.  Each bucket is one filtered write (bucket count is a
+    small config constant; the filter prunes at the scan).  Credentials
+    /endpoints map to hadoop s3a conf outside this function;
+    ``path_template`` (default ``s3a://{bucket}/{prefix}``) makes the
+    layout testable against local paths."""
+    bucket = cfg.get("bucket")
+    if not bucket:
+        # plain s3a:// path config — same writer as the file sink
+        sink_file(df, cfg)
+        return
+    template = cfg.get("path_template", "s3a://{bucket}/{prefix}")
+    prefix = cfg.get("file_name", "logs")
+    field = cfg.get("bucket_field_event")
+    multi = [m["bucket"] if isinstance(m, dict) else m
+             for m in cfg.get("multi_buckets", [])]
+    overlap = set(multi) & {bucket}
+    if overlap:
+        raise ValueError(f"bucket names can't intersect: {sorted(overlap)}")
+    base = {k: v for k, v in cfg.items()
+            if k in ("format", "compression", "partition_by", "mode")}
+    if not (field and multi):
+        sink_file(df, {**base, "path": template.format(bucket=bucket, prefix=prefix)})
+        return
+    route = (
+        F.when(F.col(field).isin(multi), F.col(field)).otherwise(F.lit(bucket))
+        if field in df.columns
+        else F.lit(bucket)
+    )
+    routed = df.withColumn("__bucket__", route).cache()
+    try:
+        for b in [bucket, *multi]:
+            part = routed.filter(F.col("__bucket__") == b).drop("__bucket__")
+            sink_file(
+                part, {**base, "path": template.format(bucket=b, prefix=prefix)}
+            )
+    finally:
+        routed.unpersist()
+
+
 SINKS: dict[str, Callable[[DataFrame, dict[str, Any]], Any]] = {
     "file": sink_file,
-    "s3": sink_file,  # s3a:// path in cfg['path'] — same writer
+    "s3": sink_s3,
     "stdout": sink_stdout,
     "devnull": sink_devnull,
     "elasticsearch": sink_elasticsearch,

@@ -190,3 +190,49 @@ def test_es_index_routing_placeholders(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         build_index_name({}, "a-%-%", ["only_one"], "t")
+
+
+def test_s3_multi_bucket_routing(spark, tmp_path):
+    """Events route to the bucket named by bucket_field_event when it's
+    a configured multi_bucket, else the default bucket (s3.go:28-90);
+    intersecting bucket names are a config error."""
+    import glob as _glob
+
+    from file_d_spark.sinks import sink_s3
+
+    df = spark.createDataFrame(
+        [
+            ("secret", "m1"),
+            ("other", "m2"),      # not configured -> default
+            (None, "m3"),          # absent -> default
+            ("audit", "m4"),
+        ],
+        "bucket_name string, msg string",
+    ).coalesce(1)
+    root = str(tmp_path / "buckets")
+    sink_s3(
+        df,
+        {
+            "bucket": "main-logs",
+            "bucket_field_event": "bucket_name",
+            "multi_buckets": [{"bucket": "secret"}, {"bucket": "audit"}],
+            "path_template": "file://" + root + "/{bucket}/{prefix}",
+            "format": "json",
+        },
+    )
+
+    def msgs(bucket):
+        rows = []
+        for p in _glob.glob(f"{root}/{bucket}/logs/part-*"):
+            rows += [json.loads(l)["msg"] for l in open(p) if l.strip()]
+        return sorted(rows)
+
+    assert msgs("main-logs") == ["m2", "m3"]
+    assert msgs("secret") == ["m1"]
+    assert msgs("audit") == ["m4"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sink_s3(df, {"bucket": "secret", "multi_buckets": ["secret"],
+                     "bucket_field_event": "bucket_name"})
