@@ -75,6 +75,35 @@ class Pipeline:
     def from_dict(cls, d: dict[str, Any], name: str = "pipeline") -> "Pipeline":
         return cls(PipelinePlan.from_dict(name, d))
 
+    @classmethod
+    def all_from_yaml(cls, source: str) -> dict[str, "Pipeline"]:
+        """Every pipeline in the config, by name — the reference runs
+        all configured pipelines side by side (fd/file.d.go:78-86)."""
+        return {name: cls(plan) for name, plan in load_config(source).items()}
+
+    @staticmethod
+    def run_all_streams(
+        pipelines: dict[str, "Pipeline"],
+        spark: SparkSession,
+        checkpoint_root: str,
+        trigger_available_now: bool = True,
+    ) -> dict[str, Any]:
+        """Start every pipeline's stream concurrently (one Structured
+        Streaming query each, isolated checkpoints under
+        ``checkpoint_root/<name>``); returns name -> StreamingQuery.
+        Spark schedules the queries onto the shared cluster — the
+        analogue of the reference's per-pipeline goroutine groups."""
+        import os
+
+        return {
+            name: p.run_stream(
+                spark,
+                checkpoint_dir=os.path.join(checkpoint_root, name),
+                trigger_available_now=trigger_available_now,
+            )
+            for name, p in pipelines.items()
+        }
+
     # -- execution --------------------------------------------------------
     def apply(self, df: DataFrame, raw_field: str | None = None) -> DataFrame:
         """Run the action chain over an existing DataFrame (batch or

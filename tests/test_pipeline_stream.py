@@ -60,3 +60,53 @@ def test_stream_file_to_file(spark, tmp_path):
             with open(outdir / name) as fh:
                 rows2 += [json.loads(line) for line in fh if line.strip()]
     assert len(rows2) == 150, f"checkpoint restart duplicated output ({n_parts}->{n_parts2} parts)"
+
+
+def test_run_all_streams_side_by_side(spark, tmp_path):
+    """Multiple configured pipelines run concurrently with isolated
+    checkpoints (fd/file.d.go:78-86 side-by-side semantics): each
+    consumes its own input dir and lands in its own sink."""
+    from file_d_spark import Pipeline
+
+    for name in ("alpha", "beta"):
+        d = tmp_path / f"in_{name}"
+        d.mkdir()
+        with open(d / "events.log", "w") as fh:
+            for i in range(10):
+                fh.write(json.dumps({"p": name, "n": i}) + "\n")
+
+    yaml_cfg = f"""
+pipelines:
+  alpha:
+    settings:
+      decoder: json
+      decoder_params: {{schema: "p string, n long"}}
+    input: {{type: file, path: {tmp_path}/in_alpha, filename_pattern: "*.log"}}
+    output: {{type: file, format: json, path: {tmp_path}/out_alpha}}
+  beta:
+    settings:
+      decoder: json
+      decoder_params: {{schema: "p string, n long"}}
+    input: {{type: file, path: {tmp_path}/in_beta, filename_pattern: "*.log"}}
+    actions:
+      - {{type: discard, do_if: {{op: int_val_cmp, field: n, cmp_op: ge, value: 5}}}}
+    output: {{type: file, format: json, path: {tmp_path}/out_beta}}
+"""
+    pipelines = Pipeline.all_from_yaml(yaml_cfg)
+    assert set(pipelines) == {"alpha", "beta"}
+    queries = Pipeline.run_all_streams(
+        pipelines, spark, checkpoint_root=str(tmp_path / "ckpt")
+    )
+    for q in queries.values():
+        q.awaitTermination(120)
+
+    def rows(out):
+        got = []
+        for f in os.listdir(out):
+            if f.startswith("part-"):
+                got += [json.loads(l) for l in open(os.path.join(out, f)) if l.strip()]
+        return got
+
+    assert len(rows(str(tmp_path / "out_alpha"))) == 10
+    beta = rows(str(tmp_path / "out_beta"))
+    assert len(beta) == 5 and all(r["n"] < 5 for r in beta)
