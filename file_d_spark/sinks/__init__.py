@@ -237,12 +237,29 @@ def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
 
 def sink_loki(df: DataFrame, cfg: dict[str, Any]):
     """Loki push payloads: streams with [ts_unix_nano, line] values
-    (/root/reference/plugin/output/loki/loki.go:47-64)."""
+    (/root/reference/plugin/output/loki/loki.go:47-64).  Loki rejects
+    zero/old timestamps, so the nano stamp falls back from an explicit
+    ts_nano field to the configured time column to ingestion time."""
+    import datetime as dt
+
     labels = cfg.get("labels", {"job": "file_d_spark"})
+    ts_field = cfg.get("timestamp_field", "ts")
+
+    def nano_of(d: dict) -> int:
+        if d.get("ts_nano"):
+            return int(d["ts_nano"])
+        v = d.get(ts_field)
+        if isinstance(v, dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=dt.timezone.utc)
+            return int(v.timestamp() * 1e9)
+        if isinstance(v, (int, float)) and v:
+            return int(v if v > 1e15 else v * 1e9)  # nanos vs seconds
+        return int(dt.datetime.now(dt.timezone.utc).timestamp() * 1e9)
 
     def encode(docs: list[dict]) -> list[str]:
         values = [
-            [str(int(d.get("ts_nano", 0))), json.dumps(d, default=str)] for d in docs
+            [str(nano_of(d)), json.dumps(d, default=str)] for d in docs
         ]
         return [json.dumps({"streams": [{"stream": labels, "values": values}]})]
 

@@ -236,3 +236,27 @@ def test_s3_multi_bucket_routing(spark, tmp_path):
     with _pytest.raises(ValueError):
         sink_s3(df, {"bucket": "secret", "multi_buckets": ["secret"],
                      "bucket_field_event": "bucket_name"})
+
+
+def test_loki_timestamp_fallback(spark, tmp_path):
+    """Loki values carry event-time nanos: explicit ts_nano wins, then
+    the timestamp column, then ingestion time (never zero)."""
+    import datetime as dt
+
+    from file_d_spark.sinks import sink_loki
+
+    t = dt.datetime(2024, 3, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame(
+        [(1, t.replace(tzinfo=None), 77), (2, t.replace(tzinfo=None), None), (3, None, None)],
+        "id long, ts timestamp, ts_nano long",
+    ).coalesce(1)
+    out = str(tmp_path / "loki")
+    sink_loki(df, {"transport": _collector(out)})
+    payload = json.loads(_payloads(out)[0])
+    stamps = {
+        json.loads(line)["id"]: int(nanos)
+        for nanos, line in payload["streams"][0]["values"]
+    }
+    assert stamps[1] == 77
+    assert stamps[2] == int(t.timestamp() * 1e9)
+    assert stamps[3] > 1e18  # ingestion-time fallback, not zero
