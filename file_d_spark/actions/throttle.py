@@ -93,33 +93,7 @@ def _require_ungated_stream(pred: Column | None, name: str) -> None:
 class Throttle(Action):
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         if df.isStreaming:
-            _require_ungated_stream(pred, "throttle")
-            if self.params.get("rules"):
-                raise ValueError(
-                    "action 'throttle': per-rule overrides (rules) are "
-                    "batch-only; split the stream into separately "
-                    "throttled pipelines instead"
-                )
-            from file_d_spark.streaming import throttle_stream
-
-            if int(self.params.get("default_limit", 5000)) < 0:
-                return df  # negative limit = unlimited (throttle_test.go:153-181)
-            return throttle_stream(
-                df,
-                key_col=self.params.get("throttle_field", ""),
-                ts_col=self.params.get("time_field", "time"),
-                bucket_interval_s=int(
-                    _parse_duration_seconds(self.params.get("bucket_interval"), 60.0)
-                ),
-                buckets_count=int(self.params.get("buckets_count", 60)),
-                limit=int(self.params.get("default_limit", 5000)),
-                limiter_expiration_ms=int(
-                    _parse_duration_seconds(
-                        self.params.get("limiter_expiration"), 1800.0
-                    )
-                    * 1000
-                ),
-            )
+            return self._apply_stream(df, pred)
         key_field = self.params.get("throttle_field", "")
         time_field = self.params.get("time_field", "time")
         time_fmt = self.params.get("time_field_format", "rfc3339nano")
@@ -276,6 +250,118 @@ class Throttle(Action):
             .filter(F.col("__fd_keep__"))
         )
         return out.drop("__fd_keep__", *helper_cols)
+
+    def _apply_stream(self, df: DataFrame, pred: Column | None) -> DataFrame:
+        """Streaming throttle with full rule parity: the same specs /
+        rule-index / counted-value / distribution-index columns as the
+        batch path feed the keyed state function, which owns one bucket
+        ring per (key, rule) and replays distribution stealing
+        sequentially (the reference's limiter lock scope)."""
+        _require_ungated_stream(pred, "throttle")
+        from file_d_spark.streaming import throttle_stream
+
+        limit = int(self.params.get("default_limit", 5000))
+        limit_kind = self.params.get("limit_kind", "count")
+        size_field = self.params.get("limit_size_field", "")
+        specs = []
+        for rcfg in self.params.get("rules") or []:
+            specs.append(
+                {
+                    "limit": int(rcfg.get("limit", limit)),
+                    "kind": rcfg.get("limit_kind", "count"),
+                    "conditions": rcfg.get("conditions") or {},
+                    "dist": rcfg.get("limit_distribution") or {},
+                }
+            )
+        specs.append(
+            {
+                "limit": limit,
+                "kind": limit_kind,
+                "conditions": {},
+                "dist": self.params.get("limit_distribution") or {},
+            }
+        )
+        for s in specs:
+            if s["dist"].get("field") or s["dist"].get("ratios"):
+                _validate_distribution(s["dist"])
+        if len(specs) == 1 and limit < 0:
+            return df  # negative limit = unlimited (throttle_test.go:153-181)
+
+        def rule_cond(conditions: dict) -> Column:
+            cond = F.lit(True)
+            for fld, val in conditions.items():
+                col = get_col_safe(parse_selector(str(fld)), df.schema)
+                cond = cond & (col.cast("string") == F.lit(str(val)))
+            return cond
+
+        rule_idx = F.lit(len(specs) - 1)
+        for i in reversed(range(len(specs) - 1)):
+            rule_idx = F.when(rule_cond(specs[i]["conditions"]), F.lit(i)).otherwise(
+                rule_idx
+            )
+        size_col = (
+            F.octet_length(
+                get_col_safe(parse_selector(size_field), df.schema).cast("string")
+            )
+            if size_field
+            else F.lit(1)
+        )
+        counted = F.lit(1)
+        for i, s in enumerate(specs):
+            if s["kind"] == "size" and size_field:
+                counted = F.when(F.col("__fd_rule__") == i, size_col).otherwise(
+                    counted
+                )
+        didx = F.lit(-1)
+        for i, s in enumerate(specs):
+            d = s["dist"]
+            if not (d.get("field") and d.get("ratios")):
+                continue
+            field_val = get_col_safe(parse_selector(d["field"]), df.schema).cast(
+                "string"
+            )
+            idx_expr = F.lit(0)
+            for j, r in enumerate(d["ratios"]):
+                idx_expr = F.when(
+                    field_val.isin([str(v) for v in r["values"]]), F.lit(j + 1)
+                ).otherwise(idx_expr)
+            didx = F.when(F.col("__fd_rule__") == i, idx_expr).otherwise(didx)
+
+        rule_cfgs = []
+        for s in specs:
+            d = s["dist"]
+            if d.get("field") and d.get("ratios"):
+                ratios = d["ratios"]
+                dlims = [round(float(r["ratio"]) * s["limit"]) for r in ratios]
+                def_ratio = round(1 - sum(float(r["ratio"]) for r in ratios), 2)
+                dlims = [round(def_ratio * s["limit"])] + dlims
+            else:
+                dlims = None
+            rule_cfgs.append({"limit": int(s["limit"]), "dlims": dlims})
+
+        staged = (
+            df.withColumn("__fd_rule__", rule_idx)
+            .withColumn("__fd_cnt__", counted)
+            .withColumn("__fd_didx__", didx)
+        )
+        return throttle_stream(
+            staged,
+            key_col=self.params.get("throttle_field", ""),
+            ts_col=self.params.get("time_field", "time"),
+            bucket_interval_s=int(
+                _parse_duration_seconds(self.params.get("bucket_interval"), 60.0)
+            ),
+            buckets_count=int(self.params.get("buckets_count", 60)),
+            limit=limit,
+            limiter_expiration_ms=int(
+                _parse_duration_seconds(self.params.get("limiter_expiration"), 1800.0)
+                * 1000
+            ),
+            rule_cfgs=rule_cfgs,
+            rule_col="__fd_rule__",
+            cnt_col="__fd_cnt__",
+            didx_col="__fd_didx__",
+        )
 
     def _admit_exact(self, df, specs, size_col, order_fields, helper_cols):
         """Sequential replay of in_memory_limiter.isAllowed per

@@ -162,53 +162,125 @@ def throttle_stream(
     buckets_count: int,
     limit: int,
     limiter_expiration_ms: int = 30 * 60_000,
+    rule_cfgs: list[dict] | None = None,
+    rule_col: str | None = None,
+    cnt_col: str | None = None,
+    didx_col: str | None = None,
 ) -> DataFrame:
-    """Streaming throttle: per-key sliding ring of ``buckets_count``
-    buckets of ``bucket_interval_s``; admits up to ``limit`` events per
-    bucket; events outside the ring are CLAMPED into the newest bucket
-    and counted there (buckets.go:231-235 rebuildBuckets — "events
-    from past or future goes to the latest bucket").  Idle keys drop
-    their ring after ``limiter_expiration_ms`` (throttle.go:129
+    """Streaming throttle: per-(key, rule) sliding ring of
+    ``buckets_count`` buckets of ``bucket_interval_s``; admits events
+    while the bucket's counted total stays within the rule's limit;
+    events outside the ring are CLAMPED into the newest bucket and
+    counted there (buckets.go:231-235 rebuildBuckets — "events from
+    past or future goes to the latest bucket").  Idle keys drop their
+    rings after ``limiter_expiration_ms`` (throttle.go:129
     LimiterExpiration default 30m + maintenance goroutine) — without
     this the per-key state store grows unboundedly at 100 TB key
-    cardinalities."""
+    cardinalities.
+
+    Full rule parity with the batch path: ``rule_cfgs`` is a list of
+    ``{"limit": int, "dlims": list|None}`` — one per throttle rule,
+    indexed by the precomputed ``rule_col`` (the reference's limiter
+    key embeds the rule index, so each rule owns its own ring).
+    ``cnt_col`` carries the counted value (1 for count kind, byte size
+    for size kind).  ``dlims`` enables limit_distribution with
+    default-reserve STEALING (in_memory_limiter.go getDistrData):
+    ``didx_col`` maps each event to its distribution index (0 =
+    default), and state tracks per-(rule, bucket, didx) usage across
+    micro-batches — the sequential semantics replay inside the keyed
+    state function exactly as they do in the reference's limiter lock.
+    """
     out_schema = df.schema
-    # ring serialized as parallel arrays (bucket epoch-id -> used count)
-    state_schema = "bucket_ids array<long>, used array<long>"
-    data_cols = [f.name for f in df.schema.fields]
+    if rule_cfgs is None:
+        rule_cfgs = [{"limit": int(limit), "dlims": None}]
+    # rings serialized as parallel arrays (rule, bucket, didx) -> used
+    state_schema = (
+        "rules array<long>, bucket_ids array<long>, "
+        "didx array<long>, used array<long>"
+    )
+    data_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in (rule_col, cnt_col, didx_col)
+    ]
+    out_schema = df.select(*data_cols).schema
 
     def fn(
         key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            state.remove()  # limiter expiration: forget the idle ring
+            state.remove()  # limiter expiration: forget the idle rings
             return
         pdf = _concat_frames(frames)
         if not len(pdf):
             return
         pdf = pdf.sort_values(ts_col, kind="mergesort")
         if state.exists:
-            bucket_ids, used = state.get
-            ring: dict[int, int] = dict(zip(bucket_ids, used))
+            rules, bucket_ids, didx, used = state.get
+            ring: dict[tuple, int] = dict(
+                zip(zip(rules, bucket_ids, didx), used)
+            )
         else:
             ring = {}
-        max_bucket = max(ring) if ring else -1
+        # per-rule newest bucket (each rule owns its own ring horizon)
+        max_bucket: dict[int, int] = {}
+        for r, b, _ in ring:
+            max_bucket[r] = max(max_bucket.get(r, -1), b)
+        rule_series = (
+            pdf[rule_col].astype(int) if rule_col else pd.Series(0, index=pdf.index)
+        )
+        cnt_series = (
+            pdf[cnt_col].astype(int) if cnt_col else pd.Series(1, index=pdf.index)
+        )
+        didx_series = (
+            pdf[didx_col].astype(int) if didx_col else pd.Series(-1, index=pdf.index)
+        )
         keep_mask = []
-        for ts in pd.to_datetime(pdf[ts_col]):
+        for ts, r, cnt, di in zip(
+            pd.to_datetime(pdf[ts_col]), rule_series, cnt_series, didx_series
+        ):
+            cfg = rule_cfgs[r]
+            lim, dlims = cfg["limit"], cfg.get("dlims")
+            if lim < 0:
+                keep_mask.append(True)  # negative limit = unlimited
+                continue
             b = int(ts.timestamp()) // bucket_interval_s
-            max_bucket = max(max_bucket, b)
-            if b <= max_bucket - buckets_count:
-                b = max_bucket  # ring clamp: count in the latest bucket
-            n = ring.get(b, 0)
-            if n < limit:
-                ring[b] = n + 1
-                keep_mask.append(True)
-            else:
-                keep_mask.append(False)
-        # evict buckets outside the ring
-        for b in [b for b in ring if b <= max_bucket - buckets_count]:
-            del ring[b]
-        state.update((list(ring.keys()), list(ring.values())))
+            max_bucket[r] = max(max_bucket.get(r, -1), b)
+            if b <= max_bucket[r] - buckets_count:
+                b = max_bucket[r]  # ring clamp: count in the latest bucket
+            if dlims is None:
+                n = ring.get((r, b, 0), 0) + cnt
+                ring[(r, b, 0)] = n
+                keep_mask.append(n <= lim)
+                continue
+            idx, dlim = int(di), dlims[max(int(di), 0)]
+            if idx == 0 and ring.get((r, b, 0), 0) + cnt > dlim:
+                # default over its reserve steals from the most-free
+                # distribution (getDistrData)
+                maxdiff = -1
+                for i in range(1, len(dlims)):
+                    diff = dlims[i] - (ring.get((r, b, i), 0) + cnt)
+                    if diff > maxdiff:
+                        maxdiff, idx, dlim = diff, i, dlims[i]
+            n = ring.get((r, b, idx), 0) + cnt
+            ring[(r, b, idx)] = n
+            keep_mask.append(n <= dlim)
+        # evict buckets that fell out of their rule's ring
+        for k in [
+            (r, b, i)
+            for (r, b, i) in ring
+            if b <= max_bucket.get(r, -1) - buckets_count
+        ]:
+            del ring[k]
+        keys = list(ring.keys())
+        state.update(
+            (
+                [k[0] for k in keys],
+                [k[1] for k in keys],
+                [k[2] for k in keys],
+                [ring[k] for k in keys],
+            )
+        )
         if limiter_expiration_ms:
             state.setTimeoutDuration(limiter_expiration_ms)
         out = pdf[pd.Series(keep_mask, index=pdf.index)]

@@ -253,3 +253,69 @@ def test_session_window_stream(spark, stream_reader):
     assert got[("u1", "2024-01-01T00:00:00")] == (2, 3.0)
     assert got[("u1", "2024-01-01T00:02:30")] == (1, 4.0)
     assert got[("u2", "2024-01-01T00:00:05")] == (1, 9.0)
+
+
+def test_throttle_stream_rules(spark, stream_reader):
+    """Per-rule streaming throttle: the error rule admits 1 per bucket,
+    everything else falls to the default limit 3 — each rule owns its
+    own ring (limiter key embeds the rule index)."""
+    from file_d_spark.actions import build_action
+
+    rows = (
+        [{"k": "x", "level": "error", "ts": f"2024-01-01T00:00:{i:02d}.000Z"}
+         for i in range(5)]
+        + [{"k": "x", "level": "info", "ts": f"2024-01-01T00:00:{i:02d}.500Z"}
+           for i in range(5)]
+    )
+    df = stream_reader(rows, "k string, level string, ts timestamp")
+    act = build_action(
+        {
+            "type": "throttle",
+            "throttle_field": "k",
+            "time_field": "ts",
+            "bucket_interval": "1m",
+            "buckets_count": 10,
+            "default_limit": 3,
+            "rules": [
+                {"limit": 1, "conditions": {"level": "error"}},
+            ],
+        }
+    )
+    out = act.apply(df)
+    _run_stream(out, "thr_rules")
+    got = spark.sql(
+        "SELECT level, count(*) c FROM thr_rules GROUP BY level"
+    ).collect()
+    counts = {r.level: r.c for r in got}
+    assert counts == {"error": 1, "info": 3}
+
+
+def test_throttle_stream_distribution_steal(spark, stream_reader):
+    """Streaming limit_distribution with default-reserve stealing:
+    ratios reserve 0.5 for errors (limit 6 -> 3), default gets 3; a
+    burst of defaults steals only from the UNUSED error reserve."""
+    from file_d_spark.actions import build_action
+
+    rows = [
+        {"k": "x", "level": "warn", "ts": f"2024-01-01T00:00:{i:02d}.000Z"}
+        for i in range(8)
+    ]
+    df = stream_reader(rows, "k string, level string, ts timestamp")
+    act = build_action(
+        {
+            "type": "throttle",
+            "throttle_field": "k",
+            "time_field": "ts",
+            "bucket_interval": "1m",
+            "buckets_count": 10,
+            "default_limit": 6,
+            "limit_distribution": {
+                "field": "level",
+                "ratios": [{"ratio": 0.5, "values": ["error"]}],
+            },
+        }
+    )
+    out = act.apply(df)
+    _run_stream(out, "thr_dist")
+    # default reserve 3 admits 3; overflow steals the error reserve (3)
+    assert spark.sql("SELECT count(*) c FROM thr_dist").collect()[0].c == 6
