@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "ann_brute_force",
     "ann_lsh",
+    "semantic_dedup",
+    "chunk_documents",
     "multimodal_meta",
 ]
 

@@ -260,3 +260,45 @@ def url_normalize(url: Column) -> Column:
         path,
         F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the standard prep step that
+    turns documents into fixed-budget training/RAG chunks: windows of
+    ``size`` whitespace tokens starting every ``stride`` tokens (the
+    last windows may be shorter; a doc shorter than ``size`` yields one
+    chunk).  Output: (id, chunk_id, n_tokens, chunk_text).
+
+    Scale shape: tokenize once, explode the start offsets in-row
+    (``sequence`` + ``slice`` — JVM codegen, no UDF), so the op is a
+    narrow per-row flatMap: no shuffle at all, and the output row count
+    is ~n_tokens/stride per doc regardless of corpus size.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("chunk_tokens: size and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("__toks__"),
+        F.greatest(F.size(toks), F.lit(1)).alias("__n__"),
+    )
+    starts = F.sequence(F.lit(1), F.col("__n__"), F.lit(stride))
+    return (
+        staged.select(
+            F.col(id_col), "__toks__", F.explode(starts).alias("__s__")
+        )
+        .select(
+            F.col(id_col),
+            ((F.col("__s__") - 1) / stride).cast("long").alias("chunk_id"),
+            F.size(F.slice("__toks__", F.col("__s__"), size)).alias("n_tokens"),
+            F.array_join(F.slice("__toks__", F.col("__s__"), size), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )

@@ -226,6 +226,97 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): cluster the embedding space coarsely, compare
+    cosine similarity ONLY within a cluster, and drop every item that
+    has an earlier (lower-id) near-duplicate in its cluster.  Returns
+    the survivors as (id, cluster_id).
+
+    Scale shape: cluster centroids are a tiny driver-side model
+    (``n_clusters`` vectors, deterministically the lowest ids — the
+    stand-in for a KMeans fit) embedded as literals, so assignment is
+    an in-row argmax projection, no shuffle.  The pair comparison is an
+    equi-join on cluster_id — each row only meets its own cluster's
+    slice, never the full corpus: all-pairs cost drops from O(n^2) to
+    sum of per-cluster squares, and at 100 TB the cluster count scales
+    up so each slice stays executor-sized.  The final survivor filter
+    is one left_anti join on the id.
+    """
+    import math
+
+    cents = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )  # n_clusters rows — the "fitted model", not data
+    cent_vecs = [[float(x) for x in r[1]] for r in cents]
+    cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cent_vecs]
+
+    def cent_cos(vec: Column, vnorm: Column) -> Column:
+        return F.array(
+            *[
+                dot_lit(vec, cv) / (vnorm * F.lit(cn))
+                for cv, cn in zip(cent_vecs, cent_norms)
+            ]
+        )
+
+    from file_d_spark.functions.dedup import spread
+
+    assigned = (
+        spread(corpus)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("vnorm"),
+        )
+        .withColumn("__cos__", cent_cos(F.col("vec"), F.col("vnorm")))
+        .withColumn(
+            # first index of the max = deterministic low-cid tie-break,
+            # mirrored by the oracle's ORDER BY sim DESC, cid ASC
+            "cluster_id",
+            (F.array_position(F.col("__cos__"), F.array_max("__cos__")) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("__cos__")
+    )
+    assigned.cache()  # feeds both sides of the pair join + the spine
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("vnorm").alias("norm_a"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("vnorm").alias("norm_b"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .filter(F.round("sim", 6) >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+    )
+    return (
+        assigned.join(dropped, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "cluster_id")
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane: a fixed LCG on
     (plane_idx, component) — reproducible across engines/runs with no

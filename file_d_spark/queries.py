@@ -1914,6 +1914,76 @@ def q_dedup_incremental_bloom(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+@query(
+    "semantic_dedup",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> x * x))) AS vnorm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             v AS cv, vnorm AS cnorm
+      FROM e ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, v, vnorm, cid AS cluster_id FROM (
+        SELECT e.vec_id, e.v, e.vnorm, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+                            i -> e.v[i] * c.cv[i])) / (e.vnorm * c.cnorm)
+                          DESC, c.cid ASC) AS rn
+        FROM e CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(range(1, len(a.v)+1),
+                    i -> a.v[i] * b.v[i])) / (a.vnorm * b.vnorm), 6) >= 0.4
+    )
+    SELECT a.vec_id, CAST(a.cluster_id AS INT) AS cluster_id
+    FROM assigned a WHERE a.vec_id NOT IN (SELECT id FROM dropped)
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (public arXiv 2303.09540): coarse
+    embedding clusters (deterministic lowest-id centroids standing in
+    for a KMeans fit), intra-cluster cosine comparison only, drop every
+    vector with an earlier near-duplicate in its cluster.  The cluster
+    equi-join replaces all-pairs — the 100 TB path for embedding-level
+    dedup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, threshold=0.4, n_clusters=16)
+
+
+@query(
+    "chunk_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    c AS (
+      SELECT doc_id, CAST((s-1)//48 AS BIGINT) AS chunk_id,
+             len(list_slice(toks, s, s+63)) AS n_tokens,
+             array_to_string(list_slice(toks, s, s+63), ' ') AS chunk_text
+      FROM t, unnest(generate_series(1, greatest(len(toks), 1), 48)) AS u(s)
+    )
+    SELECT doc_id, chunk_id, CAST(n_tokens AS INT) AS n_tokens, chunk_text
+    FROM c
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (64-token windows, stride 48)
+    — the document -> training/RAG chunk prep step.  Narrow in-row
+    flatMap (sequence + slice, whole-stage codegen), zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.chunk_tokens(d, "doc_id", "text", size=64, stride=48)
+
+
 # ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in
@@ -1928,6 +1998,8 @@ def q_dedup_incremental_bloom(spark, sf_dir):
 # (c) the rows-only approximate ops last (their correctness lives in
 # recall/subset tests, so a missing row loses the least evidence).
 _SWEEP_TAIL = [
+    "convert_log_level",    # oracle kept; full reference-table golden
+    "filter_len_cmp",       # oracle kept; len-cmp nodes golden in test_doif
     "join_enrich_broadcast",  # broadcast-join shape also proven by tpch_q3
     "cube_agg",             # relational demo; test_actions cube golden
     "union_pipelines",      # unionByName demo; e2e covered
