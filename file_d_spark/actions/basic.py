@@ -63,17 +63,40 @@ class AddFileName(Action):
         return self.set_gated(df, field, src, pred)
 
 
+# set_time accepts legacy timestamp* format names for backward
+# compatibility, exactly like set_time.go:81-86
+_SET_TIME_LEGACY = {
+    "timestampmilli": "unixtimemilli",
+    "timestampmicro": "unixtimemicro",
+    "timestampnano": "unixtimenano",
+}
+
+
 @register("set_time")
 class SetTime(Action):
     """Write the current time into ``field`` rendered with ``format``
-    (alias or Go layout; ``unix*`` variants yield numbers).  With
-    ``override: false`` an existing field is kept."""
+    (alias or Go layout; ``unix*``/legacy ``timestamp*`` variants yield
+    numbers).  With ``override: false`` an existing field is kept.
+
+    ``field`` is a LITERAL root name — the reference digs one segment
+    without selector parsing (set_time.go:72: ``Root.Dig(field)``), so
+    ``a.b.c`` creates a root field named ``a.b.c``, not a nested path.
+    ``now`` (rfc3339 string) pins the clock for deterministic
+    backfills/replays; it mirrors the injected ``t`` of the reference's
+    inner ``do(event, t)`` (set_time.go:70)."""
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
-        field = parse_selector(self.params["field"])
+        field = [self.params.get("field", "time")]
         fmt = self.params.get("format", "rfc3339nano")
+        fmt = _SET_TIME_LEGACY.get(str(fmt).strip().lower(), fmt)
         override = self.params.get("override", True)
-        value = xtime.format_time(F.current_timestamp(), fmt)
+        now = self.params.get("now")
+        clock = (
+            xtime.parse_time(F.lit(str(now)), "rfc3339nano")
+            if now is not None
+            else F.current_timestamp()
+        )
+        value = xtime.format_time(clock, fmt)
         if not override:
             # existing value wins; compare as strings to keep one type
             old = get_col_safe(field, df.schema)
