@@ -49,7 +49,12 @@ def _merge_fieldmap(
             df = df.drop(tmp)
         elif name == "__map__":
             # schemaless parse: keep the map under the source field
-            # (typed engines cannot splat unknown keys)
+            # (typed engines cannot splat unknown keys); the reference's
+            # key prefix (json_decode.go:106-110) still applies
+            if prefix:
+                col = F.transform_keys(
+                    col, lambda k, v: F.concat(F.lit(prefix), k)
+                )
             tgt = target_field or ["decoded"]
             df = action.set_gated(df, tgt, col, pred)
         else:

@@ -182,3 +182,31 @@ def test_set_time_dots_field_is_literal_root_name(spark):
     d = r.asDict(recursive=True)
     assert d["a"] == {"b": {"c": "v"}}  # nested path untouched
     assert d["a.b.c"] == NOW_UNIX * 1000
+
+
+def test_json_decode_prefix_golden(spark):
+    # json_decode_test.go TestDecode: {"log":"{\"field2\":...}"} with
+    # prefix "prefix." -> {"prefix.field2":"value2","prefix.field3":
+    # "value3"}, source field removed (schema'd splat path)
+    r = run_actions(
+        spark,
+        [('{"field2":"value2","field3":"value3"}',)],
+        "log string",
+        [{
+            "type": "json_decode", "field": "log", "prefix": "prefix.",
+            "schema": "field2 string, field3 string",
+        }],
+    ).collect()[0]
+    assert r.asDict() == {"prefix.field2": "value2", "prefix.field3": "value3"}
+
+
+def test_json_decode_prefix_schemaless_map_keys(spark):
+    # schemaless path: typed engines can't splat unknown keys to root —
+    # the parsed map replaces the field, with the prefix on its KEYS
+    r = run_actions(
+        spark,
+        [('{"field2":"value2"}',)],
+        "log string",
+        [{"type": "json_decode", "field": "log", "prefix": "prefix."}],
+    ).collect()[0]
+    assert r.log == {"prefix.field2": "value2"}
