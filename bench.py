@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "semantic_dedup",
     "chunk_documents",
+    "mixture_sample",
     "multimodal_meta",
 ]
 

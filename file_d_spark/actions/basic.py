@@ -41,10 +41,12 @@ class AddHost(Action):
     """Add the hostname into ``field`` (default ``host``).  The
     hostname is a driver-side constant — in a real cluster the
     reference's semantics is "host that ingested the record", which
-    for Spark is the driver/app identity, not per-executor."""
+    for Spark is the driver/app identity, not per-executor.  ``field``
+    is a literal root name (add_host.go:53 adds one unparsed segment;
+    contrast add_file_name, whose field IS a parsed selector)."""
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
-        field = parse_selector(self.params.get("field", "host"))
+        field = [self.params.get("field", "host")]
         return self.set_gated(df, field, F.lit(socket.gethostname()), pred)
 
 

@@ -302,3 +302,49 @@ def chunk_tokens(
             ),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    target_weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance the corpus to target group proportions (data-mixture
+    shaping: "40% en / 30% de / 30% code") by deterministic
+    down-sampling — no upsampling, no RNG.
+
+    With group counts n_g and target weights w_g, the largest
+    achievable total is T = min_g(n_g / w_g); each group keeps
+    w_g * T / n_g of its rows (the scarcest group keeps 100%), chosen
+    by the portable hash fraction so membership is stable across runs,
+    engines, and partitionings.  Groups not in ``target_weights`` are
+    dropped.
+
+    Scale shape: group counts are one small agg collected as a model
+    (bounded by the number of groups, not the data); the sampling pass
+    itself is a narrow filter — no shuffle, no RNG state.
+    """
+    if not target_weights:
+        raise ValueError("mixture_sample: target_weights must be non-empty")
+    bad = {g: w for g, w in target_weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"mixture_sample: non-positive weights: {bad}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).count().collect()
+        if r[0] in target_weights
+    }
+    missing = [g for g in target_weights if g not in counts]
+    if missing:
+        raise ValueError(
+            f"mixture_sample: groups absent from the data: {missing}"
+        )
+    total = min(counts[g] / w for g, w in target_weights.items())
+    frac = _hash_frac(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    rate = F.lit(0.0)
+    for g, w in target_weights.items():
+        keep = min(1.0, (w * total) / counts[g])
+        rate = F.when(F.col(group_col) == g, F.lit(keep)).otherwise(rate)
+    return df.filter(frac < rate)

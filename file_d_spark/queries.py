@@ -1984,6 +1984,34 @@ def q_chunk_documents(spark, sf_dir):
     return corpus.chunk_tokens(d, "doc_id", "text", size=64, stride=48)
 
 
+@query(
+    "mixture_sample",
+    """
+    WITH W(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.2::DOUBLE),
+                               ('zh', 0.2::DOUBLE), ('fr', 0.1::DOUBLE)),
+    n AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+    t AS (SELECT min(n_g / w) AS total FROM n JOIN W USING (lang)),
+    r AS (SELECT W.lang, least(1.0, W.w * t.total / n.n_g) AS keep
+          FROM W JOIN n USING (lang), t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix1'), 1, 8))::UBIGINT
+          / 4294967296.0 < r.keep
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Data-mixture rebalancing: deterministic down-sampling to target
+    language proportions (en 50 / de 20 / zh 20 / fr 10; es dropped).
+    The scarcest group under its target keeps 100%; membership is
+    hash-stable across engines and runs."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.mixture_sample(
+        d, "doc_id", "lang",
+        {"en": 0.5, "de": 0.2, "zh": 0.2, "fr": 0.1},
+        salt="mix1",
+    ).select("doc_id", "lang")
+
+
 # ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in
@@ -2000,6 +2028,7 @@ def q_chunk_documents(spark, sf_dir):
 _SWEEP_TAIL = [
     "convert_log_level",    # oracle kept; full reference-table golden
     "filter_len_cmp",       # oracle kept; len-cmp nodes golden in test_doif
+    "decoder_syslog",       # oracle kept; full 5424 corpus golden replay
     "join_enrich_broadcast",  # broadcast-join shape also proven by tpch_q3
     "cube_agg",             # relational demo; test_actions cube golden
     "union_pipelines",      # unionByName demo; e2e covered

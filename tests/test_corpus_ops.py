@@ -266,3 +266,42 @@ def test_url_normalize(spark, raw, want):
     df = spark.createDataFrame([(raw,)], ["u"])
     got = df.select(corpus.url_normalize(F.col("u")).alias("n")).collect()[0]["n"]
     assert got == want
+
+
+def test_mixture_sample_rebalances(spark, sf_dir):
+    from file_d_spark.tables import load_table
+
+    documents = load_table(spark, sf_dir, "documents")
+    weights = {"en": 0.5, "de": 0.2, "zh": 0.2, "fr": 0.1}
+    out = corpus.mixture_sample(documents, "doc_id", "lang", weights)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    before = {r["lang"]: r["n"] for r in
+              documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) == set(weights)          # unlisted groups dropped
+    # the binding group (largest n_g/w_g deficit) keeps every row
+    binding = min(weights, key=lambda g: before[g] / weights[g])
+    assert got[binding] == before[binding]
+    # achieved proportions approach the targets (hash sampling is
+    # binomial around the keep rate — allow a loose tolerance)
+    total = sum(got.values())
+    for g, w in weights.items():
+        assert abs(got[g] / total - w) < 0.08, (g, got[g] / total, w)
+    # deterministic: the same call selects the same rows
+    again = corpus.mixture_sample(documents, "doc_id", "lang", weights)
+    assert sorted(r["doc_id"] for r in again.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+
+def test_mixture_sample_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from file_d_spark.tables import load_table
+
+    documents = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        corpus.mixture_sample(documents, "doc_id", "lang", {})
+    with _pytest.raises(ValueError):
+        corpus.mixture_sample(documents, "doc_id", "lang", {"en": 0.0})
+    with _pytest.raises(ValueError):
+        corpus.mixture_sample(documents, "doc_id", "lang", {"klingon": 1.0})
