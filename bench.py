@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "chunk_documents",
     "mixture_sample",
+    "pack_sequences",
     "multimodal_meta",
 ]
 

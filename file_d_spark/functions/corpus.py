@@ -348,3 +348,51 @@ def mixture_sample(
         keep = min(1.0, (w * total) / counts[g])
         rate = F.when(F.col(group_col) == g, F.lit(keep)).otherwise(rate)
     return df.filter(frac < rate)
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    shards: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are concatenated
+    in a deterministic order and the stream is cut every ``budget``
+    tokens (the standard LLM pretraining packing, where sequences cross
+    document boundaries).  Emits per doc: its shard, start offset in
+    the shard's token stream, and the pack (context window) its first
+    token lands in.
+
+    Scale shape: a single global stream would serialize the corpus
+    through one partition, so the stream is sharded by the portable
+    md5 hash (deterministic, engine-portable); each shard packs
+    independently with a KEYED window (partitionBy shard, orderBy id) —
+    the parallel analogue of packing per input file.  One shuffle on
+    the shard key, cumulative sums stay within partitions.
+    """
+    if budget <= 0 or shards <= 0:
+        raise ValueError("pack_offsets: budget and shards must be positive")
+    shard = (
+        _hash_frac(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+        * shards
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("__tok__"),
+        shard.alias("shard"),
+    )
+    return staged.select(
+        F.col(id_col),
+        "shard",
+        (F.sum("__tok__").over(w) - F.col("__tok__")).alias("start_offset"),
+        (
+            (F.sum("__tok__").over(w) - F.col("__tok__")) / budget
+        ).cast("long").alias("pack_id"),
+    )

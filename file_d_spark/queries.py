@@ -2012,6 +2012,37 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@query(
+    "pack_sequences",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS tok,
+             CAST(floor((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                   / 4294967296.0) * 8) AS INT) AS shard
+      FROM documents),
+    s AS (
+      SELECT doc_id, shard,
+             CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS BIGINT)
+               AS start_offset
+      FROM d)
+    SELECT doc_id, shard, start_offset,
+           CAST(start_offset // 256 AS BIGINT) AS pack_id
+    FROM s
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (256-token context windows,
+    8 shards): each doc's start offset and context-window id in its
+    shard's concatenated token stream — the LLM pretraining packing
+    layout, sharded so cumulative sums stay inside keyed windows."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return corpus.pack_offsets(staged, "doc_id", "n_tokens", budget=256, shards=8)
+
+
 # ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in

@@ -103,3 +103,44 @@ def test_chunk_tokens_validation(spark):
         corpus.chunk_tokens(df, "doc_id", "text", size=0)
     with pytest.raises(ValueError):
         corpus.chunk_tokens(df, "doc_id", "text", stride=-1)
+
+
+def test_pack_offsets_single_shard(spark):
+    # one shard -> global concat order by id; budget 10
+    rows = [(1, 4), (2, 4), (3, 4), (4, 9), (5, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["start_offset"], r["pack_id"])
+        for r in corpus.pack_offsets(
+            df, "doc_id", "n_tokens", budget=10, shards=1
+        ).collect()
+    }
+    # offsets 0,4,8,12,21 -> packs 0,0,0,1,2; doc 3 starts in pack 0
+    # and crosses into pack 1 (concat-then-chunk crosses doc bounds)
+    assert got == {1: (0, 0), 2: (4, 0), 3: (8, 0), 4: (12, 1), 5: (21, 2)}
+
+
+def test_pack_offsets_sharded_is_partitioned_prefix_sum(spark):
+    rows = [(i, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = corpus.pack_offsets(df, "doc_id", "n_tokens", budget=25, shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(by_shard) > 1
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            assert r["start_offset"] == off
+            assert r["pack_id"] == off // 25
+            off += 10
+
+
+def test_pack_offsets_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.pack_offsets(df, "doc_id", "n_tokens", budget=0)
+    with _pytest.raises(ValueError):
+        corpus.pack_offsets(df, "doc_id", "n_tokens", budget=10, shards=0)
