@@ -158,10 +158,12 @@ def ivf_topk(
 
     cents = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(n_lists)
         .collect()
-    )  # TakeOrdered of n_lists rows — the "fitted model", not data
+    )  # TakeOrdered of n_lists rows — the "fitted model", not data.
+    # md5 ordering, not xxhash64: same random-like spread, but
+    # reproducible in any engine so the whole IVF path is oracle-able
     cent_vecs = [[float(x) for x in r[1]] for r in cents]
     cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cent_vecs]
 

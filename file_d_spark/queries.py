@@ -1324,10 +1324,57 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(e, queries, dim=64, k=10, planes=16, bands=8)
 
 
-@query("ann_ivf")  # no SQL oracle: approximate by design
+@query(
+    "ann_ivf",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid,
+             v AS cv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS cnorm
+      FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, v, cid AS list_id FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+                            i -> e.v[i] * c.cv[i])) / c.cnorm DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cid AS list_id FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.qv)+1),
+                            i -> q.qv[i] * c.cv[i])) / c.cnorm DESC,
+                          c.cid ASC) AS rn
+        FROM q CROSS JOIN cents c) WHERE rn <= 6
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(a.v)+1),
+               i -> a.v[i] * p.qv[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(p.qv, x -> x * x)))) AS sim
+      FROM assigned a JOIN probes p ON a.list_id = p.list_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
 def q_ann_ivf(spark, sf_dir):
-    """IVF-style ANN top-10: deterministic coarse quantizer, probe the
-    closest lists, exact rerank; recall vs brute force in tests."""
+    """IVF-style ANN top-10: deterministic coarse quantizer (md5-order
+    centroid pick — engine-portable, so the WHOLE approximate path is
+    oracle-checked: assignment argmax, probe selection, and rerank),
+    probe the closest lists, exact rerank; recall vs brute force in
+    tests."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(e, queries, k=10, n_lists=16, n_probe=6)
@@ -2069,7 +2116,7 @@ _SWEEP_TAIL = [
     "kitchen_sink_actions",  # rows-only by design (now()/hostname/xxhash64)
     "dedup_simhash",        # rows-only: hash-dependent signature
     "ann_lsh",              # rows-only: approximate by design
-    "ann_ivf",              # rows-only: approximate by design
+    "ann_ivf",              # oracle kept; approximate path fully SQL-mirrored
     "dedup_incremental_bloom",  # rows-only: bloom layout engine-specific
 ]
 
