@@ -1315,10 +1315,55 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
-@query("ann_lsh")  # no SQL oracle: approximate by design
+def _lsh_oracle_sql(dim: int = 64, planes: int = 16, bands: int = 8, k: int = 10) -> str:
+    """Build the DuckDB mirror of lsh_topk: the hyperplanes come from a
+    deterministic LCG (similarity._hyperplane), so their components are
+    embedded as SQL literals — the exact doubles the Spark plan folds.
+    Sum order matches dot_lit's sequential fold (left-assoc + chain)."""
+    from file_d_spark.functions.similarity import _hyperplane
+
+    per_band = planes // bands
+    mask = (1 << per_band) - 1
+
+    def dot_terms(plane: list[float]) -> str:
+        return " + ".join(f"v[{j + 1}] * {plane[j]!r}" for j in range(dim))
+
+    sig = " + ".join(
+        f"(CASE WHEN ({dot_terms(_hyperplane(dim, i))}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(planes)
+    )
+    band_cols = ", ".join(
+        f"(sig >> {b * per_band}) & {mask} AS b{b}" for b in range(bands)
+    )
+    any_band = " OR ".join(f"c.b{b} = q.b{b}" for b in range(bands))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS sig FROM e),
+    b AS (SELECT vec_id, v, {band_cols} FROM s),
+    q AS (SELECT * FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {dim} + 1),
+               i -> c.v[i] * q.v[i]))
+             / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS sim
+      FROM b c JOIN q ON c.vec_id != q.vec_id AND ({any_band})
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh", _lsh_oracle_sql())
 def q_ann_lsh(spark, sf_dir):
-    """random-hyperplane LSH top-10 — banded-join scale path; recall
-    vs brute force asserted in tests."""
+    """random-hyperplane LSH top-10 — banded-join scale path.  The
+    hyperplanes are LCG-deterministic, so the full approximate path
+    (signatures, banding, candidate join, rerank) is oracle-checked via
+    literal-embedded planes; recall vs brute force asserted in tests."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(e, queries, dim=64, k=10, planes=16, bands=8)
@@ -2115,7 +2160,7 @@ _SWEEP_TAIL = [
     "text_langid",          # oracle kept; langid covered twice above
     "kitchen_sink_actions",  # rows-only by design (now()/hostname/xxhash64)
     "dedup_simhash",        # rows-only: hash-dependent signature
-    "ann_lsh",              # rows-only: approximate by design
+    "ann_lsh",              # oracle kept; literal-plane SQL mirror
     "ann_ivf",              # oracle kept; approximate path fully SQL-mirrored
     "dedup_incremental_bloom",  # rows-only: bloom layout engine-specific
 ]
