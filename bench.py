@@ -57,6 +57,32 @@ def run_query(df) -> int:
     return 0
 
 
+def _calib_burn(_):
+    x = 0
+    t0 = time.time()
+    for i in range(10**7):
+        x += i * i
+    return time.time() - t0
+
+
+def calibrate() -> dict[str, float]:
+    """Fixed CPU reference (pure-Python multiply-add loops, single-core
+    and all-core) measured in the same process window as the bench.
+    The host is shared: co-tenant bursts have been observed to slow the
+    identical suite 3-10x for minutes at a time, so query seconds are
+    only comparable across runs AFTER normalizing by this. Reference
+    values on an idle host: ~0.8s single, ~0.9s avg all-core."""
+    import multiprocessing as mp
+
+    single = _calib_burn(0)
+    with mp.Pool(os.cpu_count()) as p:
+        r = p.map(_calib_burn, range(os.cpu_count()))
+    return {
+        "calib_single_core_s": round(single, 3),
+        "calib_all_core_avg_s": round(sum(r) / len(r), 3),
+    }
+
+
 def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
     """The reference's headline scenarios (README.md:34-38 /
     BASELINE.md): files->devnull and files->json-decode->devnull,
@@ -154,16 +180,26 @@ def main():
     # GC state from the query suite depresses it ~2x otherwise
     throughput = throughput_metrics(spark, sf_dir)
 
+    calib = calibrate()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        run_query(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 runs: the shared host has bursty co-tenant load that
+        # can slow a single window several-fold; the min is the
+        # steady-state cost of the plan (plan build + execute both
+        # timed, fresh DataFrame per run so no cached result is reused)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            run_query(fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # queries are independent; drop cached relations so one
+            # query's cache doesn't pressure the next one's memory
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        # queries are independent; drop their cached relations so one
-        # query's cache doesn't pressure the next one's memory
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -175,6 +211,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "throughput": throughput,
+                "calibration": calib,
                 "sf": float(sf) if sf else None,
             }
         )
