@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "mixture_sample",
     "pack_sequences",
+    "ngram_vocab",
     "multimodal_meta",
 ]
 

@@ -396,3 +396,43 @@ def pack_offsets(
             (F.sum("__tok__").over(w) - F.col("__tok__")) / budget
         ).cast("long").alias("pack_id"),
     )
+
+
+def ngram_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level n-gram vocabulary: the ``k`` most frequent word
+    n-grams with counts and document frequency — the profiling step
+    behind boilerplate detection, stopword lists, and contamination
+    screens.  Output: (gram, n_docs, n_occurrences, rank), rank ties
+    broken lexicographically so the cut is deterministic.
+
+    Scale shape: explode → one groupBy shuffle keyed by the gram
+    (partial map-side aggregation collapses hot grams before the
+    exchange), then a distributed TakeOrdered(k) of the aggregated
+    vocabulary — the only global sort ever sees one row per gram, and
+    the rank window runs over the k survivors, not the corpus.
+    """
+    from file_d_spark.functions.quality import _ngram_col
+    from file_d_spark.functions.text import tokens
+
+    if n <= 0 or k <= 0:
+        raise ValueError("ngram_topk: n and k must be positive")
+    grams = df.select(
+        F.col(id_col).alias("__doc__"),
+        F.explode(_ngram_col(tokens(F.lower(F.col(text_col))), n)).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count_distinct("__doc__").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    order = [F.col("n_occurrences").desc(), F.col("gram")]
+    top = counts.orderBy(*order).limit(k)
+    return (
+        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("gram", "n_docs", "n_occurrences", "rank")
+    )

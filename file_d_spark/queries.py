@@ -2135,6 +2135,37 @@ def q_pack_sequences(spark, sf_dir):
     return corpus.pack_offsets(staged, "doc_id", "n_tokens", budget=256, shards=8)
 
 
+@query(
+    "ngram_vocab",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2),
+    counts AS (
+      SELECT gram, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_occurrences
+      FROM grams GROUP BY gram)
+    SELECT gram, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, gram)
+                AS rank
+      FROM counts) WHERE rank <= 50
+    """,
+)
+def q_ngram_vocab(spark, sf_dir):
+    """Top-50 corpus bigrams with counts + document frequency — the
+    vocabulary/boilerplate profiling primitive.  One gram-keyed groupBy
+    shuffle, then TakeOrdered(50) of the aggregated vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.ngram_topk(d, "doc_id", "text", n=2, k=50)
+
+
 # ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in

@@ -305,3 +305,31 @@ def test_mixture_sample_validation(spark, sf_dir):
         corpus.mixture_sample(documents, "doc_id", "lang", {"en": 0.0})
     with _pytest.raises(ValueError):
         corpus.mixture_sample(documents, "doc_id", "lang", {"klingon": 1.0})
+
+
+def test_ngram_topk_counts_and_rank(spark):
+    from file_d_spark.functions import corpus as _c
+
+    rows = [
+        (1, "a b a b c"),   # bigrams: "a b" x2, "b a", "b c"
+        (2, "a b x"),       # "a b", "b x"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["gram"]: r for r in _c.ngram_topk(df, "doc_id", "text", n=2, k=3).collect()}
+    assert got["a b"]["n_occurrences"] == 3 and got["a b"]["n_docs"] == 2
+    assert got["a b"]["rank"] == 1
+    # ties broken lexicographically: "b a", "b c", "b x" all count 1
+    assert got["b a"]["rank"] == 2 and got["b c"]["rank"] == 3
+    assert "b x" not in got  # cut at k=3 is deterministic
+
+
+def test_ngram_topk_validation(spark):
+    import pytest as _pytest
+
+    from file_d_spark.functions import corpus as _c
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        _c.ngram_topk(df, "doc_id", "text", n=0)
+    with _pytest.raises(ValueError):
+        _c.ngram_topk(df, "doc_id", "text", k=0)
