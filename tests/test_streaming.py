@@ -189,26 +189,38 @@ def test_antispam_stream_idle_unban(spark, tmp_path):
         # over-threshold burst -> spammy is banned, nothing emitted
         write("b0.json", [{"source": "spammy", "i": i} for i in range(10)])
         time.sleep(3)
-        # heartbeats from another source keep micro-batches (and thus
-        # state-timeout processing) running while spammy stays idle
-        for k in range(12):
-            write(f"hb{k}.json", [{"source": "other", "i": k}])
-            time.sleep(0.7)
-        # spammy returns after >2 idle maintenance ticks: unbanned
-        write("b1.json", [{"source": "spammy", "i": 100}])
+        # probe in rounds: heartbeats from another source keep
+        # micro-batches (and thus state-timeout processing) running
+        # while spammy stays idle, then spammy returns.  A probe that
+        # lands BEFORE 2 idle ticks were processed is suppressed AND
+        # resets the idle counter (activity resets decay, like the
+        # reference), so on a lagging host we idle again and re-probe
+        # with a fresh i rather than flaking on one-shot timing.
         seen = set()
-        deadline = time.time() + 40
-        while time.time() < deadline:
-            seen = {
-                (r.source, r.i)
-                for r in spark.sql("SELECT source, i FROM unban").collect()
-            }
-            if ("spammy", 100) in seen:
+        unbanned = False
+        hb = 0
+        for attempt in range(4):
+            for _ in range(12):
+                write(f"hb{hb}.json", [{"source": "other", "i": hb}])
+                hb += 1
+                time.sleep(0.7)
+            probe = 100 + attempt
+            write(f"b{attempt + 1}.json", [{"source": "spammy", "i": probe}])
+            deadline = time.time() + 25
+            while time.time() < deadline:
+                seen = {
+                    (r.source, r.i)
+                    for r in spark.sql("SELECT source, i FROM unban").collect()
+                }
+                if ("spammy", probe) in seen:
+                    unbanned = True
+                    break
+                time.sleep(0.5)
+            if unbanned:
                 break
-            time.sleep(0.5)
     finally:
         q.stop()
-    assert ("spammy", 100) in seen, f"still banned after idle ticks: {sorted(seen)}"
+    assert unbanned, f"still banned after idle ticks: {sorted(seen)}"
     # the original burst stays suppressed; heartbeats flowed through
     assert not any(s == "spammy" and i < 100 for s, i in seen)
     assert ("other", 0) in seen
