@@ -66,13 +66,38 @@ def incremental_dedup(
     return new_d.join(seen_d, "__digest__", "left_anti").drop("__digest__")
 
 
-def _bloom_positions(content_col: str, k: int, m: int) -> list[Column]:
+def _portable_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5,
+    parsed as an integer.  Identical in DuckDB as
+    ``('0x' || substr(md5(x), 1, 15))::UBIGINT`` — the seam that lets
+    hash-dependent operators (bloom, simhash) carry full SQL oracles.
+    60 bits keeps the value strictly inside a signed long."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _portable_hash60_hi(col: Column) -> Column:
+    """Second independent portable hash: hex chars 17..31 of the same
+    md5 (no second digest pass)."""
+    return F.conv(F.substring(F.md5(col), 17, 15), 16, 10).cast("long")
+
+
+def _bloom_positions(
+    content_col: str, k: int, m: int, portable: bool = False
+) -> list[Column]:
     """k bit positions per row by double hashing: pos_i = (b1 + i*b2)
     mod m with b1/b2 folded into the 31-bit prime field (products stay
-    far below 2^63 — no long overflow under ANSI mode)."""
+    far below 2^63 — no long overflow under ANSI mode).
+
+    ``portable=True`` derives b1/b2 from md5 hex instead of xxhash64 so
+    a DuckDB oracle can reproduce the exact bit layout (including false
+    positives); xxhash64 stays the default hot path."""
     s = F.col(content_col).cast("string")
-    b1 = F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
-    b2 = F.pmod(F.xxhash64(s, F.lit(0x5BD1E995)), F.lit(_MH_PRIME - 2)) + 1
+    if portable:
+        b1 = F.pmod(_portable_hash60(s), F.lit(_MH_PRIME))
+        b2 = F.pmod(_portable_hash60_hi(s), F.lit(_MH_PRIME - 2)) + 1
+    else:
+        b1 = F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+        b2 = F.pmod(F.xxhash64(s, F.lit(0x5BD1E995)), F.lit(_MH_PRIME - 2)) + 1
     return [F.pmod(b1 + F.lit(i) * b2, F.lit(m)) for i in range(k)]
 
 
@@ -83,6 +108,7 @@ def bloom_dedup(
     id_col: str,
     expected_items: int | None = None,
     fpp: float = 0.01,
+    portable: bool = False,
 ) -> DataFrame:
     """Incremental dedup via a Bloom filter of the seen corpus — the
     scale path for "drop what we already have" against a reference
@@ -119,7 +145,9 @@ def bloom_dedup(
         )
     sparse = (
         seen_df.select(
-            F.explode(F.array(*_bloom_positions(content_col, k, m))).alias("pos")
+            F.explode(
+                F.array(*_bloom_positions(content_col, k, m, portable))
+            ).alias("pos")
         )
         .selectExpr(
             "pos div 64 AS w",
@@ -138,7 +166,7 @@ def bloom_dedup(
             F.get(bloom, (pos / 64).cast("int")), F.pmod(pos, F.lit(64))
         )
         == 1
-        for pos in _bloom_positions(content_col, k, m)
+        for pos in _bloom_positions(content_col, k, m, portable)
     ]
     might_contain = hits[0]
     for h in hits[1:]:
@@ -459,9 +487,14 @@ _SIMHASH_LANE_MASK = 0x0001000100010001  # one count bit per 16-bit lane
 _SIMHASH_MAX_TOKENS = 0xFFFF  # lane counters saturate at 65535 tokens
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, portable: bool = False
+) -> DataFrame:
     """63-bit SimHash per document from token xxhash64s
     (frequency-weighted: repeated tokens vote repeatedly).
+    ``portable=True`` switches to the 60-bit md5-derived token hash
+    (:func:`_portable_hash60`) so the signature — and therefore the
+    whole near-dup pair set — is bit-for-bit reproducible in DuckDB.
 
     Pure per-row expressions, NO shuffle (the groupBy variant costs an
     exchange of every token).  The bit votes are counted in ONE pass
@@ -489,10 +522,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lit(0xFFFF)
         )
 
+    tok_hash = _portable_hash60 if portable else F.xxhash64
+    n_bits = 60 if portable else SIMHASH_BITS
     hashed = spread(df).select(
         F.col(id_col).alias("doc"),
         F.slice(
-            F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)),
+            F.transform(tokens(F.col(text_col)), lambda t: tok_hash(t)),
             1,
             _SIMHASH_MAX_TOKENS,
         ).alias("__hashes__"),
@@ -518,7 +553,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     bit_count(F.col("__lanes__"), i) * 2 > F.col("__n__"),
                     F.lit(1 << i),
                 ).otherwise(F.lit(0))
-                for i in range(SIMHASH_BITS)
+                for i in range(n_bits)
             ],
             F.lit(0),
         ).cast("long").alias("simhash"),
@@ -532,15 +567,20 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming via the pigeonhole
     banding trick: split the signature into ``chunks`` bit ranges; any
     pair within distance k must agree exactly on at least one chunk
     when chunks > k — so candidates come from equi-joins on
-    (chunk_idx, chunk_value), never a cross join."""
+    (chunk_idx, chunk_value), never a cross join.  The pigeonhole holds
+    even when ``bits % chunks`` trailing bits stay un-banded (<= k bad
+    bits can dirty at most k of the > k chunks), so the output is
+    EXACTLY the hamming <= max_hamming pair set — which is what lets
+    the portable mode carry a brute-force SQL oracle."""
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
-    sig = simhash(df, id_col, text_col)
-    per_chunk = SIMHASH_BITS // chunks
+    sig = simhash(df, id_col, text_col, portable=portable)
+    per_chunk = (60 if portable else SIMHASH_BITS) // chunks
     chunked = sig.select(
         "doc",
         "simhash",

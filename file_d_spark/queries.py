@@ -1165,11 +1165,44 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")  # no SQL oracle: hash-dependent signature
+@query(
+    "dedup_simhash",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 15))::UBIGINT AS h
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS u(t)
+    ),
+    votes AS (
+      SELECT doc_id, b.b AS b,
+             CASE WHEN 2 * sum(((h >> b.b) & 1)::BIGINT) > count(*)
+                  THEN 1::UBIGINT ELSE 0::UBIGINT END AS bit
+      FROM tok, range(60) b(b)
+      GROUP BY doc_id, b.b
+    ),
+    sig AS (
+      SELECT doc_id, sum((bit << b)::HUGEINT)::UBIGINT AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.s, b.s))::BIGINT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 8
+    """,
+)
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash hamming<=8 candidate pairs via pigeonhole banding."""
+    """SimHash hamming<=8 candidate pairs via pigeonhole banding.
+
+    Portable mode (60-bit md5-derived token hashes) makes the signature
+    engine-reproducible, so the oracle brute-forces the EXACT same pair
+    set in DuckDB — banding with chunks=9 > max_hamming=8 is complete,
+    so candidates+verify == all pairs at hamming <= 8."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=8, chunks=9)
+    return dedup.simhash_pairs(
+        d, "doc_id", "text", max_hamming=8, chunks=9, portable=True
+    )
 
 
 @query(
@@ -1993,16 +2026,51 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
-@query("dedup_incremental_bloom")
+def _bloom_oracle_sql() -> str:
+    """Mirror of bloom_dedup's sizing math + portable double-hash
+    positions, as DuckDB SQL.  A doc from the new batch survives iff at
+    least one of its k bit positions is NOT set by the seen corpus —
+    bit-for-bit the same filter, false positives included."""
+    import math
+
+    expected_items, fpp = 10_000, 0.01
+    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2.0) ** 2)))
+    k = max(1, round(m / expected_items * math.log(2.0)))
+    p, p2 = (1 << 31) - 1, (1 << 31) - 3
+    pos = (
+        f"((('0x' || substr(md5(text), 1, 15))::UBIGINT % {p}) "
+        f"+ i.i * ((('0x' || substr(md5(text), 17, 15))::UBIGINT % {p2}) + 1)"
+        f") % {m}"
+    )
+    return f"""
+    WITH seen_pos AS (
+      SELECT DISTINCT {pos} AS p
+      FROM documents, range({k}) i(i)
+      WHERE doc_id % 5 <> 0
+    ),
+    new_pos AS (
+      SELECT doc_id, lang, source, {pos} AS p
+      FROM documents, range({k}) i(i)
+      WHERE doc_id % 5 = 0
+    )
+    SELECT DISTINCT n.doc_id, n.lang, n.source
+    FROM new_pos n
+    WHERE NOT EXISTS (SELECT 1 FROM seen_pos s WHERE s.p = n.p)
+    """
+
+
+@query("dedup_incremental_bloom", _bloom_oracle_sql())
 def q_dedup_incremental_bloom(spark, sf_dir):
-    """Bloom-filter incremental dedup (no oracle: Spark's bloom bit
-    layout isn't reproducible in DuckDB; the no-false-negative and
-    FP-bound guarantees are unit-tested against the exact path)."""
+    """Bloom-filter incremental dedup.  Portable mode derives both
+    double-hash seeds from md5 hex, so the DuckDB oracle reproduces the
+    exact bit layout — the oracle checks the REAL contract (false
+    positives and all), not just row plausibility; the
+    no-false-negative and FP-bound guarantees stay unit-tested."""
     d = load_table(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 5 == 0)
     seen = d.filter(F.col("doc_id") % 5 != 0)
     return dedup.bloom_dedup(
-        new, seen, "text", "doc_id", expected_items=10_000
+        new, seen, "text", "doc_id", expected_items=10_000, portable=True
     ).select("doc_id", "lang", "source")
 
 
@@ -2190,10 +2258,8 @@ _SWEEP_TAIL = [
     "topk_per_group",       # relational demo; in bench suite
     "text_langid",          # oracle kept; langid covered twice above
     "kitchen_sink_actions",  # rows-only by design (now()/hostname/xxhash64)
-    "dedup_simhash",        # rows-only: hash-dependent signature
     "ann_lsh",              # oracle kept; literal-plane SQL mirror
     "ann_ivf",              # oracle kept; approximate path fully SQL-mirrored
-    "dedup_incremental_bloom",  # rows-only: bloom layout engine-specific
 ]
 
 
