@@ -436,3 +436,96 @@ def ngram_topk(
         top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select("gram", "n_docs", "n_occurrences", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate-span fraction (ExactSubstr proxy, Lee et al. 2021
+# "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499 — word-n-gram granularity instead of suffix arrays)
+# --------------------------------------------------------------------------
+
+
+def dup_span_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Per document: the fraction of its DISTINCT word n-grams that
+    also occur in at least one other document.  The standard "how much
+    of this doc is copied from elsewhere in the corpus" signal used to
+    score (not just drop) near-duplicated training text.
+
+    Scale design: grams are hashed to portable 60-bit ints
+    (:func:`~file_d_spark.functions.dedup._portable_hash60`) before the
+    shuffle, so the wide dependency moves 8-byte keys, not n-word
+    strings (~10x shuffle-volume reduction at n=8).  Two linear
+    stages: gram-frequency groupBy (map-side combine; grams are
+    distinct per doc so count(*) == doc frequency) and an equi-join of
+    the exploded grams back to those counts.  No window, no cross
+    join.  Docs shorter than n tokens have no grams and drop out —
+    same in the oracle."""
+    from file_d_spark.functions.dedup import _portable_hash60
+    from file_d_spark.functions.quality import _ngram_col
+
+    grams = df.select(
+        F.col(id_col).alias("__doc__"),
+        F.explode(
+            F.array_distinct(_ngram_col(tokens(F.col(text_col)), n))
+        ).alias("__gram__"),
+    ).select("__doc__", _portable_hash60(F.col("__gram__")).alias("__h__"))
+    freq = grams.groupBy("__h__").agg(F.count(F.lit(1)).alias("__df__"))
+    return (
+        grams.join(freq, "__h__")
+        .groupBy("__doc__")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df__") > 1).cast("long")).alias("dup_grams"),
+        )
+        .select(
+            F.col("__doc__").alias(id_col),
+            "n_grams",
+            "dup_grams",
+            F.round(
+                F.col("dup_grams").cast("double") / F.col("n_grams"), 4
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# unigram log-probability quality score (KenLM-perplexity proxy from
+# corpus-level unigram statistics, CCNet-style filtering signal)
+# --------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per document: mean log10 unigram probability of its tokens under
+    the corpus's own unigram distribution — the cheap stand-in for the
+    KenLM-perplexity quality filter (low mean log-prob = rare/garbled
+    vocabulary).
+
+    Scale design: one token-count groupBy (map-side combine over a
+    zipfian key set), the total token count reduced driver-side from
+    the ALREADY-AGGREGATED vocabulary (a scalar, not a data pass), and
+    the per-token probability lookup as an equi-join of exploded
+    tokens against the vocabulary.  At web scale, truncate the
+    vocabulary to its head and fold the tail into an OOV floor before
+    the join so the vocab side stays broadcastable."""
+    tok = df.select(
+        F.col(id_col).alias("__doc__"),
+        F.explode(tokens(F.col(text_col))).alias("__t__"),
+    )
+    vocab = tok.groupBy("__t__").agg(F.count(F.lit(1)).alias("__c__"))
+    total = vocab.agg(F.sum("__c__")).collect()[0][0] or 1
+    return (
+        tok.join(vocab, "__t__")
+        .groupBy("__doc__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log10(F.col("__c__"))) - F.log10(F.lit(float(total))),
+                4,
+            ).alias("mean_logp"),
+        )
+        .select(F.col("__doc__").alias(id_col), "n_tokens", "mean_logp")
+    )

@@ -2234,6 +2234,123 @@ def q_ngram_vocab(spark, sf_dir):
     return corpus.ngram_topk(d, "doc_id", "text", n=2, k=50)
 
 
+@query(
+    "dup_span_fraction",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 15))::UBIGINT AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(t) - 6),
+                 i -> array_to_string(t[i:i+7], ' ')))) AS gram
+        FROM (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents))
+    ),
+    freq AS (SELECT h, count(*) AS df FROM g GROUP BY h)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_grams,
+           round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS dup_fraction
+    FROM g JOIN freq USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q_dup_span_fraction(spark, sf_dir):
+    """Duplicate-span fraction: share of each doc's distinct 8-grams
+    that occur in any other document (Lee et al. 2107.06499 ExactSubstr
+    at word-n-gram granularity).  Grams shuffle as portable 60-bit
+    hashes, so the oracle reproduces them — collisions included."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.dup_span_fraction(d, "doc_id", "text", n=8)
+
+
+@query(
+    "quality_unigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '')) AS t
+      FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(log10(c)) - log10((SELECT n FROM tot)), 4)
+             AS mean_logp
+    FROM tok JOIN vocab USING (t)
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Mean log10 unigram probability per doc under the corpus's own
+    unigram distribution — the KenLM-perplexity proxy quality signal
+    (CCNet-style).  Identical avg(log10(c)) - log10(N) form on both
+    engines so float rounding can't diverge."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.unigram_logprob(d, "doc_id", "text")
+
+
+@query(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume: the multi-join ordering demo.
+    Fact tables (lineitem x orders x customer) shuffle on their join
+    keys; supplier/nation/region are broadcast so the 5-way join adds
+    no extra exchanges; AQE reorders/sizes at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
 # ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in

@@ -333,3 +333,73 @@ def test_ngram_topk_validation(spark):
         _c.ngram_topk(df, "doc_id", "text", n=0)
     with _pytest.raises(ValueError):
         _c.ngram_topk(df, "doc_id", "text", k=0)
+
+
+# --------------------------------------------------------------------------
+# duplicate-span fraction
+# --------------------------------------------------------------------------
+
+
+def test_dup_span_fraction_shared_spans(spark):
+    # doc 1 and 2 share the span "p q r"; doc 3 is all-unique; doc 4 is
+    # too short for 3-grams and must drop out entirely
+    df = spark.createDataFrame(
+        [
+            (1, "a b p q r c d"),   # 5 grams, 1 shared ("p q r")
+            (2, "x y p q r z w"),   # 5 grams, 1 shared
+            (3, "e f g h i j k"),   # 5 grams, 0 shared
+            (4, "too short"),
+        ],
+        ["id", "t"],
+    )
+    out = {r["id"]: r for r in corpus.dup_span_fraction(df, "id", "t", n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_grams"] == 5 and out[1]["dup_grams"] == 1
+    assert out[1]["dup_fraction"] == 0.2
+    assert out[2]["dup_fraction"] == 0.2
+    assert out[3]["dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+
+
+def test_dup_span_fraction_identical_docs(spark):
+    # exact duplicates: every gram shared -> fraction 1.0; repeated
+    # grams inside one doc do NOT count as duplicates (distinct per doc)
+    df = spark.createDataFrame(
+        [(1, "m n o m n o"), (2, "m n o m n o"), (3, "m n o q")],
+        ["id", "t"],
+    )
+    out = {r["id"]: r for r in corpus.dup_span_fraction(df, "id", "t", n=3).collect()}
+    assert out[1]["dup_fraction"] == 1.0 and out[2]["dup_fraction"] == 1.0
+    # doc 3 shares only "m n o" of its 2 distinct grams
+    assert out[3]["n_grams"] == 2 and out[3]["dup_grams"] == 1
+
+
+def test_dup_span_fraction_solo_doc_has_no_dups(spark):
+    df = spark.createDataFrame([(1, "a b c d e f")], ["id", "t"])
+    r = corpus.dup_span_fraction(df, "id", "t", n=3).collect()[0]
+    assert r["dup_grams"] == 0 and r["dup_fraction"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# unigram log-prob quality score
+# --------------------------------------------------------------------------
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    # corpus: tokens a a a b  -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame([(1, "a a a"), (2, "b")], ["id", "t"])
+    out = {r["id"]: r for r in corpus.unigram_logprob(df, "id", "t").collect()}
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
+    assert out[1]["mean_logp"] == round(math.log10(3 / 4), 4)
+    assert out[2]["mean_logp"] == round(math.log10(1 / 4), 4)
+
+
+def test_unigram_logprob_rare_vocab_scores_lower(spark):
+    common = " ".join(["the quick brown fox"] * 5)
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, "zxqv jkwp mmtr qqzl")],
+        ["id", "t"],
+    )
+    out = {r["id"]: r["mean_logp"] for r in corpus.unigram_logprob(df, "id", "t").collect()}
+    assert out[3] < out[1] == out[2]

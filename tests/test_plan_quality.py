@@ -50,6 +50,16 @@ def test_enrich_joins_broadcast(spark, sf_dir):
         )
 
 
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q5")
+    assert "BroadcastHashJoin" in plan, "Q5: dimension joins not broadcast"
+    assert "CartesianProduct" not in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), (
+        "Q5 orderdate predicate did not reach the parquet scan"
+    )
+
+
 def test_tpch_pushdown_and_pruning(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q1")
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
