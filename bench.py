@@ -31,11 +31,14 @@ BENCH_QUERIES = [
     # relational
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "join_enrich_broadcast",
     "sessionize",
     "topk_per_group",
     # training-data ops
     "dedup_exact",
+    "dup_span_fraction",
+    "quality_unigram_logprob",
     "dedup_ngram_jaccard",
     "dedup_cluster",
     "dedup_minhash_lsh",
@@ -120,7 +123,7 @@ def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
         if f.startswith("part-")
     )
 
-    def best_of(pipeline, runs: int = 3, warmups: int = 2) -> float:
+    def best_of(pipeline, runs: int = 5, warmups: int = 2) -> float:
         # steady-state rate (page cache + JIT warm), like the
         # reference's repeated-run numbers; the first 1-2 runs are
         # JIT-cold and depress the measurement ~30%, so warm untimed

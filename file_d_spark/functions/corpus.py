@@ -529,3 +529,58 @@ def unigram_logprob(
         )
         .select(F.col("__doc__").alias(id_col), "n_tokens", "mean_logp")
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = count/doc_len, idf =
+    log10(N_docs/doc_freq), ranked by the ROUNDED score (6dp) with the
+    term string as tie-break — rounding first makes the ordering
+    engine-portable (a 1-ulp log10 difference can't flip two ranks).
+
+    Scale design: one (doc, term) count groupBy (map-side combine),
+    document frequency derived from that SAME aggregate (count per
+    term — no second corpus pass), N_docs as a driver scalar, and a
+    per-doc top-k window partitioned by doc id — every wide dependency
+    is keyed, nothing global."""
+    if k <= 0:
+        raise ValueError("tfidf_topk: k must be positive")
+    n_docs = df.select(id_col).distinct().count() or 1
+    dt = (
+        df.select(
+            F.col(id_col).alias("__doc__"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("__doc__", "term")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    doc_len = dt.groupBy("__doc__").agg(F.sum("__c__").alias("__n__"))
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("__df__"))
+    score = F.round(
+        (F.col("__c__") / F.col("__n__"))
+        * F.log10(F.lit(float(n_docs)) / F.col("__df__")),
+        6,
+    )
+    ranked = (
+        dt.join(doc_len, "__doc__")
+        .join(dfreq, "term")
+        .select("__doc__", "term", score.alias("score"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("__doc__").orderBy(
+                    F.col("score").desc(), F.col("term")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(
+        F.col("__doc__").alias(id_col), "term", "score", "rank"
+    )

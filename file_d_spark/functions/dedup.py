@@ -629,6 +629,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 12,
+    driver_max_pairs: int = 100_000,
 ) -> DataFrame:
     """Group near-dup pairs into duplicate clusters: (id, cluster_id)
     where cluster_id = min id reachable in the pair graph.
@@ -651,6 +652,44 @@ def connected_components(
     # two branches would otherwise re-execute the (expensive) pair
     # subtree twice in the same job
     pairs = pairs.select(src, dst).localCheckpoint(eager=True)
+
+    # Bounded-model fast path: near-dup pair lists are tiny relative to
+    # the corpus (pairs, not docs — a 100 TB corpus with 1% near-dups
+    # in small cliques stays far under the bound), and the Pregel loop
+    # costs ~2 jobs per round in fixed scheduling overhead.  Below the
+    # bound, union-find on the driver gives the identical min-label
+    # result in one job + one collect; above it, the distributed loop
+    # runs — same contract, no driver risk.
+    n_pairs = pairs.count()
+    if n_pairs <= driver_max_pairs:
+        import pyspark.sql.types as T
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        id_type = pairs.schema[src].dataType
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type),
+                T.StructField("cluster_id", id_type),
+            ]
+        )
+        rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(rows, schema)
+
     edges = pairs.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).unionByName(
         pairs.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
     )

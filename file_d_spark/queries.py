@@ -2299,6 +2299,127 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 @query(
+    "corpus_build_end2end",
+    r"""
+    WITH b AS (
+      SELECT doc_id, text, lang, source,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS ltoks,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(toks) AS n_words,
+        coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
+          / greatest(len(toks), 1) AS mean_word_len,
+        ((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+          / greatest(len(toks), 1) AS symbol_word_ratio,
+        len(list_filter(lines, ln -> regexp_matches(trim(ln), '^([-*•])')))::DOUBLE
+          / greatest(len(lines), 1) AS bullet_line_frac,
+        len(list_filter(lines, ln -> regexp_matches(ln, '(\.\.\.|…)$')))::DOUBLE
+          / greatest(len(lines), 1) AS ellipsis_line_frac,
+        len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+          / greatest(len(toks), 1) AS alpha_word_frac,
+        len(list_intersect(list_distinct(ltoks),
+            ['the','a','of','and','to','in','is','it','for','on'])) AS stopword_hits
+      FROM b),
+    kept AS (
+      SELECT b.* FROM b JOIN s USING (doc_id)
+      WHERE s.n_words >= 50 AND s.n_words <= 100000
+        AND s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0
+        AND s.symbol_word_ratio <= 0.1 AND s.bullet_line_frac <= 0.9
+        AND s.ellipsis_line_frac <= 0.3 AND s.alpha_word_frac >= 0.8
+        AND s.stopword_hits >= 2),
+    surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    kept2 AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+    g AS (
+      SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::UBIGINT AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(toks) - 6),
+                 i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+        FROM kept2)),
+    freq AS (SELECT h, count(*) AS df FROM g GROUP BY h),
+    frac AS (
+      SELECT doc_id,
+             sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS f
+      FROM g JOIN freq USING (h) GROUP BY doc_id)
+    SELECT k.doc_id, k.lang, k.source,
+           len(k.toks) AS n_tokens, md5(k.text) AS digest
+    FROM kept2 k JOIN frac USING (doc_id)
+    WHERE frac.f < 0.5
+    """,
+)
+def q_corpus_build_end2end(spark, sf_dir):
+    """The end-to-end training-corpus build — the composition flagship:
+    Gopher rule filter -> exact dedup (min-id survivor per content
+    digest) -> duplicate-span scoring over the SURVIVING corpus ->
+    drop mostly-copied docs (dup_fraction >= 0.5) -> stable manifest
+    (id, lang, source, token count, content digest).
+
+    Every stage is an already-oracle-paired operator; the value here is
+    the composed plan: the quality filter is a narrow pass, and every
+    wide step after it is keyed on its stage's natural key (content
+    digest, doc_id, 60-bit gram hash) — no global sort, no cross join,
+    no driver-side data."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(quality.gopher_keep(F.col("text")))
+    surv = (
+        kept.groupBy(F.md5("text").alias("__dg__"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept2 = kept.join(surv, "doc_id")
+    ok = (
+        corpus.dup_span_fraction(kept2, "doc_id", "text", n=8)
+        .filter(F.col("dup_fraction") < 0.5)
+        .select("doc_id")
+    )
+    return kept2.join(ok, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+
+
+@query(
+    "tfidf_keywords",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    dt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(c) AS n FROM dt GROUP BY doc_id),
+    dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+    nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT dt.doc_id, dt.term,
+             round((dt.c::DOUBLE / dl.n)
+                   * log10((SELECT n_docs FROM nd) / dfq.df), 6) AS score
+      FROM dt JOIN dl USING (doc_id) JOIN dfq USING (term)
+    )
+    SELECT doc_id, term, score, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document — ranked on the 6dp-rounded
+    score so cross-engine float ulps can't flip a rank."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.tfidf_topk(d, "doc_id", "text", k=5)
+
+
+@query(
     "tpch_q5",
     """
     SELECT n_name,

@@ -403,3 +403,44 @@ def test_unigram_logprob_rare_vocab_scores_lower(spark):
     )
     out = {r["id"]: r["mean_logp"] for r in corpus.unigram_logprob(df, "id", "t").collect()}
     assert out[3] < out[1] == out[2]
+
+
+# --------------------------------------------------------------------------
+# tf-idf keywords
+# --------------------------------------------------------------------------
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    # 2 docs; "b" appears in both (idf 0) so the distinguishing terms win
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c b")],
+        ["id", "t"],
+    )
+    out = corpus.tfidf_topk(df, "id", "t", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["rank"], r["term"], r["score"]))
+    # doc 1: tf(a)=2/3 idf=log10(2/1); tf(b)=1/3 idf=log10(2/2)=0
+    assert by_doc[1][0][1] == "a"
+    assert by_doc[1][0][2] == round(2 / 3 * math.log10(2), 6)
+    assert by_doc[1][1] == (2, "b", 0.0)
+    # doc 2: "c" wins, "b" scores 0
+    assert by_doc[2][0][1] == "c"
+    assert by_doc[2][0][2] == round(1 / 2 * math.log10(2), 6)
+
+
+def test_tfidf_topk_ties_break_by_term(spark):
+    df = spark.createDataFrame([(1, "z y x w v")], ["id", "t"])
+    out = corpus.tfidf_topk(df, "id", "t", k=5).collect()
+    # all terms tie on score -> alphabetical rank order
+    assert [r["term"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        "v", "w", "x", "y", "z"
+    ]
+
+
+def test_tfidf_topk_validation(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "t"])
+    with pytest.raises(ValueError):
+        corpus.tfidf_topk(df, "id", "t", k=0)

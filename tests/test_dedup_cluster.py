@@ -42,3 +42,30 @@ def test_dedup_clusters_representatives(spark):
         assert by_id[i].cluster_id == 2
     assert by_id[2].is_representative
     assert not by_id[5].is_representative and not by_id[6].is_representative
+
+
+def test_cc_distributed_path_matches_driver_path(spark):
+    # same graphs through the Pregel loop (driver_max_pairs=0 forces
+    # the distributed path) and the union-find fast path
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (7, 4)],
+        "doc_a long, doc_b long",
+    )
+    fast = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    dist = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, driver_max_pairs=0).collect()
+    }
+    assert fast == dist == {1: 1, 2: 1, 3: 1, 4: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_cc_string_ids_lexicographic_min(spark):
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c")], "doc_a string, doc_b string"
+    )
+    for kw in ({}, {"driver_max_pairs": 0}):
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(pairs, **kw).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a"}
