@@ -524,13 +524,21 @@ def simhash(
 
     tok_hash = _portable_hash60 if portable else F.xxhash64
     n_bits = 60 if portable else SIMHASH_BITS
-    hashed = spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.slice(
-            F.transform(tokens(F.col(text_col)), lambda t: tok_hash(t)),
-            1,
-            _SIMHASH_MAX_TOKENS,
-        ).alias("__hashes__"),
+    # zero-token docs carry no signal: an all-zero signature would pair
+    # every pair of empty docs at hamming 0, while a vote-based oracle
+    # (group over tokens) never sees them at all — drop them here so
+    # both engines agree that signature-less docs produce no pairs
+    hashed = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.slice(
+                F.transform(tokens(F.col(text_col)), lambda t: tok_hash(t)),
+                1,
+                _SIMHASH_MAX_TOKENS,
+            ).alias("__hashes__"),
+        )
+        .filter(F.size("__hashes__") > 0)
     )
     # materialize the lane accumulators ONCE (aggregate is non-cheap, so
     # CollapseProject keeps the projection); the 63 per-bit extractions

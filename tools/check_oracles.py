@@ -31,6 +31,22 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str | None:
         return f"columns: {sorted(got.columns)} vs {sorted(want.columns)}"
     if len(got) != len(want):
         return f"rows: {len(got)} vs {len(want)}"
+    # Dtype drift is a driver hash mismatch even when values are equal:
+    # e.g. DuckDB sum(INTEGER) -> HUGEINT -> pandas float64 ("56.0")
+    # against Spark bigint ("56").  The float-tolerant compare below
+    # would mask it (it did, for sessionize, three rounds running), so
+    # flag int-vs-float drift loudly before comparing values.
+    for c in sorted(got.columns):
+        a, b = got[c], want[c]
+        ai = pd.api.types.is_integer_dtype(a)
+        bi = pd.api.types.is_integer_dtype(b)
+        af = pd.api.types.is_float_dtype(a)
+        bf = pd.api.types.is_float_dtype(b)
+        if (ai and bf) or (af and bi):
+            return (
+                f"col {c} dtype drift: spark {a.dtype} vs oracle {b.dtype}"
+                " (driver hash would mismatch; CAST the oracle column)"
+            )
     g, w = normalize(got), normalize(want)
     for c in g.columns:
         a, b = g[c], w[c]
@@ -82,10 +98,24 @@ def main():
             print(f"rows  {name}: {len(got)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            want = con.execute(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            risky = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, map(str, rel.types))
+                if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+            ]
+            want = rel.df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
+            continue
+        if risky:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: oracle emits {risky} — pandas coerces these"
+                " to float64/object and the driver hash diverges; CAST to"
+                " BIGINT/DOUBLE in the oracle SQL"
+            )
             continue
         diff = compare(got, want)
         if diff:
