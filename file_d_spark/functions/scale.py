@@ -64,9 +64,9 @@ def salted_agg(
     salt = F.pmod(
         F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
         F.lit(buckets),
-    ).alias("__salt__")
+    )
     partial = (
-        df.select(*keys, salt, "*")
+        df.withColumn("__salt__", salt)
         .groupBy(*keys, "__salt__")
         .agg(
             *[
@@ -92,7 +92,9 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by ``key`` so
     subsequent equi-joins/aggregations on ``key`` between same-bucketed
-    tables plan without an Exchange.  Bucket counts must match across
+    tables plan without an Exchange (asserted by
+    tests/test_scale_ops.py::test_bucketed_join_no_exchange).
+    Bucket counts must match across
     join sides; pick a power of two sized so one bucket of the LARGER
     table fits an executor core's working set."""
     w = df.write.mode("overwrite").bucketBy(buckets, key)

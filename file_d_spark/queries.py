@@ -29,6 +29,7 @@ from file_d_spark.functions import (
     dedup,
     multimodal,
     quality,
+    scale,
     similarity,
     text,
 )
@@ -1912,6 +1913,44 @@ def q_token_stats_by_lang(spark, sf_dir):
 
 
 @query(
+    "token_stats_salted",
+    r"""
+    WITH b AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t <> ''))::BIGINT AS nt
+      FROM documents)
+    SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS total_tokens,
+           min(nt) AS min_tokens, max(nt) AS max_tokens
+    FROM b GROUP BY lang
+    """,
+)
+def q_token_stats_salted(spark, sf_dir):
+    """Skew-safe per-language token accounting via two-phase salted
+    aggregation (functions/scale.salted_agg).  ``lang`` is zipfian (en
+    dominates the corpus) — the hot-key shape where a single-phase
+    groupBy funnels the dominant key's rows through one reducer at
+    100 TB.  Salting fans each key over 32 sub-keys for the partial
+    aggregate, then merges ONE partial row per (key, salt) in a
+    second, tiny shuffle; identical results to the plain groupBy
+    (equivalence + two-Exchange plan shape asserted in
+    tests/test_scale_ops.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = text.token_count(F.col("text")).cast("long")
+    return scale.salted_agg(
+        d.select("lang", nt.alias("nt")),
+        keys=["lang"],
+        aggs={
+            "n_docs": ("nt", "count"),
+            "total_tokens": ("nt", "sum"),
+            "min_tokens": ("nt", "min"),
+            "max_tokens": ("nt", "max"),
+        },
+        buckets=32,
+    )
+
+
+@query(
     "text_entropy",
     """
     WITH ch AS (
@@ -2527,6 +2566,8 @@ _SWEEP_HEAD = [
     "sessionize",
     "dedup_simhash",
     "multimodal_meta",
+    # round-4 registrations
+    "token_stats_salted",
 ]
 
 _SWEEP_PARKED = [
@@ -2551,6 +2592,7 @@ _SWEEP_PARKED = [
     "tpch_q1",
     "tpch_q3",
     "dedup_exact",
+    "text_fingerprint",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2/r3)

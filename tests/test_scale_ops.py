@@ -1,0 +1,105 @@
+"""Scale primitives (functions/scale.py): salted two-phase
+aggregation equivalence + plan shape, and the bucketed-join
+no-Exchange property the module docstring promises."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_d_spark.functions import scale
+from tests.util import assert_frames_match
+
+
+def test_salted_agg_matches_plain_groupby(spark, events):
+    df = events.select("event_type", "value", "user_id")
+    plain = (
+        df.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("user_id").alias("lo"),
+            F.max("user_id").alias("hi"),
+        )
+    )
+    salted = scale.salted_agg(
+        df,
+        keys=["event_type"],
+        aggs={
+            "n": ("value", "count"),
+            "total": ("value", "sum"),
+            "lo": ("user_id", "min"),
+            "hi": ("user_id", "max"),
+        },
+        buckets=8,
+    )
+    got = {
+        r["event_type"]: r.asDict()
+        for r in salted.collect()
+    }
+    want = {r["event_type"]: r.asDict() for r in plain.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        assert got[k]["lo"] == want[k]["lo"]
+        assert got[k]["hi"] == want[k]["hi"]
+        assert got[k]["total"] == pytest.approx(want[k]["total"], rel=1e-9)
+
+
+def test_salted_agg_two_phase_plan(spark, events):
+    """The skew-safety property IS the plan shape: a partial aggregate
+    keyed by (key, __salt__) fans the hot key across reducers, then a
+    second exchange on the bare key merges one partial row per salt.
+    Both hashpartitionings must appear, salted first."""
+    salted = scale.salted_agg(
+        events.select("event_type", "value"),
+        keys=["event_type"],
+        aggs={"n": ("value", "count")},
+        buckets=8,
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt__" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_salted_agg_rejects_non_decomposable(events):
+    with pytest.raises(ValueError, match="not decomposable"):
+        scale.salted_agg(
+            events, keys=["event_type"], aggs={"a": ("value", "avg")}
+        )
+    with pytest.raises(ValueError, match="must not be empty"):
+        scale.salted_agg(events, keys=["event_type"], aggs={})
+
+
+def test_salted_agg_oracle_parity(spark, sf_dir, duck):
+    """The registered token_stats_salted query equals its DuckDB
+    oracle (the same check the driver runs)."""
+    from file_d_spark.queries import ORACLES, QUERIES
+
+    got = QUERIES["token_stats_salted"](spark, sf_dir)
+    want = duck.execute(ORACLES["token_stats_salted"]).df()
+    assert_frames_match(got, want)
+
+
+def test_bucketed_join_no_exchange(spark, events, tmp_path):
+    """write_bucketed pins the join key's partitioning into the table
+    layout: a same-bucket-count equi-join between two bucketed+sorted
+    tables plans with NO Exchange on either side."""
+    left = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    right = events.groupBy("user_id").agg(F.sum("value").alias("spend"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        scale.write_bucketed(left, "t_scale_left", "user_id", buckets=4)
+        scale.write_bucketed(right, "t_scale_right", "user_id", buckets=4)
+        # force a non-broadcast join so the Exchange question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_scale_left").join(
+            spark.table("t_scale_right"), "user_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and the result is still the join result
+        assert joined.count() == spark.table("t_scale_left").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_scale_left")
+        spark.sql("DROP TABLE IF EXISTS t_scale_right")
