@@ -1466,23 +1466,35 @@ def q_ann_ivf(spark, sf_dir):
 @query(
     "multimodal_meta",
     """
-    SELECT doc_id AS media_id, 'image' AS kind,
-           length(text) AS byte_len,
-           16 + length(text) % 240 AS width,
-           16 + (length(text) * 7) % 240 AS height,
-           1 + length(text) % 30 AS n_frames,
-           8000 + (length(text) % 8) * 1000 AS sample_rate
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'jpeg' ELSE 'wav' END AS kind,
+           CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
+                           WHEN 2 THEN 21 ELSE 44 END
+             + octet_length(encode(text)) AS byte_len,
+           CASE WHEN doc_id % 4 < 3 THEN (1 + doc_id % 1024)::INT END AS width,
+           CASE WHEN doc_id % 4 < 3 THEN (1 + (doc_id * 3) % 1024)::INT END AS height,
+           CASE WHEN doc_id % 4 < 3 THEN 1
+                ELSE (octet_length(encode(text)) // 2)::INT END AS n_frames,
+           CASE WHEN doc_id % 4 = 3 THEN (8000 * (1 + doc_id % 6))::INT
+                END AS sample_rate
     FROM documents
     """,
 )
 def q_multimodal(spark, sf_dir):
-    """binary-column plumbing: blob -> mapInPandas metadata extraction
-    (decode stubbed deterministically; text bytes stand in for media)."""
+    """Binary-column pipeline with REAL container parsing: each doc's
+    bytes are wrapped in a valid PNG/GIF/JPEG/WAV prelude (round-robin
+    by id — no media files ship with the testdata), then
+    extract_media_metadata parses the container headers byte-by-byte
+    (PNG IHDR, GIF logical screen, JPEG SOFn, RIFF fmt/data) via
+    Arrow-batched mapInPandas.  The oracle states the generative
+    formulas; the Spark side must recover them FROM THE BYTES, so a
+    parser regression (endianness, offsets, chunk walking) breaks the
+    hash.  Pixel/sample decode beyond headers stays stubbed (no media
+    libs in-container)."""
     d = load_table(spark, sf_dir, "documents")
-    media = multimodal.as_media_column(
-        d.withColumn("blob", F.encode("text", "utf-8")), "blob", "image", "doc_id"
-    )
-    return multimodal.extract_media_metadata(media, fake=True)
+    media = multimodal.synthesize_media_fixture(d, "doc_id", "text")
+    return multimodal.extract_media_metadata(media)
 
 
 # ===========================================================================
