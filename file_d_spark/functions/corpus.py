@@ -432,9 +432,30 @@ def ngram_topk(
     )
     order = [F.col("n_occurrences").desc(), F.col("gram")]
     top = counts.orderBy(*order).limit(k)
+    # rank the k survivors WITHOUT an unpartitioned WindowExec (it
+    # would plan a single-partition window — harmless over k rows but
+    # a standing scale-smell warning): pack the k rows into one sorted
+    # array (negated count => occurrences desc, gram asc) and
+    # posexplode, so rank is just the array position
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_occurrences")).alias("negocc"),
+                    F.col("gram"),
+                    F.col("n_docs"),
+                )
+            )
+        ).alias("arr")
+    )
     return (
-        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
-        .select("gram", "n_docs", "n_occurrences", "rank")
+        packed.select(F.posexplode("arr").alias("pos", "t"))
+        .select(
+            F.col("t.gram").alias("gram"),
+            F.col("t.n_docs").alias("n_docs"),
+            (-F.col("t.negocc")).alias("n_occurrences"),
+            (F.col("pos") + 1).alias("rank"),
+        )
     )
 
 
@@ -446,7 +467,11 @@ def ngram_topk(
 
 
 def dup_span_fraction(
-    df: DataFrame, id_col: str, text_col: str, n: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per document: the fraction of its DISTINCT word n-grams that
     also occur in at least one other document.  The standard "how much
@@ -461,15 +486,21 @@ def dup_span_fraction(
     distinct per doc so count(*) == doc frequency) and an equi-join of
     the exploded grams back to those counts.  No window, no cross
     join.  Docs shorter than n tokens have no grams and drop out —
-    same in the oracle."""
+    same in the oracle.
+
+    ``tokens_col`` names an already-tokenized array column to use
+    instead of re-splitting ``text_col`` — composition pipelines that
+    tokenize once upstream (corpus_build_end2end) pass it to avoid
+    paying the split per stage."""
     from file_d_spark.functions.dedup import _portable_hash60
     from file_d_spark.functions.quality import _ngram_col
 
+    toks = (
+        F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
+    )
     grams = df.select(
         F.col(id_col).alias("__doc__"),
-        F.explode(
-            F.array_distinct(_ngram_col(tokens(F.col(text_col)), n))
-        ).alias("__gram__"),
+        F.explode(F.array_distinct(_ngram_col(toks, n))).alias("__gram__"),
     ).select("__doc__", _portable_hash60(F.col("__gram__")).alias("__h__"))
     freq = grams.groupBy("__h__").agg(F.count(F.lit(1)).alias("__df__"))
     return (

@@ -391,11 +391,16 @@ def lsh_topk(
             ).alias("bb"),
         ).select(f"{role}_id", f"{role}_vec", f"{role}_norm", "bb.band", "bb.val")
 
-    # score candidates in place, THEN dedup on the (query, neighbor) pair
-    # key: a multi-band collision re-scores a pair (cheap, map-side) but
-    # the groupBy shuffles only ids + one double — the pre-scoring
-    # distinct() shuffled both full vectors per candidate row
-    scored = (
+    # score candidates in place, then dedup + top-k in ONE shuffle:
+    # a multi-band collision re-scores the same pair to the bit-same
+    # double (same deterministic expression over the same vectors), so
+    # collect_set of (-sim, neighbor_id) structs dedups exactly, and
+    # array_sort ascending on that struct IS (sim desc, neighbor_id
+    # asc) rank order.  The r3 form (groupBy pair + window) paid two
+    # hash exchanges for the same result, measured ~1s slower at sf0.1.
+    # Per-query state is bounded by its bucket candidates (the whole
+    # point of banding), so the set aggregate is safe at scale.
+    cand = (
         banded(corpus, "neighbor")
         .join(F.broadcast(banded(queries, "query")), ["band", "val"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -404,14 +409,28 @@ def lsh_topk(
             dot(F.col("query_vec"), F.col("neighbor_vec"))
             / (F.col("query_norm") * F.col("neighbor_norm")),
         )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("sim").alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+        cand.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_set(
+                        F.struct(
+                            (-F.col("sim")).alias("nsim"),
+                            F.col("neighbor_id"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "query_id",
+            F.col("t.neighbor_id").alias("neighbor_id"),
+            (F.col("pos") + 1).alias("rank"),
+            F.round(-F.col("t.nsim"), 6).alias("sim"),
+        )
     )

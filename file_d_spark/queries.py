@@ -2421,7 +2421,15 @@ def q_corpus_build_end2end(spark, sf_dir):
     the composed plan: the quality filter is a narrow pass, and every
     wide step after it is keyed on its stage's natural key (content
     digest, doc_id, 60-bit gram hash) — no global sort, no cross join,
-    no driver-side data."""
+    no driver-side data.
+
+    The filtered survivor corpus is tokenized ONCE and persisted:
+    both downstream consumers (the span scorer's gram pass and the
+    manifest's token count) reuse the same token arrays, where the r3
+    form re-ran the Gopher filter + re-split the text for each branch
+    of the DAG.  (persist, not localCheckpoint: lineage stays intact
+    for recovery, and lazy localCheckpoint spams accumulator-GC
+    warnings; on a cluster this would be StorageLevel.DISK_ONLY.)"""
     d = load_table(spark, sf_dir, "documents")
     kept = d.filter(quality.gopher_keep(F.col("text")))
     surv = (
@@ -2429,9 +2437,21 @@ def q_corpus_build_end2end(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    kept2 = kept.join(surv, "doc_id")
+    kept2 = (
+        kept.join(surv, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5("text").alias("digest"),
+            text.tokens(F.col("text")).alias("__toks__"),
+        )
+        .persist()
+    )
     ok = (
-        corpus.dup_span_fraction(kept2, "doc_id", "text", n=8)
+        corpus.dup_span_fraction(
+            kept2, "doc_id", "text", n=8, tokens_col="__toks__"
+        )
         .filter(F.col("dup_fraction") < 0.5)
         .select("doc_id")
     )
@@ -2439,8 +2459,8 @@ def q_corpus_build_end2end(spark, sf_dir):
         "doc_id",
         "lang",
         "source",
-        text.token_count(F.col("text")).alias("n_tokens"),
-        F.md5("text").alias("digest"),
+        F.size("__toks__").alias("n_tokens"),
+        "digest",
     )
 
 
