@@ -1,0 +1,189 @@
+"""Checkpoint-restart recovery for the stateful streaming trio:
+throttle / cardinality / antispam state must SURVIVE a query restart
+(kill + new query on the same checkpoint), continuing counts rather
+than resetting them.  The file source's restart-no-dup behavior is
+covered in test_pipeline_stream; this file covers the state stores.
+
+Pattern per test: batch 1 -> run until its effect is visible -> stop
+-> drop batch 2 into the source dir -> NEW query, SAME checkpoint +
+sink -> assert the continued-state outcome (which differs observably
+from the state-reset outcome).
+
+Timer-driven state ops never self-terminate under availableNow (the
+processing-time timeout keeps the query alive), so each drive polls an
+observable condition and stops the query — the pattern
+test_streaming.py::test_antispam_stream_idle_unban established."""
+
+import json
+import os
+import time
+
+import pytest
+
+
+def _write_jsonl(d, name, rows):
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, name + ".tmp")
+    with open(tmp, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    os.rename(tmp, os.path.join(d, name))  # atomic for the reader
+
+
+def _read_out(spark, out_dir, schema):
+    if not os.path.isdir(str(out_dir)):
+        return []
+    try:
+        return spark.read.schema(schema).json(str(out_dir)).collect()
+    except Exception:
+        return []
+
+
+def _drive(out_df, out_dir, ckpt, done, settle_s=1.5, timeout_s=90):
+    q = (
+        out_df.writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if done(q):
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("stream drive never reached its condition")
+        time.sleep(settle_s)  # let any straggler batch commit
+    finally:
+        q.stop()
+
+
+def _inputs_processed(q, n):
+    return sum(p["numInputRows"] for p in q.recentProgress) >= n
+
+
+def test_throttle_state_survives_restart(spark, tmp_path):
+    from file_d_spark.streaming import throttle_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    schema = "k string, ts timestamp, i long"
+
+    def make_query():
+        df = spark.readStream.schema(schema).json(str(in_dir))
+        return throttle_stream(
+            df, key_col="k", ts_col="ts", bucket_interval_s=60,
+            buckets_count=10, limit=3,
+        )
+
+    # batch 1: exactly the limit — ring for x's bucket is now full
+    _write_jsonl(str(in_dir), "b1.jsonl", [
+        {"k": "x", "ts": f"2024-01-01T00:00:0{i}.000Z", "i": i}
+        for i in range(3)
+    ])
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, schema)) >= 3,
+    )
+
+    # batch 2: same bucket.  Survived state -> all 3 dropped;
+    # reset state -> all 3 admitted.
+    _write_jsonl(str(in_dir), "b2.jsonl", [
+        {"k": "x", "ts": f"2024-01-01T00:00:1{i}.000Z", "i": 100 + i}
+        for i in range(3)
+    ] + [{"k": "y", "ts": "2024-01-01T00:00:20.000Z", "i": 999}])
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.k == "y" for r in _read_out(spark, out_dir, schema)
+        ),
+    )
+
+    by_key: dict = {}
+    for r in _read_out(spark, out_dir, schema):
+        by_key.setdefault(r.k, []).append(r.i)
+    assert sorted(by_key["x"]) == [0, 1, 2], (
+        f"throttle ring reset across restart: admitted {by_key['x']}"
+    )
+    assert by_key["y"] == [999]  # the restarted query does admit fresh keys
+
+
+def test_cardinality_state_survives_restart(spark, tmp_path):
+    from file_d_spark.streaming import cardinality_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    schema = "tenant string, trace string, i long"
+
+    def make_query():
+        df = spark.readStream.schema(schema).json(str(in_dir))
+        return cardinality_stream(df, "tenant", "trace", limit=3, mode="discard")
+
+    # batch 1: exactly limit distinct traces — all admitted
+    _write_jsonl(str(in_dir), "b1.jsonl", [
+        {"tenant": "t1", "trace": f"tr{i}", "i": i} for i in range(3)
+    ])
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, schema)) >= 3,
+    )
+
+    # batch 2: three MORE distinct traces.  Survived set -> the first
+    # new trace trips over-limit and everything drops; reset set ->
+    # all 3 admitted.
+    _write_jsonl(str(in_dir), "b2.jsonl", [
+        {"tenant": "t1", "trace": f"tr{i}", "i": 100 + i} for i in range(3, 6)
+    ] + [{"tenant": "t2", "trace": "tr0", "i": 999}])
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.tenant == "t2" for r in _read_out(spark, out_dir, schema)
+        ),
+    )
+
+    got = _read_out(spark, out_dir, schema)
+    t1 = sorted(r.i for r in got if r.tenant == "t1")
+    assert t1 == [0, 1, 2], f"cardinality set reset across restart: {t1}"
+    assert [r.i for r in got if r.tenant == "t2"] == [999]
+
+
+def test_antispam_ban_survives_restart(spark, tmp_path):
+    from file_d_spark.streaming import antispam_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    schema = "src string, i long"
+
+    def make_query():
+        df = spark.readStream.schema(schema).json(str(in_dir))
+        # long maintenance interval: no tick fires inside the test, so
+        # the ban can only disappear via state loss
+        return antispam_stream(
+            df, "src", threshold=5, maintenance_interval_ms=600_000
+        )
+
+    # batch 1: s1 bursts past the threshold -> banned, nothing emitted
+    # (condition watches query progress, not the empty sink)
+    _write_jsonl(str(in_dir), "b1.jsonl", [
+        {"src": "s1", "i": i} for i in range(6)
+    ])
+    _drive(make_query(), out_dir, ckpt, lambda q: _inputs_processed(q, 6))
+
+    # batch 2: a trickle from s1 (under threshold on its own) plus a
+    # clean source.  Survived ban -> s1 stays suppressed; reset state
+    # -> s1's 3 events pass.
+    _write_jsonl(str(in_dir), "b2.jsonl", [
+        {"src": "s1", "i": 100 + i} for i in range(3)
+    ] + [{"src": "s2", "i": 999}])
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.src == "s2" for r in _read_out(spark, out_dir, schema)
+        ),
+    )
+
+    got = _read_out(spark, out_dir, schema)
+    assert not any(r.src == "s1" for r in got), (
+        f"antispam ban reset across restart: {[(r.src, r.i) for r in got]}"
+    )
+    assert [r.i for r in got if r.src == "s2"] == [999]
