@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "ngram_vocab",
     "multimodal_meta",
+    "token_stats_salted",
+    "corpus_build_end2end",
 ]
 
 

@@ -1925,6 +1925,85 @@ def q_token_stats_by_lang(spark, sf_dir):
 
 
 @query(
+    "token_fertility",
+    r"""
+    WITH b AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t <> ''))::BIGINT AS ws,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))::BIGINT AS bpe
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           sum(ws)::BIGINT AS ws_tokens,
+           sum(bpe)::BIGINT AS bpe_tokens,
+           round(sum(bpe)::DOUBLE / sum(ws), 4) AS fertility
+    FROM b GROUP BY lang
+    """,
+)
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer-fertility audit per language: subword-ish tokens
+    (letter runs / digit runs / single punctuation — the BPE-shaped
+    segmentation) per whitespace word.  The budgeting signal a
+    multilingual mixture needs: a language whose fertility is 2x pays
+    2x the sequence length for the same text.  One narrow projection +
+    one partial-aggregated groupBy on the zipfian lang key."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            text.token_count(F.col("text")).cast("long").alias("ws"),
+            text.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(
+                F.sum("bpe").cast("double") / F.sum("ws"), 4
+            ).alias("fertility"),
+        )
+    )
+
+
+@query(
+    "embedding_quantize",
+    r"""
+    WITH s AS (
+      SELECT d.i AS d,
+             min(embedding[d.i])::DOUBLE AS lo,
+             max(embedding[d.i])::DOUBLE AS hi
+      FROM embeddings, range(1, 65) d(i) GROUP BY d.i),
+    m AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM s)
+    SELECT vec_id,
+      CAST(list_sum(list_transform(range(1, 65), i ->
+        CASE WHEN his[i] = los[i] THEN 0.0
+             ELSE round((embedding[i]::DOUBLE - los[i])
+                        / (his[i] - los[i]) * 255.0) END)) AS BIGINT)
+        AS code_sum,
+      round(list_sum(list_transform(range(1, 65), i ->
+        pow(embedding[i]::DOUBLE
+            - (los[i] + (CASE WHEN his[i] = los[i] THEN 0.0
+                         ELSE round((embedding[i]::DOUBLE - los[i])
+                                    / (his[i] - los[i]) * 255.0) END)
+               * (his[i] - los[i]) / 255.0), 2))) / 64.0, 9)
+        AS quant_mse
+    FROM embeddings, m
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Int8-style scalar quantization of the embedding corpus
+    (functions/similarity.scalar_quantize): per-dimension [min,max]
+    stats reduced to a 64-row driver model, then a pure-projection
+    quantize pass; code_sum pins the exact codes, quant_mse the
+    round-trip reconstruction error — the compression-quality audit
+    before shipping a 4x-smaller ANN index."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.scalar_quantize(e, "vec_id", "embedding", levels=256)
+
+
+@query(
     "token_stats_salted",
     r"""
     WITH b AS (
@@ -2600,6 +2679,8 @@ _SWEEP_HEAD = [
     "multimodal_meta",
     # round-4 registrations
     "token_stats_salted",
+    "token_fertility",
+    "embedding_quantize",
 ]
 
 _SWEEP_PARKED = [
@@ -2625,6 +2706,8 @@ _SWEEP_PARKED = [
     "tpch_q3",
     "dedup_exact",
     "text_fingerprint",
+    "text_quality",
+    "ann_brute_force",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2/r3)

@@ -410,3 +410,43 @@ def antispam_stream(
     return df.groupBy(source_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: drop events whose dedup key was already
+    seen — the streaming counterpart of functions/dedup.exact_dedup and
+    the continuous-ingest shape of an LLM corpus build (documents
+    arriving from a crawl, deduped by content digest as they land).
+
+    Spark-first: this IS Spark's native streaming dedup state, not a
+    custom state function.  Without a horizon, ``dropDuplicates`` keeps
+    one state row per key forever (exact global dedup — state grows
+    with distinct keys, which is the honest cost of the semantics; at
+    100 TB give the key a digest column, 16 bytes/row, not raw text).
+    With ``within`` + ``ts_col``, ``dropDuplicatesWithinWatermark``
+    bounds state to the watermark horizon: duplicates are only
+    suppressed while their first sighting is younger than ``within``
+    (e.g. "24 hours"), and state is evicted beyond it — the unbounded
+    cardinality knob the reference's antispam/cardinality TTL caches
+    turn, here turned by the engine's own watermark machinery.
+
+    Exactly-once across restarts comes from the checkpoint: the seen-
+    key state is in the state store, so a restart continues suppression
+    (asserted in tests/test_streaming_restart.py)."""
+    if within is not None:
+        if ts_col is None:
+            raise ValueError("dedup_stream: within requires ts_col")
+        return df.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return df.dropDuplicates(key_cols)

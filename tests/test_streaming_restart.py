@@ -187,3 +187,102 @@ def test_antispam_ban_survives_restart(spark, tmp_path):
         f"antispam ban reset across restart: {[(r.src, r.i) for r in got]}"
     )
     assert [r.i for r in got if r.src == "s2"] == [999]
+
+
+def test_dedup_stream_state_survives_restart(spark, tmp_path):
+    from file_d_spark.streaming import dedup_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    schema = "digest string, i long"
+
+    def make_query():
+        df = spark.readStream.schema(schema).json(str(in_dir))
+        return dedup_stream(df, ["digest"])
+
+    # batch 1: three distinct digests, one in-batch duplicate
+    _write_jsonl(str(in_dir), "b1.jsonl", [
+        {"digest": "a", "i": 0},
+        {"digest": "b", "i": 1},
+        {"digest": "a", "i": 2},   # in-batch dup -> dropped
+        {"digest": "c", "i": 3},
+    ])
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, schema)) >= 3,
+    )
+
+    # batch 2: re-sends a & b (cross-restart dups) plus a fresh digest.
+    # Survived state -> only d admitted; reset -> a and b re-admitted.
+    _write_jsonl(str(in_dir), "b2.jsonl", [
+        {"digest": "a", "i": 100},
+        {"digest": "b", "i": 101},
+        {"digest": "d", "i": 102},
+    ])
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.digest == "d" for r in _read_out(spark, out_dir, schema)
+        ),
+    )
+
+    got = _read_out(spark, out_dir, schema)
+    by_digest: dict = {}
+    for r in got:
+        by_digest.setdefault(r.digest, []).append(r.i)
+    assert sorted(by_digest) == ["a", "b", "c", "d"]
+    assert all(len(v) == 1 for v in by_digest.values()), (
+        f"dedup state reset across restart: {by_digest}"
+    )
+    assert by_digest["a"] == [0] and by_digest["d"] == [102]
+
+
+def test_dedup_stream_watermark_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark mode: dups inside the horizon are
+    suppressed; the watermark advancing past the first sighting evicts
+    its state, so a much-later re-send is admitted again."""
+    import pyspark.sql.functions as F
+
+    from file_d_spark.streaming import dedup_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    schema = "digest string, ts timestamp, i long"
+
+    def make_query():
+        df = spark.readStream.schema(schema).json(str(in_dir))
+        return dedup_stream(df, ["digest"], ts_col="ts", within="10 seconds")
+
+    _write_jsonl(str(in_dir), "b1.jsonl", [
+        {"digest": "a", "ts": "2024-01-01T00:00:00.000Z", "i": 0},
+        {"digest": "a", "ts": "2024-01-01T00:00:05.000Z", "i": 1},  # in-horizon dup
+    ])
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, schema)) >= 1,
+    )
+
+    # advance event time far past the horizon, then re-send digest a:
+    # the first batch moves the watermark (evicting a's state), the
+    # second re-admits a
+    _write_jsonl(str(in_dir), "b2.jsonl", [
+        {"digest": "z", "ts": "2024-01-01T01:00:00.000Z", "i": 50},
+    ])
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.digest == "z" for r in _read_out(spark, out_dir, schema)
+        ),
+    )
+    _write_jsonl(str(in_dir), "b3.jsonl", [
+        {"digest": "a", "ts": "2024-01-01T01:00:01.000Z", "i": 100},
+    ])
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.digest == "a" and r.i == 100
+            for r in _read_out(spark, out_dir, schema)
+        ),
+    )
+
+    got = _read_out(spark, out_dir, schema)
+    a_is = sorted(r.i for r in got if r.digest == "a")
+    assert a_is == [0, 100], f"watermark-horizon dedup wrong: {a_is}"
