@@ -3,12 +3,12 @@
 entry(spark)  -> flagship query (TPC-H Q1) on sf0.001
 queries()     -> every implemented operator from SURVEY.md §2 (plus the
                  training-data ops) as (spark, sf_dir) -> DataFrame,
-                 ordered so the driver's ~50-row correctness cap drops
-                 only redundantly-covered rows (see queries._SWEEP_TAIL)
-oracle_sql()  -> matching DuckDB SQL (omitted only for the genuinely
-                 hash/approximation-dependent ops — simhash, ANN-LSH,
-                 ANN-IVF, bloom dedup, kitchen-sink wall-clock — each
-                 recall/subset-tested against an exact counterpart)
+                 rotated so the driver's ~50-row correctness cap
+                 verifies every never-checked or changed-this-round
+                 query first (see queries._SWEEP_HEAD/_SWEEP_PARKED)
+oracle_sql()  -> matching DuckDB SQL for every query except
+                 kitchen_sink_actions (now()/hostname are
+                 nondeterministic by nature)
 
 Implementation lives in file_d_spark/queries.py.
 """

@@ -155,7 +155,25 @@ class JsonExtract(Action):
                         "$.v",
                     ),
                 )
-                value = F.coalesce(value, salvage)
+                # non-string scalars cut off mid-event survive too:
+                # numbers / true / false recovered verbatim (the same
+                # string form get_json_object yields); a literal null
+                # stays NULL, as the strict parse would return
+                # the trailing delimiter lookahead rejects a number the
+                # truncation cut mid-digits ('{"n":12<EOF>' might have
+                # been 123456) — only values COMPLETE before the cut
+                # are recovered
+                scalar = F.regexp_extract(
+                    col,
+                    f'"{key_re}"\\s*:\\s*'
+                    r"(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+                    r"|true|false|null)(?=[,}\s\]])",
+                    1,
+                )
+                scalar_salvage = F.when(
+                    (scalar != "") & (scalar != "null"), scalar
+                )
+                value = F.coalesce(value, salvage, scalar_salvage)
             df = self.set_gated(df, [out_name], value, pred)
         return df
 

@@ -471,3 +471,80 @@ def test_json_extract_duple_and_prefix_golden(spark):
     )
     assert row2.asDict()["ext_extracted1"] == "text1"
     assert row2.asDict()["ext_extracted2"] == "text2"
+
+
+def test_json_extract_partial_json_scalars(spark):
+    """Truncated-JSON salvage extends to non-string scalars: numbers
+    and booleans fully present before the cut are recovered in the
+    same string form get_json_object yields; a literal null stays
+    NULL (as the strict parse would return); the half-written number
+    at the cut is NOT recovered as a corrupted value when followed by
+    nothing that completes it."""
+    line = '{"n":42,"f":-3.5e2,"b":true,"z":null,"cut":"oops'
+    df = spark.createDataFrame([(line,)], "json_field string")
+    row = (
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "json_extract",
+                        "field": "json_field",
+                        "extract_fields": ["n", "f", "b", "z", "cut"],
+                    }
+                ]
+            }
+        )
+        .apply(df)
+        .collect()[0]
+    )
+    assert row.n == "42"
+    assert row.f == "-3.5e2"
+    assert row.b == "true"
+    assert row.z is None
+    assert row.cut is None
+
+    # intact JSON still goes through the strict parser (same values)
+    line2 = '{"n":42,"b":false,"z":null,"s":"ok"}'
+    df2 = spark.createDataFrame([(line2,)], "json_field string")
+    row2 = (
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "json_extract",
+                        "field": "json_field",
+                        "extract_fields": ["n", "b", "z", "s"],
+                    }
+                ]
+            }
+        )
+        .apply(df2)
+        .collect()[0]
+    )
+    assert row2.n == "42"
+    assert row2.b == "false"
+    assert row2.z is None
+    assert row2.s == "ok"
+
+
+def test_json_extract_no_salvage_of_cut_number(spark):
+    """A number the truncation cut mid-digits must NOT be recovered —
+    '{"n":12' might have been 123456."""
+    df = spark.createDataFrame([('{"a":7,"n":12',)], "json_field string")
+    row = (
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "json_extract",
+                        "field": "json_field",
+                        "extract_fields": ["a", "n"],
+                    }
+                ]
+            }
+        )
+        .apply(df)
+        .collect()[0]
+    )
+    assert row.a == "7"   # complete (comma-delimited) -> recovered
+    assert row.n is None  # cut at EOF -> not recovered
