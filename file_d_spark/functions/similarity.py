@@ -476,17 +476,34 @@ def scalar_quantize(
             F.round((v.cast("double") - lo) / (hi - lo) * F.lit(steps), 0)
         )
 
-    def dequant_err(v, i):
+    def deq_at(c, i):
         lo = F.element_at(los, i + 1)
         hi = F.element_at(his, i + 1)
-        deq = lo + code_at(v, i) * (hi - lo) / F.lit(steps)
-        return F.pow(v.cast("double") - deq, F.lit(2.0))
+        return lo + c * (hi - lo) / F.lit(steps)
 
-    codes = F.transform(F.col(vec_col), code_at)
-    errs = F.transform(F.col(vec_col), dequant_err)
+    # staged passes so the round/divide in code_at runs ONCE per
+    # component: codes -> dequantized -> squared error.  Interpreted
+    # HOFs re-evaluate any expression referenced by multiple lambdas
+    # (SCALE.md failure-mode list), so err must derive from the codes
+    # ARRAY, not re-derive the code expression.
     tot = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
-        tot(codes).cast("long").alias("code_sum"),
-        F.round(tot(errs) / F.lit(float(n_dims)), 9).alias("quant_mse"),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), code_at).alias("__codes__"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__codes__"),
+        F.transform(F.col("__codes__"), deq_at).alias("__deq__"),
+    )
+    err = F.zip_with(
+        F.col(vec_col),
+        F.col("__deq__"),
+        lambda v, d: F.pow(v.cast("double") - d, F.lit(2.0)),
+    )
+    return staged.select(
+        F.col(id_col),
+        tot(F.col("__codes__")).cast("long").alias("code_sum"),
+        F.round(tot(err) / F.lit(float(n_dims)), 9).alias("quant_mse"),
     )
