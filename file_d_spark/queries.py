@@ -2004,6 +2004,47 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 @query(
+    "embedding_pq",
+    r"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    seed AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS j,
+             v AS c
+      FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, s.s, seed.j,
+             list_sum(list_transform(range(1, 9),
+               i -> pow(e.v[s.s * 8 + i] - seed.c[s.s * 8 + i], 2))) AS dist
+      FROM e, range(8) s(s), seed
+    ),
+    best AS (
+      SELECT vec_id, s, j AS code, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist, j) AS rn
+        FROM d) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(sum(code * (1::BIGINT << (4 * s))) AS BIGINT) AS pq_code,
+           round(sum(dist) / 64.0, 9) AS quant_mse
+    FROM best GROUP BY vec_id
+    """,
+)
+def q_embedding_pq(spark, sf_dir):
+    """Product quantization (Jegou et al. 2011): 8 subspaces x 16
+    codes — a 64-dim vector compresses to 4 bytes (64x).  Codebook =
+    the 16 md5-first corpus vectors sliced per subspace (the
+    deterministic-sampling analogue of the k-means fit, same pattern
+    as the IVF centroids), so the ENTIRE path — per-subspace argmin
+    assignment, code packing, reconstruction error — is bit-checked by
+    the oracle.  Assignment is an in-row argmin: no join, no
+    shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.product_quantize(e, "vec_id", "embedding", dim=64, m=8, k=16)
+
+
+@query(
     "token_stats_salted",
     r"""
     WITH b AS (
@@ -2681,6 +2722,7 @@ _SWEEP_HEAD = [
     "token_stats_salted",
     "token_fertility",
     "embedding_quantize",
+    "embedding_pq",
 ]
 
 _SWEEP_PARKED = [
@@ -2708,6 +2750,7 @@ _SWEEP_PARKED = [
     "text_fingerprint",
     "text_quality",
     "ann_brute_force",
+    "dedup_embedding_cosine",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2/r3)
