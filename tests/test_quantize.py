@@ -1,0 +1,89 @@
+"""Embedding quantization operators (functions/similarity.py):
+scalar quantization and product quantization — code ranges,
+reconstruction-error bounds, determinism, and validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_d_spark.functions import similarity
+from file_d_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_scalar_quantize_error_bound(spark, emb):
+    """Uniform quantization error per component is at most half a step,
+    so mse <= max_dim_range^2 / (4 * (levels-1)^2)."""
+    rows = similarity.scalar_quantize(emb, levels=256).collect()
+    stats = (
+        emb.select(F.posexplode("embedding").alias("d", "v"))
+        .groupBy("d")
+        .agg((F.max("v") - F.min("v")).alias("range"))
+        .agg(F.max("range"))
+        .collect()[0][0]
+    )
+    bound = (float(stats) / 255.0) ** 2 / 4.0 + 1e-12
+    assert rows, "no vectors quantized"
+    assert all(r.quant_mse <= bound for r in rows)
+    n_dims = len(emb.select("embedding").first()[0])
+    assert all(0 <= r.code_sum <= 255 * n_dims for r in rows)
+
+
+def test_scalar_quantize_more_levels_less_error(spark, emb):
+    coarse = {
+        r.vec_id: r.quant_mse
+        for r in similarity.scalar_quantize(emb, levels=4).collect()
+    }
+    fine = {
+        r.vec_id: r.quant_mse
+        for r in similarity.scalar_quantize(emb, levels=256).collect()
+    }
+    tot_c = sum(coarse.values())
+    tot_f = sum(fine.values())
+    assert tot_f < tot_c, f"256 levels not better than 4: {tot_f} vs {tot_c}"
+
+
+def test_product_quantize_codes_and_determinism(spark, emb):
+    a = {r.vec_id: (r.pq_code, r.quant_mse)
+         for r in similarity.product_quantize(emb, m=8, k=16).collect()}
+    b = {r.vec_id: (r.pq_code, r.quant_mse)
+         for r in similarity.product_quantize(emb, m=8, k=16).collect()}
+    assert a == b  # deterministic codebook => identical codes
+    assert all(0 <= code < 16 ** 8 for code, _ in a.values())
+    assert all(mse >= 0 for _, mse in a.values())
+
+
+def test_product_quantize_seed_vectors_zero_error(spark, emb):
+    """The codebook vectors quantize to themselves: every subspace has
+    an exact centroid match, so their reconstruction error is 0."""
+    seed_ids = [
+        r.vec_id
+        for r in emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(16)
+        .collect()
+    ]
+    got = {
+        r.vec_id: r.quant_mse
+        for r in similarity.product_quantize(emb, m=8, k=16).collect()
+    }
+    for vid in seed_ids:
+        assert got[vid] == 0.0, f"seed vector {vid} has nonzero error"
+
+
+def test_product_quantize_more_codes_less_error(spark, emb):
+    k2 = sum(
+        r.quant_mse for r in similarity.product_quantize(emb, m=8, k=2).collect()
+    )
+    k16 = sum(
+        r.quant_mse for r in similarity.product_quantize(emb, m=8, k=16).collect()
+    )
+    assert k16 < k2
+
+
+def test_product_quantize_validates_m(emb):
+    with pytest.raises(ValueError, match="m must divide dim"):
+        similarity.product_quantize(emb, dim=64, m=7)
