@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "token_stats_salted",
     "corpus_build_end2end",
+    "token_fertility",
+    "embedding_quantize",
+    "embedding_pq",
 ]
 
 

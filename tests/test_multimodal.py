@@ -108,3 +108,33 @@ def test_multimodal_meta_oracle_parity(spark, sf_dir, duck):
     got = QUERIES["multimodal_meta"](spark, sf_dir)
     want = duck.execute(ORACLES["multimodal_meta"]).df()
     assert_frames_match(got, want)
+
+
+def test_sniff_never_raises_on_arbitrary_bytes():
+    """Fuzz the container parsers: any byte string must yield None or
+    a metadata dict — never an exception (malformed blobs are the
+    NORMAL case in a crawled corpus)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def run(blob):
+        meta = mm.sniff_media(blob)
+        assert meta is None or isinstance(meta, dict)
+
+    run()
+
+    # adversarial prefixes: valid magics followed by garbage/truncation
+    for prefix in (
+        b"\x89PNG\r\n\x1a\n",
+        b"GIF89a",
+        b"\xff\xd8\xff",
+        b"RIFF\x04\x00\x00\x00WAVE",
+        mm.build_png(5, 5)[:20],
+        mm.build_wav(8000, b"xy")[:30],
+        mm.build_jpeg(9, 9)[:7],
+    ):
+        for tail in (b"", b"\x00", b"\xff" * 40, b"A" * 10):
+            meta = mm.sniff_media(prefix + tail)
+            assert meta is None or isinstance(meta, dict)
