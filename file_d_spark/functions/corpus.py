@@ -615,3 +615,44 @@ def tfidf_topk(
     return ranked.select(
         F.col("__doc__").alias(id_col), "term", "score", "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic epoch shuffle into training shards
+# --------------------------------------------------------------------------
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic corpus shuffle for a training epoch: every document
+    gets a pseudo-random but REPRODUCIBLE (seed-keyed) position inside
+    one of ``n_shards`` shards — the shuffled-shard layout data loaders
+    stream.  Changing ``seed`` produces an independent permutation
+    (a new epoch); re-running the same seed reproduces it exactly,
+    which is what makes interrupted corpus builds resumable.
+
+    Output: (id, shard, pos) with pos dense 0..len(shard)-1.
+
+    Scale shape: the order key is an md5 of (seed, id) — engine-
+    portable, so the whole permutation is oracle-checkable — and the
+    ONLY wide op is one hash shuffle on the shard key; each shard
+    orders its own rows (a per-shard sort, never a global one).  Shard
+    count is the parallelism knob: pick shards ~= writer tasks."""
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("__key__", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("__key__"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select(id_col, "shard", "pos")
+    )

@@ -2004,6 +2004,32 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 @query(
+    "epoch_shuffle",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             md5('7:' || doc_id::VARCHAR) AS key,
+             (('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+              % 8)::INT AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY key, doc_id) - 1 AS INT) AS pos
+    FROM s
+    """,
+)
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle into training shards
+    (corpus.epoch_shuffle, seed=7, 8 shards): every doc gets a
+    reproducible pseudo-random position in a shard — the shuffled
+    layout a data loader streams.  md5 order key makes the whole
+    permutation engine-portable; the only wide op is one shard-keyed
+    shuffle with per-shard ordering (no global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.epoch_shuffle(d, "doc_id", seed=7, n_shards=8)
+
+
+@query(
     "embedding_pq",
     r"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -2723,6 +2749,7 @@ _SWEEP_HEAD = [
     "token_fertility",
     "embedding_quantize",
     "embedding_pq",
+    "epoch_shuffle",
 ]
 
 _SWEEP_PARKED = [
@@ -2751,6 +2778,7 @@ _SWEEP_PARKED = [
     "text_quality",
     "ann_brute_force",
     "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2/r3)
