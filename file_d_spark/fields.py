@@ -197,7 +197,3 @@ def rename_field(
     val = get_col(src, df.schema)
     df = set_field(df, dst, val)
     return drop_field(df, src)
-
-
-def top_level_names(schema: T.StructType) -> list[str]:
-    return [f.name for f in schema.fields]

@@ -60,3 +60,29 @@ def test_socket_sink_tcp(spark, tmp_path):
     finally:
         srv.shutdown()
     assert sorted(r["k"] for r in received) == ["a", "b"]
+
+
+def test_dmesg_pump_to_pipeline(spark, tmp_path):
+    from file_d_spark import Pipeline
+    from file_d_spark.sources.procs import dmesg_pump
+
+    spool = str(tmp_path / "dspool")
+    lines = [
+        json.dumps({"msg": f"usb {i}: device connected", "pri": "6"})
+        for i in range(4)
+    ]
+    pump = dmesg_pump(spool, cmd=["printf", "%s\n" * len(lines), *lines]).start()
+    pump.wait(10)
+
+    p = Pipeline.from_dict(
+        {
+            "settings": {
+                "decoder": "json",
+                "decoder_params": {"schema": "msg string, pri string"},
+            },
+            "input": {"type": "dmesg", "spool_dir": spool},
+        }
+    )
+    rows = p.run_batch(spark).orderBy("msg").collect()
+    assert len(rows) == 4
+    assert rows[0].msg == "usb 0: device connected"

@@ -73,3 +73,18 @@ def test_meta_templates(spark, tmp_path):
     row = p.run_batch(spark).collect()[0]
     assert row.origin.startswith("file:")
     assert row.origin.endswith("x.log")
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """register_views exposes every testdata table as a temp view so
+    users can drive the engine from spark.sql directly."""
+    from file_d_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    n = spark.sql("SELECT count(*) AS n FROM events").collect()[0].n
+    assert n > 0
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey"
+    ).collect()[0].n
+    assert joined == 25
