@@ -2004,6 +2004,85 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 @query(
+    "join_template_panic",
+    r"""
+    WITH lines AS (
+      SELECT user_id AS src, event_id AS seq,
+             CASE WHEN event_id % 7 = 0
+                    THEN 'panic: runtime error: index out of range'
+                  WHEN event_id % 7 = 1 THEN 'goroutine 12 [running]:'
+                  WHEN event_id % 7 = 2 THEN 'main.handler(0x14ab)'
+                  WHEN event_id % 7 = 3 THEN 'src/app/main.go:42 +0x1a'
+                  ELSE 'ok ' || event_type END AS log
+      FROM events),
+    flags AS (
+      SELECT src, seq, log,
+             regexp_matches(log,
+               '(^panic:)|(^fatal error:)|(http: panic serving)')
+               AS is_start,
+             regexp_matches(log,
+               '(^\[signal)|(^\s*$)|(goroutine [0-9]+ \[)'
+               || '|(goroutine [0-9]+ .* \[)'
+               || '|(\.go:[0-9]+)|(created by .*\.)|(panic.*0x)|(panic:)'
+               || '|(<autogenerated>:)'
+               || '|([A-Za-z_][A-Za-z0-9_]*\)?\.[A-Za-z0-9_]+\(.*\))')
+               AS is_cont
+      FROM lines),
+    grps AS (
+      SELECT *, sum(CASE WHEN is_start OR NOT is_cont THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY src ORDER BY seq) AS grp
+      FROM flags),
+    rns AS (
+      SELECT *, row_number() OVER (PARTITION BY src, grp ORDER BY seq) AS rn
+      FROM grps),
+    led AS (
+      SELECT *, bool_or(is_start AND rn = 1)
+                  OVER (PARTITION BY src, grp) AS leader_start
+      FROM rns)
+    SELECT src, min(seq) AS seq, string_agg(log, '' ORDER BY seq) AS log
+    FROM led WHERE leader_start GROUP BY src, grp
+    UNION ALL
+    SELECT src, seq, log FROM led WHERE NOT leader_start
+    """,
+)
+def q_join_template(spark, sf_dir):
+    """join_template action with the go_panic template: panic headers
+    open a block, goroutine/frame lines extend it (the precompiled
+    predicate pairs of join_template/template/go_panic.go re-expressed
+    as RE2).  The fixture synthesizes panic-shaped lines from events;
+    the oracle replays the same prefix-scan with the SAME regexes in
+    DuckDB (both engines run RE2-compatible patterns), so the template
+    predicates themselves are hash-checked, not just the join
+    mechanics."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.col("event_id") % 7
+    lines = ev.select(
+        F.col("user_id").alias("src"),
+        F.col("event_id").alias("seq"),
+        F.when(m == 0, F.lit("panic: runtime error: index out of range"))
+        .when(m == 1, F.lit("goroutine 12 [running]:"))
+        .when(m == 2, F.lit("main.handler(0x14ab)"))
+        .when(m == 3, F.lit("src/app/main.go:42 +0x1a"))
+        .otherwise(F.concat(F.lit("ok "), F.col("event_type")))
+        .alias("log"),
+    )
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "join_template",
+                    "template": "go_panic",
+                    "field": "log",
+                    "source_field": "src",
+                    "seq_field": "seq",
+                }
+            ]
+        }
+    )
+    return p.apply(lines).select("src", "seq", "log")
+
+
+@query(
     "epoch_shuffle",
     r"""
     WITH s AS (
@@ -2712,9 +2791,9 @@ def q_tpch_q5(spark, sf_dir):
 #           oracle rounding + token caching).  These MUST land inside
 #           the 50-row window.
 #   BODY  — everything else, registration order.
-#   PARKED — long-proven rows (hash-green in BOTH r01 and r03, code
-#           untouched this round); losing a round's driver row here
-#           costs the least evidence.  They stay oracle-paired and in
+#   PARKED — long-proven rows (hash-green in earlier rounds — most in
+#           both r01 and r03 — with code untouched this round); losing
+#           a round's driver row here costs the least evidence.  They stay oracle-paired and in
 #           pytest/bench; `tools/check_oracles.py` still covers them.
 _SWEEP_HEAD = [
     # round-3 registrations, never driver-verified
@@ -2750,6 +2829,7 @@ _SWEEP_HEAD = [
     "embedding_quantize",
     "embedding_pq",
     "epoch_shuffle",
+    "join_template_panic",
 ]
 
 _SWEEP_PARKED = [
@@ -2779,6 +2859,7 @@ _SWEEP_PARKED = [
     "ann_brute_force",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
+    "value_percentiles",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2/r3)
