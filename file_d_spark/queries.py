@@ -2004,6 +2004,86 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 @query(
+    "decoder_postgres",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') || ' GMT' AS time,
+           user_id::VARCHAR AS pid,
+           '3-1' AS pid_message_number,
+           'c' || user_id::VARCHAR AS client,
+           'db' || user_id::VARCHAR AS db,
+           'u' || user_id::VARCHAR AS "user",
+           event_type AS log
+    FROM events
+    """,
+)
+def q_decoder_postgres(spark, sf_dir):
+    """postgres decoder over synthesized server-log lines: the decoder
+    must INVERT the generative construction (time/pid/msg-no/client/
+    db/user/log recovered from the wire format), while the oracle
+    restates the parts directly — a regex-offset regression breaks the
+    hash."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit(" GMT ["), uid, F.lit("] => [3-1] client=c"), uid,
+            F.lit(",db=db"), uid, F.lit(",user=u"), uid,
+            F.lit(" LOG:  "), F.col("event_type"),
+        ).alias("line"),
+    )
+    p = Pipeline.from_dict(
+        {"actions": [{"type": "decode", "decoder": "postgres", "field": "line"}]}
+    )
+    return p.apply(df).select(
+        "event_id", "time", "pid", "pid_message_number",
+        "client", "db", "user", "log",
+    )
+
+
+@query(
+    "decoder_nginx",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y/%m/%d %H:%M:%S') AS time,
+           CASE WHEN event_id % 2 = 0 THEN 'error' ELSE 'warn' END AS level,
+           user_id::VARCHAR AS pid,
+           (event_id % 16)::VARCHAR AS tid,
+           (event_id % 1000)::VARCHAR AS cid,
+           'open() failed ' || event_type AS message
+    FROM events
+    """,
+)
+def q_decoder_nginx(spark, sf_dir):
+    """nginx_error decoder over synthesized error-log lines (time,
+    level, pid#tid, *connection-id, message recovered from the wire
+    format; oracle restates the generative parts)."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
+            F.lit(" ["),
+            F.when(F.col("event_id") % 2 == 0, F.lit("error")).otherwise(
+                F.lit("warn")
+            ),
+            F.lit("] "), F.col("user_id").cast("string"),
+            F.lit("#"), (F.col("event_id") % 16).cast("string"),
+            F.lit(": *"), (F.col("event_id") % 1000).cast("string"),
+            F.lit(" open() failed "), F.col("event_type"),
+        ).alias("line"),
+    )
+    p = Pipeline.from_dict(
+        {"actions": [{"type": "decode", "decoder": "nginx_error", "field": "line"}]}
+    )
+    return p.apply(df).select(
+        "event_id", "time", "level", "pid", "tid", "cid", "message"
+    )
+
+
+@query(
     "join_template_panic",
     r"""
     WITH lines AS (
@@ -2830,6 +2910,8 @@ _SWEEP_HEAD = [
     "embedding_pq",
     "epoch_shuffle",
     "join_template_panic",
+    "decoder_postgres",
+    "decoder_nginx",
 ]
 
 _SWEEP_PARKED = [
@@ -2860,6 +2942,8 @@ _SWEEP_PARKED = [
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "value_percentiles",
+    "text_entropy",
+    "quality_repetition",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2/r3)
