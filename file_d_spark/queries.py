@@ -2163,6 +2163,104 @@ def q_join_template(spark, sf_dir):
 
 
 @query(
+    "join_template_multi",
+    r"""
+    WITH lines AS (
+      SELECT user_id AS src, event_id AS seq,
+             CASE WHEN event_id % 9 = 0
+                    THEN 'Unhandled exception. System.InvalidOperationException: fail'
+                  WHEN event_id % 9 = 1 THEN '   at Program.Main(String[] args)'
+                  WHEN event_id % 9 = 2 THEN '   ---> System.IO.IOException: disk'
+                  WHEN event_id % 9 = 3 THEN 'WARNING: DATA RACE'
+                  WHEN event_id % 9 = 4 THEN 'Read at 0x00c000 by goroutine 7:'
+                  WHEN event_id % 9 = 5 THEN '=================='
+                  ELSE 'ok ' || event_type END AS log
+      FROM events),
+    f AS (
+      SELECT src, seq, log,
+             regexp_matches(log, '(?i:^\s*unhandled exception)') AS s_cs,
+             regexp_matches(log, '^WARNING: DATA RACE') AS s_race
+      FROM lines),
+    g AS (
+      SELECT *, (s_cs OR s_race) AS is_start,
+             CASE WHEN s_cs THEN 0 WHEN s_race THEN 1 END AS tpl
+      FROM f),
+    gov AS (
+      SELECT *, last_value(CASE WHEN is_start THEN tpl END IGNORE NULLS)
+                  OVER (PARTITION BY src ORDER BY seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS gv
+      FROM g),
+    c AS (
+      SELECT *, CASE
+          WHEN gv = 0 THEN regexp_matches(log,
+            '(^\s*at\s)|(^\s*--->)|((?i:^\s*--- end of))'
+            || '|([A-Za-z0-9_]\.?Exception:)')
+          WHEN gv = 1 THEN log <> '=================='
+          ELSE FALSE END AS is_cont
+      FROM gov),
+    grps AS (
+      SELECT *, sum(CASE WHEN is_start OR NOT coalesce(is_cont, FALSE)
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY src ORDER BY seq) AS grp
+      FROM c),
+    rns AS (
+      SELECT *, row_number() OVER (PARTITION BY src, grp ORDER BY seq) AS rn
+      FROM grps),
+    led AS (
+      SELECT *, bool_or(is_start AND rn = 1)
+                  OVER (PARTITION BY src, grp) AS leader_start
+      FROM rns)
+    SELECT src, min(seq) AS seq, string_agg(log, '' ORDER BY seq) AS log
+    FROM led WHERE leader_start GROUP BY src, grp
+    UNION ALL
+    SELECT src, seq, log FROM led WHERE NOT leader_start
+    """,
+)
+def q_join_template_multi(spark, sf_dir):
+    """join_template with TWO templates (cs_exception + go_data_race):
+    the continue check is governed by the template whose start opened
+    the block (join_template.go firstCheck/nextCheck), NOT an OR of
+    all continues — the fixture interleaves C#-trace lines into race
+    blocks and race terminators into C# blocks so a cross-template
+    leak breaks the hash.  The oracle mirrors the governing-template
+    scan in SQL (last_value IGNORE NULLS over the starts); the race
+    template's lookahead continue is restated by its semantic
+    equivalent log <> '==...=' (RE2 has no lookahead)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.col("event_id") % 9
+    lines = ev.select(
+        F.col("user_id").alias("src"),
+        F.col("event_id").alias("seq"),
+        F.when(
+            m == 0,
+            F.lit("Unhandled exception. System.InvalidOperationException: fail"),
+        )
+        .when(m == 1, F.lit("   at Program.Main(String[] args)"))
+        .when(m == 2, F.lit("   ---> System.IO.IOException: disk"))
+        .when(m == 3, F.lit("WARNING: DATA RACE"))
+        .when(m == 4, F.lit("Read at 0x00c000 by goroutine 7:"))
+        .when(m == 5, F.lit("=================="))
+        .otherwise(F.concat(F.lit("ok "), F.col("event_type")))
+        .alias("log"),
+    )
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "join_template",
+                    "templates": ["cs_exception", "go_data_race"],
+                    "field": "log",
+                    "source_field": "src",
+                    "seq_field": "seq",
+                }
+            ]
+        }
+    )
+    return p.apply(lines).select("src", "seq", "log")
+
+
+@query(
     "epoch_shuffle",
     r"""
     WITH s AS (
@@ -2912,6 +3010,7 @@ _SWEEP_HEAD = [
     "join_template_panic",
     "decoder_postgres",
     "decoder_nginx",
+    "join_template_multi",
 ]
 
 _SWEEP_PARKED = [
@@ -2944,6 +3043,7 @@ _SWEEP_PARKED = [
     "value_percentiles",
     "text_entropy",
     "quality_repetition",
+    "c4_line_clean",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2/r3)
