@@ -2084,6 +2084,49 @@ def q_decoder_nginx(spark, sf_dir):
 
 
 @query(
+    "decoder_csv",
+    """
+    SELECT event_id,
+           'u' || user_id::VARCHAR AS who,
+           event_type AS what,
+           round(value, 2)::VARCHAR AS amount
+    FROM events
+    """,
+)
+def q_decoder_csv(spark, sf_dir):
+    """csv decoder (from_csv with configured columns/delimiter) over
+    synthesized semicolon-delimited lines; the oracle restates the
+    generative parts — the decoder must recover them through the csv
+    parse."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.concat_ws(
+            ";",
+            F.concat(F.lit("u"), F.col("user_id").cast("string")),
+            F.col("event_type"),
+            F.round("value", 2).cast("string"),
+        ).alias("line"),
+    )
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "decode",
+                    "decoder": "csv",
+                    "field": "line",
+                    "params": {
+                        "csv_columns": ["who", "what", "amount"],
+                        "csv_delimiter": ";",
+                    },
+                }
+            ]
+        }
+    )
+    return p.apply(df).select("event_id", "who", "what", "amount")
+
+
+@query(
     "join_template_panic",
     r"""
     WITH lines AS (
@@ -3011,6 +3054,7 @@ _SWEEP_HEAD = [
     "decoder_postgres",
     "decoder_nginx",
     "join_template_multi",
+    "decoder_csv",
 ]
 
 _SWEEP_PARKED = [
@@ -3044,6 +3088,7 @@ _SWEEP_PARKED = [
     "text_entropy",
     "quality_repetition",
     "c4_line_clean",
+    "line_dedup",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2/r3)
