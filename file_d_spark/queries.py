@@ -2127,6 +2127,68 @@ def q_decoder_csv(spark, sf_dir):
 
 
 @query(
+    "decoder_syslog3164",
+    """
+    SELECT event_id,
+           'USER' AS facility,
+           ['EMERG','ALERT','CRIT','ERROR','WARN','NOTICE','INFO','DEBUG']
+             [(event_id % 8) + 1] AS severity,
+           'Feb ' || CASE WHEN 1 + event_id % 28 < 10
+                          THEN ' ' || (1 + event_id % 28)::VARCHAR
+                          ELSE (1 + event_id % 28)::VARCHAR END
+             || ' ' || strftime(ts, '%H:%M:%S') AS "timestamp",
+           'host' || (user_id % 5)::VARCHAR AS hostname,
+           'app' || (user_id % 10)::VARCHAR AS app_name,
+           user_id::VARCHAR AS process_id,
+           props AS message
+    FROM events
+    """,
+)
+def q_decoder_syslog3164(spark, sf_dir):
+    """syslog rfc3164 decoder over synthesized BSD-syslog lines —
+    exercises the space-padded-day timestamp form and the STRING
+    facility/severity rendering of the PRI field (the 5424 row uses
+    the numeric rendering), so both format tables are hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.lit(1) + F.col("event_id") % 28
+    padded = F.when(day < 10, F.concat(F.lit(" "), day.cast("string"))).otherwise(
+        day.cast("string")
+    )
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<"),
+            (F.lit(8) + F.col("event_id") % 8).cast("string"),
+            F.lit(">Feb "), padded,
+            F.lit(" "), F.date_format("ts", "HH:mm:ss"),
+            F.lit(" host"), (F.col("user_id") % 5).cast("string"),
+            F.lit(" app"), (F.col("user_id") % 10).cast("string"),
+            F.lit("["), F.col("user_id").cast("string"), F.lit("]: "),
+            F.col("props"),
+        ).alias("line"),
+    )
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "decode",
+                    "decoder": "syslog_rfc3164",
+                    "field": "line",
+                    "params": {
+                        "syslog_facility_format": "string",
+                        "syslog_severity_format": "string",
+                    },
+                }
+            ]
+        }
+    )
+    return p.apply(df).select(
+        "event_id", "facility", "severity", "timestamp",
+        "hostname", "app_name", "process_id", "message",
+    )
+
+
+@query(
     "join_template_panic",
     r"""
     WITH lines AS (
@@ -3055,6 +3117,7 @@ _SWEEP_HEAD = [
     "decoder_nginx",
     "join_template_multi",
     "decoder_csv",
+    "decoder_syslog3164",
 ]
 
 _SWEEP_PARKED = [
@@ -3089,6 +3152,7 @@ _SWEEP_PARKED = [
     "quality_repetition",
     "c4_line_clean",
     "line_dedup",
+    "decontaminate",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2/r3)
