@@ -97,6 +97,18 @@ def write_bucketed(
     Bucket counts must match across
     join sides; pick a power of two sized so one bucket of the LARGER
     table fits an executor core's working set."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A previous SESSION's leftover table directory is invisible to
+    # this session's catalog (fresh in-memory/derby metastore), and
+    # saveAsTable refuses to claim an existing location — remove the
+    # orphan through the Hadoop FS API so any scheme (local, HDFS, s3a)
+    # works, not just the local filesystem.
+    jvm = spark._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(path, True)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

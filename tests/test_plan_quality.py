@@ -85,6 +85,19 @@ def test_narrow_queries_prune_text(spark, sf_dir):
         assert "text" not in read_cols, f"{name} scans the text column"
 
 
+def test_bucketed_enrich_no_exchange(spark, sf_dir):
+    """The registered bucketed join must read both sides as bucketed
+    scans and merge-join them with ZERO Exchange under the join — the
+    layout-pinned shuffle is the whole point of the query.  The only
+    Exchange in the plan is the final few-row segment aggregation."""
+    plan = plan_of(spark, sf_dir, "bucketed_enrich")
+    assert "SortMergeJoin" in plan, "bucketed join degraded"
+    assert plan.count("Bucketed: true") == 2, "scan lost bucketing info"
+    assert plan.count("Exchange") == 1, (
+        "bucketed_enrich: join sides re-shuffled despite bucketed layout"
+    )
+
+
 def test_stateful_ops_single_shuffle(spark, sf_dir):
     """throttle/sessionize shuffle once on their key (plus AQE reads);
     a second Exchange on a different key means the plan regressed."""
