@@ -114,7 +114,16 @@ class JsonEncode(Action):
 class JsonExtract(Action):
     """Extract listed dot-paths from a JSON *string* field into root
     with ``prefix``.  Uses ``get_json_object`` per path — Catalyst
-    fuses multiple extractions over the same input."""
+    fuses multiple extractions over the same input.
+
+    Truncated-JSON salvage caveat: when the strict parse fails, the
+    best-effort regex recovery matches the key ANYWHERE in the line,
+    not only at top level — for a truncated ``{"b":{"a":7},"x":`` it
+    recovers a=7 even though ``$.a`` on the completed JSON would be
+    NULL; a nested or string-embedded key can produce a value the
+    strict parser never would.  Accepted for a salvage path (strict
+    rows are unaffected: coalesce only consults the salvage when
+    get_json_object returned NULL)."""
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         src = parse_selector(self.params["field"])

@@ -91,11 +91,18 @@ def parse_jpeg(blob: bytes) -> dict | None:
     if len(blob) < 4 or blob[:2] != b"\xff\xd8":
         return None
     i = 2
-    while i + 4 <= len(blob):
+    while i + 2 <= len(blob):
         if blob[i] != 0xFF:
             return None
+        # 0xFF fill/padding bytes between segments are legal
+        # (ISO 10918-1 B.1.1.2) — skip runs of them to the marker byte
+        while i + 1 < len(blob) and blob[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(blob):
+            return None
         marker = blob[i + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+        # bare (parameterless) markers: SOI, RSTn, EOI, TEM
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker in (0xD9, 0x01):
             i += 2
             continue
         if i + 4 > len(blob):

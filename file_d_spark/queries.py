@@ -40,6 +40,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# DataFrames persisted inside a query plan (e.g. corpus_build_end2end's
+# tokenized survivors) register here so harnesses can release executor
+# memory once the result is materialized — without this, repeated runs
+# in one session (the 83-query sweep, bench iterations) accumulate
+# cached partitions for the session lifetime.
+_CACHED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame a query cached; call after the query's
+    result has been materialized (collect/count/write)."""
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -3025,7 +3042,10 @@ def q_corpus_build_end2end(spark, sf_dir):
     form re-ran the Gopher filter + re-split the text for each branch
     of the DAG.  (persist, not localCheckpoint: lineage stays intact
     for recovery, and lazy localCheckpoint spams accumulator-GC
-    warnings; on a cluster this would be StorageLevel.DISK_ONLY.)"""
+    warnings; on a cluster this would be StorageLevel.DISK_ONLY.)
+    The persisted frame registers in _CACHED; harnesses call
+    release_caches() after materializing the result so repeated runs in
+    one session don't accumulate cached partitions."""
     d = load_table(spark, sf_dir, "documents")
     kept = d.filter(quality.gopher_keep(F.col("text")))
     surv = (
@@ -3044,6 +3064,7 @@ def q_corpus_build_end2end(spark, sf_dir):
         )
         .persist()
     )
+    _CACHED.append(kept2)
     ok = (
         corpus.dup_span_fraction(
             kept2, "doc_id", "text", n=8, tokens_col="__toks__"

@@ -73,6 +73,29 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     assert recall >= 0.75, f"ann-lsh recall {recall}"
 
 
+def test_ann_lsh_no_duplicate_neighbors(spark, sf_dir):
+    """lsh_topk dedups multi-band collisions via collect_set of
+    (-sim, neighbor_id) structs — correct ONLY while the score
+    expression is order-deterministic (bit-identical doubles for
+    re-scores of the same pair).  If scoring ever drifts to a
+    non-deterministic form, duplicates silently enter the top-k; this
+    guard makes that drift fail loudly instead of corrupting ranks."""
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 8")
+    rows = similarity.lsh_topk(e, q, dim=64, k=10, planes=16, bands=8).collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate neighbor in top-k"
+    # ranks are dense 1..n per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+
+
 def test_ann_ivf_recall_vs_brute(spark, sf_dir):
     from file_d_spark.functions import similarity
     from file_d_spark.tables import load_table

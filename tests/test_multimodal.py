@@ -56,6 +56,27 @@ def test_parse_jpeg_walks_past_app_segments():
     assert meta["width"] == 444 and meta["height"] == 333
 
 
+def test_parse_jpeg_fill_bytes_and_bare_markers():
+    # ISO 10918-1 B.1.1.2: markers may be preceded by any number of
+    # 0xFF fill bytes; TEM (0x01) and RSTn are parameterless.  A
+    # spec-conformant padded stream must still yield metadata.
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = struct.pack(">BHHB", 8, 123, 456, 3) + b"\x01\x11\x00" * 3
+    blob = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes before APP0
+        + app0[1:]
+        + b"\xff\x01"      # bare TEM marker
+        + b"\xff\xd0"      # bare RST0
+        + b"\xff\xff"      # fill bytes before SOF
+        + b"\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    )
+    meta = mm.parse_jpeg(blob)
+    assert meta["width"] == 456 and meta["height"] == 123
+    # bare EOI terminates cleanly (no SOF seen -> None, not a crash)
+    assert mm.parse_jpeg(b"\xff\xd8\xff\xd9") is None
+
+
 def test_parse_wav_chunks():
     blob = mm.build_wav(44100, b"\x00\x01" * 500, channels=1, bits=16)
     meta = mm.parse_wav(blob)

@@ -73,6 +73,7 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
+    from file_d_spark.queries import release_caches
     from file_d_spark.session import get_spark
 
     spark = get_spark("check_oracles", cpus=16)
@@ -90,6 +91,7 @@ def main():
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
+            release_caches()  # free query-internal persists per run
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
