@@ -101,6 +101,11 @@ def _bloom_positions(
     return [F.pmod(b1 + F.lit(i) * b2, F.lit(m)) for i in range(k)]
 
 
+# Word arrays up to this many longs (1 MB) embed as a plan literal;
+# larger filters ship as a broadcast one-row frame (see bloom_dedup).
+_BLOOM_LITERAL_MAX_WORDS = 1 << 17
+
+
 def bloom_dedup(
     new_df: DataFrame,
     seen_df: DataFrame,
@@ -109,6 +114,7 @@ def bloom_dedup(
     expected_items: int | None = None,
     fpp: float = 0.01,
     portable: bool = False,
+    literal_max_words: int = _BLOOM_LITERAL_MAX_WORDS,
 ) -> DataFrame:
     """Incremental dedup via a Bloom filter of the seen corpus — the
     scale path for "drop what we already have" against a reference
@@ -140,7 +146,8 @@ def bloom_dedup(
     n_words = (m + 63) // 64
     if n_words > (1 << 22):
         raise ValueError(
-            f"bloom_dedup: {n_words} words exceeds the driver-literal bound; "
+            f"bloom_dedup: {n_words} words exceeds the driver-side bound "
+            "(the word array is still densified on the driver); "
             "raise fpp or shard the filter"
         )
     sparse = (
@@ -160,7 +167,20 @@ def bloom_dedup(
     words = [0] * n_words
     for r in sparse:
         words[r.w] = r.bits
-    bloom = F.lit(words)  # one array literal, ships with the task binary
+    # Small filters embed as ONE array literal in the task binary;
+    # past _BLOOM_LITERAL_MAX_WORDS (1 MB) that literal becomes a
+    # codegen/scheduler hazard, so the word array ships as a broadcast
+    # one-row frame instead and the probe reads the broadcast column —
+    # identical bit layout either way (test_dedup_ops boundary test).
+    if n_words <= literal_max_words:
+        bloom = F.lit(words)
+        probe = new_df
+    else:
+        model = new_df.sparkSession.createDataFrame(
+            [(words,)], "__bloom__: array<long>"
+        )
+        probe = new_df.crossJoin(F.broadcast(model))
+        bloom = F.col("__bloom__")
     hits = [
         F.bit_get(
             F.get(bloom, (pos / 64).cast("int")), F.pmod(pos, F.lit(64))
@@ -171,7 +191,8 @@ def bloom_dedup(
     might_contain = hits[0]
     for h in hits[1:]:
         might_contain = might_contain & h
-    return new_df.filter(~might_contain)
+    out = probe.filter(~might_contain)
+    return out.drop("__bloom__") if probe is not new_df else out
 
 
 # --------------------------------------------------------------------------

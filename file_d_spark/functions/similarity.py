@@ -516,6 +516,7 @@ def product_quantize(
     dim: int = 64,
     m: int = 8,
     k: int = 16,
+    model_max_literal_floats: int = 4096,
 ) -> DataFrame:
     """Product quantization (Jegou et al. 2011, "Product Quantization
     for Nearest Neighbor Search"): split each vector into ``m``
@@ -532,7 +533,19 @@ def product_quantize(
     as literals, so assignment is an IN-ROW argmin per subspace (no
     join, no shuffle; the only wide op in the whole query is nothing).
     md5 ordering keeps the entire path reproducible in any engine, so
-    the oracle checks codes bit-for-bit."""
+    the oracle checks codes bit-for-bit.
+
+    Model shipping: at the default k=16 the codebook embeds as SQL
+    literals (~1 MB of task binary — measured harmless, and the
+    unrolled chains stay in whole-stage codegen).  Above
+    ``model_max_literal_floats`` total codebook floats (k=256 would be
+    16384 -> a multi-MB expression tree and a codegen/scheduler
+    hazard), the codebook ships as a BROADCAST one-row frame instead
+    and assignment runs as higher-order functions over the broadcast
+    array column — same results (test_scale_ops asserts equality at
+    the threshold boundary), interpreted instead of codegen, but the
+    task binary stays small and the model moves through the broadcast
+    machinery like any other dimension table."""
     if dim % m != 0:
         raise ValueError("product_quantize: m must divide dim")
     sub = dim // m
@@ -575,17 +588,53 @@ def product_quantize(
     # by several expressions downstream, so they must live behind a
     # projection boundary (CollapseProject would otherwise inline the
     # whole tree per reference — measured 6x slower).
-    staged = df.select(
-        F.col(id_col),
-        *[
-            F.expr(
-                "array("
-                + ", ".join(sq_dist_sql(s, j) for j in range(k))
-                + ")"
-            ).alias(f"__d{s}__")
-            for s in range(m)
-        ],
-    )
+    if m * k * sub <= model_max_literal_floats:
+        staged = df.select(
+            F.col(id_col),
+            *[
+                F.expr(
+                    "array("
+                    + ", ".join(sq_dist_sql(s, j) for j in range(k))
+                    + ")"
+                ).alias(f"__d{s}__")
+                for s in range(m)
+            ],
+        )
+    else:
+        # big-model path: codebook as a broadcast one-row frame; the
+        # distance arrays come from HOFs over the broadcast column.
+        # The transform lambda's slice() captures only an 8-element
+        # sub-vector per centroid, so the interpreted re-evaluation
+        # cost is O(sub) per (row, centroid) — linear, no blowup.
+        model = df.sparkSession.createDataFrame(
+            [(books,)], "__cb__: array<array<array<double>>>"
+        )
+        vec = F.col(vec_col)
+
+        def dists_of(s: int):
+            seg = F.slice(vec, s * sub + 1, sub)
+            return F.transform(
+                F.element_at(F.col("__cb__"), s + 1),
+                lambda cent: F.aggregate(
+                    F.zip_with(
+                        seg,
+                        cent,
+                        lambda a, b: F.pow(
+                            a.cast("double") - b, F.lit(2.0)
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+
+        staged = (
+            df.crossJoin(F.broadcast(model))
+            .select(
+                F.col(id_col),
+                *[dists_of(s).alias(f"__d{s}__") for s in range(m)],
+            )
+        )
     codes = [
         (
             F.array_position(

@@ -140,3 +140,29 @@ def test_interval_join_matches_inequality_join(spark, sf_dir):
     }
     assert got == want
     assert got, "fixture should produce in-window pairs"
+
+
+def test_bloom_dedup_broadcast_model_equivalence(spark, sf_dir):
+    """Past literal_max_words the word array ships as a broadcast
+    one-row frame; survivors must match the literal path bit-for-bit
+    (same filter layout, same false positives)."""
+    from file_d_spark.functions import dedup
+    from file_d_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    seen = d.filter(F.col("doc_id") % 5 != 0)
+    kw = dict(expected_items=10_000, fpp=0.01, portable=True)
+    lit = {
+        r.doc_id
+        for r in dedup.bloom_dedup(
+            new, seen, "text", "doc_id", literal_max_words=1 << 22, **kw
+        ).collect()
+    }
+    bc_df = dedup.bloom_dedup(
+        new, seen, "text", "doc_id", literal_max_words=0, **kw
+    )
+    assert "__bloom__" not in bc_df.columns, "probe column must not leak"
+    plan = bc_df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, "big-filter path did not broadcast the words"
+    assert lit == {r.doc_id for r in bc_df.collect()}

@@ -87,3 +87,34 @@ def test_product_quantize_more_codes_less_error(spark, emb):
 def test_product_quantize_validates_m(emb):
     with pytest.raises(ValueError, match="m must divide dim"):
         similarity.product_quantize(emb, dim=64, m=7)
+
+
+def test_product_quantize_broadcast_model_equivalence(spark, emb):
+    """Above model_max_literal_floats the codebook ships as a broadcast
+    one-row frame instead of SQL literals; results must be IDENTICAL,
+    and the big-model plan must actually use the broadcast (no
+    multi-MB literal expression tree in the task binary)."""
+    lit = {
+        (r.vec_id, r.pq_code, r.quant_mse)
+        for r in similarity.product_quantize(
+            emb, m=8, k=16, model_max_literal_floats=10**9
+        ).collect()
+    }
+    bc_df = similarity.product_quantize(
+        emb, m=8, k=16, model_max_literal_floats=0
+    )
+    plan = bc_df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, "big-model path did not broadcast the codebook"
+    bc = {(r.vec_id, r.pq_code, r.quant_mse) for r in bc_df.collect()}
+    assert lit == bc
+
+
+def test_product_quantize_boundary_picks_literal(spark, emb):
+    """At exactly the threshold (m*k*sub == limit) the literal path is
+    used — no join in the plan."""
+    total = 8 * 16 * 8  # m * k * sub for dim=64
+    df = similarity.product_quantize(
+        emb, m=8, k=16, model_max_literal_floats=total
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Broadcast" not in plan
