@@ -2,6 +2,7 @@
 
 from file_d_spark.streaming.stateful import (
     antispam_stream,
+    bloom_dedup_stream,
     cardinality_stream,
     dedup_stream,
     multiline_join_stream,
@@ -10,6 +11,7 @@ from file_d_spark.streaming.stateful import (
 
 __all__ = [
     "antispam_stream",
+    "bloom_dedup_stream",
     "cardinality_stream",
     "dedup_stream",
     "multiline_join_stream",

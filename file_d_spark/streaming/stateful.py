@@ -450,3 +450,94 @@ def dedup_stream(
             key_cols
         )
     return df.dropDuplicates(key_cols)
+
+
+# ---------------------------------------------------------------------------
+# streaming bloom dedup (bounded state)
+# ---------------------------------------------------------------------------
+
+
+def bloom_dedup_stream(
+    df: DataFrame,
+    content_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    shards: int = 32,
+) -> DataFrame:
+    """Streaming incremental dedup with BOUNDED state — the streaming
+    twin of functions/dedup.bloom_dedup, the same way throttle and
+    cardinality have keyed-state twins.  Where dedup_stream keeps one
+    state row per distinct key forever (exact, state grows with the
+    corpus), this keeps a FIXED ``m_bits``-bit Bloom word array per
+    shard in the state store: duplicates are always dropped (no false
+    negatives — every copy of a content hashes to the same shard and
+    the same bit positions), and ~fpp of novel documents are dropped as
+    false positives, exactly the batch operator's contract.
+
+    Layout parity: positions use the batch operator's portable
+    double-hash (md5 hex 1-15 / 17-31 folded into the 2^31-1 prime
+    field, ``functions/dedup._bloom_positions(portable=True)``), so
+    with ``shards=1`` and the same (m, k) the admitted set is
+    BIT-IDENTICAL to batch ``bloom_dedup`` over the same arrivals
+    (asserted in tests/test_streaming_restart.py).
+
+    Scale shape: state is shards x m_bits/8 bytes TOTAL regardless of
+    corpus size (the knob the exact variant lacks); each micro-batch
+    shuffles once on the shard key; restart continues from the
+    checkpointed word arrays."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    prime = (1 << 31) - 1  # functions/dedup._MH_PRIME
+    n_words = (m_bits + 63) // 64
+    data_cols = list(df.columns)
+    out_schema = df.schema
+    src = df.withColumn(
+        "__shard__",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(content_col).cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(shards),
+        ),
+    )
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (buf,) = state.get
+            words = np.frombuffer(bytes(buf), dtype=np.uint64).copy()
+        else:
+            words = np.zeros(n_words, dtype=np.uint64)
+        changed = False
+        for pdf in frames:
+            if not len(pdf):
+                continue
+            keep = []
+            for s in pdf[content_col].astype(str):
+                h = hashlib.md5(s.encode("utf-8")).hexdigest()
+                b1 = int(h[0:15], 16) % prime
+                b2 = int(h[16:31], 16) % (prime - 2) + 1
+                seen = True
+                for i in range(k):
+                    w, bit = divmod((b1 + i * b2) % m_bits, 64)
+                    if not (int(words[w]) >> bit) & 1:
+                        seen = False
+                        words[w] = np.uint64(int(words[w]) | (1 << bit))
+                        changed = True
+                keep.append(not seen)
+            out = pdf.loc[keep, data_cols]
+            if len(out):
+                yield out
+        if changed or not state.exists:
+            state.update((bytearray(words.tobytes()),))
+
+    return src.groupBy("__shard__").applyInPandasWithState(
+        fn, out_schema, "words binary", "append",
+        GroupStateTimeout.NoTimeout,
+    )

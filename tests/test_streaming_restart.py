@@ -286,3 +286,89 @@ def test_dedup_stream_watermark_horizon(spark, tmp_path):
     got = _read_out(spark, out_dir, schema)
     a_is = sorted(r.i for r in got if r.digest == "a")
     assert a_is == [0, 100], f"watermark-horizon dedup wrong: {a_is}"
+
+
+def test_bloom_dedup_stream_restart_and_batch_parity(spark, tmp_path):
+    """Streaming bloom dedup: (a) word-array state survives a restart
+    (re-sent contents stay suppressed, novel ones admitted); (b) with
+    shards=1 and the same (m, k) the admitted set is bit-identical to
+    the batch operator's portable layout over the same arrivals."""
+    import math
+
+    from file_d_spark.streaming import bloom_dedup_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    schema = "text string, i long"
+    # the batch operator's sizing for expected_items=64, fpp=0.01
+    expected, fpp = 64, 0.01
+    m_bits = max(64, int(-expected * math.log(fpp) / (math.log(2.0) ** 2)))
+    k = max(1, round(m_bits / expected * math.log(2.0)))
+
+    def make_query():
+        df = spark.readStream.schema(schema).json(str(in_dir))
+        return bloom_dedup_stream(df, "text", m_bits=m_bits, k=k, shards=1)
+
+    b1 = [{"text": f"doc-{j}", "i": j} for j in range(8)] + [
+        {"text": "doc-3", "i": 100}  # in-batch dup
+    ]
+    _write_jsonl(str(in_dir), "b1.jsonl", b1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, schema)) >= 8,
+    )
+
+    # restart: re-send two seen contents + two novel ones
+    b2 = [
+        {"text": "doc-1", "i": 200},
+        {"text": "doc-5", "i": 201},
+        {"text": "doc-8", "i": 202},
+        {"text": "doc-9", "i": 203},
+    ]
+    _write_jsonl(str(in_dir), "b2.jsonl", b2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.text == "doc-9" for r in _read_out(spark, out_dir, schema)
+        ),
+    )
+
+    got = _read_out(spark, out_dir, schema)
+    by_text = {}
+    for r in got:
+        by_text.setdefault(r.text, []).append(r.i)
+    assert all(len(v) == 1 for v in by_text.values()), (
+        f"bloom state reset across restart: {by_text}"
+    )
+    assert by_text["doc-3"] == [3], "in-batch duplicate admitted"
+    assert "doc-8" in by_text and "doc-9" in by_text
+
+    # batch parity: same arrivals through functions/dedup.bloom_dedup
+    # (portable layout), empty seen corpus replayed in arrival order.
+    # Stream admitted set == batch-incremental admitted set, FPs and
+    # all: replay arrival-by-arrival against a growing exact-layout
+    # probe is what the stream does, and at this size the batch
+    # operator's layout (one pass, same m/k/hashes) admits the same
+    # contents.
+    from file_d_spark.functions import dedup as bdedup
+
+    arrivals = b1 + b2
+    seen_rows = []
+    admitted_batch = []
+    for a in arrivals:
+        new_df = spark.createDataFrame([(a["text"], a["i"])], schema)
+        if seen_rows:
+            seen_df = spark.createDataFrame(
+                [(t,) for t in seen_rows], "text string"
+            )
+            out = bdedup.bloom_dedup(
+                new_df, seen_df, "text", "i",
+                expected_items=expected, fpp=fpp, portable=True,
+            ).collect()
+        else:
+            out = new_df.collect()
+        if out:
+            admitted_batch.append(a["i"])
+            seen_rows.append(a["text"])
+    assert sorted(admitted_batch) == sorted(
+        i for v in by_text.values() for i in v
+    ), "stream admitted set diverges from batch bloom layout"
