@@ -211,12 +211,45 @@ def build_index_name(
     return "".join(out)
 
 
+class PayloadTooLarge(Exception):
+    """Transport signal for HTTP 413 (request entity too large) — the
+    only status the reference's ES split path bisects on
+    (elasticsearch.go:452-467)."""
+
+
+def _es_send_split(doc_lines: list[str], transport) -> None:
+    """Bisect-on-413 (elasticsearch.go sendSplit, :474-507): try the
+    whole span; on PayloadTooLarge split in half and recurse, left half
+    first.  A SINGLE document still too large re-raises — the caller
+    decides (strict fatal vs skip-the-rest, out() :398-409)."""
+    payload = "\n".join(doc_lines) + "\n"
+    try:
+        transport(payload)
+        return
+    except PayloadTooLarge:
+        if len(doc_lines) <= 2:  # one doc = action line + source line
+            raise
+    mid = (len(doc_lines) // 2) // 2 * 2  # split on a doc boundary
+    mid = max(2, mid)
+    _es_send_split(doc_lines[:mid], transport)
+    _es_send_split(doc_lines[mid:], transport)
+
+
 def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
     """ES _bulk payloads: action line + source line per event, with
     per-event index routing via index_format '%' placeholders +
     index_values ('@time' -> wall time in time_format)
     (/root/reference/plugin/output/elasticsearch/elasticsearch.go:60,
-    110-126, 487-514)."""
+    110-126, 487-514).
+
+    ``split_batch: true`` enables the reference's bisect-on-413 path:
+    an oversized request splits recursively to isolate the poison
+    event; when a single event still fails, ``strict: true`` raises
+    (the reference Fatals) and ``strict: false`` logs and skips the
+    REST OF THE BATCH (the error propagates up the bisection, so
+    events after the poison one are dropped — the exact semantics the
+    file_es_split e2e scenario asserts: 10 ok, 1 poison, 20 after ->
+    only the first 10 land)."""
     import datetime as dt
 
     index_format = cfg.get("index_format", "file-d-%")
@@ -224,15 +257,53 @@ def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
     time_format = _go_time_to_strftime(cfg.get("time_format", "2006-01-02"))
     now_str = dt.datetime.now(dt.timezone.utc).strftime(time_format)
 
-    def encode(docs: list[dict]) -> list[str]:
-        lines = []
-        for d in docs:
-            name = build_index_name(d, index_format, index_values, now_str)
-            lines.append(json.dumps({"index": {"_index": name}}))
-            lines.append(json.dumps(d, default=str))
-        return ["\n".join(lines) + "\n"]
+    def doc_lines(d: dict) -> list[str]:
+        name = build_index_name(d, index_format, index_values, now_str)
+        return [
+            json.dumps({"index": {"_index": name}}),
+            json.dumps(d, default=str),
+        ]
 
-    _http_batch_sink(df, cfg, encode)
+    if not cfg.get("split_batch", False):
+        def encode(docs: list[dict]) -> list[str]:
+            lines = []
+            for d in docs:
+                lines.extend(doc_lines(d))
+            return ["\n".join(lines) + "\n"]
+
+        _http_batch_sink(df, cfg, encode)
+        return
+
+    batch_size = int(cfg.get("batch_size", 1000))
+    strict = bool(cfg.get("strict", False))
+    transport = cfg.get("transport")
+    if transport is None:
+        raise NotImplementedError(
+            "no live HTTP endpoint in this environment; inject cfg['transport']"
+        )
+
+    def send_partition(rows):
+        buf: list[str] = []
+
+        def flush():
+            if not buf:
+                return
+            try:
+                _es_send_split(buf, transport)
+            except PayloadTooLarge:
+                if strict:
+                    raise
+                # non-strict: poison event skips the remainder of THIS
+                # batch; later batches continue (out() returns nil)
+            del buf[:]
+
+        for row in rows:
+            buf.extend(doc_lines(row.asDict(recursive=True)))
+            if len(buf) >= 2 * batch_size:
+                flush()
+        flush()
+
+    df.foreachPartition(send_partition)
 
 
 def sink_loki(df: DataFrame, cfg: dict[str, Any]):
