@@ -42,3 +42,50 @@ def test_readme_totals_match_registry():
     assert m, "README.md coverage-section count missing"
     assert int(m.group(1)) == len(ORACLES)
     assert int(m.group(2)) == len(QUERIES)
+
+
+def _newest_bench():
+    import glob
+    import json
+    import re as _re
+
+    files = sorted(glob.glob("BENCH_r*.json"))
+    assert files, "no BENCH files at repo root"
+    newest = files[-1]
+    rnd = int(_re.search(r"r(\d+)", newest).group(1))
+    data = json.load(open(newest)).get("parsed") or {}
+    return rnd, data
+
+
+def _check_floor_line(text, where):
+    """The floor line must cite a BENCH round no older than newest-1
+    (the newest file may land after docs are written at round end) and
+    its numbers must match THAT file exactly."""
+    import json
+
+    m = re.search(
+        r"BENCH_r(\d+): ([\d.]+)s / (\d+) queries; files→devnull\s+"
+        r"([\d.]+) GB/s \(ref 1\.7\);\s+files→json→devnull\s+"
+        r"([\d.]+) GB/s \(ref 1\.0\)",
+        text,
+    )
+    assert m, f"{where}: floor line missing or reformatted"
+    cited = int(m.group(1))
+    newest_rnd, _ = _newest_bench()
+    assert cited >= newest_rnd - 1, (
+        f"{where} cites BENCH_r{cited:02d}; newest is r{newest_rnd:02d}"
+    )
+    data = json.load(open(f"BENCH_r{cited:02d}.json")).get("parsed") or {}
+    assert abs(float(m.group(2)) - data["value"]) < 0.05, f"{where}: total drift"
+    assert int(m.group(3)) == len(data["queries"]), f"{where}: query count drift"
+    tp = data["throughput"]
+    assert abs(float(m.group(4)) - tp["files_devnull_gbps"]) < 0.01
+    assert abs(float(m.group(5)) - tp["files_json_devnull_gbps"]) < 0.01
+
+
+def test_scale_md_floor_cites_fresh_bench():
+    _check_floor_line(open("SCALE.md").read(), "SCALE.md")
+
+
+def test_readme_bench_cites_fresh_bench():
+    _check_floor_line(open("README.md").read(), "README.md")
