@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "token_fertility",
     "embedding_quantize",
     "embedding_pq",
+    # round 5
+    "kitchen_sink_actions",
+    "bucketed_enrich",
 ]
 
 
