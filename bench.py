@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     # round 5
     "kitchen_sink_actions",
     "bucketed_enrich",
+    "budget_select",
 ]
 
 

@@ -659,3 +659,68 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w) - 1)
         .select(id_col, "shard", "pos")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    id_col: str,
+    budget_fraction: float = 0.5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-scoring rows
+    whose cumulative weight fits ``budget_fraction`` of the total —
+    "take the best N tokens" curation (quality-ranked data selection a
+    la DsDm/DataComp filtering) — WITHOUT the single-partition running
+    sum a naive ``sum() OVER (ORDER BY score)`` plans.
+
+    Distributed prefix sum (the TeraSort + scan pattern):
+      1. range-partition by (score desc, id) — a balanced distributed
+         sort, each partition holds a contiguous score range;
+      2. per-partition subtotals -> ONE bounded collect (numPartitions
+         rows, a driver model, never data);
+      3. exclusive partition offsets rebroadcast and added to a
+         PER-PARTITION cumulative window (partitionBy the partition id,
+         so every window task works on its own slice in parallel).
+
+    Two balanced shuffles total; the naive global window funnels the
+    entire corpus through ONE reducer.  Results are independent of
+    where the range boundaries land because (score, id) is a total
+    order.  Output: (id, weight, cum_weight), rows with
+    cum_weight <= floor(total * budget_fraction)."""
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col).alias("__score__"),
+        F.col(weight_col).cast("long").alias("__w__"),
+    )
+    r = base.repartitionByRange(n, F.desc("__score__"), F.col(id_col))
+    r = r.withColumn("__pid__", F.spark_partition_id())
+    sub = sorted(
+        r.groupBy("__pid__").agg(F.sum("__w__").alias("w")).collect(),
+        key=lambda row: row["__pid__"],
+    )
+    total = sum(row.w for row in sub)
+    budget = int(total * budget_fraction)
+    offsets, acc = [], 0
+    for row in sub:
+        offsets.append((row["__pid__"], acc))
+        acc += row.w
+    off_df = spark.createDataFrame(offsets, "__pid__ int, __off__ long")
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(F.desc("__score__"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        r.join(F.broadcast(off_df), "__pid__")
+        .withColumn("__cum__", F.col("__off__") + F.sum("__w__").over(w))
+        .filter(F.col("__cum__") <= F.lit(budget))
+        .select(
+            F.col(id_col),
+            F.col("__w__").alias("weight"),
+            F.col("__cum__").alias("cum_weight"),
+        )
+    )

@@ -2471,6 +2471,60 @@ def q_join_template_multi(spark, sf_dir):
 
 
 @query(
+    "budget_select",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '')) AS n_tokens,
+             len(list_distinct(list_filter(
+                             regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> ''))) AS n_distinct
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY n_distinct * 1.0 / n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c
+    WHERE cum * 2 <= (SELECT sum(n_tokens) FROM t)
+    """,
+)
+def q_budget_select(spark, sf_dir):
+    """Token-budget selection: keep the highest-quality docs (distinct-
+    token ratio) until half the corpus' tokens are spent — the "best N
+    tokens" curation pass.  Runs as corpus.budget_select's distributed
+    prefix sum (range partition -> bounded per-partition subtotal
+    model -> parallel per-partition cumulative windows), never a
+    single-reducer global running sum; the oracle's naive global
+    window IS that serial plan, which is exactly what the operator
+    exists to avoid at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_distinct") / F.col("n_tokens")).alias("score"),
+    )
+    out = corpus.budget_select(
+        scored, "score", "n_tokens", "doc_id", budget_fraction=0.5
+    )
+    return out.select(
+        "doc_id",
+        F.col("weight").alias("n_tokens"),
+        F.col("cum_weight").alias("cum_tokens"),
+    )
+
+
+@query(
     "epoch_shuffle",
     r"""
     WITH s AS (
@@ -3193,6 +3247,7 @@ def q_tpch_q5(spark, sf_dir):
 _SWEEP_CHANGED = [
     "kitchen_sink_actions",   # r5: oracle-paired (pinned clock + hostname)
     "bucketed_enrich",        # r5: new registration
+    "budget_select",          # r5: new registration
     "embedding_pq",           # r5: broadcast-model fallback path
     "dedup_incremental_bloom",  # r5: broadcast-model fallback path
     "corpus_build_end2end",   # r5: unpersist lifecycle fix

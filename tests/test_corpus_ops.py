@@ -444,3 +444,37 @@ def test_tfidf_topk_validation(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "t"])
     with pytest.raises(ValueError):
         corpus.tfidf_topk(df, "id", "t", k=0)
+
+
+def test_budget_select_prefix_and_parallel_plan(spark, sf_dir):
+    """budget_select must (a) pick exactly the top-scored prefix whose
+    cumulative weight fits the budget, (b) never plan a SinglePartition
+    window — the whole point is the distributed prefix sum."""
+    from file_d_spark.functions import corpus
+    from file_d_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("w"),
+        (F.col("doc_id") % 97).cast("double").alias("score"),
+    )
+    out = corpus.budget_select(d, "score", "w", "doc_id",
+                               budget_fraction=0.3, partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, "prefix sum fell into one reducer"
+    rows = out.collect()
+    ranked = sorted(
+        d.collect(), key=lambda r: (-r.score, r.doc_id)
+    )
+    total = sum(r.w for r in ranked)
+    budget = int(total * 0.3)
+    expect, cum = [], 0
+    for r in ranked:
+        cum += r.w
+        if cum > budget:
+            break
+        expect.append((r.doc_id, r.w, cum))
+    assert sorted((r.doc_id, r.weight, r.cum_weight) for r in rows) == sorted(
+        expect
+    )
+    assert max((r.cum_weight for r in rows), default=0) <= budget
