@@ -365,7 +365,11 @@ def q_kitchen_sink(spark, sf_dir):
     count: normalization collapses the int token, so distinct hashes ==
     distinct event_types."""
     df = load_table(spark, sf_dir, "events")
-    p = Pipeline.from_dict(
+    # stage 1: everything the distinct-hash count needs — the agg
+    # branch re-scans events, so it must NOT carry the pandas UDF
+    # (convert_utf8_bytes); splitting the chain here keeps Python out
+    # of the aggregation pass entirely
+    p1 = Pipeline.from_dict(
         {
             "actions": [
                 {
@@ -387,21 +391,27 @@ def q_kitchen_sink(spark, sf_dir):
                         }
                     ],
                 },
+            ]
+        }
+    )
+    mid = p1.apply(df)
+    n = mid.agg(F.count_distinct("msg_hash").alias("n_hashes"))
+    p2 = Pipeline.from_dict(
+        {
+            "actions": [
                 {"type": "convert_utf8_bytes", "fields": ["event_type"]},
                 {"type": "debug", "message": "ks"},
                 {
                     "type": "keep_fields",
                     "fields": [
                         "event_id", "ingested_at", "host", "msg",
-                        "msg_hash", "event_type",
+                        "event_type",
                     ],
                 },
             ]
         }
     )
-    out = p.apply(df)
-    n = out.agg(F.count_distinct("msg_hash").alias("n_hashes"))
-    return out.drop("msg_hash").crossJoin(F.broadcast(n))
+    return p2.apply(mid).crossJoin(F.broadcast(n))
 
 
 @query(
