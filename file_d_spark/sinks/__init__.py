@@ -109,9 +109,17 @@ def sink_socket(df: DataFrame, cfg: dict[str, Any]):
     """Raw TCP/UDP line writer
     (/root/reference/plugin/output/socket/socket.go:109).  Each
     partition opens one connection and writes newline-framed JSON."""
-    host = cfg.get("host", "127.0.0.1")
-    port = int(cfg["port"])
-    mode = cfg.get("mode", "tcp")
+    # reference config keys: network (tcp/udp) + address "host:port"
+    # (socket.go Config); host/port/mode accepted as the flat spelling
+    if "address" in cfg:
+        addr = str(cfg["address"])
+        host, _, port_s = addr.rpartition(":")
+        host = host or "127.0.0.1"
+        port = int(port_s)
+    else:
+        host = cfg.get("host", "127.0.0.1")
+        port = int(cfg["port"])
+    mode = str(cfg.get("network", cfg.get("mode", "tcp"))).lower()
 
     def send_partition(rows):
         import json as _json

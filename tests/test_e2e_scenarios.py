@@ -375,3 +375,93 @@ def _collector_loki(tmpdir):
             fh.write(payload)
 
     return send
+
+
+# ---------------------------------------------------------------------------
+# file_socket: file -> socket sink (tcp + udp)
+# ---------------------------------------------------------------------------
+
+
+def test_file_socket_tcp_and_udp(spark, tmp_path):
+    """Replays e2e/file_socket: Count newline-delimited JSON events flow
+    file -> socket output; the test server must receive exactly Count
+    messages, each carrying the 'message' field
+    (file_socket.go:59-67)."""
+    import socket as socketmod
+    import socketserver
+    import threading
+
+    from file_d_spark import Pipeline
+    from file_d_spark.sinks import sink_socket
+
+    count = 10
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "messages.log", "w") as fh:
+        for i in range(count):
+            fh.write(json.dumps({"id": i, "message": "test"}) + "\n")
+
+    p = Pipeline.from_dict(
+        {
+            "settings": {
+                "decoder": "json",
+                "decoder_params": {"schema": "id long, message string"},
+            },
+            "input": {
+                "type": "file",
+                "watching_dir": str(in_dir),
+                "filename_pattern": "messages.log",
+            },
+        }
+    )
+    df = p.run_batch(spark).coalesce(1)
+
+    # tcp
+    received = []
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                received.append(json.loads(line))
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        sink_socket(df, {
+            "network": "tcp",
+            "address": f"127.0.0.1:{srv.server_address[1]}",
+        })
+        import time as _t
+        deadline = _t.time() + 10
+        while len(received) < count and _t.time() < deadline:
+            _t.sleep(0.1)
+    finally:
+        srv.shutdown()
+    assert len(received) == count
+    assert all("message" in m and m["message"] == "test" for m in received)
+    assert sorted(m["id"] for m in received) == list(range(count))
+
+    # udp
+    udp_received = []
+    usock = socketmod.socket(socketmod.AF_INET, socketmod.SOCK_DGRAM)
+    usock.bind(("127.0.0.1", 0))
+    usock.settimeout(10)
+    uport = usock.getsockname()[1]
+
+    def drain():
+        try:
+            while len(udp_received) < count:
+                data, _ = usock.recvfrom(65536)
+                for line in data.decode().splitlines():
+                    if line.strip():
+                        udp_received.append(json.loads(line))
+        except OSError:
+            pass
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+    sink_socket(df, {"network": "udp", "address": f"127.0.0.1:{uport}"})
+    t.join(10)
+    usock.close()
+    assert len(udp_received) == count
+    assert all(m["message"] == "test" for m in udp_received)
