@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "kitchen_sink_actions",
     "bucketed_enrich",
     "budget_select",
+    "dedup_incremental_bucketed",
 ]
 
 

@@ -2758,6 +2758,42 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_incremental_bucketed",
+    """
+    SELECT n.doc_id, n.lang, n.source
+    FROM documents n
+    WHERE n.doc_id % 5 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents s
+        WHERE s.doc_id % 5 <> 0 AND md5(s.text) = md5(n.text))
+    """,
+)
+def q_dedup_incremental_bucketed(spark, sf_dir):
+    """The PRODUCTION shape of incremental dedup at 100 TB: the seen
+    corpus' digests live in a table bucketed+sorted by digest
+    (written once, reused every ingest run), so the anti-join shuffles
+    ONLY the new batch into the bucket layout — the huge seen side is
+    never exchanged (plan-guarded: its scan reports Bucketed: true and
+    the join has exactly one Exchange, on the new side).  Same answer
+    as dedup_incremental's plain anti-join, same oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    seen_digests = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5(F.col("text").cast("string")).alias("__digest__"))
+    )
+    scale.write_bucketed(seen_digests, "seen_digests", "__digest__", buckets=8)
+    seen = spark.table("seen_digests")
+    new = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "__digest__", F.md5(F.col("text").cast("string"))
+    )
+    return (
+        new.hint("shuffle_merge")
+        .join(seen, "__digest__", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
 def _bloom_oracle_sql() -> str:
     """Mirror of bloom_dedup's sizing math + portable double-hash
     positions, as DuckDB SQL.  A doc from the new batch survives iff at
@@ -3258,6 +3294,7 @@ _SWEEP_CHANGED = [
     "kitchen_sink_actions",   # r5: oracle-paired (pinned clock + hostname)
     "bucketed_enrich",        # r5: new registration
     "budget_select",          # r5: new registration
+    "dedup_incremental_bucketed",  # r5: new registration
     "embedding_pq",           # r5: broadcast-model fallback path
     "dedup_incremental_bloom",  # r5: broadcast-model fallback path
     "corpus_build_end2end",   # r5: unpersist lifecycle fix

@@ -138,3 +138,15 @@ def test_action_chain_fuses_into_few_projections(spark, sf_dir):
     assert n_project <= 3, f"8-action chain produced {n_project} Project nodes"
     # "*(n)" prefixes mark whole-stage-codegen stages in the plan string
     assert re.search(r"\*\(\d+\) Project", plan), "projection left codegen"
+
+
+def test_incremental_bucketed_shuffles_only_new_side(spark, sf_dir):
+    """The bucketed seen-digest anti-join must read the seen corpus as
+    a bucketed scan and shuffle ONLY the new batch — one Exchange in
+    the whole plan."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_bucketed")
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    assert plan.count("Bucketed: true") == 1, "seen scan lost bucketing"
+    assert plan.count("Exchange") == 1, (
+        "seen side re-shuffled despite bucketed layout"
+    )
