@@ -113,3 +113,31 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """``write_bucketed`` + read-back, with a LOUD degradation path:
+    if the environment can't host managed tables (read-only warehouse,
+    no metastore), fall back to an in-session repartition on the key —
+    query RESULTS are identical, only the pinned-layout plan shape is
+    lost.  The plan-quality tests exercise the real path, so a broken
+    bucketing path still fails CI; the fallback only keeps correctness
+    harnesses running in exotic sandboxes."""
+    spark = df.sparkSession
+    try:
+        write_bucketed(df, table, key, buckets=buckets)
+        return spark.table(table)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        import warnings
+
+        warnings.warn(
+            f"bucketed_table: managed table {table!r} unavailable "
+            f"({type(e).__name__}: {e}); falling back to repartition — "
+            "results identical, bucketed layout NOT exercised"
+        )
+        return df.repartition(buckets, F.col(key))

@@ -999,10 +999,8 @@ def q_bucketed_enrich(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    scale.write_bucketed(orders, "be_orders", "o_custkey", buckets=8)
-    scale.write_bucketed(cust, "be_customer", "c_custkey", buckets=8)
-    o = spark.table("be_orders")
-    c = spark.table("be_customer")
+    o = scale.bucketed_table(orders, "be_orders", "o_custkey", buckets=8)
+    c = scale.bucketed_table(cust, "be_customer", "c_custkey", buckets=8)
     return (
         o.hint("merge")
         .join(c, o.o_custkey == c.c_custkey)
@@ -2782,8 +2780,7 @@ def q_dedup_incremental_bucketed(spark, sf_dir):
         d.filter(F.col("doc_id") % 5 != 0)
         .select(F.md5(F.col("text").cast("string")).alias("__digest__"))
     )
-    scale.write_bucketed(seen_digests, "seen_digests", "__digest__", buckets=8)
-    seen = spark.table("seen_digests")
+    seen = scale.bucketed_table(seen_digests, "seen_digests", "__digest__", buckets=8)
     new = d.filter(F.col("doc_id") % 5 == 0).withColumn(
         "__digest__", F.md5(F.col("text").cast("string"))
     )
