@@ -58,25 +58,42 @@ def multiline_join_stream(
     key_cols: list[str],
     seq_col: str,
     field: str,
-    start_re: str,
+    start_re: str | None,
     continue_re: str | None,
     negate: bool = False,
     event_timeout_ms: int = 30_000,
+    templates: list[tuple[str, str | None, bool]] | None = None,
 ) -> DataFrame:
     """Streaming multiline join keyed by (source, stream).
 
-    State = (buffer, pending-first-row).  A sequence left open at batch
-    end stays in state; the processing-time timeout flushes it
-    (reference: stream timeout events after ``event_timeout``)."""
+    State = (buffer, pending-first-row, governing template).  A
+    sequence left open at batch end stays in state; the
+    processing-time timeout flushes it (reference: stream timeout
+    events after ``event_timeout``).
+
+    ``templates`` (list of (start_re, cont_re, negate)) overrides the
+    single start/continue pair with join_template semantics: the
+    template whose start OPENED the block governs the continue check
+    (join_template.go:137-158 firstCheck/nextCheck) — a line matching
+    another template's continue must not extend the block.  Matches
+    the batch operator's gating exactly (actions/join_action.py)."""
     import re
 
-    start_pat = re.compile(start_re)
-    cont_pat = re.compile(continue_re) if continue_re else None
+    if templates is None:
+        templates = [(start_re, continue_re, negate)]
+    compiled = [
+        (
+            re.compile(s_re),
+            re.compile(c_re) if c_re else None,
+            bool(neg),
+        )
+        for s_re, c_re, neg in templates
+    ]
 
     out_schema = df.schema
     # state: the buffered joined text + the first row of the open
-    # sequence, serialized as a json record
-    state_schema = "buf string, first_row string"
+    # sequence + the index of the template whose start opened it
+    state_schema = "buf string, first_row string, tpl int"
 
     data_cols = [f.name for f in df.schema.fields]
 
@@ -93,7 +110,7 @@ def multiline_join_stream(
             return pickle.loads(base64.b64decode(s))
 
         if state.hasTimedOut:
-            buf, first_packed = state.get
+            buf, first_packed, _tpl = state.get
             state.remove()
             if first_packed:
                 row = unpack(first_packed)
@@ -106,7 +123,9 @@ def multiline_join_stream(
             return
         pdf = pdf.sort_values(seq_col, kind="mergesort")
 
-        buf, first_packed = state.get if state.exists else ("", None)
+        buf, first_packed, tpl = (
+            state.get if state.exists else ("", None, 0)
+        )
         out_rows: list[dict] = []
 
         def flush():
@@ -120,15 +139,25 @@ def multiline_join_stream(
         for rec in pdf.to_dict("records"):
             value = rec.get(field)
             value = "" if value is None else str(value)
-            if start_pat.search(value):
+            started = next(
+                (
+                    i
+                    for i, (s_pat, _, _) in enumerate(compiled)
+                    if s_pat.search(value)
+                ),
+                None,
+            )
+            if started is not None:
                 flush()
                 first_packed = pack(rec)
                 buf = value
+                tpl = started
                 continue
             joining = first_packed is not None
             if joining:
-                ok = bool(cont_pat.search(value)) if cont_pat else False
-                if negate:
+                _, c_pat, neg = compiled[tpl]
+                ok = bool(c_pat.search(value)) if c_pat else False
+                if neg:
                     ok = not ok
                 if ok:
                     buf += value
@@ -137,7 +166,7 @@ def multiline_join_stream(
             out_rows.append(rec)
 
         if first_packed is not None:
-            state.update((buf, first_packed))
+            state.update((buf, first_packed, tpl))
             state.setTimeoutDuration(event_timeout_ms)
         elif state.exists:
             state.remove()

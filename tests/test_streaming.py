@@ -331,3 +331,54 @@ def test_throttle_stream_distribution_steal(spark, stream_reader):
     _run_stream(out, "thr_dist")
     # default reserve 3 admits 3; overflow steals the error reserve (3)
     assert spark.sql("SELECT count(*) c FROM thr_dist").collect()[0].c == 6
+
+
+def test_join_template_stream_per_template_gating(spark, stream_reader):
+    """Streaming join_template: the template whose start opened the
+    block governs the continue check (join_template.go firstCheck/
+    nextCheck) — a C# continuation line after a Go panic start must
+    NOT extend the Go block; parity with the batch operator's gating
+    (Q join_template_multi)."""
+    from file_d_spark import Pipeline
+
+    rows = [
+        {"src": "a", "seq": 1, "log": "panic: boom"},
+        {"src": "a", "seq": 2, "log": "goroutine 7 [running]:"},
+        # cs_exception continue ("   at ...") right after a go_panic
+        # block: go_panic's continue also matches leading-whitespace?
+        # no — "   at Foo.Bar()" matches cs 'at' rule but go_panic's
+        # method-call rule ALSO matches "Foo.Bar()" — pick a line only
+        # the cs template continues:
+        {"src": "a", "seq": 3, "log": "   ---> inner exception"},
+        {"src": "a", "seq": 4, "log": "plain line"},
+        {"src": "a", "seq": 5, "log": "Unhandled exception. X"},
+        {"src": "a", "seq": 6, "log": "   ---> inner exception"},
+    ]
+    df = stream_reader(rows, "src string, seq long, log string")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "join_template",
+                    "templates": ["go_panic", "cs_exception"],
+                    "field": "log",
+                    "source_field": "src",
+                    "seq_field": "seq",
+                    "event_timeout_ms": 500,
+                }
+            ]
+        }
+    )
+    out = p.apply(df)
+    _run_stream(out, "jts")
+    got = {
+        (r.src, r.seq): r.log
+        for r in spark.sql("SELECT * FROM jts").collect()
+    }
+    # go block closed BEFORE the cs continue line (cross-template leak
+    # would have glued seq 3 into it)
+    assert got[("a", 1)] == "panic: boomgoroutine 7 [running]:"
+    assert got[("a", 3)] == "   ---> inner exception"
+    assert got[("a", 4)] == "plain line"
+    # the cs block consumed ITS continue and flushed via timeout
+    assert got.get(("a", 5)) == "Unhandled exception. X   ---> inner exception"
