@@ -73,3 +73,47 @@ def test_duration_parsing():
     assert _parse_duration_seconds(30, 0) == 30
     assert _parse_duration_seconds(None, 42) == 42
     assert _parse_duration_seconds("junk-", 7) == 7
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=40),
+    st.integers(min_value=10, max_value=120),
+)
+@settings(max_examples=200, deadline=None)
+def test_es_send_split_delivers_exact_prefix(sizes, limit):
+    """Bisect-on-413 property (elasticsearch.go sendSplit): for ANY doc
+    sizes and ANY content-length limit, the delivered documents are
+    exactly the docs BEFORE the first one that cannot be delivered
+    alone; that poison doc raises.  (Left half recurses first, so
+    everything after the poison is skipped — the file_es_split e2e
+    semantics, generalized.)"""
+    from file_d_spark.sinks import PayloadTooLarge, _es_send_split
+
+    # doc i = action line "a<i>" + source line of `sizes[i]` x's;
+    # payload of a span = "\n".join(lines) + "\n"
+    doc_lines = []
+    for i, n in enumerate(sizes):
+        doc_lines.extend([f"a{i}", "x" * n])
+
+    delivered = []
+
+    def transport(payload: str):
+        if len(payload.encode()) > limit:
+            raise PayloadTooLarge(len(payload))
+        lines = payload.strip("\n").split("\n")
+        delivered.extend(lines[1::2])  # the source lines
+
+    def single_ok(i: int) -> bool:
+        p = f"a{i}\n" + "x" * sizes[i] + "\n"
+        return len(p.encode()) <= limit
+
+    poison = next((i for i in range(len(sizes)) if not single_ok(i)), None)
+    try:
+        _es_send_split(doc_lines, transport)
+        raised = False
+    except PayloadTooLarge:
+        raised = True
+
+    expect = ["x" * n for n in (sizes if poison is None else sizes[:poison])]
+    assert delivered == expect
+    assert raised == (poison is not None)
