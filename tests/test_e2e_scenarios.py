@@ -465,3 +465,68 @@ def test_file_socket_tcp_and_udp(spark, tmp_path):
     usock.close()
     assert len(udp_received) == count
     assert all(m["message"] == "test" for m in udp_received)
+
+
+# ---------------------------------------------------------------------------
+# file_file: many files in parallel -> pipeline -> file output
+# ---------------------------------------------------------------------------
+
+
+def test_file_file(spark, tmp_path):
+    """Replays e2e/file_file: Count files x Lines events each land in
+    the watched dir; the pipeline (discard gated on should_drop; the
+    stderr-gated join matches no sample event, see test_http_file)
+    writes them all to the file output — line count == Count*Lines
+    (file_file.go:47-76).  The streaming restart-no-dup variant of this
+    scenario lives in test_pipeline_stream."""
+    from file_d_spark import Pipeline
+
+    count, lines = 4, 25
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for c in range(count):
+        with open(in_dir / f"pod_ns_container-{c}.log", "w") as fh:
+            for j in range(lines):
+                fh.write(json.dumps({"file": c, "line": j, "log": "msg"}) + "\n")
+
+    p = Pipeline.from_dict(
+        {
+            "settings": {
+                "decoder": "json",
+                "decoder_params": {
+                    "schema": "file long, line long, log string"
+                },
+            },
+            "input": {
+                "type": "file",
+                "watching_dir": str(in_dir),
+                "filename_pattern": "pod_ns_container-*",
+            },
+            "actions": [
+                {
+                    "type": "discard",
+                    "match_fields": {"should_drop": "ok"},
+                    "match_mode": "or",
+                },
+            ],
+            "output": {
+                "type": "file",
+                "target_file": str(tmp_path / "out" / "file-d.log"),
+            },
+        }
+    )
+    df = p.run_batch(spark)
+    p.write(df)
+    import glob as _glob
+
+    files = _glob.glob(str(tmp_path / "out" / "**" / "part-*"), recursive=True)
+    assert files, "no files with processed events"
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            rows += [json.loads(l) for l in fh if l.strip()]
+    assert len(rows) == count * lines, "wrong number of processed events"
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r["file"], set()).add(r["line"])
+    assert all(v == set(range(lines)) for v in per_file.values())

@@ -75,3 +75,84 @@ def test_join_leading_continuation_passes_through(spark):
     assert len(got) == 3
     assert got[0][1] == lines[0]
     assert got[1][1] == "".join(lines[1:7])
+
+
+# reference sample corpus: plugin/action/join_template/sample/
+# go_data_race.txt (3 race reports; TestSimpleJoin expects 3 events per
+# report: opening fence, joined WARNING block, closing fence = 9 total)
+_GO_DATA_RACE_SAMPLE = """\
+==================
+WARNING: DATA RACE
+Read at 0x00c000118008 by goroutine 5:
+  main.main.func1()
+      /Users/qwe/base/awesomeProject/main.go:10 +0x38
+
+Previous write at 0x00c000118008 by main goroutine:
+  main.main()
+      /Users/qwe/base/awesomeProject/main.go:15 +0xc0
+
+Goroutine 5 (running) created at:
+  main.main()
+      /Users/qwe/base/awesomeProject/main.go:8 +0x9c
+==================
+==================
+WARNING: DATA RACE
+Write at 0x00c000118008 by goroutine 5:
+  main.main.func1()
+      /Users/qwe/base/awesomeProject/main.go:10 +0x48
+
+Previous write at 0x00c000118008 by main goroutine:
+  main.main()
+      /Users/qwe/base/awesomeProject/main.go:15 +0xc0
+
+Goroutine 5 (running) created at:
+  main.main()
+      /Users/qwe/base/awesomeProject/main.go:8 +0x9c
+==================
+==================
+WARNING: DATA RACE
+Read at 0x00c000118008 by main goroutine:
+  main.main()
+      /Users/qwe/base/awesomeProject/main.go:15 +0xb0
+
+Previous write at 0x00c000118008 by goroutine 5:
+  main.main.func1()
+      /Users/qwe/base/awesomeProject/main.go:10 +0x48
+
+Goroutine 5 (running) created at:
+  main.main()
+      /Users/qwe/base/awesomeProject/main.go:8 +0x9c
+==================
+"""
+
+
+def test_join_template_go_data_race_golden(spark):
+    """go_data_race template over the reference's sample corpus
+    (join_template_test.go should_ok_for_go_data_race: 3 events per
+    report — opening fence, joined WARNING block, closing fence)."""
+    from file_d_spark import Pipeline
+
+    lines = _GO_DATA_RACE_SAMPLE.split("\n")[:-1]  # keep interior empties
+    rows = [(1, i, l) for i, l in enumerate(lines)]
+    df = spark.createDataFrame(rows, "src int, seq int, log string")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "join_template",
+                    "template": "go_data_race",
+                    "field": "log",
+                    "source_field": "src",
+                    "seq_field": "seq",
+                }
+            ]
+        }
+    )
+    out = sorted(p.apply(df).collect(), key=lambda r: r.seq)
+    assert len(out) == 9, [r.log[:30] for r in out]
+    blocks = [r for r in out if r.log.startswith("WARNING: DATA RACE")]
+    fences = [r for r in out if r.log.strip("=") == ""]
+    assert len(blocks) == 3 and len(fences) == 6
+    for b in blocks:
+        assert "Goroutine 5 (running) created at:" in b.log
+        assert "==========" not in b.log  # fences never join the block
