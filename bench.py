@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "bucketed_enrich",
     "budget_select",
     "dedup_incremental_bucketed",
+    "ann_index_build",
 ]
 
 

@@ -436,11 +436,54 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer assignment only: corpus + ``list_id`` — the
+    index-BUILD half of ivf_topk, exposed for compositions (index
+    manifests, per-list stats, shard writing).  Same deterministic
+    md5-ordered centroid model and in-row argmax (first-max tie-break
+    by list order), so it is oracle-able with the same SQL as
+    ann_ivf's assignment CTE.  One bounded collect (n_lists rows), one
+    codegen projection over the corpus — no shuffle."""
+    import math
+
+    cents = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_lists)
+        .collect()
+    )
+    cent_vecs = [[float(x) for x in r[1]] for r in cents]
+    cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cent_vecs]
+    sims = F.array(
+        *[
+            dot_lit(F.col(vec_col), cv) / F.lit(cn)
+            for cv, cn in zip(cent_vecs, cent_norms)
+        ]
+    )
+    return (
+        corpus.withColumn("__sims__", sims)
+        .withColumn(
+            "list_id",
+            (
+                F.array_position(F.col("__sims__"), F.array_max("__sims__"))
+                - 1
+            ).cast("int"),
+        )
+        .drop("__sims__")
+    )
+
+
 def scalar_quantize(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 256,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Per-dimension scalar quantization (int8-style compression for
     ANN at scale): map each component onto ``levels`` uniform steps
@@ -487,12 +530,17 @@ def scalar_quantize(
     # (SCALE.md failure-mode list), so err must derive from the codes
     # ARRAY, not re-derive the code expression.
     tot = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    extra = list(keep or [])  # passthrough columns (e.g. an IVF list
+    # id) so compositions stay ONE projection chain instead of a
+    # corpus-sized self-join
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         F.col(vec_col),
         F.transform(F.col(vec_col), code_at).alias("__codes__"),
     ).select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         F.col(vec_col),
         F.col("__codes__"),
         F.transform(F.col("__codes__"), deq_at).alias("__deq__"),
@@ -504,6 +552,7 @@ def scalar_quantize(
     )
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         tot(F.col("__codes__")).cast("long").alias("code_sum"),
         F.round(tot(err) / F.lit(float(n_dims)), 9).alias("quant_mse"),
     )

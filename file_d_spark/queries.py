@@ -2117,6 +2117,76 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 @query(
+    "ann_index_build",
+    r"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid,
+             v AS cv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS cnorm
+      FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+                            i -> e.v[i] * c.cv[i])) / c.cnorm DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    s AS (
+      SELECT d.i AS d,
+             min(embedding[d.i])::DOUBLE AS lo,
+             max(embedding[d.i])::DOUBLE AS hi
+      FROM embeddings, range(1, 65) d(i) GROUP BY d.i),
+    m AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM s),
+    q AS (
+      SELECT vec_id,
+        CAST(list_sum(list_transform(range(1, 65), i ->
+          CASE WHEN his[i] = los[i] THEN 0.0
+               ELSE round((embedding[i]::DOUBLE - los[i])
+                          / (his[i] - los[i]) * 255.0) END)) AS BIGINT)
+          AS code_sum,
+        round(list_sum(list_transform(range(1, 65), i ->
+          pow(embedding[i]::DOUBLE
+              - (los[i] + (CASE WHEN his[i] = los[i] THEN 0.0
+                           ELSE round((embedding[i]::DOUBLE - los[i])
+                                      / (his[i] - los[i]) * 255.0) END)
+                 * (his[i] - los[i]) / 255.0), 2))) / 64.0, 9)
+          AS quant_mse
+      FROM embeddings, m)
+    SELECT a.list_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(q.code_sum) AS BIGINT) AS codes_sum,
+           round(avg(q.quant_mse), 6) AS avg_mse
+    FROM assigned a JOIN q USING (vec_id)
+    GROUP BY a.list_id
+    """,
+)
+def q_ann_index_build(spark, sf_dir):
+    """The IVF-SQ index BUILD as one composed pass — the manifest a
+    real ANN index writer would emit per inverted list: vector count,
+    quantized-code checksum, mean reconstruction error.  Composition
+    of two oracle-paired operators (ivf_assign's argmax + the scalar
+    quantizer), deliberately fused into a single projection chain via
+    scalar_quantize's passthrough columns: at 100 TB the naive join of
+    the two outputs would shuffle the corpus TWICE; this plan is one
+    scan -> one codegen projection -> one 16-key groupBy."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(e, n_lists=16)
+    sq = similarity.scalar_quantize(
+        assigned, "vec_id", "embedding", levels=256, keep=["list_id"]
+    )
+    return sq.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("code_sum").alias("codes_sum"),
+        F.round(F.avg("quant_mse"), 6).alias("avg_mse"),
+    )
+
+
+@query(
     "decoder_postgres",
     """
     SELECT event_id,
@@ -3292,6 +3362,7 @@ _SWEEP_CHANGED = [
     "bucketed_enrich",        # r5: new registration
     "budget_select",          # r5: new registration
     "dedup_incremental_bucketed",  # r5: new registration
+    "ann_index_build",        # r5: new registration
     "embedding_pq",           # r5: broadcast-model fallback path
     "dedup_incremental_bloom",  # r5: broadcast-model fallback path
     "corpus_build_end2end",   # r5: unpersist lifecycle fix
