@@ -118,3 +118,19 @@ def test_product_quantize_boundary_picks_literal(spark, emb):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Broadcast" not in plan
+
+
+def test_ivf_assign_matches_topk_assignment(spark, emb):
+    """ivf_assign (the exposed build half) must reproduce ivf_topk's
+    internal assignment: every list id in [0, n_lists), deterministic
+    across calls, and the keep-columns passthrough of scalar_quantize
+    preserves it unchanged."""
+    a1 = {r.vec_id: r.list_id for r in similarity.ivf_assign(emb, 16).collect()}
+    a2 = {r.vec_id: r.list_id for r in similarity.ivf_assign(emb, 16).collect()}
+    assert a1 == a2 and a1
+    assert all(0 <= v < 16 for v in a1.values())
+    sq = similarity.scalar_quantize(
+        similarity.ivf_assign(emb, 16), keep=["list_id"]
+    )
+    got = {r.vec_id: r.list_id for r in sq.collect()}
+    assert got == a1
