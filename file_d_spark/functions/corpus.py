@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from file_d_spark.cachereg import register as _register_cache
 from file_d_spark.functions.quality import _ngram_col
 from file_d_spark.functions.text import tokens
 
@@ -688,7 +689,16 @@ def budget_select(
     entire corpus through ONE reducer.  Results are independent of
     where the range boundaries land because (score, id) is a total
     order.  Output: (id, weight, cum_weight), rows with
-    cum_weight <= floor(total * budget_fraction)."""
+    cum_weight <= floor(total * budget_fraction).
+
+    The frame is materialized (localCheckpoint) after the partition id
+    is stamped: the subtotal collect and the final windowed join are
+    two separate Spark jobs, and repartitionByRange re-samples its
+    boundaries per job (the sampler seed derives from the RDD id), so
+    without pinning, a boundary-straddling row could land in different
+    partitions in the two jobs and silently corrupt the cumulative sum
+    once sampling is partial (i.e. at real scale).  Pinning also saves
+    the recompute of the sort shuffle in the second job."""
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
     base = df.select(
@@ -697,7 +707,11 @@ def budget_select(
         F.col(weight_col).cast("long").alias("__w__"),
     )
     r = base.repartitionByRange(n, F.desc("__score__"), F.col(id_col))
-    r = r.withColumn("__pid__", F.spark_partition_id())
+    r = _register_cache(
+        r.withColumn("__pid__", F.spark_partition_id()).localCheckpoint(
+            eager=True
+        )
+    )
     sub = sorted(
         r.groupBy("__pid__").agg(F.sum("__w__").alias("w")).collect(),
         key=lambda row: row["__pid__"],

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from file_d_spark.cachereg import register as _register_cache
 from file_d_spark.functions.text import tokens
 
 
@@ -254,7 +255,7 @@ def _verify_pairs(
     """
     if broadcast_max is None:
         broadcast_max = _VERIFY_BROADCAST_MAX_PAIRS
-    candidates = candidates.cache()
+    candidates = _register_cache(candidates.cache())
     n_pairs = candidates.count()  # materializes the cache; reused below
     hint = F.broadcast if n_pairs <= broadcast_max else (lambda d: d)
     cand_docs = candidates.select(
@@ -329,6 +330,7 @@ def jaccard_pairs(
         .filter(F.col("set_size") > 0)
         .cache()
     )  # one shingle pass, reused by the posting AND the verify stage
+    _register_cache(sh)
     posting = sh.select("doc", "set_size", F.explode("shingles").alias("shingle"))
     # global shingle frequency as a window count (NOT a groupBy +
     # broadcast join: at 100 TB the vocabulary itself is huge, so the
@@ -458,6 +460,7 @@ def minhash_lsh_pairs(
         .filter(F.col("set_size") > 0)
         .cache()
     )  # one shingle pass, reused by the signature AND the verify stage
+    _register_cache(sh)
     # two projections: base hashes materialize once (referenced 64×
     # by the derivations — CollapseProject keeps the non-cheap column)
     hashed = sh.select("doc", base_hashes(F.col("shingles")).alias("__base__"))
@@ -482,7 +485,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket").cache()
+    ).select("doc", "bb.band", "bb.bucket")
+    banded = _register_cache(banded.cache())
     # dedup pairs via groupBy on the pair key (a pair colliding in
     # several bands must verify once, not once per band)
     candidates = (
@@ -680,7 +684,7 @@ def connected_components(
     # materialize the pair list ONCE before symmetrizing: the union's
     # two branches would otherwise re-execute the (expensive) pair
     # subtree twice in the same job
-    pairs = pairs.select(src, dst).localCheckpoint(eager=True)
+    pairs = _register_cache(pairs.select(src, dst).localCheckpoint(eager=True))
 
     # Bounded-model fast path: near-dup pair lists are tiny relative to
     # the corpus (pairs, not docs — a 100 TB corpus with 1% near-dups
@@ -722,7 +726,7 @@ def connected_components(
     edges = pairs.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).unionByName(
         pairs.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
     )
-    edges = edges.repartition("id").localCheckpoint(eager=True)
+    edges = _register_cache(edges.repartition("id").localCheckpoint(eager=True))
 
     labels = (
         edges.select("id")
@@ -730,6 +734,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    labels = _register_cache(labels)
     for _ in range(max_iter):
         # neighbor's current label, min over neighbors
         msgs = (
@@ -749,6 +754,7 @@ def connected_components(
                 ).alias("changed"),
             )
         ).localCheckpoint(eager=True)
+        new_labels = _register_cache(new_labels)
         if new_labels.filter("changed").limit(1).count() == 0:
             labels = new_labels
             break

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from file_d_spark.cachereg import register as _register_cache
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -290,7 +292,8 @@ def semantic_dedup(
         )
         .drop("__cos__")
     )
-    assigned.cache()  # feeds both sides of the pair join + the spine
+    # feeds both sides of the pair join + the spine
+    _register_cache(assigned.cache())
     a = assigned.select(
         F.col("cluster_id"),
         F.col("id").alias("id_a"),

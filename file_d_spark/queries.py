@@ -41,21 +41,14 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # DataFrames persisted inside a query plan (e.g. corpus_build_end2end's
-# tokenized survivors) register here so harnesses can release executor
-# memory once the result is materialized — without this, repeated runs
-# in one session (the 83-query sweep, bench iterations) accumulate
-# cached partitions for the session lifetime.
-_CACHED: list[DataFrame] = []
-
-
-def release_caches() -> None:
-    """Unpersist every DataFrame a query cached; call after the query's
-    result has been materialized (collect/count/write)."""
-    while _CACHED:
-        try:
-            _CACHED.pop().unpersist()
-        except Exception:
-            pass  # session already stopped
+# tokenized survivors, jaccard_pairs' shingle frame) register in the
+# shared cachereg so harnesses can release executor memory once the
+# result is materialized — without this, repeated runs in one session
+# (the 80+-query sweep, bench iterations) accumulate cached partitions
+# for the session lifetime.  Library-internal caches (dedup/similarity)
+# register themselves via cachereg.register at plan-build time.
+from .cachereg import CACHED as _CACHED  # noqa: E402
+from .cachereg import release as release_caches  # noqa: F401,E402
 
 
 def query(name: str, oracle: str | None = None):

@@ -478,3 +478,32 @@ def test_budget_select_prefix_and_parallel_plan(spark, sf_dir):
         expect
     )
     assert max((r.cum_weight for r in rows), default=0) <= budget
+
+
+def test_budget_select_pins_partition_assignment(spark, sf_dir):
+    """The subtotal collect and the final windowed join are separate
+    Spark jobs; repartitionByRange re-samples boundaries per job (the
+    sampler seed derives from the RDD id), so the ranged frame MUST be
+    materialized once — otherwise a boundary-straddling row can get a
+    different __pid__ in the two jobs and the cumulative sum silently
+    corrupts at real scale.  Guard: the final plan reads the pinned RDD
+    (Scan ExistingRDD) and contains NO range exchange of its own, and
+    repeated executions agree exactly."""
+    from file_d_spark.functions import corpus
+    from file_d_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("w"),
+        (F.col("doc_id") % 97).cast("double").alias("score"),
+    )
+    out = corpus.budget_select(d, "score", "w", "doc_id",
+                               budget_fraction=0.3, partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "ranged frame not pinned via localCheckpoint"
+    assert "rangepartitioning" not in plan.lower(), (
+        "final job re-plans the range exchange -> boundaries can re-sample"
+    )
+    first = sorted((r.doc_id, r.weight, r.cum_weight) for r in out.collect())
+    second = sorted((r.doc_id, r.weight, r.cum_weight) for r in out.collect())
+    assert first == second
