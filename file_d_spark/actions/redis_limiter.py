@@ -1,0 +1,339 @@
+"""Shared (cross-pipeline) throttle limits backed by redis — the
+reference's redis limiter mode
+(/root/reference/plugin/action/throttle/redis_limiter.go:15-310).
+
+Several pipeline deployments sharing one rate budget coordinate
+through a KV store:
+
+  * the LIMIT for a throttle key can be overridden centrally at
+    ``<pipeline>_<field>_<value>_limit`` (or an explicit override
+    key), either as a bare integer or as a JSON object with the limit
+    under ``limiter_value_field`` and an optional distribution under
+    ``limiter_distribution_field`` (redis_limiter.go:211-240,
+    updateKeyLimit :242-277);
+  * each deployment periodically pushes its per-bucket consumption
+    with INCRBY on ``<prefix><bucketID>_<distrIdx>`` and reads back
+    the post-increment total — the shared view of how much of the
+    budget everyone together has used (syncLocalGlobalLimiters
+    :146-185); bucket keys age out with per-bucket-age TTLs.
+
+Spark mapping: the batch throttle is a window expression, so the
+shared state is consulted at PLAN BUILD time (limit overrides fetched
+once per batch — the analogue of the reference's periodic
+updateKeyLimit tick) and consumption publishes AFTER materialization
+via :func:`publish_usage` over the admitted frame's bounded
+(key, bucket) aggregate.  Both touches are driver-side and bounded:
+limits for at most ``max_tracked_values`` distinct keys (the
+reference's limiters map is likewise per-value in-memory state),
+counts for key×bucket groups of the batch.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ComplexDistribution:
+    ratio: float
+    limit: int
+
+
+@dataclass
+class LimitDistributions:
+    """parseLimitDistribution output (distribution.go:34-89)."""
+
+    field: list[str] = None
+    idx_by_key: dict = None
+    distributions: list[ComplexDistribution] = None
+    def_distribution: ComplexDistribution = None
+    enabled: bool = False
+
+    def size(self) -> int:
+        return len(self.distributions or [])
+
+    def is_simple(self) -> bool:
+        """No distributions -> plain per-key buckets."""
+        return self.size() == 0
+
+
+def parse_limit_distribution(cfg: dict, total_limit: int) -> LimitDistributions:
+    """distribution.go:34-89 — per-ratio limits round(ratio*total);
+    the default (unlisted values) distribution gets the remaining
+    ratio rounded to 2 decimals."""
+    f = cfg.get("field", "") if cfg else ""
+    if not f:
+        return LimitDistributions()
+    ratios = cfg.get("ratios") or []
+    selector = f.split(".")
+    if not ratios:
+        return LimitDistributions(field=selector, enabled=bool(cfg.get("enabled")))
+    ld = LimitDistributions(
+        field=selector,
+        idx_by_key={},
+        distributions=[],
+        enabled=bool(cfg.get("enabled")),
+    )
+    ratio_sum = 0.0
+    for i, r in enumerate(ratios):
+        ratio = float(r.get("ratio", -1))
+        if ratio < 0 or ratio > 1:
+            raise ValueError("'ratio' value must be in range [0.0;1.0]")
+        values = r.get("values") or []
+        if not values:
+            raise ValueError(f"empty 'values' in ratio #{i}")
+        ratio_sum += ratio
+        for v in values:
+            if str(v) in ld.idx_by_key:
+                raise ValueError(f"value '{v}' is duplicated in 'ratios' list")
+            ld.idx_by_key[str(v)] = i
+        ld.distributions.append(
+            ComplexDistribution(ratio, int(round(ratio * total_limit)))
+        )
+    dif = 1 - ratio_sum
+    if dif < -1e-9:
+        raise ValueError("sum of ratios must be less than or equal to 1")
+    def_ratio = math.floor(dif * 100 + 0.5) / 100
+    ld.def_distribution = ComplexDistribution(
+        def_ratio, int(round(def_ratio * total_limit))
+    )
+    return ld
+
+
+def decode_key_limit_value(
+    data: bytes | str, val_field: str, distr_field: str = ""
+) -> tuple[int, dict]:
+    """JSON limit payload decode (redis_limiter.go:211-240): the limit
+    lives under ``val_field`` (bare number or quoted string); the
+    optional distribution object under ``distr_field``."""
+    if isinstance(data, bytes):
+        data = data.decode()
+    try:
+        m = json.loads(data)
+    except ValueError as e:
+        raise ValueError(f"failed to unmarshal map: {e}") from e
+    if not isinstance(m, dict):
+        raise ValueError("failed to unmarshal map: not a JSON object")
+    if val_field not in m:
+        raise ValueError(f"no {val_field!r} key in map")
+    raw = m[val_field]
+    if isinstance(raw, bool) or not isinstance(raw, (int, str)):
+        raise ValueError(f"limit value under {val_field!r} is not an integer")
+    try:
+        limit = int(str(raw).strip('"'))
+    except ValueError as e:
+        raise ValueError(f"limit value under {val_field!r}: {e}") from e
+    distr: dict = {}
+    if distr_field and distr_field in m:
+        distr = m[distr_field]
+        if not isinstance(distr, dict):
+            raise ValueError(
+                f"distribution value under {distr_field!r} is not an object"
+            )
+    return limit, distr
+
+
+KEY_SUFFIX = "limit"
+
+
+class RedisLimiter:
+    """One throttle key's shared-limit view (redis_limiter.go:56-94).
+
+    Key layout (redis_limiter.go:79-91):
+      prefix    = <pipeline>_<throttle_field>_<value>_
+      limit key = <prefix>limit            (unless overridden)
+      buckets   = <prefix><bucketID>_<distrIdx>
+    """
+
+    def __init__(
+        self,
+        client,
+        pipeline: str,
+        throttle_field: str,
+        throttle_value: str,
+        default_limit: int,
+        bucket_interval_s: float = 60.0,
+        key_limit_override: str = "",
+        val_field: str = "",
+        distr_field: str = "",
+        default_distribution: dict | None = None,
+    ):
+        self.client = client
+        self.key_prefix = f"{pipeline}_{throttle_field}_{throttle_value}_"
+        self.key_limit = key_limit_override or self.key_prefix + KEY_SUFFIX
+        self.val_field = val_field
+        self.distr_field = distr_field
+        self.bucket_interval_s = bucket_interval_s
+        self.limit = int(default_limit)
+        self.distributions = parse_limit_distribution(
+            default_distribution or {}, self.limit
+        )
+        self.last_error: Exception | None = None
+
+    def update_key_limit(self) -> None:
+        """Pull the central limit (updateKeyLimit, :242-277): missing
+        key keeps the local default; malformed payloads raise."""
+        data = self.client.get(self.key_limit)
+        if data is None:
+            return
+        distr_cfg: dict = {}
+        if self.val_field:
+            limit, distr_cfg = decode_key_limit_value(
+                data, self.val_field, self.distr_field
+            )
+        else:
+            try:
+                limit = int(data.decode() if isinstance(data, bytes) else data)
+            except ValueError as e:
+                raise ValueError(
+                    f"failed to convert redis value to int64: {e}"
+                ) from e
+        self.limit = limit
+        # empty cfg -> simple buckets; a present cfg (re)builds the
+        # distributed ones — covers both recreate_* directions of the
+        # reference test
+        self.distributions = parse_limit_distribution(distr_cfg, limit)
+
+    def sync(
+        self, bucket_values: dict[int, list[int]]
+    ) -> dict[tuple[int, int], int]:
+        """Push local consumption, pull shared totals
+        (syncLocalGlobalLimiters, :146-185).
+
+        ``bucket_values``: bucket id -> per-distribution increments
+        (single-element lists for simple buckets).  Empty buckets are
+        skipped.  Each subkey gets INCRBY + a TTL that grows with the
+        bucket's index so old buckets age out first; returns
+        (bucket_id, distr_idx) -> post-increment shared total.  A
+        failing limit refresh is recorded, not raised (the reference
+        logs and continues, :139-141)."""
+        totals: dict[tuple[int, int], int] = {}
+        ids = sorted(bucket_values)
+        for idx, bucket_id in enumerate(ids):
+            values = bucket_values[bucket_id]
+            if not values or not any(values):
+                continue
+            for distr_idx, v in enumerate(values):
+                subkey = f"{self.key_prefix}{bucket_id}_{distr_idx}"
+                totals[(bucket_id, distr_idx)] = self.client.incrby(subkey, v)
+                self.client.expire(
+                    subkey, self.bucket_interval_s * (1 + idx)
+                )
+        try:
+            self.update_key_limit()
+            self.last_error = None
+        except Exception as e:  # noqa: BLE001
+            self.last_error = e
+        return totals
+
+
+def _build_client(cfg: dict):
+    if cfg.get("client") is not None:
+        return cfg["client"]
+    from file_d_spark.xredis import Options, new_client
+
+    return new_client(
+        Options(
+            client_type=cfg.get("client_type", "base"),
+            addrs=list(cfg.get("addrs", [])),
+            id=cfg.get("id", ""),
+            password=cfg.get("password", ""),
+            read_timeout=float(cfg.get("read_timeout", 1.0)),
+            write_timeout=float(cfg.get("write_timeout", 1.0)),
+            max_retries=int(cfg.get("max_retries", 0)),
+        )
+    )
+
+
+def fetch_limit_overrides(
+    df,
+    key_col: str,
+    throttle_field: str,
+    backend_cfg: dict,
+    default_limit: int,
+    bucket_interval_s: float,
+) -> dict[str, int]:
+    """Per-key limit overrides for a batch: the distinct throttle keys
+    of the batch (bounded by ``max_tracked_values`` — beyond the cap
+    keys keep the config limit, mirroring the reference's bounded
+    in-memory limiters map), each looked up via its own limiter key.
+    ``key_col`` is the frame column holding the key values;
+    ``throttle_field`` the config field name embedded in the redis key
+    prefix.  Driver-side: one bounded distinct + one GET per tracked
+    key."""
+    from pyspark.sql import functions as F
+
+    client = _build_client(backend_cfg)
+    pipeline = backend_cfg.get("pipeline", "pipeline")
+    cap = int(backend_cfg.get("max_tracked_values", 10000))
+    values = backend_cfg.get("values")
+    if values is None:
+        rows = (
+            df.select(F.col(key_col).cast("string").alias("k"))
+            .where(F.col("k").isNotNull())
+            .distinct()
+            .limit(cap)
+            .collect()
+        )
+        values = [r["k"] for r in rows]
+    out: dict[str, int] = {}
+    for v in values:
+        lim = RedisLimiter(
+            client,
+            pipeline,
+            throttle_field,
+            v,
+            default_limit,
+            bucket_interval_s=bucket_interval_s,
+            key_limit_override=backend_cfg.get("key_limit_override", ""),
+            val_field=backend_cfg.get("limiter_value_field", ""),
+            distr_field=backend_cfg.get("limiter_distribution_field", ""),
+        )
+        try:
+            lim.update_key_limit()
+        except Exception:  # noqa: BLE001
+            continue  # malformed central value: keep the config limit
+        if lim.limit != default_limit:
+            out[v] = lim.limit
+    return out
+
+
+def publish_usage(
+    admitted_df,
+    key_field: str,
+    time_field: str,
+    backend_cfg: dict,
+    bucket_interval_s: float,
+) -> int:
+    """Push a materialized batch's admitted counts to the shared
+    counters: one (key, bucket) aggregate -> bounded collect -> INCRBY
+    per group (the reference's sync loop, :146-185).  Returns the
+    number of counters updated."""
+    from pyspark.sql import functions as F
+
+    client = _build_client(backend_cfg)
+    pipeline = backend_cfg.get("pipeline", "pipeline")
+    bucket_us = max(1, int(bucket_interval_s * 1e6))
+    rows = (
+        admitted_df.groupBy(
+            F.col(key_field).cast("string").alias("k"),
+            F.floor(F.unix_micros(F.col(time_field)) / F.lit(bucket_us)).alias(
+                "b"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in rows:
+        lim = RedisLimiter(
+            client,
+            pipeline,
+            key_field,
+            r["k"],
+            default_limit=0,
+            bucket_interval_s=bucket_interval_s,
+        )
+        lim.sync({int(r["b"]): [int(r["n"])]})
+    return len(rows)

@@ -235,6 +235,31 @@ class Throttle(Action):
             counted = F.when(is_rule, r_counted).otherwise(counted)
             limit_col = F.when(is_rule, F.lit(spec["limit"])).otherwise(limit_col)
 
+        # shared (cross-pipeline) limits: central overrides fetched at
+        # plan-build time — the batch analogue of the reference's
+        # periodic updateKeyLimit tick (redis_limiter.go:242-277);
+        # bounded driver model (<= max_tracked_values entries), applied
+        # as a literal-map lookup so the plan stays a pure projection
+        backend_cfg = self.params.get("limiter_backend")
+        if backend_cfg:
+            from file_d_spark.actions.redis_limiter import fetch_limit_overrides
+
+            overrides = fetch_limit_overrides(
+                df.select(F.col("__fd_key__")), "__fd_key__", key_field,
+                backend_cfg, limit, bucket_s,
+            )
+            if overrides:
+                m = F.create_map(
+                    *[
+                        x
+                        for kv in sorted(overrides.items())
+                        for x in (F.lit(kv[0]), F.lit(kv[1]))
+                    ]
+                )
+                limit_col = F.coalesce(
+                    m[F.col("__fd_key__")], limit_col
+                )
+
         w = Window.partitionBy(
             "__fd_key__", "__fd_bucket__", "__fd_rule__"
         ).orderBy(*order_cols)

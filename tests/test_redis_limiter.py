@@ -1,0 +1,329 @@
+"""Shared-throttle redis backend goldens — replays the reference's
+redis_limiter_test.go (Test_updateKeyLimit, Test_decodeKeyLimitValue)
+against MiniRedis, plus sync key/TTL semantics and the batch-throttle
+limiter_backend integration."""
+
+import pytest
+
+from file_d_spark.actions.redis_limiter import (
+    RedisLimiter,
+    decode_key_limit_value,
+    parse_limit_distribution,
+)
+from file_d_spark.xredis import Options, new_client
+from tests.util import MiniRedis
+
+PIPELINE = "test_pipeline"
+FIELD = "k8s_pod"
+
+
+@pytest.fixture()
+def seeded():
+    """The miniredis seeding block of Test_updateKeyLimit
+    (redis_limiter_test.go:53-66)."""
+    s = MiniRedis()
+    s.set(f"{PIPELINE}_{FIELD}_pod2_limit", "101")
+    s.set("custom_limit_key", "102")
+    s.set(f"{PIPELINE}_{FIELD}_pod3_limit", '{"custom_limit_field":103}')
+    s.set("custom_limit_key2", '{"custom_limit_field":104}')
+    s.set("custom_field_string_val", '{"custom_limit_field":"105"}')
+    s.set(
+        "custom_limit_key3",
+        '{"custom_limit_field":1000,"custom_distr_field":{"field":"new-field",'
+        '"ratios":[{"ratio":0.4,"values":["val1","val2"]},'
+        '{"ratio":0.5,"values":["val3"]}],"enabled":false}}',
+    )
+    s.set("custom_limit_field_invalid_type",
+          '{"custom_limit_field":{"invalid":"invalid"}}')
+    s.set("custom_distr_field_invalid_type",
+          '{"custom_limit_field":107,"custom_distr_field":"test"}')
+    s.set("custom_limit_field_not_exists", "no_custom_field")
+    s.set("parse_int_error", "not_int")
+    yield s
+    s.close()
+
+
+def _limiter(server, value="pod1", override="", val_field="", distr_field="",
+             default_limit=1, default_distribution=None):
+    client = new_client(Options(addrs=[server.addr]))
+    return RedisLimiter(
+        client, PIPELINE, FIELD, value,
+        default_limit=default_limit,
+        bucket_interval_s=1.0,
+        key_limit_override=override,
+        val_field=val_field,
+        distr_field=distr_field,
+        default_distribution=default_distribution,
+    )
+
+
+DEFAULT_DISTR = {
+    "field": "level",
+    "ratios": [
+        {"ratio": 0.7, "values": ["error"]},
+        {"ratio": 0.3, "values": ["warn", "info"]},
+    ],
+    "enabled": True,
+}
+
+
+# name, kwargs, want_limit (None=wantErr), want_simple
+CASES = [
+    ("get_limit_from_default_key", dict(value="pod2"), 101, True),
+    ("get_limit_from_custom_key", dict(override="custom_limit_key"), 102, True),
+    ("get_limit_from_default_key_custom_field",
+     dict(value="pod3", val_field="custom_limit_field"), 103, True),
+    ("get_limit_from_custom_key_custom_field",
+     dict(override="custom_limit_key2", val_field="custom_limit_field"),
+     104, True),
+    ("get_limit_from_custom_key_custom_field_string_value",
+     dict(override="custom_field_string_val", val_field="custom_limit_field"),
+     105, True),
+    ("get_limit_and_distribution",
+     dict(override="custom_limit_key3", val_field="custom_limit_field",
+          distr_field="custom_distr_field",
+          default_limit=10, default_distribution=DEFAULT_DISTR),
+     1000, False),
+    ("recreate_buckets_simple_to_distributed",
+     dict(override="custom_limit_key3", val_field="custom_limit_field",
+          distr_field="custom_distr_field"),
+     1000, False),
+    ("recreate_buckets_distributed_to_simple",
+     dict(override="custom_limit_key2", val_field="custom_limit_field",
+          distr_field="custom_distr_field",
+          default_limit=10, default_distribution=DEFAULT_DISTR),
+     104, True),
+    ("get_limit_from_custom_limit_field_invalid_type",
+     dict(override="custom_limit_field_invalid_type",
+          val_field="custom_limit_field"), None, None),
+    ("get_distribution_from_custom_distr_field_invalid_type",
+     dict(override="custom_distr_field_invalid_type",
+          val_field="custom_distr_field"), None, None),
+    ("get_limit_from_custom_limit_field_not_exists",
+     dict(override="custom_limit_field_not_exists",
+          val_field="custom_limit_field"), None, None),
+    ("parse_int_error", dict(override="parse_int_error"), None, None),
+]
+
+
+@pytest.mark.parametrize("name,kwargs,want_limit,want_simple",
+                         CASES, ids=[c[0] for c in CASES])
+def test_update_key_limit_golden(seeded, name, kwargs, want_limit, want_simple):
+    lim = _limiter(seeded, **kwargs)
+    if want_limit is None:
+        with pytest.raises(ValueError):
+            lim.update_key_limit()
+        return
+    lim.update_key_limit()
+    assert lim.limit == want_limit
+    assert lim.distributions.is_simple() == want_simple
+
+
+def test_update_key_limit_missing_key_keeps_default(seeded):
+    lim = _limiter(seeded, value="pod-without-central-limit", default_limit=42)
+    lim.update_key_limit()
+    assert lim.limit == 42
+
+
+def test_distribution_values_golden(seeded):
+    """The parsed distribution of custom_limit_key3 matches the
+    reference's expected limitersData (redis_limiter_test.go:189-215):
+    ratios 0.4/0.5 of 1000 -> 400/500, default 0.1 -> 100."""
+    lim = _limiter(seeded, override="custom_limit_key3",
+                   val_field="custom_limit_field",
+                   distr_field="custom_distr_field")
+    lim.update_key_limit()
+    d = lim.distributions
+    assert d.field == ["new-field"]
+    assert d.idx_by_key == {"val1": 0, "val2": 0, "val3": 1}
+    assert [(x.ratio, x.limit) for x in d.distributions] == [
+        (0.4, 400), (0.5, 500)
+    ]
+    assert (d.def_distribution.ratio, d.def_distribution.limit) == (0.1, 100)
+    assert d.enabled is False
+
+
+def test_set_limit_error_unreachable_client():
+    client = new_client(Options(addrs=["127.0.0.1:1"], read_timeout=0.05))
+    lim = RedisLimiter(client, PIPELINE, FIELD, "pod1", default_limit=1,
+                       key_limit_override="custom_field_error",
+                       val_field="custom_limit_field")
+    with pytest.raises(ConnectionError):
+        lim.update_key_limit()
+
+
+# --- decodeKeyLimitValue goldens (redis_limiter_test.go:374-460) ---------
+
+
+def test_decode_ok_only_limit():
+    assert decode_key_limit_value(b'{"limit_key":"3000"}', "limit_key")[0] == 3000
+
+
+def test_decode_ok_with_object():
+    limit, distr = decode_key_limit_value(
+        b'{"limit_key":"3000","some_obj":{"field":"key"}}', "limit_key"
+    )
+    assert limit == 3000 and distr == {}
+
+
+def test_decode_ok_limit_and_distribution():
+    limit, distr = decode_key_limit_value(
+        b'{"limit_key":"3000","distr_key":{"field":"my-field",'
+        b'"ratios":[{"ratio":0.4,"values":["val1","val2"]},'
+        b'{"ratio":0.6,"values":["val3"]}],"enabled":true}}',
+        "limit_key", "distr_key",
+    )
+    assert limit == 3000
+    assert distr["field"] == "my-field" and distr["enabled"] is True
+    assert [r["ratio"] for r in distr["ratios"]] == [0.4, 0.6]
+
+
+@pytest.mark.parametrize("payload,val_field,distr_field", [
+    (b"not json", "limit_key", ""),
+    (b'{"other":"1"}', "limit_key", ""),
+    (b'{"limit_key":{"x":1}}', "limit_key", ""),
+    (b'{"limit_key":"abc"}', "limit_key", ""),
+    (b'{"limit_key":1,"d":"str"}', "limit_key", "d"),
+])
+def test_decode_errors(payload, val_field, distr_field):
+    with pytest.raises(ValueError):
+        decode_key_limit_value(payload, val_field, distr_field)
+
+
+def test_parse_limit_distribution_validation():
+    with pytest.raises(ValueError):
+        parse_limit_distribution(
+            {"field": "f", "ratios": [{"ratio": 1.5, "values": ["x"]}]}, 10
+        )
+    with pytest.raises(ValueError):
+        parse_limit_distribution(
+            {"field": "f", "ratios": [{"ratio": 0.5, "values": []}]}, 10
+        )
+    with pytest.raises(ValueError):
+        parse_limit_distribution(
+            {"field": "f", "ratios": [
+                {"ratio": 0.5, "values": ["x"]},
+                {"ratio": 0.4, "values": ["x"]},
+            ]}, 10
+        )
+    with pytest.raises(ValueError):
+        parse_limit_distribution(
+            {"field": "f", "ratios": [
+                {"ratio": 0.8, "values": ["x"]},
+                {"ratio": 0.4, "values": ["y"]},
+            ]}, 10
+        )
+
+
+# --- sync: key layout, TTL growth, shared totals -------------------------
+
+
+def test_sync_pushes_increments_and_pulls_totals():
+    s = MiniRedis()
+    try:
+        lim = _limiter(s, value="pod1", default_limit=10)
+        totals = lim.sync({100: [3], 101: [5]})
+        k100 = f"{PIPELINE}_{FIELD}_pod1_100_0"
+        k101 = f"{PIPELINE}_{FIELD}_pod1_101_0"
+        assert s.get(k100) == "3" and s.get(k101) == "5"
+        assert totals == {(100, 0): 3, (101, 0): 5}
+        # a second deployment's increments show up in OUR totals
+        other = _limiter(s, value="pod1", default_limit=10)
+        totals2 = other.sync({101: [2]})
+        assert totals2 == {(101, 0): 7}
+        # TTL grows with bucket age index (oldest = 1 interval)
+        lim.sync({100: [1], 101: [1]})
+        assert s.ttl_ms(k100) <= 1000
+        assert 1000 < s.ttl_ms(k101) <= 2000
+        # empty buckets are skipped entirely
+        assert lim.sync({200: [0]}) == {}
+        assert s.get(f"{PIPELINE}_{FIELD}_pod1_200_0") is None
+    finally:
+        s.close()
+
+
+def test_sync_swallows_limit_refresh_error():
+    s = MiniRedis()
+    try:
+        s.set(f"{PIPELINE}_{FIELD}_pod1_limit", "not_int")
+        lim = _limiter(s, value="pod1", default_limit=9)
+        lim.sync({1: [1]})
+        assert lim.last_error is not None
+        assert lim.limit == 9  # default untouched by the bad payload
+    finally:
+        s.close()
+
+
+# --- batch throttle integration ------------------------------------------
+
+
+def test_throttle_limiter_backend_overrides_limit(spark):
+    """A central per-key limit in redis overrides default_limit for
+    that key only — the batch analogue of the reference's shared
+    limiter (limiter key <pipeline>_<field>_<value>_limit)."""
+    s = MiniRedis()
+    try:
+        s.set("p_src_a_limit", "1")  # pod 'a' centrally clamped to 1/bucket
+        from file_d_spark import Pipeline
+
+        rows = [
+            ("a", f"2024-01-01T00:00:{i:02d}Z", i) for i in range(4)
+        ] + [
+            ("b", f"2024-01-01T00:00:{i:02d}Z", 10 + i) for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "src string, time string, seq int")
+        p = Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "throttle",
+                        "throttle_field": "src",
+                        "time_field": "time",
+                        "time_field_format": "rfc3339",
+                        "bucket_interval": "1m",
+                        "buckets_count": 10,
+                        "default_limit": 3,
+                        "order_fields": ["seq"],
+                        "limiter_backend": {
+                            "type": "redis",
+                            "pipeline": "p",
+                            "addrs": [s.addr],
+                        },
+                    }
+                ]
+            }
+        )
+        out = p.apply(df).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r.src, []).append(r.seq)
+        assert sorted(by_key["a"]) == [0]          # central limit 1
+        assert sorted(by_key["b"]) == [10, 11, 12]  # config default 3
+    finally:
+        s.close()
+
+
+def test_publish_usage_roundtrip(spark):
+    from file_d_spark.actions.redis_limiter import publish_usage
+
+    s = MiniRedis()
+    try:
+        df = spark.createDataFrame(
+            [("a", "2024-01-01T00:00:01Z"), ("a", "2024-01-01T00:00:02Z"),
+             ("b", "2024-01-01T00:05:00Z")],
+            "src string, time string",
+        ).selectExpr("src", "to_timestamp(time) AS time")
+        n = publish_usage(
+            df, "src", "time",
+            {"pipeline": "p", "addrs": [s.addr]},
+            bucket_interval_s=60.0,
+        )
+        assert n == 2
+        counts = sorted(
+            int(v) for k, v in
+            ((k, s.get(k)) for k in list(s.store) if not k.endswith("_limit"))
+            if v is not None
+        )
+        assert counts == [1, 2]
+    finally:
+        s.close()
