@@ -105,14 +105,61 @@ class PipelineInspector:
             out.extend({"action": i, "source": r.s} for r in banned)
         return out
 
+    # -- /metrics -------------------------------------------------------
+    def prometheus(self) -> str:
+        """Prometheus scrape body: pipeline input/output totals plus
+        per-action received/discarded/passed counters, all under the
+        reference's ``file_d`` namespace (fd/file.d.go:343-345,
+        pipeline.go:263-266 for the metric names).  The reference
+        counts live traffic; a lazy engine re-derives each sample with
+        bounded count jobs at scrape time."""
+        from file_d_spark.metrics import PromRegistry
+
+        reg = PromRegistry()
+        reg.counter(
+            "input_plugin_events_count_total",
+            "Count of events on pipeline input",
+        )
+        reg.counter(
+            "output_plugin_events_count_total",
+            "Count of events on pipeline output",
+        )
+        reg.counter(
+            "action_events_count_total",
+            "Per-action event counts by status",
+        )
+        name = self.plan.name
+        counts = [f.count() for f in self.frames]
+        reg.inc(
+            "input_plugin_events_count_total", counts[0], pipeline=name
+        )
+        reg.inc(
+            "output_plugin_events_count_total", counts[-1], pipeline=name
+        )
+        for i, typ in enumerate(self.action_types):
+            received, passed = counts[i], counts[i + 1]
+            labels = {"pipeline": name, "action": f"{i}_{typ}"}
+            reg.inc("action_events_count_total", received,
+                    status="received", **labels)
+            reg.inc("action_events_count_total", max(received - passed, 0),
+                    status="discarded", **labels)
+            reg.inc("action_events_count_total", passed,
+                    status="passed", **labels)
+        return reg.render()
+
     # -- HTTP surface ---------------------------------------------------
     def serve(self, port: int = 0, host: str = "127.0.0.1"):
         """Start a daemon thread serving the reference's URL shape:
-        /pipelines/<name>/action/<idx>/info | /sample, plus
-        /pipelines/<name>/ban_list.  Returns the HTTPServer (bound
-        port in ``server_address[1]``); call ``shutdown()`` to stop."""
+        /pipelines/<name>/action/<idx>/info | /sample,
+        /pipelines/<name>/ban_list, plus the operational surface
+        /metrics (prometheus text), /live (always 200) and /ready
+        (503 once ``stopping`` is set — fd/file.d.go:388-398).
+        Returns the HTTPServer (bound port in ``server_address[1]``);
+        call ``shutdown()`` to stop."""
         insp = self
         name = self.plan.name
+        if not hasattr(self, "stopping"):
+            self.stopping = False
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -121,6 +168,17 @@ class PipelineInspector:
             def do_GET(self):
                 parts = [p for p in self.path.split("/") if p]
                 try:
+                    if parts == ["live"]:
+                        return self._text("")
+                    if parts == ["ready"]:
+                        if insp.stopping:
+                            return self.send_error(503)
+                        return self._text("")
+                    if parts == ["metrics"]:
+                        return self._text(
+                            insp.prometheus(),
+                            "text/plain; version=0.0.4; charset=utf-8",
+                        )
                     if parts[:2] == ["pipelines", name]:
                         if parts[2:] == ["ban_list"]:
                             return self._json(insp.ban_list())
@@ -143,6 +201,13 @@ class PipelineInspector:
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _text(self, body: str, ctype: str = "text/plain"):
+                data = body.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.end_headers()
+                self.wfile.write(data)
 
         srv = ThreadingHTTPServer((host, port), Handler)
         threading.Thread(target=srv.serve_forever, daemon=True).start()

@@ -90,3 +90,87 @@ class ProgressRing(StreamingQueryListener):
                     if isinstance(v, (int, float)):
                         acc[k] = acc.get(k, 0) + v
         return {"numInputRows": rows, "observedMetrics": obs}
+
+
+# ---------------------------------------------------------------------------
+# Prometheus text exposition
+# ---------------------------------------------------------------------------
+
+PROM_NAMESPACE = "file_d"  # reference: metric/controller.go:11
+
+
+def _escape_label(v: str) -> str:
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+class PromRegistry:
+    """Minimal Prometheus registry rendering text exposition format
+    0.0.4 — the scrape surface an operator points monitoring at
+    (reference: fd/file.d.go:343-345 mounts promhttp on /metrics; all
+    metrics live under the ``file_d`` namespace,
+    metric/controller.go:11,63)."""
+
+    def __init__(self, namespace: str = PROM_NAMESPACE):
+        self.namespace = namespace
+        # name -> (help, type, {labels_tuple: value}); insertion order
+        self._metrics: dict[str, tuple[str, str, dict]] = {}
+
+    def _full(self, name: str) -> str:
+        return f"{self.namespace}_{name}" if self.namespace else name
+
+    def counter(self, name: str, help_text: str = "") -> None:
+        self._metrics.setdefault(self._full(name), (help_text, "counter", {}))
+
+    def gauge(self, name: str, help_text: str = "") -> None:
+        self._metrics.setdefault(self._full(name), (help_text, "gauge", {}))
+
+    def inc(self, name: str, value: float = 1, /, **labels) -> None:
+        full = self._full(name)
+        if full not in self._metrics:
+            self.counter(name)
+        series = self._metrics[full][2]
+        key = tuple(sorted(labels.items()))
+        series[key] = series.get(key, 0) + value
+
+    def set(self, name: str, value: float, /, **labels) -> None:
+        full = self._full(name)
+        if full not in self._metrics:
+            self.gauge(name)
+        self._metrics[full][2][tuple(sorted(labels.items()))] = value
+
+    def render(self) -> str:
+        out = []
+        for name, (help_text, typ, series) in self._metrics.items():
+            if help_text:
+                out.append(f"# HELP {name} {help_text}")
+            out.append(f"# TYPE {name} {typ}")
+            for key, value in sorted(series.items()):
+                label_s = ",".join(
+                    f'{k}="{_escape_label(v)}"' for k, v in key
+                )
+                v = int(value) if float(value).is_integer() else value
+                out.append(f"{name}{{{label_s}}} {v}" if label_s else f"{name} {v}")
+        return "\n".join(out) + "\n"
+
+
+def parse_prometheus_text(text: str) -> dict[tuple[str, tuple], float]:
+    """Tiny scrape parser for tests: (metric, ((label, value), ...)) ->
+    sample value."""
+    import re
+
+    out: dict[tuple[str, tuple], float] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = re.fullmatch(r"([a-zA-Z_:][\w:]*)(?:\{(.*)\})?\s+(\S+)", line)
+        if not m:
+            continue
+        labels = tuple(
+            sorted(
+                (lm.group(1), lm.group(2))
+                for lm in re.finditer(r'(\w+)="((?:[^"\\]|\\.)*)"', m.group(2) or "")
+            )
+        )
+        out[(m.group(1), labels)] = float(m.group(3))
+    return out

@@ -110,3 +110,72 @@ def test_debug_sampling_first_thereafter(spark):
     logged = sorted(e["event"]["n"] for e in DEBUG_LOG if e["message"] == "probe")
     # first 3 (n=0,1,2 -> rn 1..3), then every 5th after: rn 8, 13, 18
     assert logged == [0, 1, 2, 7, 12, 17]
+
+
+def test_prometheus_scrape_and_health(spark):
+    """/metrics serves file_d-namespaced counters in prometheus text
+    format; /live is always 200; /ready flips to 503 when stopping
+    (fd/file.d.go:341-345,388-398)."""
+    from file_d_spark.metrics import parse_prometheus_text
+
+    insp = two_action_inspector(spark)
+    srv = insp.serve(port=0)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with urllib.request.urlopen(base + "/live", timeout=30) as r:
+            assert r.status == 200
+        with urllib.request.urlopen(base + "/ready", timeout=30) as r:
+            assert r.status == 200
+
+        with urllib.request.urlopen(base + "/metrics", timeout=120) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        samples = parse_prometheus_text(body)
+        name = insp.plan.name
+        assert samples[(
+            "file_d_input_plugin_events_count_total",
+            (("pipeline", name),),
+        )] == 10
+        assert samples[(
+            "file_d_output_plugin_events_count_total",
+            (("pipeline", name),),
+        )] == 5
+        assert samples[(
+            "file_d_action_events_count_total",
+            (("action", "0_discard"), ("pipeline", name), ("status", "discarded")),
+        )] == 5
+        assert samples[(
+            "file_d_action_events_count_total",
+            (("action", "1_modify"), ("pipeline", name), ("status", "passed")),
+        )] == 5
+        # exposition hygiene: TYPE lines present exactly once per metric
+        assert body.count("# TYPE file_d_action_events_count_total counter") == 1
+
+        insp.stopping = True
+        from urllib.error import HTTPError
+
+        try:
+            urllib.request.urlopen(base + "/ready", timeout=30)
+            assert False, "expected 503 when stopping"
+        except HTTPError as e:
+            assert e.code == 503
+        # live stays green during drain
+        with urllib.request.urlopen(base + "/live", timeout=30) as r:
+            assert r.status == 200
+    finally:
+        srv.shutdown()
+
+
+def test_prom_registry_escaping_and_gauge():
+    from file_d_spark.metrics import PromRegistry, parse_prometheus_text
+
+    reg = PromRegistry()
+    reg.inc("c_total", 2, path='a"b\\c')
+    reg.inc("c_total", 3, path='a"b\\c')
+    reg.set("g", 1.5, kind="x")
+    text = reg.render()
+    samples = parse_prometheus_text(text)
+    assert samples[("file_d_c_total", (("path", 'a\\"b\\\\c'),))] == 5
+    assert samples[("file_d_g", (("kind", "x"),))] == 1.5
+    assert "# TYPE file_d_g gauge" in text
