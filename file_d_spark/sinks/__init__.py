@@ -250,6 +250,11 @@ def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
     (/root/reference/plugin/output/elasticsearch/elasticsearch.go:60,
     110-126, 487-514).
 
+    ``ingest_pipeline`` routes documents through a server-side ingest
+    pipeline (elasticsearch.go appends ?pipeline= to the _bulk URL);
+    the injected transport receives it as ``pipeline=`` keyword so a
+    fake server can apply the transform.
+
     ``split_batch: true`` enables the reference's bisect-on-413 path:
     an oversized request splits recursively to isolate the poison
     event; when a single event still fails, ``strict: true`` raises
@@ -264,6 +269,15 @@ def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
     index_values = list(cfg.get("index_values", ["@time"]))
     time_format = _go_time_to_strftime(cfg.get("time_format", "2006-01-02"))
     now_str = dt.datetime.now(dt.timezone.utc).strftime(time_format)
+
+    ingest_pipeline = cfg.get("ingest_pipeline")
+    if ingest_pipeline and cfg.get("transport") is not None:
+        raw_transport = cfg["transport"]
+
+        def _with_pipeline(payload, _t=raw_transport, _p=ingest_pipeline):
+            return _t(payload, pipeline=_p)
+
+        cfg = {**cfg, "transport": _with_pipeline}
 
     def doc_lines(d: dict) -> list[str]:
         name = build_index_name(d, index_format, index_values, now_str)
@@ -401,10 +415,33 @@ def sink_jdbc(df: DataFrame, cfg: dict[str, Any]):
     build_sink via the declared schema; ``unique`` columns dedup before
     write (the reference's ON CONFLICT DO NOTHING —
     /root/reference/plugin/output/postgres/postgres.go:121-137).
-    Requires the JDBC driver jar on the classpath (not bundled here)."""
+    Requires the JDBC driver jar on the classpath (not bundled here).
+
+    ``transport`` (injectable, like the HTTP sinks): a callable
+    ``transport(table, rows)`` receiving each partition's rows as
+    dicts — the broker-less test seam for the db-e2e scenarios; it
+    raises to signal insert failure (e.g. missing table), which the
+    deadqueue wrapper in build_sink routes."""
     unique = cfg.get("unique") or []
     if unique:
         df = df.dropDuplicates(unique)
+    transport = cfg.get("transport")
+    if transport is not None:
+        table = cfg["table"]
+        batch_size = int(cfg.get("batch_size", 1000))
+
+        def send_partition(rows):
+            buf = []
+            for row in rows:
+                buf.append(row.asDict(recursive=True))
+                if len(buf) >= batch_size:
+                    transport(table, buf)
+                    buf = []
+            if buf:
+                transport(table, buf)
+
+        df.foreachPartition(send_partition)
+        return
     (
         df.write.format("jdbc")
         .option("url", cfg["url"])
@@ -433,6 +470,9 @@ def kafka_sink_options(cfg: dict[str, Any]) -> dict[str, str]:
     }
     if cfg.get("compression", "none") != "none":
         opts["kafka.compression.type"] = cfg["compression"]
+    from file_d_spark.kafka_security import kafka_security_options
+
+    opts.update(kafka_security_options(cfg))
     if not cfg.get("use_topic_field"):
         opts["topic"] = cfg.get("default_topic", "events")
     return opts
@@ -593,11 +633,14 @@ def build_stream_sink(
     raise ValueError(f"unsupported streaming output type: {typ!r}")
 
 
-def build_sink(df: DataFrame, plan) -> Any:
-    cfg = dict(plan.output)
-    typ = cfg.pop("type", "devnull")
-    if typ not in SINKS:
-        raise ValueError(f"unsupported output type: {typ!r}; known {sorted(SINKS)}")
+class _PlanView:
+    """Minimal plan stand-in for nested sink configs (deadqueue)."""
+
+    def __init__(self, output: dict):
+        self.output = output
+
+
+def _write_one(df: DataFrame, typ: str, cfg: dict[str, Any]) -> Any:
     if typ == "clickhouse" and cfg.get("columns"):
         # native CH column types (Enum/IPv4-6/DateTime64/...) —
         # clickhouse.go:213-252 strict_types semantics
@@ -611,3 +654,39 @@ def build_sink(df: DataFrame, plan) -> Any:
         schema = T.StructType.fromDDL(schema_ddl)
         df = coerce_to_schema(df, schema, strict=bool(cfg.get("strict", False)))
     return SINKS[typ](df, cfg)
+
+
+def build_sink(df: DataFrame, plan) -> Any:
+    """Batch write with the reference's output deadqueue semantics
+    (e2e/file_clickhouse/config.yml, fd/file.d.go:260-290): the main
+    output gets ``retry``+1 attempts; a still-failing batch routes the
+    ORIGINAL events to the nested ``deadqueue`` output config (its own
+    type/columns/coercion) instead of poisoning the job."""
+    cfg = dict(plan.output)
+    typ = cfg.pop("type", "devnull")
+    if typ not in SINKS:
+        raise ValueError(f"unsupported output type: {typ!r}; known {sorted(SINKS)}")
+    deadqueue = cfg.pop("deadqueue", None)
+    if deadqueue is None:
+        return _write_one(df, typ, cfg)
+    # retry semantics match the reference: retry == number of retries
+    # AFTER the first attempt; retry: 0 -> one attempt then deadqueue
+    attempts = int(cfg.get("retry", 0)) + 1
+    # the frame feeds up to attempts+1 actions: keep the lineage warm
+    df = df.persist()
+    try:
+        last_err = None
+        for _ in range(attempts):
+            try:
+                return _write_one(df, typ, cfg)
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+        dq_cfg = dict(deadqueue)
+        dq_typ = dq_cfg.pop("type", "devnull")
+        if dq_typ not in SINKS:
+            raise ValueError(
+                f"unsupported deadqueue type: {dq_typ!r}"
+            ) from last_err
+        return _write_one(df, dq_typ, dq_cfg)
+    finally:
+        df.unpersist()

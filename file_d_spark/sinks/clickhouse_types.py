@@ -46,8 +46,6 @@ _INT_TYPES = {
     "UInt64": "bigint",
     "UInt128": "bigint",
     "UInt256": "bigint",
-    "Float32": "float",
-    "Float64": "double",
 }
 
 _IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
@@ -76,6 +74,12 @@ def ch_type_to_expr(col: Column, ch_type: str, strict: bool) -> Column:
     m = re.fullmatch(r"(Nullable|LowCardinality)\((.*)\)", t)
     if m:
         return ch_type_to_expr(col, m.group(2), strict)
+
+    if t in ("Float32", "Float64"):
+        target = "float" if t == "Float32" else "double"
+        if strict:
+            return col.cast(target)
+        return col.try_cast(target)
 
     if t in _INT_TYPES:
         target = _INT_TYPES[t]
@@ -107,7 +111,10 @@ def ch_type_to_expr(col: Column, ch_type: str, strict: bool) -> Column:
             .otherwise(col.try_cast("boolean"))
         )
 
-    if t == "DateTime":
+    # the optional timezone argument — DateTime('Europe/Moscow'),
+    # DateTime64(3, 'UTC') — is ClickHouse DISPLAY metadata: the stored
+    # instant is identical (epoch-based), so coercion ignores it
+    if re.fullmatch(r"DateTime(\('[^']+'\))?", t):
         s = col.cast("string")
         # RFC3339Nano or unix seconds (clickhouse.go README: DateTime)
         unix = s.try_cast("bigint")
@@ -117,7 +124,7 @@ def ch_type_to_expr(col: Column, ch_type: str, strict: bool) -> Column:
         )
         return _strict_or_null(parsed, parsed.isNotNull(), strict, "DateTime")
 
-    m = re.fullmatch(r"DateTime64\((\d)\)", t)
+    m = re.fullmatch(r"DateTime64\((\d)(?:,\s*'[^']+')?\)", t)
     if m:
         prec = int(m.group(1))
         s = col.cast("string")
@@ -187,6 +194,15 @@ def ch_type_to_expr(col: Column, ch_type: str, strict: bool) -> Column:
         if strict:
             return col.cast(target)
         return col.try_cast(target)
+
+    if t == "UUID":
+        s = F.lower(col.cast("string"))
+        ok = s.rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+        )
+        return _strict_or_null(
+            F.when(ok, s), ok | s.isNull(), strict, "UUID"
+        )
 
     raise ValueError(f"unsupported ClickHouse type: {ch_type!r}")
 

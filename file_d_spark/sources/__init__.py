@@ -112,23 +112,9 @@ def kafka_source_options(
             _duration_ms(cfg.get("heartbeat_interval"), 3000)
         ),
     }
-    if cfg.get("is_sasl_enabled"):
-        mech = cfg.get("sasl_mechanism", "SCRAM-SHA-512")
-        opts["kafka.sasl.mechanism"] = mech
-        opts["kafka.security.protocol"] = (
-            "SASL_SSL" if cfg.get("is_ssl_enabled") else "SASL_PLAINTEXT"
-        )
-        module = (
-            "org.apache.kafka.common.security.plain.PlainLoginModule"
-            if mech == "PLAIN"
-            else "org.apache.kafka.common.security.scram.ScramLoginModule"
-        )
-        opts["kafka.sasl.jaas.config"] = (
-            f'{module} required username="{cfg.get("sasl_username", "user")}" '
-            f'password="{cfg.get("sasl_password", "password")}";'
-        )
-    elif cfg.get("is_ssl_enabled"):
-        opts["kafka.security.protocol"] = "SSL"
+    from file_d_spark.kafka_security import kafka_security_options
+
+    opts.update(kafka_security_options(cfg))
     if streaming:
         if cfg.get("max_offsets_per_trigger"):
             opts["maxOffsetsPerTrigger"] = str(int(cfg["max_offsets_per_trigger"]))
@@ -249,6 +235,17 @@ def _build_source_inner(
         meta_cols = None if plan.input.get("meta") else []
         return _decode_lines(df, plan, meta_cols=meta_cols)
     if typ == "kafka":
+        view = cfg.get("frame_view")
+        if view:
+            # injection seam for broker-less e2e replays: a temp view
+            # holding exactly the wire-frame columns Spark's kafka
+            # source yields (key/value/topic/partition/offset/
+            # timestamp[/headers]); everything downstream — frame
+            # decode, meta templates, actions — is the live path
+            frame = (
+                spark.readStream.table(view) if streaming else spark.table(view)
+            )
+            return decode_kafka_frame(frame, plan)
         reader = spark.readStream if streaming else spark.read
         r = reader.format("kafka")
         opts = kafka_source_options(
