@@ -98,15 +98,41 @@ def write_bucketed(
     join sides; pick a power of two sized so one bucket of the LARGER
     table fits an executor core's working set."""
     spark = df.sparkSession
+    if "." in table:
+        # the orphan-cleanup heuristic below maps <warehouse>/<table>,
+        # which only holds for unqualified names in the default
+        # database — a db.tbl name would compute a WRONG path (and
+        # recursively delete it).  Refuse rather than guess.
+        raise ValueError(
+            f"write_bucketed: qualified table name {table!r} not "
+            "supported; use an unqualified name in the default database"
+        )
+    # Resolve the real location when the catalog knows the table (the
+    # normal overwrite case), then drop it.
+    location = None
+    try:
+        if spark.catalog.tableExists(table):
+            detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            for row in detail:
+                if row.col_name == "Location":
+                    location = row.data_type
+                    break
+    except Exception:  # pragma: no cover - metastore quirks
+        pass
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # A previous SESSION's leftover table directory is invisible to
     # this session's catalog (fresh in-memory/derby metastore), and
     # saveAsTable refuses to claim an existing location — remove the
     # orphan through the Hadoop FS API so any scheme (local, HDFS, s3a)
-    # works, not just the local filesystem.
+    # works, not just the local filesystem.  The warehouse-dir
+    # heuristic is the fallback for exactly that orphan case, where
+    # the catalog has nothing to resolve.
     jvm = spark._jvm
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    if location is None:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    else:
+        path = jvm.org.apache.hadoop.fs.Path(location)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(path, True)
     w = df.write.mode("overwrite").bucketBy(buckets, key)

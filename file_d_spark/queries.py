@@ -356,7 +356,13 @@ def q_kitchen_sink(spark, sf_dir):
     hash(xxhash64 of int-normalized msg), convert_utf8_bytes, debug
     observe.  The hash stage's portable observable is the distinct-hash
     count: normalization collapses the int token, so distinct hashes ==
-    distinct event_types."""
+    distinct event_types.
+
+    Oracle invariant: event_type values must be DIGIT-FREE — the
+    'int|float' normalizer would collapse digit-bearing types (click2/
+    click7 -> one normalized msg) and break hash parity.
+    tests/test_random_ops.py::test_kitchen_sink_event_type_digit_free
+    asserts it against the generator's output."""
     df = load_table(spark, sf_dir, "events")
     # stage 1: everything the distinct-hash count needs — the agg
     # branch re-scans events, so it must NOT carry the pandas UDF
@@ -3351,15 +3357,14 @@ def q_tpch_q5(spark, sf_dir):
 
 # hand-maintained per round: code or oracle changed -> must re-verify
 _SWEEP_CHANGED = [
-    "kitchen_sink_actions",   # r5: oracle-paired (pinned clock + hostname)
-    "bucketed_enrich",        # r5: new registration
-    "budget_select",          # r5: new registration
-    "dedup_incremental_bucketed",  # r5: new registration
-    "ann_index_build",        # r5: new registration
-    "embedding_pq",           # r5: broadcast-model fallback path
-    "dedup_incremental_bloom",  # r5: broadcast-model fallback path
-    "corpus_build_end2end",   # r5: unpersist lifecycle fix
-    "multimodal_meta",        # r5: JPEG fill-byte/bare-marker fix
+    "budget_select",          # r6: localCheckpoint pins cross-job pids
+    "throttle_batch",         # r6: limiter_backend branch added
+    "throttle_rules",         # r6: limiter_backend branch added
+    "dedup_ngram_jaccard",    # r6: cache-registry refactor in plan build
+    "dedup_minhash_lsh",      # r6: cache-registry refactor in plan build
+    "dedup_cluster",          # r6: cache-registry + checkpoint registration
+    "semantic_dedup",         # r6: cache-registry refactor
+    "dedup_embedding_cosine",  # r6: similarity module import touch
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)

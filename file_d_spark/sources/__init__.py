@@ -175,12 +175,16 @@ def _build_source_inner(
             from file_d_spark.sources.tail_file import TailFileDataSource
 
             spark.dataSource.register(TailFileDataSource)
-            df = (
+            reader = (
                 spark.readStream.format("tail_file")
                 .option("path", paths)
                 .option("glob", glob)
-                .load()
             )
+            if cfg.get("offsets_file"):
+                # import a file.d deployment's offset DB for a drop-in
+                # swap (plugin/input/file/offset.go format)
+                reader = reader.option("offsets_file", cfg["offsets_file"])
+            df = reader.load()
             df = df.withColumnsRenamed({"file": "_source_name", "offset": "_offset"})
             return _decode_lines(
                 df, plan, meta_cols=[F.col("_source_name"), F.col("_offset")]

@@ -83,8 +83,19 @@ class TailFileStreamReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("tail_file requires option 'path'")
         self.glob = options.get("glob", "*")
+        # drop-in swap from a running file.d deployment: its offsets
+        # file (plugin/input/file/offset.go format) seeds the FIRST
+        # checkpoint so already-delivered bytes aren't re-read; once a
+        # checkpoint exists, Spark's WAL owns the positions and this
+        # option is ignored (initialOffset is only consulted on a
+        # fresh checkpoint).
+        self.offsets_file = options.get("offsets_file")
 
     def initialOffset(self) -> dict:
+        if self.offsets_file:
+            from file_d_spark.sources.offsets import load_initial_positions
+
+            return {"files": load_initial_positions(self.offsets_file)}
         return {"files": {}}
 
     def latestOffset(self) -> dict:

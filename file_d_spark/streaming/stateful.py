@@ -76,7 +76,13 @@ def multiline_join_stream(
     template whose start OPENED the block governs the continue check
     (join_template.go:137-158 firstCheck/nextCheck) — a line matching
     another template's continue must not extend the block.  Matches
-    the batch operator's gating exactly (actions/join_action.py)."""
+    the batch operator's gating exactly (actions/join_action.py).
+
+    Checkpoint compatibility: the state schema widened from
+    (buf, first_row) to (buf, first_row, tpl) when templates landed;
+    restarting over a checkpoint written by the two-field version
+    fails Spark's state-schema validation — use a NEW checkpoint dir
+    when upgrading across that boundary."""
     import re
 
     if templates is None:
@@ -109,8 +115,19 @@ def multiline_join_stream(
         def unpack(s: str) -> dict:
             return pickle.loads(base64.b64decode(s))
 
+        def read_state(raw: tuple) -> tuple:
+            # the schema widened (buf, first_row) -> (buf, first_row,
+            # tpl); Spark's state-schema check rejects an OLD
+            # checkpoint at query start (new checkpoint dir required —
+            # see the caller docstring), but if a store hands a
+            # 2-tuple through anyway, default the governing template
+            # to 0 instead of mis-unpacking
+            if len(raw) == 2:
+                return raw[0], raw[1], 0
+            return raw
+
         if state.hasTimedOut:
-            buf, first_packed, _tpl = state.get
+            buf, first_packed, _tpl = read_state(state.get)
             state.remove()
             if first_packed:
                 row = unpack(first_packed)
@@ -124,7 +141,7 @@ def multiline_join_stream(
         pdf = pdf.sort_values(seq_col, kind="mergesort")
 
         buf, first_packed, tpl = (
-            state.get if state.exists else ("", None, 0)
+            read_state(state.get) if state.exists else ("", None, 0)
         )
         out_rows: list[dict] = []
 

@@ -129,3 +129,24 @@ def test_char_entropy_matches_counter(spark):
         n = sum(counts.values())
         want = -sum(k / n * math.log2(k / n) for k in counts.values())
         assert abs(got[doc_id] - round(want, 4)) < 1e-9, (doc_id, text)
+
+
+def test_kitchen_sink_event_type_digit_free(spark, sf_dir):
+    """kitchen_sink_actions' oracle equates count(DISTINCT msg_hash)
+    with count(DISTINCT event_type), which holds only while event_type
+    carries no digits (the 'int|float' normalizer would collapse
+    digit-bearing types).  Pin the invariant the oracle rests on."""
+    from pyspark.sql import functions as F
+
+    from file_d_spark.tables import load_table
+
+    bad = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").rlike(r"\d"))
+        .limit(1)
+        .count()
+    )
+    assert bad == 0, (
+        "event_type contains digits — kitchen_sink_actions' distinct-"
+        "hash oracle is no longer sound; re-template the hashed msg"
+    )

@@ -103,3 +103,16 @@ def test_bucketed_join_no_exchange(spark, events, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_scale_left")
         spark.sql("DROP TABLE IF EXISTS t_scale_right")
+
+
+def test_write_bucketed_rejects_qualified_names(spark):
+    """The orphan-directory heuristic maps <warehouse>/<table>, valid
+    only for unqualified default-database names — a db.tbl name would
+    compute (and recursively delete) the wrong path."""
+    import pytest
+
+    from file_d_spark.functions.scale import write_bucketed
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="qualified"):
+        write_bucketed(df, "somedb.tbl", "id", buckets=2)

@@ -45,9 +45,15 @@ def main() -> None:
     for rnd, q in sorted(rows):
         tag = "NEVER" if rnd == 0 else f"r{rnd}"
         print(f"{tag:>6}  {q}")
-    stale = [q for rnd, q in sorted(rows) if rnd and rnd <= max(greens.values()) - 2]
-    print(f"\n{sum(1 for r, _ in rows if r == 0)} never-green, "
-          f"{len(stale)} stale (>=2 rounds old): {' '.join(stale[:15])} ...")
+    if greens:
+        newest = max(greens.values())
+        stale = [q for rnd, q in sorted(rows) if rnd and rnd <= newest - 2]
+        print(f"\n{sum(1 for r, _ in rows if r == 0)} never-green, "
+              f"{len(stale)} stale (>=2 rounds old): {' '.join(stale[:15])} ...")
+    else:
+        # fresh clone: no CORRECTNESS files yet — nothing is stale,
+        # everything is never-verified
+        print(f"\n{len(rows)} never-green (no CORRECTNESS_r*.json found)")
 
 
 if __name__ == "__main__":
