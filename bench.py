@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "budget_select",
     "dedup_incremental_bucketed",
     "ann_index_build",
+    # round 6
+    "ann_ivf_pq",
 ]
 
 

@@ -561,6 +561,28 @@ def scalar_quantize(
     )
 
 
+def _subspace_dist_sql(vec_col: str, cent: list[float], offset: int) -> str:
+    """Squared distance between a subspace slice of ``vec_col`` and a
+    literal centroid, as ONE SQL text chain.
+
+    UNROLLED scalar chain, not zip_with/aggregate: each distance spans
+    only a subspace (typically 8 components), so the expression tree
+    stays inside whole-stage codegen — measured ~3x faster than the
+    interpreted-HOF form.  (The dot_lit docstring's blowout trap is for
+    FULL-dim unrolls; subspace-sized chains are exactly the case where
+    unrolling wins.)  Emitted as SQL text, not Column algebra: building
+    thousands of Column objects costs seconds of py4j round-trips PER
+    PLAN; one expr() string per subspace parses JVM-side in
+    milliseconds.  pow, not d*d: the subtraction appears once (halves
+    the tree); pow(x, 2.0) is cross-engine hash-stable (scalar-quantize
+    oracle precedent)."""
+    return " + ".join(
+        f"pow(cast(element_at({vec_col}, {offset + i + 1}) as double)"
+        f" - ({cent[i]!r}D), 2.0D)"
+        for i in range(len(cent))
+    )
+
+
 def product_quantize(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -613,23 +635,7 @@ def product_quantize(
     ]  # books[s][j] = centroid j of subspace s
 
     def sq_dist_sql(s: int, j: int) -> str:
-        # UNROLLED scalar chain, not zip_with/aggregate: each distance
-        # spans only dim/m (8) components, so the m*k*sub expression
-        # tree stays inside whole-stage codegen — measured ~3x faster
-        # than the interpreted-HOF form.  (The dot_lit docstring's
-        # blowout trap is for FULL-dim unrolls; subspace-sized chains
-        # are exactly the case where unrolling wins.)  Emitted as SQL
-        # text, not Column algebra: building ~6000 Column objects costs
-        # seconds of py4j round-trips PER PLAN; one expr() string per
-        # subspace parses JVM-side in milliseconds.  pow, not d*d: the
-        # subtraction appears once (halves the tree); pow(x, 2.0) is
-        # cross-engine hash-stable (scalar-quantize oracle precedent).
-        cent = books[s][j]
-        return " + ".join(
-            f"pow(cast(element_at({vec_col}, {s * sub + i + 1}) as double)"
-            f" - ({cent[i]!r}D), 2.0D)"
-            for i in range(sub)
-        )
+        return _subspace_dist_sql(vec_col, books[s][j], s * sub)
 
     # materialize one distances array per subspace; the next projection
     # derives BOTH outputs from it with cheap array ops: the code is
@@ -708,4 +714,186 @@ def product_quantize(
         F.col(id_col),
         pq_code.cast("long").alias("pq_code"),
         F.round(mse, 9).alias("quant_mse"),
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    refine: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ asymmetric-distance search with exact rerank — the
+    memory-bounded production ANN path (Jegou et al. 2011 IVFADC): at
+    100 TB the raw vectors cannot ride through the search join, so the
+    corpus-side payload is ``m`` small codes per vector and the
+    scoring is pure array lookups.
+
+      1. one corpus projection assigns each vector a coarse list
+         (in-row argmax over literal centroids, as ivf_topk) AND its
+         per-subspace PQ codes (in-row argmin, as product_quantize) —
+         the index rows carry (id, list_id, codes): ~5 bytes of
+         payload instead of dim*4;
+      2. each query probes its ``n_probe`` closest lists and carries m
+         lookup tables (query-to-centroid distances per subspace, an
+         in-row computation on the tiny query frame);
+      3. ADC score = sum_s lut[s][code[s]] — array indexing only, no
+         vector math against the corpus — keeps the ``refine`` best;
+      4. exact rerank fetches ONLY the candidate vectors (broadcast
+         candidate-id join back to the corpus) and emits cosine top-k.
+
+    Shuffle shape: the probe join is keyed on list_id; the rerank join
+    broadcasts the (queries x refine)-row candidate set.  Both driver
+    models (centroids, codebook) are md5-deterministic so the whole
+    path — assignment, codes, LUTs, ADC ordering, rerank — is
+    oracle-checkable."""
+    import math
+
+    from file_d_spark.functions.dedup import spread
+
+    if dim % m != 0:
+        raise ValueError("ivf_pq_topk: m must divide dim")
+    sub = dim // m
+    seed = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(max(n_lists, pq_k))
+        .collect()
+    )
+    cent_vecs = [[float(x) for x in r[1]] for r in seed[:n_lists]]
+    cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cent_vecs]
+    books = [
+        [
+            [float(x) for x in r[1][s * sub : (s + 1) * sub]]
+            for r in seed[:pq_k]
+        ]
+        for s in range(m)
+    ]
+
+    def cent_sims(vec: Column) -> Column:
+        return F.array(
+            *[
+                dot_lit(vec, cv) / F.lit(cn)
+                for cv, cn in zip(cent_vecs, cent_norms)
+            ]
+        )
+
+    def dist_arrays(frame: DataFrame, extra: list) -> DataFrame:
+        """Stage the m per-subspace distance arrays behind a projection
+        boundary (CollapseProject would re-inline the chains)."""
+        return frame.select(
+            *extra,
+            *[
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        _subspace_dist_sql(vec_col, books[s][j], s * sub)
+                        for j in range(pq_k)
+                    )
+                    + ")"
+                ).alias(f"__d{s}__")
+                for s in range(m)
+            ],
+        )
+
+    # -- 1. corpus index pass: (neighbor_id, list_id, codes) ------------
+    c = spread(corpus)
+    staged = dist_arrays(
+        c,
+        [
+            F.col(id_col).alias("neighbor_id"),
+            cent_sims(F.col(vec_col)).alias("__sims__"),
+        ],
+    )
+    index = staged.select(
+        "neighbor_id",
+        (
+            F.array_position(F.col("__sims__"), F.array_max(F.col("__sims__")))
+            - 1
+        ).cast("int").alias("list_id"),
+        F.array(
+            *[
+                (
+                    F.array_position(
+                        F.col(f"__d{s}__"), F.array_min(F.col(f"__d{s}__"))
+                    )
+                    - 1
+                ).cast("int")
+                for s in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+    # -- 2. query side: probes + per-subspace LUTs ----------------------
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    q_staged = dist_arrays(
+        q.withColumnRenamed("query_vec", vec_col),
+        [F.col("query_id"), F.col(vec_col).alias("query_vec")],
+    )
+    qsims = cent_sims(F.col("query_vec"))
+    ranked_lists = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_lists - 1)),
+            lambda i: F.struct(
+                (-F.element_at(qsims, i + 1)).alias("negsim"),
+                i.cast("int").alias("idx"),
+            ),
+        )
+    )
+    probes = q_staged.select(
+        "query_id",
+        "query_vec",
+        *[F.col(f"__d{s}__").alias(f"__lut{s}__") for s in range(m)],
+        F.explode(
+            F.transform(F.slice(ranked_lists, 1, n_probe), lambda s: s["idx"])
+        ).alias("list_id"),
+    )
+
+    # -- 3. ADC scoring over the probed lists ---------------------------
+    adc = sum(
+        [
+            F.element_at(
+                F.col(f"__lut{s}__"), F.element_at(F.col("codes"), s + 1) + 1
+            )
+            for s in range(1, m)
+        ],
+        F.element_at(F.col("__lut0__"), F.element_at(F.col("codes"), 1) + 1),
+    )
+    scored = (
+        index.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__adc__", adc)
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("__adc__").asc(), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("__crank__", F.row_number().over(wc))
+        .filter(F.col("__crank__") <= refine)
+        .select("query_id", "query_vec", "neighbor_id")
+    )
+
+    # -- 4. exact rerank of the candidates only -------------------------
+    fetched = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    )
+    reranked = fetched.join(F.broadcast(cands), "neighbor_id").withColumn(
+        "sim", cosine(F.col("query_vec"), F.col("neighbor_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )

@@ -1576,6 +1576,121 @@ def q_ann_ivf(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_pq",
+    r"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid,
+             v AS cv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS cnorm
+      FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT 16
+    ),
+    seed AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS j,
+             v AS c
+      FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+                            i -> e.v[i] * c.cv[i])) / c.cnorm DESC,
+                          c.cid ASC) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    d AS (
+      SELECT e.vec_id, s.s, seed.j,
+             list_sum(list_transform(range(1, 9),
+               i -> pow(e.v[s.s * 8 + i] - seed.c[s.s * 8 + i], 2))) AS dist
+      FROM e, range(8) s(s), seed
+    ),
+    best AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist, j) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    codes_arr AS (
+      SELECT vec_id, array_agg(code ORDER BY s) AS cs FROM best GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, cid AS list_id FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.qv)+1),
+                            i -> q.qv[i] * c.cv[i])) / c.cnorm DESC,
+                          c.cid ASC) AS rn
+        FROM q CROSS JOIN cents c) WHERE rn <= 4
+    ),
+    qd AS (
+      SELECT q.query_id, s.s, seed.j,
+             list_sum(list_transform(range(1, 9),
+               i -> pow(q.qv[s.s * 8 + i] - seed.c[s.s * 8 + i], 2))) AS dist
+      FROM q, range(8) s(s), seed
+    ),
+    qlut_s AS (
+      SELECT query_id, s, array_agg(dist ORDER BY j) AS lut
+      FROM qd GROUP BY query_id, s
+    ),
+    qlut AS (
+      SELECT query_id, array_agg(lut ORDER BY s) AS luts
+      FROM qlut_s GROUP BY query_id
+    ),
+    -- ADC as an ORDERED per-subspace chain (list_sum over s-ordered
+    -- lookups), matching the Spark side's s0+s1+...+s7 sum exactly —
+    -- an unordered SUM() aggregate could flip near-ties at the refine
+    -- boundary via float reassociation
+    adc AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 9),
+               s -> l.luts[s][ca.cs[s] + 1])) AS adc_dist
+      FROM probes p
+      JOIN assigned a ON a.list_id = p.list_id AND a.vec_id != p.query_id
+      JOIN codes_arr ca ON ca.vec_id = a.vec_id
+      JOIN qlut l ON l.query_id = p.query_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc) WHERE rn <= 32
+    ),
+    rerank AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, len(n.v)+1),
+               i -> n.v[i] * q.qv[i]))
+             / (sqrt(list_sum(list_transform(n.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS sim
+      FROM cand c
+      JOIN e n ON n.vec_id = c.neighbor_id
+      JOIN q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM rerank) WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF + PQ asymmetric-distance search with exact rerank
+    (IVFADC, Jegou et al. 2011) — the memory-bounded 100 TB ANN path:
+    the corpus side of the search join carries only (list_id, m codes),
+    scoring is LUT array lookups, and raw vectors are touched again
+    only for the refine-set rerank.  Both models (16 centroids, 8x16
+    codebook) are md5-deterministic, so assignment, codes, ADC
+    ordering and rerank are ALL oracle-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.ivf_pq_topk(
+        e, queries, k=10, n_lists=16, n_probe=4, m=8, pq_k=16, refine=32,
+        dim=64,
+    )
+
+
+@query(
     "multimodal_meta",
     """
     SELECT doc_id AS media_id,

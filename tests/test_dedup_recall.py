@@ -190,3 +190,66 @@ def test_simhash_swar_matches_naive_votes(spark, docs):
     want = {(r.doc, r.simhash) for r in naive.collect()}
     got = {(r.doc, r.simhash) for r in fast.collect()}
     assert got == want
+
+
+def test_ann_ivf_pq_agrees_with_ivf_within_refine(spark, sf_dir):
+    """IVFADC (codes + LUT scoring + rerank) with a refine window
+    covering the whole probed set must return EXACTLY what exact-
+    scoring IVF returns for the same lists — PQ only reorders the
+    candidate pruning, and a full-width refine undoes it."""
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    exact_ivf = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_topk(
+            e, q, k=10, n_lists=16, n_probe=4
+        ).collect()
+    }
+    n = e.count()
+    full_refine = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_pq_topk(
+            e, q, k=10, n_lists=16, n_probe=4, refine=n
+        ).collect()
+    }
+    assert full_refine == exact_ivf
+
+
+def test_ann_ivf_pq_refine_recall(spark, sf_dir):
+    """With the production-shaped refine=32 window, the ADC pruning
+    must keep most of what exact in-list scoring would rank top-10
+    (PQ distances approximate; the rerank repairs ordering within the
+    window, so losses come only from candidates ADC pushed out)."""
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    exact_ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            e, q, k=10, n_lists=16, n_probe=4
+        ).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_pq_topk(
+            e, q, k=10, n_lists=16, n_probe=4, refine=32
+        ).collect()
+    }
+    recall = len(exact_ivf & adc) / len(exact_ivf)
+    assert recall >= 0.6, f"ADC refine recall {recall}"
+
+
+def test_ann_ivf_pq_validation(spark, sf_dir):
+    import pytest
+
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError):
+        similarity.ivf_pq_topk(e, e.limit(1), m=7, dim=64)
