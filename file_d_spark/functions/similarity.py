@@ -777,40 +777,55 @@ def ivf_pq_topk(
         for s in range(m)
     ]
 
-    def cent_sims(vec: Column) -> Column:
-        return F.array(
-            *[
-                dot_lit(vec, cv) / F.lit(cn)
-                for cv, cn in zip(cent_vecs, cent_norms)
-            ]
-        )
+    # The centroid + codebook model ships as a BROADCAST one-row frame
+    # and all similarity/distance math is higher-order functions over
+    # its array columns.  Two rejected alternatives (both measured):
+    # literal-embedded models built as Column algebra cost seconds of
+    # py4j round-trips per call site, and SQL-text scalar chains put a
+    # ~2k-term expression tree into every stage that fuses with the
+    # projection — the wholestage processNext() blows the 64 KB Janino
+    # method limit and each downstream stage re-attempts the failed
+    # compile (4-6x the query's whole runtime in compile storms).
+    # HOFs evaluate interpreted, but keep every plan tree small; the
+    # arithmetic order (left-fold aggregate over zip_with) matches the
+    # oracle's list_sum(list_transform(...)) exactly, so bit-equality
+    # holds.
+    model = corpus.sparkSession.createDataFrame(
+        [(cent_vecs, cent_norms, books)],
+        "__cents__ array<array<double>>, __cnorms__ array<double>, "
+        "__cb__ array<array<array<double>>>",
+    )
+    vec = F.col(vec_col)
+    sims = F.zip_with(
+        F.transform(F.col("__cents__"), lambda cv: dot(vec, cv)),
+        F.col("__cnorms__"),
+        lambda d, n: d / n,
+    )
 
-    def dist_arrays(frame: DataFrame, extra: list) -> DataFrame:
-        """Stage the m per-subspace distance arrays behind a projection
-        boundary (CollapseProject would re-inline the chains)."""
-        return frame.select(
-            *extra,
-            *[
-                F.expr(
-                    "array("
-                    + ", ".join(
-                        _subspace_dist_sql(vec_col, books[s][j], s * sub)
-                        for j in range(pq_k)
-                    )
-                    + ")"
-                ).alias(f"__d{s}__")
-                for s in range(m)
-            ],
+    def dists_of(s: int) -> Column:
+        seg = F.slice(vec, s * sub + 1, sub)
+        return F.transform(
+            F.element_at(F.col("__cb__"), s + 1),
+            lambda cent: F.aggregate(
+                F.zip_with(
+                    seg,
+                    cent,
+                    lambda a, b: F.pow(a.cast("double") - b, F.lit(2.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
 
     # -- 1. corpus index pass: (neighbor_id, list_id, codes) ------------
-    c = spread(corpus)
-    staged = dist_arrays(
-        c,
-        [
+    staged = (
+        spread(corpus)
+        .crossJoin(F.broadcast(model))
+        .select(
             F.col(id_col).alias("neighbor_id"),
-            cent_sims(F.col(vec_col)).alias("__sims__"),
-        ],
+            sims.alias("__sims__"),
+            *[dists_of(s).alias(f"__d{s}__") for s in range(m)],
+        )
     )
     index = staged.select(
         "neighbor_id",
@@ -830,16 +845,31 @@ def ivf_pq_topk(
             ]
         ).alias("codes"),
     )
+    # materialize the COMPACT index once — production shape: the IVFPQ
+    # index is a persisted artifact, rebuilt only when the corpus
+    # changes, and the heavy assignment/encoding pass runs exactly
+    # once; every downstream stage (ADC join, candidate broadcast,
+    # rerank) plans against ~20 bytes/vector of codes instead of
+    # re-deriving them per stage.
+    index = _register_cache(index.localCheckpoint(eager=True))
 
     # -- 2. query side: probes + per-subspace LUTs ----------------------
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    # __qsims__ is STAGED as a real column: referencing the sims tree
+    # inside the ranked-lists lambda would re-embed it per element_at
+    q_staged = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col),
+        )
+        .crossJoin(F.broadcast(model))
+        .select(
+            F.col("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            sims.alias("__qsims__"),
+            *[dists_of(s).alias(f"__d{s}__") for s in range(m)],
+        )
     )
-    q_staged = dist_arrays(
-        q.withColumnRenamed("query_vec", vec_col),
-        [F.col("query_id"), F.col(vec_col).alias("query_vec")],
-    )
-    qsims = cent_sims(F.col("query_vec"))
+    qsims = F.col("__qsims__")
     ranked_lists = F.array_sort(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_lists - 1)),
