@@ -184,7 +184,7 @@ def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from file_d_spark.queries import QUERIES
+    from file_d_spark.queries import QUERIES, release_caches
     from file_d_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -213,8 +213,11 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             # queries are independent; drop cached relations so one
-            # query's cache doesn't pressure the next one's memory
+            # query's cache doesn't pressure the next one's memory.
+            # release_caches also unpersists localCheckpoint RDDs
+            # (pinned indexes / pair lists), which clearCache can't see
             spark.catalog.clearCache()
+            release_caches()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 

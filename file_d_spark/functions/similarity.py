@@ -717,49 +717,28 @@ def product_quantize(
     )
 
 
-def ivf_pq_topk(
+def ivf_pq_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_lists: int = 16,
-    n_probe: int = 4,
     m: int = 8,
     pq_k: int = 16,
-    refine: int = 32,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF + PQ asymmetric-distance search with exact rerank — the
-    memory-bounded production ANN path (Jegou et al. 2011 IVFADC): at
-    100 TB the raw vectors cannot ride through the search join, so the
-    corpus-side payload is ``m`` small codes per vector and the
-    scoring is pure array lookups.
-
-      1. one corpus projection assigns each vector a coarse list
-         (in-row argmax over literal centroids, as ivf_topk) AND its
-         per-subspace PQ codes (in-row argmin, as product_quantize) —
-         the index rows carry (id, list_id, codes): ~5 bytes of
-         payload instead of dim*4;
-      2. each query probes its ``n_probe`` closest lists and carries m
-         lookup tables (query-to-centroid distances per subspace, an
-         in-row computation on the tiny query frame);
-      3. ADC score = sum_s lut[s][code[s]] — array indexing only, no
-         vector math against the corpus — keeps the ``refine`` best;
-      4. exact rerank fetches ONLY the candidate vectors (broadcast
-         candidate-id join back to the corpus) and emits cosine top-k.
-
-    Shuffle shape: the probe join is keyed on list_id; the rerank join
-    broadcasts the (queries x refine)-row candidate set.  Both driver
-    models (centroids, codebook) are md5-deterministic so the whole
-    path — assignment, codes, LUTs, ADC ordering, rerank — is
-    oracle-checkable."""
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVFPQ search index once: returns ``(index, model)``
+    where ``index`` is the materialized compact frame
+    (neighbor_id, list_id, codes) and ``model`` the one-row
+    centroids+codebook frame.  Pass the pair to
+    :func:`ivf_pq_topk` via ``prebuilt`` to amortize the build across
+    many query batches — the production lifecycle (index rebuilt only
+    when the corpus changes)."""
     import math
 
     from file_d_spark.functions.dedup import spread
 
     if dim % m != 0:
-        raise ValueError("ivf_pq_topk: m must divide dim")
+        raise ValueError("ivf_pq_index: m must divide dim")
     sub = dim // m
     seed = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -776,55 +755,21 @@ def ivf_pq_topk(
         ]
         for s in range(m)
     ]
-
-    # The centroid + codebook model ships as a BROADCAST one-row frame
-    # and all similarity/distance math is higher-order functions over
-    # its array columns.  Two rejected alternatives (both measured):
-    # literal-embedded models built as Column algebra cost seconds of
-    # py4j round-trips per call site, and SQL-text scalar chains put a
-    # ~2k-term expression tree into every stage that fuses with the
-    # projection — the wholestage processNext() blows the 64 KB Janino
-    # method limit and each downstream stage re-attempts the failed
-    # compile (4-6x the query's whole runtime in compile storms).
-    # HOFs evaluate interpreted, but keep every plan tree small; the
-    # arithmetic order (left-fold aggregate over zip_with) matches the
-    # oracle's list_sum(list_transform(...)) exactly, so bit-equality
-    # holds.
     model = corpus.sparkSession.createDataFrame(
         [(cent_vecs, cent_norms, books)],
         "__cents__ array<array<double>>, __cnorms__ array<double>, "
         "__cb__ array<array<array<double>>>",
     )
-    vec = F.col(vec_col)
-    sims = F.zip_with(
-        F.transform(F.col("__cents__"), lambda cv: dot(vec, cv)),
-        F.col("__cnorms__"),
-        lambda d, n: d / n,
-    )
-
-    def dists_of(s: int) -> Column:
-        seg = F.slice(vec, s * sub + 1, sub)
-        return F.transform(
-            F.element_at(F.col("__cb__"), s + 1),
-            lambda cent: F.aggregate(
-                F.zip_with(
-                    seg,
-                    cent,
-                    lambda a, b: F.pow(a.cast("double") - b, F.lit(2.0)),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-
-    # -- 1. corpus index pass: (neighbor_id, list_id, codes) ------------
     staged = (
         spread(corpus)
         .crossJoin(F.broadcast(model))
         .select(
             F.col(id_col).alias("neighbor_id"),
-            sims.alias("__sims__"),
-            *[dists_of(s).alias(f"__d{s}__") for s in range(m)],
+            _ivfpq_sims(vec_col).alias("__sims__"),
+            *[
+                _ivfpq_dists(vec_col, s, sub).alias(f"__d{s}__")
+                for s in range(m)
+            ],
         )
     )
     index = staged.select(
@@ -852,6 +797,105 @@ def ivf_pq_topk(
     # rerank) plans against ~20 bytes/vector of codes instead of
     # re-deriving them per stage.
     index = _register_cache(index.localCheckpoint(eager=True))
+    return index, model
+
+
+def _ivfpq_sims(vec_col: str) -> Column:
+    """Centroid cosine numerators via HOFs over the broadcast model
+    columns (see ivf_pq_topk's model rationale)."""
+    vec = F.col(vec_col)
+    return F.zip_with(
+        F.transform(F.col("__cents__"), lambda cv: dot(vec, cv)),
+        F.col("__cnorms__"),
+        lambda d, n: d / n,
+    )
+
+
+def _ivfpq_dists(vec_col: str, s: int, sub: int) -> Column:
+    """Per-subspace squared distances to every codebook centroid."""
+    seg = F.slice(F.col(vec_col), s * sub + 1, sub)
+    return F.transform(
+        F.element_at(F.col("__cb__"), s + 1),
+        lambda cent: F.aggregate(
+            F.zip_with(
+                seg,
+                cent,
+                lambda a, b: F.pow(a.cast("double") - b, F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    refine: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF + PQ asymmetric-distance search with exact rerank — the
+    memory-bounded production ANN path (Jegou et al. 2011 IVFADC): at
+    100 TB the raw vectors cannot ride through the search join, so the
+    corpus-side payload is ``m`` small codes per vector and the
+    scoring is pure array lookups.
+
+      1. one corpus projection assigns each vector a coarse list
+         (in-row argmax over literal centroids, as ivf_topk) AND its
+         per-subspace PQ codes (in-row argmin, as product_quantize) —
+         the index rows carry (id, list_id, codes): ~5 bytes of
+         payload instead of dim*4;
+      2. each query probes its ``n_probe`` closest lists and carries m
+         lookup tables (query-to-centroid distances per subspace, an
+         in-row computation on the tiny query frame);
+      3. ADC score = sum_s lut[s][code[s]] — array indexing only, no
+         vector math against the corpus — keeps the ``refine`` best;
+      4. exact rerank fetches ONLY the candidate vectors (broadcast
+         candidate-id join back to the corpus) and emits cosine top-k.
+
+    Shuffle shape: the probe join is keyed on list_id; the rerank join
+    broadcasts the (queries x refine)-row candidate set.  Both driver
+    models (centroids, codebook) are md5-deterministic so the whole
+    path — assignment, codes, LUTs, ADC ordering, rerank — is
+    Shuffle shape: the probe join is keyed on list_id; the rerank join
+    broadcasts the (queries x refine)-row candidate set.  Both models
+    (centroids, codebook) are md5-deterministic so the whole path —
+    assignment, codes, LUTs, ADC ordering, rerank — is
+    oracle-checkable.
+
+    Model shipping: the centroids + codebook travel as a BROADCAST
+    one-row frame and all similarity/distance math is higher-order
+    functions over its array columns.  Two rejected alternatives
+    (both measured): literal-embedded models built as Column algebra
+    cost seconds of py4j round-trips per call site, and SQL-text
+    scalar chains put a ~2k-term expression tree into every stage
+    that fuses with the projection — the wholestage processNext()
+    blows the 64 KB Janino method limit and each downstream stage
+    re-attempts the failed compile (4-6x the query's whole runtime in
+    compile storms).  HOFs evaluate interpreted, but keep every plan
+    tree small; the arithmetic order (left-fold aggregate over
+    zip_with) matches the oracle's list_sum(list_transform(...))
+    exactly, so bit-equality holds."""
+    from file_d_spark.functions.dedup import spread
+
+    if dim % m != 0:
+        raise ValueError("ivf_pq_topk: m must divide dim")
+    sub = dim // m
+    if prebuilt is None:
+        index, model = ivf_pq_index(
+            corpus, n_lists=n_lists, m=m, pq_k=pq_k, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        index, model = prebuilt
 
     # -- 2. query side: probes + per-subspace LUTs ----------------------
     # __qsims__ is STAGED as a real column: referencing the sims tree
@@ -865,8 +909,11 @@ def ivf_pq_topk(
         .select(
             F.col("query_id"),
             F.col(vec_col).alias("query_vec"),
-            sims.alias("__qsims__"),
-            *[dists_of(s).alias(f"__d{s}__") for s in range(m)],
+            _ivfpq_sims(vec_col).alias("__qsims__"),
+            *[
+                _ivfpq_dists(vec_col, s, sub).alias(f"__d{s}__")
+                for s in range(m)
+            ],
         )
     )
     qsims = F.col("__qsims__")

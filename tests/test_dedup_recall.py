@@ -253,3 +253,22 @@ def test_ann_ivf_pq_validation(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError):
         similarity.ivf_pq_topk(e, e.limit(1), m=7, dim=64)
+
+
+def test_ann_ivf_pq_prebuilt_index_reuse(spark, sf_dir):
+    """ivf_pq_index builds the compact index once; searches over the
+    prebuilt pair return exactly what a fresh build returns."""
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    pre = similarity.ivf_pq_index(e)
+    index, model = pre
+    assert set(index.columns) == {"neighbor_id", "list_id", "codes"}
+    a = {
+        tuple(r)
+        for r in similarity.ivf_pq_topk(e, q, prebuilt=pre).collect()
+    }
+    b = {tuple(r) for r in similarity.ivf_pq_topk(e, q).collect()}
+    assert a == b and len(a) > 0
