@@ -184,6 +184,9 @@ def _build_source_inner(
                 # import a file.d deployment's offset DB for a drop-in
                 # swap (plugin/input/file/offset.go format)
                 reader = reader.option("offsets_file", cfg["offsets_file"])
+            if cfg.get("offsets_op"):
+                # continue|tail|reset (file.go:128)
+                reader = reader.option("offsets_op", cfg["offsets_op"])
             df = reader.load()
             df = df.withColumnsRenamed({"file": "_source_name", "offset": "_offset"})
             return _decode_lines(

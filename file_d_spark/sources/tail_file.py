@@ -90,9 +90,23 @@ class TailFileStreamReader(DataSourceStreamReader):
         # option is ignored (initialOffset is only consulted on a
         # fresh checkpoint).
         self.offsets_file = options.get("offsets_file")
+        # reference offsets_op (file.go:63-69,128): continue = use the
+        # offsets file; tail = start at end-of-file (newline-snapped,
+        # like the reference's skip-to-next-line after SeekEnd);
+        # reset = start every file from 0, ignoring saved offsets
+        self.offsets_op = options.get("offsets_op", "continue")
+        if self.offsets_op not in ("continue", "tail", "reset"):
+            raise ValueError(
+                f"offsets_op must be continue|tail|reset, got "
+                f"{self.offsets_op!r}"
+            )
 
     def initialOffset(self) -> dict:
-        if self.offsets_file:
+        if self.offsets_op == "tail":
+            # everything already in the files is old news; begin at the
+            # current newline boundary of each existing file
+            return self.latestOffset()
+        if self.offsets_op == "continue" and self.offsets_file:
             from file_d_spark.sources.offsets import load_initial_positions
 
             return {"files": load_initial_positions(self.offsets_file)}

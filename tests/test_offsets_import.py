@@ -130,3 +130,87 @@ def test_tail_file_resumes_from_imported_offsets(spark, tmp_path):
         assert got == {"line-3": 21, "line-4": 28, "line-5": 35}
     finally:
         q.stop()
+
+
+def test_tail_file_offsets_op_tail(spark, tmp_path):
+    """offsets_op: tail (file.go:68) — pre-existing content is old
+    news; only lines appended after the stream starts are delivered."""
+    from file_d_spark.sources.tail_file import TailFileDataSource
+
+    spark.dataSource.register(TailFileDataSource)
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    log = logdir / "app.log"
+    with open(log, "w") as fh:
+        fh.write("old-0\nold-1\n")
+    df = (
+        spark.readStream.format("tail_file")
+        .option("path", str(logdir))
+        .option("glob", "*.log")
+        .option("offsets_op", "tail")
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("tail_op_tail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.value for r in spark.sql("SELECT * FROM tail_op_tail").collect()}
+        assert got == set(), f"pre-existing lines delivered: {got}"
+        with open(log, "a") as fh:
+            fh.write("new-0\n")
+        q.processAllAvailable()
+        got = {r.value for r in spark.sql("SELECT * FROM tail_op_tail").collect()}
+        assert got == {"new-0"}
+    finally:
+        q.stop()
+
+
+def test_tail_file_offsets_op_reset_ignores_offsets_file(spark, tmp_path):
+    """offsets_op: reset (file.go:69) — saved offsets are discarded,
+    every file re-reads from byte 0 even when offsets_file is set."""
+    from file_d_spark.sources.tail_file import TailFileDataSource
+
+    spark.dataSource.register(TailFileDataSource)
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    log = logdir / "app.log"
+    with open(log, "w") as fh:
+        fh.write("line-0\nline-1\n")
+    offsets_yaml = tmp_path / "offsets.yaml"
+    offsets_yaml.write_text(
+        f"- file: {log}\n  inode: 1\n  source_id: 1\n  streams:\n"
+        "    default: 7\n"
+    )
+    df = (
+        spark.readStream.format("tail_file")
+        .option("path", str(logdir))
+        .option("glob", "*.log")
+        .option("offsets_file", str(offsets_yaml))
+        .option("offsets_op", "reset")
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("tail_op_reset")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.value for r in spark.sql("SELECT * FROM tail_op_reset").collect()}
+        assert got == {"line-0", "line-1"}
+    finally:
+        q.stop()
+
+
+def test_tail_file_offsets_op_validation(spark):
+    import pytest
+
+    from file_d_spark.sources.tail_file import TailFileStreamReader
+
+    with pytest.raises(ValueError, match="offsets_op"):
+        TailFileStreamReader({"path": "/tmp", "offsets_op": "bogus"})
