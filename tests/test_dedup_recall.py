@@ -272,3 +272,21 @@ def test_ann_ivf_pq_prebuilt_index_reuse(spark, sf_dir):
     }
     b = {tuple(r) for r in similarity.ivf_pq_topk(e, q).collect()}
     assert a == b and len(a) > 0
+
+
+def test_ann_ivf_pq_join_carries_codes_not_vectors(spark, sf_dir):
+    """The memory story at 100 TB: past the index build, the ADC
+    search join's corpus side must carry ONLY (list_id, codes) — if a
+    raw vector column leaks into the probe join, the compact-index
+    contract is broken."""
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index, model = similarity.ivf_pq_index(e)
+    assert set(index.columns) == {"neighbor_id", "list_id", "codes"}
+    schema = dict((f.name, f.dataType.simpleString()) for f in index.schema)
+    assert schema["codes"] == "array<int>"
+    assert not any("float" in t or "double" in t for t in schema.values()), (
+        f"index carries vector data: {schema}"
+    )

@@ -140,3 +140,23 @@ def test_e2e_redis_clients_scenario():
         for ss in servers.values():
             for s in ss:
                 s.close()
+
+
+def test_cluster_follows_moved_redirect():
+    """A node answering -MOVED (resharding) makes the cluster client
+    retry at the new owner and refresh its slot table."""
+    a = MiniRedis(cluster_slots=True)
+    b = MiniRedis()
+    try:
+        c = new_client(
+            Options(client_type=CLIENT_TYPE_CLUSTER, addrs=[a.addr])
+        )
+        assert c.set("warm", "1")  # populates the slot table from a
+        a.moved_to = b.addr
+        assert c.set("k", "v")
+        assert b.get("k") == "v", "write did not follow the MOVED target"
+        assert c.get("k") == b"v"
+        c.close()
+    finally:
+        a.close()
+        b.close()

@@ -39,6 +39,9 @@ class MiniRedis:
         self.expiry: dict[str, float] = {}
         self.calls: list[list[str]] = []
         self._cluster = cluster_slots
+        #: when set to "host:port", key commands answer -MOVED there
+        #: (cluster resharding simulation)
+        self.moved_to: str | None = None
         mini = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -124,6 +127,9 @@ class MiniRedis:
         cmd = args[0].upper()
         if cmd in ("PING", "AUTH"):
             return b"+PONG\r\n" if cmd == "PING" else b"+OK\r\n"
+        if self.moved_to and cmd in ("GET", "SET", "INCRBY", "EXPIRE",
+                                     "PEXPIRE"):
+            return b"-MOVED 0 %s\r\n" % self.moved_to.encode()
         if cmd == "SET":
             self.store[args[1]] = args[2].encode()
             self.expiry.pop(args[1], None)
