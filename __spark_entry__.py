@@ -6,9 +6,9 @@ queries()     -> every implemented operator from SURVEY.md §2 (plus the
                  rotated so the driver's ~50-row correctness cap
                  verifies every never-checked or changed-this-round
                  query first (see queries._SWEEP_HEAD/_SWEEP_PARKED)
-oracle_sql()  -> matching DuckDB SQL for every query except
-                 kitchen_sink_actions (now()/hostname are
-                 nondeterministic by nature)
+oracle_sql()  -> matching DuckDB SQL for EVERY query (since round 5
+                 even kitchen_sink_actions: clock pinned via set_time's
+                 `now`, hostname embedded as a literal)
 
 Implementation lives in file_d_spark/queries.py.
 """
