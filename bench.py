@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "ann_index_build",
     # round 6
     "ann_ivf_pq",
+    "kmeans_clusters",
 ]
 
 

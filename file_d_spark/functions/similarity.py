@@ -974,3 +974,116 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def kmeans_embeddings(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Iterative Lloyd's k-means over an embedding column — the
+    corpus-clustering fit the assignment-only ops (semantic_dedup,
+    ivf_*) consume a model FROM.  Returns the per-cluster manifest
+    (cluster_id, n_vectors, avg_sq_dist) after ``iters`` update steps
+    from the deterministic md5-ordered seed.
+
+    Fixed-point arithmetic end to end: components quantize once to
+    ``scale`` (round-half-away, identical in Spark and DuckDB), so
+    every distance and every centroid-update sum is an EXACT bigint —
+    float summation order (nondeterministic under parallel
+    aggregation in any engine) never enters, making the whole
+    iterative loop reproducible run-to-run AND bit-checkable against
+    the SQL oracle.  Centroid updates use truncating integer division
+    (Spark ``div`` == DuckDB ``//``); a cluster that loses all members
+    keeps its previous centroid.
+
+    Scale shape per iteration: one narrow corpus pass for assignment
+    (broadcast k x dim model, in-row argmin) + one (cluster, dim)-keyed
+    aggregate with k*dim uniform keys -> a bounded driver model.  The
+    corpus is re-scanned per iteration (the standard k-means IO
+    pattern); nothing corpus-sized is cached or collected."""
+    from pyspark.sql import functions as F
+
+    spark = corpus.sparkSession
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    base = corpus.select(F.col(id_col).alias("id"), quant.alias("q"))
+    seed = (
+        base.orderBy(F.md5(F.col("id").cast("string"))).limit(k).collect()
+    )
+    cents = [list(r["q"]) for r in seed]
+    if not cents:
+        raise ValueError("kmeans_embeddings: empty corpus")
+    dim = len(cents[0])
+
+    def assigned_frame(cent_model: list[list[int]]) -> DataFrame:
+        model = spark.createDataFrame(
+            [(cent_model,)], "__c__ array<array<bigint>>"
+        )
+        dists = F.transform(
+            F.col("__c__"),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (
+            base.crossJoin(F.broadcast(model))
+            .withColumn("__dists__", dists)
+            .withColumn(
+                "cluster_id",
+                (
+                    F.array_position(
+                        F.col("__dists__"), F.array_min("__dists__")
+                    )
+                    - 1
+                ).cast("int"),
+            )
+        )
+
+    def trunc_div(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    for _ in range(iters):
+        stats = (
+            assigned_frame(cents)
+            .select("cluster_id", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )  # k*dim rows — a bounded driver model, never data
+        by_cluster: dict[int, list] = {}
+        for r in stats:
+            by_cluster.setdefault(r["cluster_id"], [None] * dim)[r["pos"]] = (
+                trunc_div(int(r["sm"]), int(r["cnt"]))
+            )
+        cents = [
+            by_cluster.get(c, cents[c]) for c in range(len(cents))
+        ]  # empty cluster -> keep previous centroid
+
+    final = assigned_frame(cents)
+    return (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.element_at(F.col("__dists__"), F.col("cluster_id") + 1)
+            ).alias("__sd__"),
+        )
+        .select(
+            "cluster_id",
+            "n_vectors",
+            F.round(
+                F.col("__sd__").cast("double")
+                / F.col("n_vectors")
+                / F.lit(float(scale) * scale),
+                6,
+            ).alias("avg_sq_dist"),
+        )
+    )

@@ -1691,6 +1691,76 @@ def q_ann_ivf_pq(spark, sf_dir):
 
 
 @query(
+    "kmeans_clusters",
+    r"""
+    WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+           FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid,
+                  q AS cq
+           FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT 8),
+    a0 AS (SELECT vec_id, q, cid FROM (
+        SELECT e.vec_id, e.q, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                            i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i]))),
+                          c.cid) AS rn
+        FROM e CROSS JOIN c0 c) WHERE rn = 1),
+    s1 AS (SELECT cid, d.i AS dim,
+                  CAST(sum(q[d.i]) AS BIGINT) AS sm, count(*) AS cnt
+           FROM a0, range(1, 65) d(i) GROUP BY cid, d.i),
+    -- truncating integer division: DuckDB // == Spark div == the
+    -- Python trunc_div in the builder
+    u1 AS (SELECT cid, list(CAST(sm // cnt AS BIGINT) ORDER BY dim) AS cq
+           FROM s1 GROUP BY cid),
+    c1 AS (SELECT c0.cid, coalesce(u1.cq, c0.cq) AS cq
+           FROM c0 LEFT JOIN u1 USING (cid)),
+    a1 AS (SELECT vec_id, q, cid FROM (
+        SELECT e.vec_id, e.q, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                            i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i]))),
+                          c.cid) AS rn
+        FROM e CROSS JOIN c1 c) WHERE rn = 1),
+    s2 AS (SELECT cid, d.i AS dim,
+                  CAST(sum(q[d.i]) AS BIGINT) AS sm, count(*) AS cnt
+           FROM a1, range(1, 65) d(i) GROUP BY cid, d.i),
+    u2 AS (SELECT cid, list(CAST(sm // cnt AS BIGINT) ORDER BY dim) AS cq
+           FROM s2 GROUP BY cid),
+    c2 AS (SELECT c1.cid, coalesce(u2.cq, c1.cq) AS cq
+           FROM c1 LEFT JOIN u2 USING (cid)),
+    a2 AS (SELECT vec_id, cid, dist FROM (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65),
+                 i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i]))) AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                            i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i]))),
+                          c.cid) AS rn
+        FROM e CROSS JOIN c2 c) WHERE rn = 1)
+    SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(sum(dist) AS BIGINT) / count(*) / 1000000000000.0, 6)
+             AS avg_sq_dist
+    FROM a2 GROUP BY cid
+    """,
+)
+def q_kmeans(spark, sf_dir):
+    """Iterative Lloyd's k-means (2 update steps, k=8) over the
+    embeddings — the clustering FIT the assignment-only ops consume a
+    model from.  Fixed-point trick makes the whole iterative loop
+    engine-portable: components quantize to 1e-6 once, every distance
+    and centroid-update sum is an exact bigint (no float summation
+    order anywhere), centroid updates use truncating integer division
+    — so the oracle replays both iterations bit-for-bit with unrolled
+    CTEs.  Per iteration: one narrow assignment pass (broadcast k x dim
+    model) + one (cluster, dim)-keyed aggregate into a bounded driver
+    model."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_embeddings(e, k=8, iters=2)
+
+
+@query(
     "multimodal_meta",
     """
     SELECT doc_id AS media_id,

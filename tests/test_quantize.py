@@ -134,3 +134,60 @@ def test_ivf_assign_matches_topk_assignment(spark, emb):
     )
     got = {r.vec_id: r.list_id for r in sq.collect()}
     assert got == a1
+
+
+# --------------------------------------------------------------------------
+# kmeans_embeddings (fixed-point Lloyd's)
+# --------------------------------------------------------------------------
+
+
+def test_kmeans_deterministic_across_runs(spark, sf_dir):
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, similarity.kmeans_embeddings(e, k=4, iters=2).collect()))
+    b = sorted(map(tuple, similarity.kmeans_embeddings(e, k=4, iters=2).collect()))
+    assert a == b
+    assert sum(r[1] for r in a) == e.count()  # every vector assigned
+
+
+def test_kmeans_iterations_do_not_increase_distortion(spark, sf_dir):
+    """Lloyd's monotonicity (up to the integer-rounding of centroids):
+    more update steps must not make the clustering meaningfully worse."""
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def distortion(iters):
+        rows = similarity.kmeans_embeddings(e, k=8, iters=iters).collect()
+        n = sum(r.n_vectors for r in rows)
+        return sum(r.avg_sq_dist * r.n_vectors for r in rows) / n
+
+    d1, d2 = distortion(1), distortion(2)
+    assert d2 <= d1 * 1.001, (d1, d2)
+
+
+def test_kmeans_empty_cluster_keeps_seed_centroid(spark):
+    """Two distinct points, k=3: one centroid never wins a vector and
+    must keep its seed position instead of crashing or going NaN."""
+    from file_d_spark.functions import similarity
+
+    rows = [(i, [0.0] * 4) for i in range(5)] + [
+        (10 + i, [1.0] * 4) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kmeans_embeddings(df, k=3, iters=2).collect()
+    assert sum(r.n_vectors for r in out) == 10
+    assert all(r.avg_sq_dist == 0.0 for r in out)  # points sit on centroids
+
+
+def test_kmeans_empty_corpus_raises(spark):
+    import pytest
+
+    from file_d_spark.functions import similarity
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        similarity.kmeans_embeddings(df, k=2, iters=1)
