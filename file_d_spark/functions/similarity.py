@@ -149,10 +149,14 @@ def ivf_topk(
 
     Centroids are a tiny driver-side model (n_lists vectors, picked
     deterministically by hash order — the analogue of a KMeans fit)
-    embedded as literals, so corpus assignment is ONE NARROW
-    PROJECTION: an in-row argmax over the centroid similarities.  No
-    corpus count, no crossJoin row blowup, no per-row window — the
+    shipped as a BROADCAST one-row frame with HOF scoring, so corpus
+    assignment is ONE NARROW PROJECTION: an in-row argmax over the
+    centroid similarities.  No corpus count, no per-row window — the
     only shuffle left is the probed-list search join itself.
+    (Literal-embedded centroids — dot_lit per centroid — cost ~1k py4j
+    Column objects per call site: measured 2.1 s of plan build against
+    0.6 s of execution; the broadcast-model form is arithmetic-
+    identical, so oracle bit-equality is preserved.)
     """
     import math
 
@@ -168,37 +172,44 @@ def ivf_topk(
     # reproducible in any engine so the whole IVF path is oracle-able
     cent_vecs = [[float(x) for x in r[1]] for r in cents]
     cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cent_vecs]
+    model = corpus.sparkSession.createDataFrame(
+        [(cent_vecs, cent_norms)],
+        "__cents__ array<array<double>>, __cnorms__ array<double>",
+    )
 
-    def cent_sims(vec: Column) -> Column:
-        """array of dot(vec, c_i)/|c_i| — argmax equals cosine argmax
-        since |vec| is constant across centroids.  Unrolled literal
-        dots (dot_lit) keep the corpus-assignment scan in codegen."""
-        return F.array(
-            *[
-                dot_lit(vec, cv) / F.lit(cn)
-                for cv, cn in zip(cent_vecs, cent_norms)
-            ]
+    c = (
+        spread(corpus)
+        .crossJoin(F.broadcast(model))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("neighbor_vec"),
+            _ivfpq_sims(vec_col).alias("__sims__"),
         )
-
-    c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
     )
     # in-row argmax: first index of the max similarity (deterministic
     # tie-break by list order, matching the old window's list_id asc)
-    assigned = (
-        c.withColumn("__sims__", cent_sims(F.col("neighbor_vec")))
-        .withColumn(
-            "list_id",
-            (
-                F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1
-            ).cast("int"),
-        )
-        .drop("__sims__")
-    )
+    assigned = c.withColumn(
+        "list_id",
+        (
+            F.array_position(F.col("__sims__"), F.array_max("__sims__")) - 1
+        ).cast("int"),
+    ).drop("__sims__")
     # per query: the n_probe closest lists, via an in-row partial sort
-    # of (−sim, idx) structs — queries are few and broadcast anyway
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
-    qsims = cent_sims(F.col("query_vec"))
+    # of (−sim, idx) structs — queries are few and broadcast anyway.
+    # __qsims__ is STAGED as a real column: referencing the sims tree
+    # inside the ranked-lists lambda would re-embed it per element_at
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col)
+        )
+        .crossJoin(F.broadcast(model))
+        .select(
+            "query_id",
+            F.col(vec_col).alias("query_vec"),
+            _ivfpq_sims(vec_col).alias("__qsims__"),
+        )
+    )
+    qsims = F.col("__qsims__")
     ranked_lists = F.array_sort(
         F.transform(
             F.sequence(F.lit(0), F.lit(len(cent_vecs) - 1)),
@@ -263,14 +274,19 @@ def semantic_dedup(
     )  # n_clusters rows — the "fitted model", not data
     cent_vecs = [[float(x) for x in r[1]] for r in cents]
     cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cent_vecs]
-
-    def cent_cos(vec: Column, vnorm: Column) -> Column:
-        return F.array(
-            *[
-                dot_lit(vec, cv) / (vnorm * F.lit(cn))
-                for cv, cn in zip(cent_vecs, cent_norms)
-            ]
-        )
+    # broadcast one-row model + HOF scoring (see ivf_topk's plan-build
+    # rationale) — arithmetic identical to the literal dot_lit form
+    model = corpus.sparkSession.createDataFrame(
+        [(cent_vecs, cent_norms)],
+        "__cents__ array<array<double>>, __cnorms__ array<double>",
+    )
+    vec = F.col("vec")
+    vnorm = F.col("vnorm")
+    cent_cos = F.zip_with(
+        F.transform(F.col("__cents__"), lambda cv: dot(vec, cv)),
+        F.col("__cnorms__"),
+        lambda d, n: d / (vnorm * n),
+    )
 
     from file_d_spark.functions.dedup import spread
 
@@ -281,7 +297,8 @@ def semantic_dedup(
             F.col(vec_col).alias("vec"),
             norm(F.col(vec_col)).alias("vnorm"),
         )
-        .withColumn("__cos__", cent_cos(F.col("vec"), F.col("vnorm")))
+        .crossJoin(F.broadcast(model))
+        .withColumn("__cos__", cent_cos)
         .withColumn(
             # first index of the max = deterministic low-cid tie-break,
             # mirrored by the oracle's ORDER BY sim DESC, cid ASC
@@ -290,7 +307,7 @@ def semantic_dedup(
                 "int"
             ),
         )
-        .drop("__cos__")
+        .drop("__cos__", "__cents__", "__cnorms__")
     )
     # feeds both sides of the pair join + the spine
     _register_cache(assigned.cache())
@@ -366,14 +383,39 @@ def lsh_topk(
 
     from file_d_spark.functions.dedup import spread
 
+    # hyperplanes + bit weights as a broadcast one-row model: the
+    # literal form (rh_signature's dot_lit x 16 planes) costs ~1k py4j
+    # Column objects per call site — measured seconds of plan build
+    # against sub-second execution (same migration as ivf_topk).
+    # Arithmetic is identical: same projections, same bit weights.
+    model = corpus.sparkSession.createDataFrame(
+        [(
+            [_hyperplane(dim, i) for i in range(planes)],
+            [1 << i for i in range(planes)],
+        )],
+        "__planes__ array<array<double>>, __weights__ array<bigint>",
+    )
+    vec = F.col(vec_col)
+    sig_col = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("__planes__"), lambda p: dot(vec, p)),
+            F.col("__weights__"),
+            lambda proj, w: F.when(proj > 0, w).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
     def banded(df: DataFrame, role: str) -> DataFrame:
         if role == "neighbor":
             df = spread(df)
-        sig = df.select(
+        sig = df.crossJoin(F.broadcast(model)).select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
             norm(F.col(vec_col)).alias(f"{role}_norm"),
-            rh_signature(F.col(vec_col), dim, planes).alias("sig"),
+            sig_col.alias("sig"),
         )
         return sig.select(
             f"{role}_id",
@@ -451,7 +493,9 @@ def ivf_assign(
     md5-ordered centroid model and in-row argmax (first-max tie-break
     by list order), so it is oracle-able with the same SQL as
     ann_ivf's assignment CTE.  One bounded collect (n_lists rows), one
-    codegen projection over the corpus — no shuffle."""
+    narrow projection over the corpus — no shuffle.  The centroid
+    model ships as a broadcast one-row frame (see ivf_topk's plan-build
+    rationale); the arithmetic is identical to the literal form."""
     import math
 
     cents = (
@@ -462,14 +506,13 @@ def ivf_assign(
     )
     cent_vecs = [[float(x) for x in r[1]] for r in cents]
     cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cent_vecs]
-    sims = F.array(
-        *[
-            dot_lit(F.col(vec_col), cv) / F.lit(cn)
-            for cv, cn in zip(cent_vecs, cent_norms)
-        ]
+    model = corpus.sparkSession.createDataFrame(
+        [(cent_vecs, cent_norms)],
+        "__cents__ array<array<double>>, __cnorms__ array<double>",
     )
     return (
-        corpus.withColumn("__sims__", sims)
+        corpus.crossJoin(F.broadcast(model))
+        .withColumn("__sims__", _ivfpq_sims(vec_col))
         .withColumn(
             "list_id",
             (
@@ -477,7 +520,7 @@ def ivf_assign(
                 - 1
             ).cast("int"),
         )
-        .drop("__sims__")
+        .drop("__sims__", "__cents__", "__cnorms__")
     )
 
 

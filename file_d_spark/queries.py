@@ -3548,8 +3548,11 @@ _SWEEP_CHANGED = [
     "dedup_ngram_jaccard",    # r6: cache-registry refactor in plan build
     "dedup_minhash_lsh",      # r6: cache-registry refactor in plan build
     "dedup_cluster",          # r6: cache-registry + checkpoint registration
-    "semantic_dedup",         # r6: cache-registry refactor
+    "semantic_dedup",         # r6: broadcast-model centroid migration
     "dedup_embedding_cosine",  # r6: similarity module import touch
+    "ann_ivf",                # r6: broadcast-model centroid migration
+    "ann_lsh",                # r6: broadcast-model hyperplane migration
+    "ann_index_build",        # r6: ivf_assign broadcast-model migration
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
