@@ -525,6 +525,100 @@ def dup_span_fraction(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN REMOVAL (Lee et al. 2107.06499
+    §4.1 at word-n-gram granularity): every token covered by an n-gram
+    that occurs at least ``min_count`` times corpus-wide — counting
+    multiplicity, so a phrase repeated inside ONE document also
+    qualifies — is cut from the document.  Where
+    :func:`dup_span_fraction` only SCORES how much of a doc is copied,
+    this produces the cleaned text itself.
+
+    Returns ``(id_col, n_tokens, n_removed, clean_text)`` for EVERY
+    input document; ``clean_text`` is the surviving tokens re-joined
+    with single spaces ('' when the whole doc was duplicated spans).
+    Docs shorter than ``n`` tokens have no grams and pass through.
+
+    Scale design: grams shuffle ONCE as portable 60-bit hashes (8-byte
+    keys) with their 1-based start position; corpus-wide occurrence
+    count comes from a count window over the gram hash (same
+    single-shuffle shape as dup_span_fraction).  Duplicated START
+    POSITIONS then collapse to one int array per affected document —
+    a doc-keyed aggregation whose output is proportional to the
+    duplicated region, not the corpus — and the span arithmetic
+    (expand starts to covered positions, drop covered tokens, rejoin)
+    runs entirely in array HOFs inside the row: no per-position
+    explode, no covered-position shuffle, no rebuild groupBy.  The
+    final join back to the token arrays is keyed on the doc id and
+    broadcasts whenever the duplicated-doc set is small (AQE).
+    """
+    from file_d_spark.functions.dedup import _portable_hash60
+
+    if n < 2:
+        raise ValueError("remove_dup_spans: n must be >= 2")
+    if min_count < 2:
+        raise ValueError("remove_dup_spans: min_count must be >= 2")
+
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        tokens(F.col(text_col)).alias("__t__"),
+    )
+    # (doc, start, gram-hash) — starts are 1-based; guard short docs
+    # (sequence(1, 0) would count DOWN in Spark, not return empty)
+    starts = F.when(
+        F.size("__t__") >= n,
+        F.sequence(F.lit(1), F.size("__t__") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "__id__",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("s"),
+                    _portable_hash60(
+                        F.concat_ws(" ", F.slice(F.col("__t__"), s, n))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("__g__"),
+    ).select("__id__", F.col("__g__.s").alias("__s__"), F.col("__g__.h").alias("__h__"))
+    w = Window.partitionBy("__h__")
+    dup_starts = (
+        grams.withColumn("__c__", F.count(F.lit(1)).over(w))
+        .filter(F.col("__c__") >= min_count)
+        .groupBy("__id__")
+        .agg(F.collect_list("__s__").alias("__ds__"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__ds__"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
+        )
+    )
+    joined = toks.join(dup_starts, "__id__", "left").withColumn(
+        "__cov__", covered
+    )
+    kept = F.filter(
+        F.col("__t__"),
+        lambda t, i: ~F.array_contains(F.col("__cov__"), i + F.lit(1)),
+    )
+    return joined.select(
+        F.col("__id__").alias(id_col),
+        F.size("__t__").alias("n_tokens"),
+        (F.size("__t__") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # unigram log-probability quality score (KenLM-perplexity proxy from
 # corpus-level unigram statistics, CCNet-style filtering signal)

@@ -30,6 +30,7 @@ from file_d_spark.functions import (
     dedup,
     multimodal,
     quality,
+    retrieval,
     scale,
     similarity,
     text,
@@ -1142,6 +1143,86 @@ def q_value_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "rolling_zscore",
+    """
+    WITH q AS (
+      SELECT event_id, user_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, event_type, v_cents,
+             count(*)               OVER h AS n,
+             sum(v_cents)           OVER h AS s,
+             sum(v_cents * v_cents) OVER h AS q2
+      FROM q
+      WINDOW h AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, event_type, v_cents, n,
+           CAST(CASE WHEN n * q2 - s * s > 0
+                     THEN (100 * (n * v_cents - s) * (n * v_cents - s))
+                          // (n * q2 - s * s)
+                     ELSE NULL END AS BIGINT) AS zsq_x100
+    FROM w WHERE n >= 8
+    """,
+)
+def q_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly signal: each event's squared deviation
+    from ITS OWN (user, event_type) trailing baseline — the streaming-
+    metrics outlier primitive (spike = z**2 large vs the last <=20
+    observations, needing >=8 of history).
+
+    Engine-portable by EXACT ARITHMETIC (the kmeans_clusters trick):
+    values quantize once to bigint cents, the window keeps bigint
+    count/sum/sum-of-squares, and z**2 emerges as the integer
+    ``100*(n*x - s)^2 div (n*q - s^2)`` — population-variance algebra
+    with no float whose summation order an engine could pick
+    differently.  Spark ``div`` == DuckDB ``//`` on the non-negative
+    operands here (numerator >= 0, denominator > 0).
+
+    Scale shape: ONE hash exchange + sort keyed on (user_id,
+    event_type) — (users x types) cardinality distributes; a per-type-
+    only baseline would concentrate 100 TB into a handful of
+    partitions.  The frame is bounded (20 rows), so state per key is
+    O(1); the streaming twin is a sliding-window agg over the same
+    keys."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.select(
+            "event_id", "user_id", "event_type", "ts", v.alias("v_cents")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "v_cents",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("v_cents").over(w).alias("s"),
+            F.sum(F.col("v_cents") * F.col("v_cents")).over(w).alias("q2"),
+        )
+        .filter(F.col("n") >= 8)
+        .withColumn(
+            "zsq_x100",
+            F.expr(
+                "CASE WHEN n * q2 - s * s > 0 THEN "
+                "(100 * (n * v_cents - s) * (n * v_cents - s)) "
+                "div (n * q2 - s * s) ELSE NULL END"
+            ),
+        )
+        .select(
+            "event_id", "user_id", "event_type", "v_cents", "n", "zsq_x100"
+        )
     )
 
 
@@ -3463,6 +3544,105 @@ def q_tfidf_keywords(spark, sf_dir):
     score so cross-engine float ulps can't flip a rank."""
     d = load_table(spark, sf_dir, "documents")
     return corpus.tfidf_topk(d, "doc_id", "text", k=5)
+
+
+@query(
+    "bm25_topk",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    st AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl,
+                  count(*)::DOUBLE AS nd FROM dl),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    dt AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN ('merge', 'spark', 'window')
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*)::DOUBLE AS df FROM dt GROUP BY term),
+    piv AS (SELECT doc_id,
+                   max(CASE WHEN term = 'merge'  THEN tf END) AS tf_merge,
+                   max(CASE WHEN term = 'spark'  THEN tf END) AS tf_spark,
+                   max(CASE WHEN term = 'window' THEN tf END) AS tf_window
+            FROM dt GROUP BY doc_id),
+    sc AS (
+      SELECT p.doc_id,
+             round(
+               coalesce(ln((st.nd - (SELECT df FROM dfq WHERE term = 'merge') + 0.5)
+                           / ((SELECT df FROM dfq WHERE term = 'merge') + 0.5) + 1.0)
+                        * (tf_merge * 2.2)
+                        / (tf_merge + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)), 0.0)
+             + coalesce(ln((st.nd - (SELECT df FROM dfq WHERE term = 'spark') + 0.5)
+                           / ((SELECT df FROM dfq WHERE term = 'spark') + 0.5) + 1.0)
+                        * (tf_spark * 2.2)
+                        / (tf_spark + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)), 0.0)
+             + coalesce(ln((st.nd - (SELECT df FROM dfq WHERE term = 'window') + 0.5)
+                           / ((SELECT df FROM dfq WHERE term = 'window') + 0.5) + 1.0)
+                        * (tf_window * 2.2)
+                        / (tf_window + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)), 0.0),
+               5) AS score
+      FROM piv p JOIN dl d ON p.doc_id = d.doc_id, st)
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM sc ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval for the query {merge, spark, window}
+    (k1=1.2, b=0.75, Lucene idf).  Term contributions are one column
+    each (in-row tf — the corpus never shuffles) and summed in fixed
+    alphabetical order, so both engines add the same three doubles in
+    the same order; the score rounds to 5dp before ranking so a
+    last-ulp ln() difference can't flip a rank.  The oracle's
+    explode/groupBy/pivot pipeline is the row-relational restatement —
+    see functions/retrieval.py for the 100 TB shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(
+        d, "doc_id", "text", terms=["merge", "spark", "window"], k=10
+    )
+
+
+@query(
+    "exact_substr_clean",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS tk
+      FROM documents),
+    g AS (SELECT doc_id, unnest(range(1, len(tk) - 6)) AS s, tk FROM t),
+    g2 AS (SELECT doc_id, s,
+                  ('0x' || substr(md5(array_to_string(tk[s:s+7], ' ')), 1, 15))::UBIGINT AS h
+           FROM g),
+    freq AS (SELECT h, count(*) AS c FROM g2 GROUP BY h),
+    ds AS (SELECT doc_id, s FROM g2 JOIN freq USING (h) WHERE c >= 2),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 8)) AS p FROM ds),
+    tokpos AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS p, tk FROM t),
+    kept AS (SELECT tp.doc_id, tp.p, tp.tk[tp.p] AS w
+             FROM tokpos tp LEFT JOIN cov
+               ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+             WHERE cov.p IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(w, ' ' ORDER BY p) AS txt
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(t.tk) AS n_tokens,
+           len(t.tk) - coalesce(a.n_kept, 0) AS n_removed,
+           coalesce(a.txt, '') AS clean_text
+    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def q_exact_substr_clean(spark, sf_dir):
+    """ExactSubstr duplicate-span REMOVAL (Lee et al. 2107.06499): cut
+    every token covered by an 8-gram occurring twice anywhere in the
+    corpus (multiplicity counts — an in-doc repeat qualifies), emit the
+    cleaned text.  Companion to dup_span_fraction, which only scores.
+    Grams travel as the portable 60-bit md5-prefix hash, so the oracle
+    reproduces the shuffle keys — collisions included; the oracle's
+    explode/anti-join/string_agg pipeline is the row-relational
+    restatement of the Spark side's in-row array HOFs."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.remove_dup_spans(d, "doc_id", "text", n=8, min_count=2)
 
 
 @query(
