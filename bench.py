@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     # round 6
     "ann_ivf_pq",
     "kmeans_clusters",
+    "bm25_topk",
+    "exact_substr_clean",
+    "rolling_zscore",
 ]
 
 
