@@ -908,10 +908,6 @@ def ivf_pq_topk(
     broadcasts the (queries x refine)-row candidate set.  Both driver
     models (centroids, codebook) are md5-deterministic so the whole
     path — assignment, codes, LUTs, ADC ordering, rerank — is
-    Shuffle shape: the probe join is keyed on list_id; the rerank join
-    broadcasts the (queries x refine)-row candidate set.  Both models
-    (centroids, codebook) are md5-deterministic so the whole path —
-    assignment, codes, LUTs, ADC ordering, rerank — is
     oracle-checkable.
 
     Model shipping: the centroids + codebook travel as a BROADCAST
