@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from file_d_spark.cachereg import register as _register_cache
+from file_d_spark.functions import skew
 from file_d_spark.functions.quality import _ngram_col
 from file_d_spark.functions.text import tokens
 
@@ -39,6 +40,9 @@ def line_dedup(
     id_col: str,
     text_col: str,
     sep: str = "\n",
+    hot_fraction: float = skew.DEFAULT_FRACTION,
+    hot_threshold: int = skew.DEFAULT_THRESHOLD,
+    hot_salts: int = skew.DEFAULT_SALTS,
 ) -> DataFrame:
     """Deduplicate at line granularity across the WHOLE corpus: a line
     survives only in the first document (smallest id, then smallest
@@ -49,17 +53,80 @@ def line_dedup(
 
     Output: (id, clean_text, n_lines_kept, n_lines_dropped); documents
     whose lines are all dropped still appear (clean_text = '').
+
+    Window skew guard (:mod:`~file_d_spark.functions.skew`): the very
+    lines this operator exists to remove — boilerplate repeated across
+    a large fraction of the corpus — are exactly the ones that would
+    funnel into a single row_number window task.  Digests hot in a
+    deterministic doc subsample take a different exact path: their
+    global first occurrence is min(struct(doc, pos)) from a dedicated
+    aggregation (map-side combine condenses the hot key; the result is
+    bounded by the hot-set size and broadcasts back), and the
+    row_number window runs salted so the hot digest spreads over
+    ``hot_salts`` buckets; cold digests keep the exact single-window
+    fast path (salt 0).  No hot keys → plan byte-identical to the
+    unguarded form.
     """
-    lines = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+
+    def lines_of(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col).alias("doc"),
+                F.posexplode(
+                    F.split(F.col(text_col), sep)
+                ).alias("pos", "line"),
+            )
+            .filter(F.trim("line") != "")
+            .withColumn("__digest__", F.xxhash64(F.trim(F.col("line"))))
         )
-        .filter(F.trim("line") != "")
-        .withColumn("__digest__", F.xxhash64(F.trim(F.col("line"))))
-    )
-    w = Window.partitionBy("__digest__").orderBy("doc", "pos")
-    kept = lines.withColumn("__rn__", F.row_number().over(w))
+
+    lines = lines_of(df)
+    hot: list = []
+    if hot_fraction > 0:
+        hot = skew.hot_keys(
+            lines_of(skew.doc_sample(df, id_col, hot_fraction)),
+            "__digest__",
+            max(2, hot_threshold),
+        )
+    if hot:
+        # exact global first occurrence of each HOT digest: a narrow
+        # broadcast-filtered pass + a groupBy whose hot key condenses
+        # map-side (min is commutative) to <= |hot| rows — broadcast
+        hot_first = (
+            skew.hot_marker(lines, hot, "__digest__")
+            .filter(F.col("__hot__"))
+            .groupBy("__digest__")
+            .agg(F.min(F.struct("doc", "pos")).alias("__first__"))
+        )
+        kept = (
+            skew.hot_marker(lines, hot, "__digest__")
+            .join(F.broadcast(hot_first), "__digest__", "left")
+            .withColumn("__salt__", skew.salt_col("doc", hot_salts))
+            .withColumn(
+                "__rn__",
+                F.row_number().over(
+                    Window.partitionBy("__digest__", "__salt__").orderBy(
+                        "doc", "pos"
+                    )
+                ),
+            )
+            .withColumn(
+                "__keep__",
+                F.when(
+                    F.col("__hot__"),
+                    (F.col("doc") == F.col("__first__.doc"))
+                    & (F.col("pos") == F.col("__first__.pos")),
+                ).otherwise(F.col("__rn__") == 1),
+            )
+        )
+    else:
+        kept = lines.withColumn(
+            "__keep__",
+            F.row_number().over(
+                Window.partitionBy("__digest__").orderBy("doc", "pos")
+            )
+            == 1,
+        )
     return (
         kept.groupBy("doc")
         .agg(
@@ -68,7 +135,7 @@ def line_dedup(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("__rn__") == 1,
+                                F.col("__keep__"),
                                 F.struct("pos", "line"),
                             )
                         )
@@ -77,8 +144,8 @@ def line_dedup(
                 ),
                 sep,
             ).alias("clean_text"),
-            F.sum((F.col("__rn__") == 1).cast("int")).alias("n_lines_kept"),
-            F.sum((F.col("__rn__") > 1).cast("int")).alias("n_lines_dropped"),
+            F.sum(F.col("__keep__").cast("int")).alias("n_lines_kept"),
+            F.sum((~F.col("__keep__")).cast("int")).alias("n_lines_dropped"),
         )
         .withColumnRenamed("doc", id_col)
     )
@@ -473,6 +540,9 @@ def dup_span_fraction(
     text_col: str,
     n: int = 8,
     tokens_col: str | None = None,
+    hot_fraction: float = skew.DEFAULT_FRACTION,
+    hot_threshold: int = skew.DEFAULT_THRESHOLD,
+    hot_salts: int = skew.DEFAULT_SALTS,
 ) -> DataFrame:
     """Per document: the fraction of its DISTINCT word n-grams that
     also occur in at least one other document.  The standard "how much
@@ -487,10 +557,18 @@ def dup_span_fraction(
     are distinct per doc so count(*) == doc frequency), then a doc-
     keyed aggregation.  The r3 form (freq groupBy + join of the grams
     back to it) shuffled the exploded grams TWICE and re-tokenized the
-    corpus for the second branch — measured 1.9x slower; the window
-    pays the same per-key row concentration the join side already paid,
-    so skew exposure is unchanged.  Docs shorter than n tokens have no
-    grams and drop out — same in the oracle.
+    corpus for the second branch — measured 1.9x slower.
+
+    Window skew is guarded (:mod:`~file_d_spark.functions.skew`):
+    grams hot in a deterministic doc subsample — sampled count >= 2
+    proves corpus-wide count >= 2, so their dup flag is known without
+    counting — are flagged from a broadcast set and SALTED in the
+    window key, so no window task ever holds more than ``1/hot_salts``
+    of a Zipfian boilerplate gram; cold grams keep the exact
+    single-window fast path (salt 0).  With no hot keys (every
+    non-adversarial corpus at test scale) the plan is byte-identical
+    to the unguarded form.  Docs shorter than n tokens have no grams
+    and drop out — same in the oracle.
 
     ``tokens_col`` names an already-tokenized array column to use
     instead of re-splitting ``text_col`` — composition pipelines that
@@ -499,20 +577,49 @@ def dup_span_fraction(
     from file_d_spark.functions.dedup import _portable_hash60
     from file_d_spark.functions.quality import _ngram_col
 
-    toks = (
-        F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
-    )
-    grams = df.select(
-        F.col(id_col).alias("__doc__"),
-        F.explode(F.array_distinct(_ngram_col(toks, n))).alias("__gram__"),
-    ).select("__doc__", _portable_hash60(F.col("__gram__")).alias("__h__"))
-    w = Window.partitionBy("__h__")
+    def grams_of(frame: DataFrame) -> DataFrame:
+        toks = (
+            F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
+        )
+        return frame.select(
+            F.col(id_col).alias("__doc__"),
+            F.explode(
+                F.array_distinct(_ngram_col(toks, n))
+            ).alias("__gram__"),
+        ).select("__doc__", _portable_hash60(F.col("__gram__")).alias("__h__"))
+
+    grams = grams_of(df)
+    hot: list = []
+    if hot_fraction > 0:
+        hot = skew.hot_keys(
+            grams_of(skew.doc_sample(df, id_col, hot_fraction)),
+            "__h__",
+            max(2, hot_threshold),
+        )
+    if hot:
+        flagged = (
+            skew.hot_marker(grams, hot, "__h__")
+            .withColumn("__salt__", skew.salt_col("__doc__", hot_salts))
+            .withColumn(
+                "__dup__",
+                F.when(F.col("__hot__"), F.lit(True)).otherwise(
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("__h__", "__salt__")
+                    )
+                    > 1
+                ),
+            )
+        )
+    else:
+        flagged = grams.withColumn(
+            "__dup__",
+            F.count(F.lit(1)).over(Window.partitionBy("__h__")) > 1,
+        )
     return (
-        grams.withColumn("__df__", F.count(F.lit(1)).over(w))
-        .groupBy("__doc__")
+        flagged.groupBy("__doc__")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("__df__") > 1).cast("long")).alias("dup_grams"),
+            F.sum(F.col("__dup__").cast("long")).alias("dup_grams"),
         )
         .select(
             F.col("__doc__").alias(id_col),
@@ -531,6 +638,9 @@ def remove_dup_spans(
     text_col: str,
     n: int = 8,
     min_count: int = 2,
+    hot_fraction: float = skew.DEFAULT_FRACTION,
+    hot_threshold: int = skew.DEFAULT_THRESHOLD,
+    hot_salts: int = skew.DEFAULT_SALTS,
 ) -> DataFrame:
     """ExactSubstr-style duplicate-SPAN REMOVAL (Lee et al. 2107.06499
     §4.1 at word-n-gram granularity): every token covered by an n-gram
@@ -548,7 +658,11 @@ def remove_dup_spans(
     Scale design: grams shuffle ONCE as portable 60-bit hashes (8-byte
     keys) with their 1-based start position; corpus-wide occurrence
     count comes from a count window over the gram hash (same
-    single-shuffle shape as dup_span_fraction).  Duplicated START
+    single-shuffle shape as dup_span_fraction, same heavy-hitter
+    guard: subsample-hot grams are >= min_count by construction —
+    sampled occurrences are real occurrences — so they pass the filter
+    from a broadcast marker and are salted in the window key; cold
+    grams keep the exact single-window path).  Duplicated START
     POSITIONS then collapse to one int array per affected document —
     a doc-keyed aggregation whose output is proportional to the
     duplicated region, not the corpus — and the span arithmetic
@@ -565,36 +679,71 @@ def remove_dup_spans(
     if min_count < 2:
         raise ValueError("remove_dup_spans: min_count must be >= 2")
 
+    def grams_of(frame: DataFrame) -> DataFrame:
+        t = frame.select(
+            F.col(id_col).alias("__id__"),
+            tokens(F.col(text_col)).alias("__t__"),
+        )
+        # (doc, start, gram-hash) — starts are 1-based; guard short
+        # docs (sequence(1, 0) would count DOWN in Spark, not return
+        # empty)
+        starts = F.when(
+            F.size("__t__") >= n,
+            F.sequence(F.lit(1), F.size("__t__") - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return t.select(
+            "__id__",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        _portable_hash60(
+                            F.concat_ws(" ", F.slice(F.col("__t__"), s, n))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("__g__"),
+        ).select(
+            "__id__",
+            F.col("__g__.s").alias("__s__"),
+            F.col("__g__.h").alias("__h__"),
+        )
+
     toks = df.select(
         F.col(id_col).alias("__id__"),
         tokens(F.col(text_col)).alias("__t__"),
     )
-    # (doc, start, gram-hash) — starts are 1-based; guard short docs
-    # (sequence(1, 0) would count DOWN in Spark, not return empty)
-    starts = F.when(
-        F.size("__t__") >= n,
-        F.sequence(F.lit(1), F.size("__t__") - F.lit(n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = toks.select(
-        "__id__",
-        F.explode(
-            F.transform(
-                starts,
-                lambda s: F.struct(
-                    s.alias("s"),
-                    _portable_hash60(
-                        F.concat_ws(" ", F.slice(F.col("__t__"), s, n))
-                    ).alias("h"),
+    grams = grams_of(df)
+    hot: list = []
+    if hot_fraction > 0:
+        hot = skew.hot_keys(
+            grams_of(skew.doc_sample(df, id_col, hot_fraction)),
+            "__h__",
+            max(min_count, hot_threshold),
+        )
+    if hot:
+        # hot grams are >= min_count by construction (their SAMPLED
+        # occurrences alone reach it) — pass the filter from the
+        # broadcast marker; cold grams count exactly in salt bucket 0
+        dup_grams = (
+            skew.hot_marker(grams, hot, "__h__")
+            .withColumn("__salt__", skew.salt_col("__id__", hot_salts))
+            .withColumn(
+                "__c__",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("__h__", "__salt__")
                 ),
             )
-        ).alias("__g__"),
-    ).select("__id__", F.col("__g__.s").alias("__s__"), F.col("__g__.h").alias("__h__"))
-    w = Window.partitionBy("__h__")
-    dup_starts = (
-        grams.withColumn("__c__", F.count(F.lit(1)).over(w))
-        .filter(F.col("__c__") >= min_count)
-        .groupBy("__id__")
-        .agg(F.collect_list("__s__").alias("__ds__"))
+            .filter(F.col("__hot__") | (F.col("__c__") >= min_count))
+        )
+    else:
+        dup_grams = grams.withColumn(
+            "__c__",
+            F.count(F.lit(1)).over(Window.partitionBy("__h__")),
+        ).filter(F.col("__c__") >= min_count)
+    dup_starts = dup_grams.groupBy("__id__").agg(
+        F.collect_list("__s__").alias("__ds__")
     )
     covered = F.array_distinct(
         F.flatten(

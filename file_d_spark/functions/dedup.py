@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from file_d_spark.cachereg import register as _register_cache
+from file_d_spark.functions import skew
 from file_d_spark.functions.text import tokens
 
 
@@ -291,6 +292,9 @@ def jaccard_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.7,
+    hot_fraction: float = skew.DEFAULT_FRACTION,
+    hot_threshold: int = skew.DEFAULT_THRESHOLD,
+    hot_salts: int = skew.DEFAULT_SALTS,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold — exact, via a
     PREFIX-FILTERED inverted index (AllPairs/PPJoin family).
@@ -317,6 +321,19 @@ def jaccard_pairs(
     mid-frequency shingles and the candidate join explodes.  The
     pruning power lives in ranking each doc's shingles by EXACT global
     frequency, which the window pair computes in two linear shuffles.
+
+    The freq window carries the heavy-hitter guard
+    (:mod:`~file_d_spark.functions.skew`), which is NOT that rejected
+    bitmap: hotness here is scale-gated (default ~1e6+ estimated
+    occurrences), so the graded frequency order survives for the
+    entire real vocabulary and only the pathological Zipfian tail —
+    shingles whose posting lists would serialize a window task — is
+    clamped to one shared huge frequency (they sort last, fall out of
+    every prefix, and their window partitions are salted).  The
+    clamped order is still a consistent TOTAL order over shingles
+    (ties broken by value), which is all the AllPairs prefix theorem
+    needs — losslessness is unchanged, and the verify stage is exact
+    regardless.
     """
     from pyspark.sql import Window
 
@@ -332,20 +349,42 @@ def jaccard_pairs(
     )  # one shingle pass, reused by the posting AND the verify stage
     _register_cache(sh)
     posting = sh.select("doc", "set_size", F.explode("shingles").alias("shingle"))
+    hot: list = []
+    if hot_fraction > 0:
+        hot = skew.hot_keys(
+            skew.doc_sample(sh, "doc", hot_fraction).select(
+                "doc", F.explode("shingles").alias("shingle")
+            ),
+            "shingle",
+            max(2, hot_threshold),
+        )
     # global shingle frequency as a window count (NOT a groupBy +
     # broadcast join: at 100 TB the vocabulary itself is huge, so the
     # freq table must stay distributed; the window shuffles postings by
     # shingle once and never collects them)
-    ranked = (
-        posting.withColumn(
-            "__freq__", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    if hot:
+        ranked = (
+            skew.hot_marker(posting, hot, "shingle", key_type="string")
+            .withColumn("__salt__", skew.salt_col("doc", hot_salts))
+            .withColumn(
+                "__freq__",
+                F.when(F.col("__hot__"), F.lit(1 << 60)).otherwise(
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("shingle", "__salt__")
+                    )
+                ),
+            )
         )
-        .withColumn(
-            "__rank__",
-            F.row_number().over(
-                Window.partitionBy("doc").orderBy("__freq__", "shingle")
-            ),
+    else:
+        ranked = posting.withColumn(
+            "__freq__",
+            F.count(F.lit(1)).over(Window.partitionBy("shingle")),
         )
+    ranked = ranked.withColumn(
+        "__rank__",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy("__freq__", "shingle")
+        ),
     )
     prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
     prefix = ranked.filter(F.col("__rank__") <= prefix_len).select(

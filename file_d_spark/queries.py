@@ -3722,17 +3722,13 @@ def q_tpch_q5(spark, sf_dir):
 
 # hand-maintained per round: code or oracle changed -> must re-verify
 _SWEEP_CHANGED = [
-    "budget_select",          # r6: localCheckpoint pins cross-job pids
-    "throttle_batch",         # r6: limiter_backend branch added
-    "throttle_rules",         # r6: limiter_backend branch added
-    "dedup_ngram_jaccard",    # r6: cache-registry refactor in plan build
-    "dedup_minhash_lsh",      # r6: cache-registry refactor in plan build
-    "dedup_cluster",          # r6: cache-registry + checkpoint registration
-    "semantic_dedup",         # r6: broadcast-model centroid migration
-    "dedup_embedding_cosine",  # r6: similarity module import touch
-    "ann_ivf",                # r6: broadcast-model centroid migration
-    "ann_lsh",                # r6: broadcast-model hyperplane migration
-    "ann_index_build",        # r6: ivf_assign broadcast-model migration
+    "dup_span_fraction",      # r7: heavy-hitter skew guard (skew.py)
+    "exact_substr_clean",     # r7: heavy-hitter skew guard
+    "line_dedup",             # r7: heavy-hitter skew guard
+    "dedup_ngram_jaccard",    # r7: heavy-hitter skew guard in freq window
+    "dedup_cluster",          # r7: inherits jaccard_pairs guard
+    "dedup_minhash_lsh",      # r7: shares jaccard oracle; verify with it
+    "corpus_build_end2end",   # r7: dup_span_fraction stage guarded
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
