@@ -15,6 +15,9 @@ production-scale variant — this module is the dependency-free one.
 
 from __future__ import annotations
 
+import base64
+import gzip as _gzip
+import io
 import os
 import socketserver
 import threading
@@ -48,25 +51,181 @@ class _SpoolWriter:
         return data.count(b"\n")
 
 
+# canned ES-emulation payloads, matching the reference's responses
+# (/root/reference/plugin/input/http/elasticsearch.go:7-106): shippers
+# probe these endpoints before they agree to send bulk data
+_ES_BULK_RESULT = b'{\n   "took": 30,\n   "errors": false,\n   "items": []\n}'
+_ES_INFO = (
+    b'{"name":"file-d","cluster_name":"file-d",'
+    b'"cluster_uuid":"Rz-wj_pkT8a0Y1KXTLmN9g",'
+    b'"version":{"number":"6.7.1","build_flavor":"default",'
+    b'"build_type":"deb","build_hash":"2f32220",'
+    b'"build_date":"2019-04-02T15:59:27.961366Z","build_snapshot":false,'
+    b'"lucene_version":"7.7.0",'
+    b'"minimum_wire_compatibility_version":"5.6.0",'
+    b'"minimum_index_compatibility_version":"5.0.0"},'
+    b'"tagline":"You know, for file.d"}'
+)
+_ES_LICENSE = (
+    b'{"license":{"mode":"basic","status":"active","type":"basic",'
+    b'"uid":"e76d6ce9-f78c-44ff-8fd5-b5877357d649"}}'
+)
+_ES_XPACK = (
+    b'{"build":{"date":"2019-04-02T15:59:27.961366Z","hash":"2f32220"},'
+    b'"features":{},"license":{"mode":"basic","status":"active",'
+    b'"type":"basic","uid":"e76d6ce9-f78c-44ff-8fd5-b5877357d649"},'
+    b'"tagline":"You know, for nothing"}'
+)
+_ES_STUB_PREFIXES = (
+    "/_ilm/policy",
+    "/_index_template",
+    "/_template",
+    "/_ingest",
+    "/_nodes",
+)
+
+
 class HttpIngestServer:
     """HTTP front-end: POST /  (newline-delimited events) -> spool.
-    Also accepts ES-bulk-shaped bodies (the parse_es action downstream
-    handles the pairing, as in the reference)."""
 
-    def __init__(self, spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+    Parity with the reference http input
+    (/root/reference/plugin/input/http/http.go:130-230,405-520):
+
+    - ``auth``: AuthConfig-shaped dict — ``strategy`` disabled (default)
+      | basic | bearer, ``secrets`` (login->password for basic,
+      name->token for bearer), ``header`` override.  Failures reply
+      401 "auth failed" and count in ``failed_auth_total``; successes
+      count per secret name in ``successful_auth_total`` (the
+      reference's http_auth_success_total{secret_name} metric).
+    - ``Content-Encoding: gzip`` bodies are decompressed transparently;
+      undecodable gzip replies 400 "can't read gzipped body"
+      (http.go:498-506).
+    - ``emulate_mode='elasticsearch'`` answers the ES handshake
+      endpoints (``/`` info, ``/_xpack``, ``/_license``, template/ilm/
+      nodes stubs) and serves ``/_bulk``, so ES shippers (filebeat,
+      vector) accept the listener as a real cluster
+      (elasticsearch.go:7-129).  The bulk response is the reference's
+      ``{"took":30,"errors":false,"items":[]}`` in BOTH modes.
+
+    Note: the reference pairs ES-bulk action lines downstream via the
+    parse_es action — same here; the spool keeps raw lines.
+    """
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth: dict | None = None,
+        emulate_mode: str = "no",
+    ):
+        if emulate_mode not in ("no", "elasticsearch"):
+            raise ValueError(f"http input: bad emulate_mode {emulate_mode!r}")
+        auth = auth or {}
+        strategy = auth.get("strategy", "disabled")
+        if strategy not in ("disabled", "basic", "bearer"):
+            raise ValueError(f"http input: bad auth strategy {strategy!r}")
+        secrets: dict = auth.get("secrets") or {}
+        auth_header = auth.get("header", "Authorization")
+        token_names = {v: k for k, v in secrets.items()}  # bearer lookup
+
         self.writer = _SpoolWriter(spool_dir)
+        self.successful_auth_total: dict[str, int] = dict.fromkeys(secrets, 0)
+        self.failed_auth_total = 0
+        self.bulk_requests_done_total = 0
+        self.errors_total = 0
         writer = self.writer
+        server = self
+
+        def check_auth(handler) -> tuple[bool, str]:
+            if strategy == "disabled":
+                return True, ""
+            value = handler.headers.get(auth_header, "")
+            if strategy == "basic":
+                if value.startswith("Basic "):
+                    try:
+                        raw = base64.b64decode(value[6:]).decode()
+                        login, _, password = raw.partition(":")
+                    except Exception:
+                        return False, ""
+                    if secrets.get(login) == password:
+                        return True, login
+                return False, ""
+            # bearer
+            if value.startswith("Bearer "):
+                name = token_names.get(value[7:])
+                if name is not None:
+                    return True, name
+            return False, ""
 
         class Handler(BaseHTTPRequestHandler):
-            def do_POST(self):  # noqa: N802
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length)
-                n = writer.write_lines(body)
-                self.send_response(200)
-                payload = b'{"ok":true,"events":%d}' % n
+            def _reply(self, code: int, payload: bytes, ctype: str = "application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                if emulate_mode == "elasticsearch":
+                    self.send_header("X-Elastic-Product", "Elasticsearch")
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
+
+            def _authed(self) -> bool:
+                ok, login = check_auth(self)
+                if ok:
+                    if login:
+                        server.successful_auth_total[login] += 1
+                    return True
+                server.failed_auth_total += 1
+                server.errors_total += 1
+                self._reply(401, b"auth failed\n", "text/plain")
+                return False
+
+            def do_OPTIONS(self):  # noqa: N802  (CORS preflight)
+                self.send_response(200)
+                self.send_header(
+                    "Access-Control-Allow-Methods", "GET,POST,OPTIONS"
+                )
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def do_GET(self):  # noqa: N802
+                if not self._authed():
+                    return
+                path = self.path.split("?", 1)[0]
+                if emulate_mode == "elasticsearch":
+                    if path == "/":
+                        return self._reply(200, _ES_INFO)
+                    if path == "/_xpack":
+                        return self._reply(200, _ES_XPACK)
+                    if path == "/_license":
+                        return self._reply(200, _ES_LICENSE)
+                    if any(path.startswith(p) for p in _ES_STUB_PREFIXES):
+                        return self._reply(200, b"{}")
+                self._reply(404, b"{}")
+
+            def do_POST(self):  # noqa: N802
+                if not self._authed():
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                if self.headers.get("Content-Encoding") == "gzip":
+                    try:
+                        body = _gzip.GzipFile(
+                            fileobj=io.BytesIO(body)
+                        ).read()
+                    except Exception:
+                        server.errors_total += 1
+                        return self._reply(
+                            400, b"can't read gzipped body\n", "text/plain"
+                        )
+                path = self.path.split("?", 1)[0]
+                if emulate_mode == "elasticsearch" and path not in ("/", "/_bulk"):
+                    if any(path.startswith(p) for p in _ES_STUB_PREFIXES):
+                        return self._reply(200, b"{}")
+                    return self._reply(404, b"{}")
+                if body:
+                    writer.write_lines(body)
+                server.bulk_requests_done_total += 1
+                self._reply(200, _ES_BULK_RESULT)
 
             def log_message(self, *args):  # silence
                 pass
@@ -84,22 +243,67 @@ class HttpIngestServer:
 
 
 class SocketIngestServer:
-    """TCP line listener -> spool (newline-framed, like the reference's
-    socket input)."""
+    """Socket line listener -> spool, ``network`` tcp | udp | unix —
+    the reference's socket input modes
+    (/root/reference/plugin/input/socket/socket.go:100: ``network``
+    options tcp|udp|unix, newline-framed events).
 
-    def __init__(self, spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+    - tcp: stream listener, one connection = a newline-framed batch.
+    - udp: each datagram is a standalone newline-framed batch (the
+      syslog-over-UDP feed shape); no framing across datagrams.
+    - unix: AF_UNIX stream listener at ``path`` (``address`` exposes
+      the bound path; ``port`` is None).
+    """
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        network: str = "tcp",
+        path: str | None = None,
+    ):
         self.writer = _SpoolWriter(spool_dir)
         writer = self.writer
+        self.network = network
 
-        class Handler(socketserver.StreamRequestHandler):
+        class StreamHandler(socketserver.StreamRequestHandler):
             def handle(self):
                 buf = self.rfile.read()
                 if buf:
                     writer.write_lines(buf)
 
-        self._server = socketserver.ThreadingTCPServer((host, port), Handler)
+        class DatagramHandler(socketserver.DatagramRequestHandler):
+            def handle(self):
+                buf = self.rfile.read()
+                if buf:
+                    writer.write_lines(buf)
+
+        if network == "tcp":
+            self._server = socketserver.ThreadingTCPServer(
+                (host, port), StreamHandler
+            )
+            self.port = self._server.server_address[1]
+            self.address = f"{host}:{self.port}"
+        elif network == "udp":
+            self._server = socketserver.ThreadingUDPServer(
+                (host, port), DatagramHandler
+            )
+            self.port = self._server.server_address[1]
+            self.address = f"{host}:{self.port}"
+        elif network == "unix":
+            if not path:
+                raise ValueError("socket input: network=unix needs a path")
+            if os.path.exists(path):
+                os.unlink(path)
+            self._server = socketserver.ThreadingUnixStreamServer(
+                path, StreamHandler
+            )
+            self.port = None
+            self.address = path
+        else:
+            raise ValueError(f"socket input: bad network {network!r}")
         self._server.daemon_threads = True
-        self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
     def start(self) -> "SocketIngestServer":
@@ -108,3 +312,5 @@ class SocketIngestServer:
 
     def stop(self):
         self._server.shutdown()
+        if self.network == "unix" and os.path.exists(self.address):
+            os.unlink(self.address)

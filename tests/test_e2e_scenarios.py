@@ -950,3 +950,118 @@ def test_file_clickhouse_deadqueue(spark, tmp_path):
         assert r["ts64_auto"].startswith("2024-06-01 12:00:00")
         assert r["ts_rfc3339nano"].startswith("2024-06-01 12:00:00")
     assert len(by_c2c3) == 3
+
+
+def test_http_file_with_auth_and_gzip(spark, tmp_path):
+    """http_file variant with auth ON and gzipped bodies (reference
+    AuthConfig http.go:156-200 + gzip :498): unauthorized clients are
+    rejected and contribute nothing; authorized gzipped clients flow
+    through the same pipeline to the file output."""
+    import gzip as _gzip
+    import urllib.error
+    import urllib.request
+
+    from file_d_spark import Pipeline
+    from file_d_spark.sources.ingest import HttpIngestServer
+
+    spool = str(tmp_path / "spool")
+    srv = HttpIngestServer(
+        spool,
+        auth={"strategy": "basic", "secrets": {"e2e-test": "pw"}},
+    ).start()
+    try:
+        import base64
+
+        cred = base64.b64encode(b"e2e-test:pw").decode()
+        for j in range(6):
+            body = _gzip.compress(json.dumps({"n": j}).encode())
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/",
+                data=body,
+                method="POST",
+            )
+            req.add_header("Authorization", f"Basic {cred}")
+            req.add_header("Content-Encoding", "gzip")
+            urllib.request.urlopen(req)
+        # an unauthenticated client is turned away
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{srv.port}/",
+                    data=b'{"n":99}',
+                    method="POST",
+                )
+            )
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        assert srv.successful_auth_total == {"e2e-test": 6}
+        assert srv.failed_auth_total == 1
+    finally:
+        srv.stop()
+
+    p = Pipeline.from_dict(
+        {
+            "settings": {
+                "decoder": "json",
+                "decoder_params": {"schema": "n long"},
+            },
+            "input": {"type": "http", "spool_dir": spool},
+            "output": {
+                "type": "file",
+                "target_file": str(tmp_path / "out" / "file-d.log"),
+            },
+        }
+    )
+    p.write(p.run_batch(spark))
+    import glob as _glob
+
+    files = _glob.glob(str(tmp_path / "out" / "**" / "part-*"), recursive=True)
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            rows += [json.loads(l) for l in fh if l.strip()]
+    assert sorted(r["n"] for r in rows) == list(range(6))
+
+
+def test_file_socket_udp_source_leg(spark, tmp_path):
+    """file_socket extended with a UDP SOURCE leg (socket.go:100
+    network options tcp|udp|unix): events sent as datagrams land in
+    the spool and flow through a batch pipeline — the syslog-over-UDP
+    feed shape."""
+    import socket as socketmod
+    import time as _time
+
+    from file_d_spark import Pipeline
+    from file_d_spark.sources.ingest import SocketIngestServer
+
+    spool = str(tmp_path / "spool")
+    srv = SocketIngestServer(spool, network="udp").start()
+    try:
+        s = socketmod.socket(socketmod.AF_INET, socketmod.SOCK_DGRAM)
+        for j in range(10):
+            s.sendto(
+                json.dumps({"seq": j}).encode() + b"\n",
+                ("127.0.0.1", srv.port),
+            )
+        s.close()
+        deadline = _time.time() + 5
+        import os as _os
+
+        while _time.time() < deadline:
+            if len(_os.listdir(spool)) >= 10:
+                break
+            _time.sleep(0.1)
+    finally:
+        srv.stop()
+
+    p = Pipeline.from_dict(
+        {
+            "settings": {
+                "decoder": "json",
+                "decoder_params": {"schema": "seq long"},
+            },
+            "input": {"type": "socket", "spool_dir": spool},
+        }
+    )
+    assert sorted(r.seq for r in p.run_batch(spark).collect()) == list(range(10))
