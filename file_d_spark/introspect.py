@@ -148,12 +148,22 @@ class PipelineInspector:
         return reg.render()
 
     # -- HTTP surface ---------------------------------------------------
-    def serve(self, port: int = 0, host: str = "127.0.0.1"):
+    def serve(self, port: int = 0, host: str = "127.0.0.1", resetter=None):
         """Start a daemon thread serving the reference's URL shape:
         /pipelines/<name>/action/<idx>/info | /sample,
         /pipelines/<name>/ban_list, plus the operational surface
         /metrics (prometheus text), /live (always 200) and /ready
         (503 once ``stopping`` is set — fd/file.d.go:388-398).
+
+        ``resetter`` (a :class:`~file_d_spark.sources.tail_file.
+        TailResetter`) additionally mounts ``POST
+        /pipelines/<name>/0/reset`` — the reference file input's
+        runtime offset resetter (resetter.go:34-43, mounted at
+        input index 0 per pipeline.go:294-296).  Body: ``{}`` resets
+        every tracked file; ``{"inode": N}``, ``{"source_id": N}`` or
+        ``{"file": path}`` reset one.  The reset lands at the next
+        micro-batch boundary.
+
         Returns the HTTPServer (bound port in ``server_address[1]``);
         call ``shutdown()`` to stop."""
         insp = self
@@ -194,6 +204,32 @@ class PipelineInspector:
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()
                     self.wfile.write(json.dumps({"error": str(ex)}).encode())
+
+            def do_POST(self):
+                parts = [p for p in self.path.split("/") if p]
+                if parts == ["pipelines", name, "0", "reset"]:
+                    if resetter is None:
+                        return self.send_error(
+                            404, "no resettable input on this pipeline"
+                        )
+                    try:
+                        length = int(self.headers.get("Content-Length", 0))
+                        req = json.loads(self.rfile.read(length) or b"{}")
+                        path = resetter.reset(
+                            file=req.get("file"),
+                            inode=req.get("inode"),
+                            source_id=req.get("source_id"),
+                        )
+                        return self._json({"status": "ok", "request": path})
+                    except Exception as ex:
+                        self.send_response(400)
+                        self.send_header("Content-Type", "application/json")
+                        self.end_headers()
+                        self.wfile.write(
+                            json.dumps({"error": str(ex)}).encode()
+                        )
+                        return
+                self.send_error(404)
 
             def _json(self, payload):
                 body = json.dumps(payload, default=str).encode()

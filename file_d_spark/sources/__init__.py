@@ -187,6 +187,10 @@ def _build_source_inner(
             if cfg.get("offsets_op"):
                 # continue|tail|reset (file.go:128)
                 reader = reader.option("offsets_op", cfg["offsets_op"])
+            if cfg.get("reset_dir"):
+                # runtime offset resets between micro-batches
+                # (resetter.go via TailResetter request files)
+                reader = reader.option("reset_dir", cfg["reset_dir"])
             df = reader.load()
             df = df.withColumnsRenamed({"file": "_source_name", "offset": "_offset"})
             return _decode_lines(

@@ -77,12 +77,70 @@ def _newline_boundary(path: str, size: int) -> int:
     return 0
 
 
+class TailResetter:
+    """Runtime offset resetter — the control-plane half of the
+    reference's /reset endpoint
+    (/root/reference/plugin/input/file/resetter.go:19-100,
+    file.go:204: mounted at /pipelines/<name>/0/reset).
+
+    The reference truncates in-memory jobs / rewrites its offsets DB;
+    here the offset state lives in Spark's checkpoint WAL, which
+    nothing may edit in place, so a reset is a REQUEST FILE dropped
+    into ``reset_dir``: the stream reader picks pending requests up at
+    the next micro-batch boundary, forces the matched files to re-read
+    from byte 0 (the WAL then commits the new positions), and deletes
+    each request once the batch that applied it commits — at-least-
+    once, surviving restarts mid-reset.
+
+    Selector semantics mirror the reference's request body: an empty
+    request truncates ALL files; ``inode`` matches the live st_ino of
+    tracked files; ``source_id`` matches entries of the imported
+    file.d offsets file (the only place source_ids exist over here);
+    ``file`` matches by path — the portable key in this engine.
+    """
+
+    def __init__(self, reset_dir: str):
+        self.reset_dir = reset_dir
+        os.makedirs(reset_dir, exist_ok=True)
+        self._seq = 0
+
+    def reset(
+        self,
+        file: str | None = None,
+        inode: int | None = None,
+        source_id: int | None = None,
+    ) -> str:
+        """Write one reset request; returns its path.  No selector =
+        reset everything (resetter.go:75 truncateAll)."""
+        import time as _time
+
+        req = {}
+        if file:
+            req["file"] = file
+        if inode:
+            req["inode"] = int(inode)
+        if source_id:
+            req["source_id"] = int(source_id)
+        self._seq += 1
+        final = os.path.join(
+            self.reset_dir, f"reset-{_time.time_ns()}-{self._seq}.json"
+        )
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(req, fh)
+        os.rename(tmp, final)  # readers never see half-written requests
+        return final
+
+
 class TailFileStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("tail_file requires option 'path'")
         self.glob = options.get("glob", "*")
+        # runtime resets (see TailResetter): directory polled at each
+        # micro-batch boundary for reset request files
+        self.reset_dir = options.get("reset_dir")
         # drop-in swap from a running file.d deployment: its offsets
         # file (plugin/input/file/offset.go format) seeds the FIRST
         # checkpoint so already-delivered bytes aren't re-read; once a
@@ -120,15 +178,96 @@ class TailFileStreamReader(DataSourceStreamReader):
             except OSError:
                 continue
             files[path] = _newline_boundary(path, size)
-        return {"files": files}
+        out = {"files": files}
+        if self.reset_dir and os.path.isdir(self.reset_dir):
+            # pending reset requests must SCHEDULE a batch even when no
+            # file grew (the engine skips batches whose end offset
+            # equals the committed one) — fold the request names into
+            # the offset so a reset alone makes end != start
+            pending = sorted(
+                n for n in os.listdir(self.reset_dir) if n.endswith(".json")
+            )
+            if pending:
+                out["resets"] = pending
+        return out
+
+    def _unlink_requests(self, names: list[str]) -> None:
+        if not self.reset_dir:
+            return
+        for name in names:
+            try:
+                os.unlink(os.path.join(self.reset_dir, name))
+            except OSError:
+                pass
+
+    def _resets_for(self, names: list[str], tracked: list[str]) -> set[str]:
+        """Resolve the reset request files PINNED INTO the batch's end
+        offset (latestOffset listed them) to the file paths that must
+        re-read from byte 0.  An empty request body means ALL tracked
+        files (resetter.go:75 truncateAll); ``inode`` matches live
+        st_ino; ``source_id`` matches the imported file.d offsets
+        entries.  Requests deleted since (already-committed batches)
+        simply resolve to nothing — replay after commit never happens.
+        """
+        reqs = []
+        for name in names:
+            try:
+                with open(os.path.join(self.reset_dir, name)) as fh:
+                    reqs.append(json.load(fh))
+            except (OSError, ValueError):
+                continue
+        if not reqs:
+            return set()
+        to_reset: set[str] = set()
+        by_source_id: dict[int, str] = {}
+        if any(r.get("source_id") for r in reqs) and self.offsets_file:
+            from file_d_spark.sources.offsets import parse_offsets
+
+            try:
+                with open(self.offsets_file) as fh:
+                    for e in parse_offsets(fh.read()):
+                        by_source_id[e["source_id"]] = e["file"]
+            except (OSError, ValueError):
+                pass
+        for req in reqs:
+            if not any(req.get(k) for k in ("file", "inode", "source_id")):
+                to_reset.update(tracked)  # truncateAll
+                continue
+            if req.get("file"):
+                to_reset.add(req["file"])
+            if req.get("inode"):
+                for path in tracked:
+                    try:
+                        if os.stat(path).st_ino == int(req["inode"]):
+                            to_reset.add(path)
+                    except OSError:
+                        continue
+            if req.get("source_id") and by_source_id:
+                hit = by_source_id.get(int(req["source_id"]))
+                if hit:
+                    to_reset.add(hit)
+        return to_reset
 
     def partitions(self, start: dict, end: dict) -> list[_TailPartition]:
         start_files = start.get("files", {})
+        end_files = end.get("files", {})
+        # requests applied by the PREVIOUS batch (start is its durable
+        # end offset) are done — remove them; stateless, so it holds
+        # even when partitions/commit land on different reader
+        # instances
+        self._unlink_requests(start.get("resets", []))
+        reset = (
+            self._resets_for(end.get("resets", []), list(end_files))
+            if self.reset_dir and end.get("resets")
+            else set()
+        )
         parts = []
-        for path, end_off in end.get("files", {}).items():
+        for path, end_off in end_files.items():
             begin = start_files.get(path, 0)
             if end_off < begin:
                 begin = 0  # truncation/rotation: re-read
+            if path in reset:
+                begin = 0  # runtime reset request: re-read from 0
             if end_off > begin:
                 parts.append(_TailPartition(path, begin, end_off))
         if not parts:
@@ -150,7 +289,11 @@ class TailFileStreamReader(DataSourceStreamReader):
             offset += len(line) + 1
 
     def commit(self, end: dict) -> None:
-        pass  # checkpoint WAL is the offset DB
+        # checkpoint WAL is the offset DB; applied reset requests are
+        # cleaned up here (and again at the next partitions() — commit
+        # may land on a different reader instance, so cleanup is
+        # stateless, keyed on the names pinned into the offset)
+        self._unlink_requests(end.get("resets", []))
 
 
 class TailFileDataSource(DataSource):

@@ -47,3 +47,156 @@ def test_tail_file_follows_appends(spark, tmp_path):
         assert "partial-done" in got3
     finally:
         q.stop()
+
+
+def test_runtime_offset_reset_one_file(spark, tmp_path):
+    """Runtime resetter (reference resetter.go:19-100): ingest two
+    files, drop a reset request for ONE of them, assert exactly that
+    file re-reads from byte 0 while the other stays put — all without
+    restarting the stream."""
+    from file_d_spark.sources.tail_file import TailFileDataSource, TailResetter
+
+    spark.dataSource.register(TailFileDataSource)
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    a, b = logdir / "a.log", logdir / "b.log"
+    a.write_text("a-0\na-1\n")
+    b.write_text("b-0\n")
+    reset_dir = str(tmp_path / "resets")
+    resetter = TailResetter(reset_dir)
+
+    df = (
+        spark.readStream.format("tail_file")
+        .option("path", str(logdir))
+        .option("glob", "*.log")
+        .option("reset_dir", reset_dir)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("tail_reset")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tail_reset").collect()
+        assert sorted(r.value for r in rows) == ["a-0", "a-1", "b-0"]
+
+        # reset ONLY a.log — no file grows, the reset alone must
+        # schedule the batch
+        resetter.reset(file=str(a))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tail_reset").collect()
+        assert sorted(r.value for r in rows) == [
+            "a-0", "a-0", "a-1", "a-1", "b-0",
+        ]
+
+        # the stream keeps tailing normally afterwards; the applied
+        # request is cleaned up at the next batch boundary (Spark
+        # defers source commit until the following batch) and is NOT
+        # applied twice — a-2 arrives alone, nothing re-reads again
+        with open(a, "a") as fh:
+            fh.write("a-2\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tail_reset").collect()
+        assert sorted(r.value for r in rows) == [
+            "a-0", "a-0", "a-1", "a-1", "a-2", "b-0",
+        ]
+        assert os.listdir(reset_dir) == []
+    finally:
+        q.stop()
+
+
+def test_runtime_offset_reset_all_and_inode(spark, tmp_path):
+    """Empty reset request = truncate ALL (resetter.go:75); an inode
+    selector matches via live st_ino."""
+    from file_d_spark.sources.tail_file import TailFileDataSource, TailResetter
+
+    spark.dataSource.register(TailFileDataSource)
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    a, b = logdir / "a.log", logdir / "b.log"
+    a.write_text("a-0\n")
+    b.write_text("b-0\n")
+    reset_dir = str(tmp_path / "resets")
+    resetter = TailResetter(reset_dir)
+
+    df = (
+        spark.readStream.format("tail_file")
+        .option("path", str(logdir))
+        .option("glob", "*.log")
+        .option("reset_dir", reset_dir)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("tail_reset_all")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        resetter.reset()  # no selector: everything re-reads
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tail_reset_all").collect()
+        assert sorted(r.value for r in rows) == ["a-0", "a-0", "b-0", "b-0"]
+
+        resetter.reset(inode=os.stat(b).st_ino)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tail_reset_all").collect()
+        assert sorted(r.value for r in rows) == [
+            "a-0", "a-0", "b-0", "b-0", "b-0",
+        ]
+        # next batch cleans the applied request and re-reads nothing
+        with open(a, "a") as fh:
+            fh.write("a-1\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tail_reset_all").collect()
+        assert sorted(r.value for r in rows) == [
+            "a-0", "a-0", "a-1", "b-0", "b-0", "b-0",
+        ]
+        assert os.listdir(reset_dir) == []
+    finally:
+        q.stop()
+
+
+def test_reset_endpoint_on_introspection_server(spark, tmp_path):
+    """POST /pipelines/<name>/0/reset (file.go:204 endpoint mounting)
+    writes the request file the stream reader consumes."""
+    import json as _json
+    import urllib.request
+
+    from file_d_spark import Pipeline
+    from file_d_spark.introspect import PipelineInspector
+    from file_d_spark.sources.tail_file import TailResetter
+
+    reset_dir = str(tmp_path / "resets")
+    resetter = TailResetter(reset_dir)
+    events = spark.createDataFrame([("x",)], "value string")
+    p = Pipeline.from_dict({"settings": {"decoder": "raw"}, "input": {"type": "fake"}})
+    insp = PipelineInspector(p, events)
+    srv = insp.serve(resetter=resetter)
+    port = srv.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/pipelines/{p.plan.name}/0/reset",
+            data=_json.dumps({"file": "/var/log/app.log"}).encode(),
+            method="POST",
+        )
+        resp = _json.load(urllib.request.urlopen(req))
+        assert resp["status"] == "ok"
+        reqs = os.listdir(reset_dir)
+        assert len(reqs) == 1
+        with open(os.path.join(reset_dir, reqs[0])) as fh:
+            assert _json.load(fh) == {"file": "/var/log/app.log"}
+        # truncate-all body
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/pipelines/{p.plan.name}/0/reset",
+            data=b"{}",
+            method="POST",
+        )
+        assert _json.load(urllib.request.urlopen(req))["status"] == "ok"
+        assert len(os.listdir(reset_dir)) == 2
+    finally:
+        srv.shutdown()
