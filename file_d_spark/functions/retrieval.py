@@ -26,9 +26,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from file_d_spark.cachereg import register as _register_cache
 from file_d_spark.functions.text import tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "bm25_multi_topk"]
 
 
 def bm25_topk(
@@ -122,4 +123,125 @@ def bm25_topk(
         F.row_number().over(
             Window.orderBy(F.col("score").desc(), F.col(id_col))
         ),
+    )
+
+
+def bm25_multi_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Top-``k`` documents per QUERY for a whole query TABLE
+    (``query_id``, ``terms array<string>``) — the real curation shape:
+    thousands of relevance queries scored against the corpus at once.
+
+    Scale design (100 TB): the corpus is shuffled ONCE, regardless of
+    how many queries run.  The union vocabulary of all query terms
+    broadcasts onto the exploded corpus tokens (broadcast semi join —
+    narrow), and the single keyed shuffle is the (doc, term) tf
+    aggregation over MATCHED tokens only.  Everything derived from it
+    — per-term document frequencies, the (term -> query) fan-out, the
+    (N, avgdl) stats row — joins back as broadcasts, so adding queries
+    adds broadcast rows, never corpus passes or exchanges; the matched
+    frame persists so its one shuffle also feeds the df aggregation.
+
+    Engine-portability: a grouped float ``sum()`` would accumulate in
+    whatever order the engine picks, so each term contribution is
+    quantized to a 1e-7 fixed-point BIGINT and the per-(query, doc)
+    sum runs in exact integer arithmetic (commutative, order-free),
+    then unscales and rounds to ``round_dp`` — the same discipline the
+    k-means op uses for its centroid sums.  Duplicate terms within a
+    query count once (set-of-terms BM25, as in the single-query form).
+
+    Per-query ranking is a row_number window partitioned by query_id
+    over that query's CANDIDATE docs (docs sharing >= 1 term).  A
+    query matching most of the corpus concentrates its candidates in
+    one window partition — callers scoring stop-word-ish terms at
+    100 TB should pre-prune the term list (idf ~ 0 terms add nothing).
+
+    Returns ``(query_id, id_col, score, rank)`` with rank 1..k per
+    query; queries with zero matching documents emit no rows.
+    """
+    if k <= 0:
+        raise ValueError("bm25_multi_topk: k must be positive")
+    toks = corpus.select(
+        F.col(id_col).alias("__id__"),
+        tokens(F.col(text_col)).alias("__t__"),
+    )
+    # (N, avgdl): one narrow scan, one broadcast row
+    stats = toks.select(F.size("__t__").alias("__dl__")).agg(
+        (F.sum("__dl__").cast("double") / F.count(F.lit(1))).alias("__avgdl__"),
+        F.count(F.lit(1)).cast("double").alias("__nd__"),
+    )
+    q_terms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid__"),
+            F.explode(terms_col).alias("__term__"),
+        ).distinct()
+    )
+    vocab = q_terms.select("__term__").distinct()
+    # the ONE corpus shuffle: (doc, term) tf over matched tokens only
+    matched = (
+        toks.select(
+            "__id__",
+            F.size("__t__").alias("__dl__"),
+            F.explode("__t__").alias("__term__"),
+        )
+        .join(F.broadcast(vocab), "__term__")
+        .groupBy("__id__", "__dl__", "__term__")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf__"))
+        .persist()
+    )
+    _register_cache(matched)
+    # matched has one row per (doc, term-with-tf>0): count == df
+    df_t = matched.groupBy("__term__").agg(
+        F.count(F.lit(1)).cast("double").alias("__df__")
+    )
+    cand = (
+        matched.join(F.broadcast(q_terms), "__term__")
+        .join(F.broadcast(df_t), "__term__")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("__nd__") - F.col("__df__") + F.lit(0.5))
+        / (F.col("__df__") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("__tf__") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl__") / F.col("__avgdl__")
+    )
+    contrib = idf * (F.col("__tf__") * F.lit(k1 + 1.0)) / denom
+    quant = F.round(contrib * F.lit(1e7), 0).cast("long")
+    scores = (
+        cand.select("__qid__", "__id__", quant.alias("__c__"))
+        .groupBy("__qid__", "__id__")
+        .agg(
+            F.round(
+                F.sum("__c__").cast("double") / F.lit(1e7), round_dp
+            ).alias("score")
+        )
+    )
+    return (
+        scores.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("__qid__").orderBy(
+                    F.col("score").desc(), F.col("__id__")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid__").alias(query_id_col),
+            F.col("__id__").alias(id_col),
+            "score",
+            "rank",
+        )
     )

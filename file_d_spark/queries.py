@@ -3603,6 +3603,73 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+# the bm25_multi_query query table: (query_id, term) pairs, shared by
+# the Spark callable and the oracle's VALUES list
+_BM25_MULTI = [
+    ("q_agg", ["agg", "group", "window"]),
+    ("q_join", ["hash", "join", "merge"]),
+    ("q_scan", ["fast", "filter", "scan"]),
+    ("q_sort", ["order", "sort"]),
+    ("q_stream", ["batch", "spark", "stream"]),
+    ("q_rare", ["dup", "vector"]),
+]
+_BM25_MULTI_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, ts in _BM25_MULTI for t in ts
+)
+
+
+@query(
+    "bm25_multi_query",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    st AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl,
+                  count(*)::DOUBLE AS nd FROM dl),
+    qt AS (SELECT * FROM (VALUES {_BM25_MULTI_VALUES}) AS v(query_id, term)),
+    vocab AS (SELECT DISTINCT term FROM qt),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    dt AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+           FROM tok JOIN vocab USING (term)
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*)::DOUBLE AS df FROM dt GROUP BY term),
+    contrib AS (
+      SELECT q.query_id, d.doc_id,
+             CAST(round(
+               ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (d.tf * 2.2)
+               / (d.tf + 1.2 * (0.25 + 0.75 * l.dl / st.avgdl))
+               * 1e7, 0) AS BIGINT) AS c
+      FROM dt d
+      JOIN qt q USING (term)
+      JOIN dfq f USING (term)
+      JOIN dl l USING (doc_id), st),
+    sc AS (SELECT query_id, doc_id,
+                  round(CAST(sum(c) AS DOUBLE) / 1e7, 5) AS score
+           FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM sc)
+    WHERE rank <= 10
+    """,
+)
+def q_bm25_multi_query(spark, sf_dir):
+    """BM25 top-10 per query for a six-query TABLE (k1=1.2, b=0.75,
+    Lucene idf) — one corpus shuffle total; query/model joins all
+    broadcast; per-(query, doc) scores summed in 1e-7 fixed-point
+    bigints so the grouped sum is order-free on both engines (see
+    functions/retrieval.py bm25_multi_topk for the 100 TB shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        _BM25_MULTI, "query_id string, terms array<string>"
+    )
+    return retrieval.bm25_multi_topk(d, qdf, "doc_id", "text", k=10)
+
+
 @query(
     "exact_substr_clean",
     r"""

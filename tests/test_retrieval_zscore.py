@@ -169,3 +169,112 @@ def test_rolling_zscore_matches_pure_python(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture produced no windows with >=8 rows of history"
+
+
+# ---------------------------------------------------------------------------
+# bm25_multi_topk: query-table BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_multi_matches_single_query(spark):
+    """A one-row query table must reproduce bm25_topk exactly (same
+    formula, same rounding discipline)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "cat cat cat fish"),
+            (3, "bird dog"),
+            (4, "fish bird cat dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    single = {
+        r["doc_id"]: r
+        for r in retrieval.bm25_topk(
+            docs, "doc_id", "text", ["cat", "dog"], k=10
+        ).collect()
+    }
+    qdf = spark.createDataFrame(
+        [("q0", ["cat", "dog"])], "query_id string, terms array<string>"
+    )
+    multi = {
+        r["doc_id"]: r
+        for r in retrieval.bm25_multi_topk(
+            docs, qdf, "doc_id", "text", k=10
+        ).collect()
+    }
+    assert set(single) == set(multi)
+    for d in single:
+        # the multi-query path sums 1e-7-quantized contributions
+        # (order-free across engines); at a 5dp rounding boundary this
+        # may differ from the float chain by one final-digit ulp
+        assert multi[d]["score"] == pytest.approx(single[d]["score"], abs=1.1e-5)
+        assert multi[d]["rank"] == single[d]["rank"]
+
+
+def test_bm25_multi_per_query_isolation(spark):
+    """Each query ranks independently; a query with no matching term
+    emits nothing; duplicate terms in one query count once."""
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "dog dog"), (3, "fish")],
+        ["doc_id", "text"],
+    )
+    qdf = spark.createDataFrame(
+        [
+            ("qc", ["cat"]),
+            ("qd", ["dog", "dog"]),
+            ("qz", ["zebra"]),
+        ],
+        "query_id string, terms array<string>",
+    )
+    rows = retrieval.bm25_multi_topk(docs, qdf, "doc_id", "text", k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"qc", "qd"}  # qz: no rows
+    assert [r["doc_id"] for r in sorted(by_q["qc"], key=lambda r: r["rank"])] == [1]
+    qd = sorted(by_q["qd"], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in qd] == [2, 1]  # tf=2 beats tf=1
+    # duplicate 'dog' did not double the score: same as a single term
+    qdf1 = spark.createDataFrame(
+        [("qd", ["dog"])], "query_id string, terms array<string>"
+    )
+    once = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_multi_topk(docs, qdf1, "doc_id", "text").collect()
+    }
+    for r in qd:
+        assert r["score"] == pytest.approx(once[r["doc_id"]], abs=1e-9)
+
+
+def test_bm25_multi_no_corpus_reshuffle_per_query(spark, sf_dir):
+    """The 100 TB claim, plan-asserted: the number of exchanges and
+    corpus scans does not grow with the number of queries, and every
+    query/model join is a broadcast (no SortMergeJoin anywhere)."""
+    import re
+
+    from file_d_spark.queries import load_table, release_caches
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def plan_for(n_queries):
+        qdf = spark.createDataFrame(
+            [(f"q{i}", ["merge", "spark"]) for i in range(n_queries)],
+            "query_id string, terms array<string>",
+        )
+        out = retrieval.bm25_multi_topk(d, qdf, "doc_id", "text", k=5)
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        p2, p32 = plan_for(2), plan_for(32)
+        for plan in (p2, p32):
+            assert "SortMergeJoin" not in plan
+            assert "BroadcastHashJoin" in plan
+        n_ex2 = len(re.findall(r"Exchange hashpartitioning", p2))
+        n_ex32 = len(re.findall(r"Exchange hashpartitioning", p32))
+        assert n_ex2 == n_ex32, "exchange count grew with query count"
+        n_scan2 = len(re.findall(r"FileScan parquet", p2))
+        n_scan32 = len(re.findall(r"FileScan parquet", p32))
+        assert n_scan2 == n_scan32, "corpus scan count grew with query count"
+    finally:
+        release_caches()
