@@ -6,6 +6,7 @@ from file_d_spark.streaming.stateful import (
     cardinality_stream,
     dedup_stream,
     multiline_join_stream,
+    rolling_zscore_stream,
     throttle_stream,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "cardinality_stream",
     "dedup_stream",
     "multiline_join_stream",
+    "rolling_zscore_stream",
     "throttle_stream",
 ]

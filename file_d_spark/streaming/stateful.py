@@ -587,3 +587,101 @@ def bloom_dedup_stream(
         fn, out_schema, "words binary", "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def rolling_zscore_stream(
+    df: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window: int = 20,
+    min_history: int = 8,
+) -> DataFrame:
+    """Streaming twin of the batch ``rolling_zscore`` query: each
+    event's squared deviation from ITS OWN (user, event_type) trailing
+    baseline of the last <= ``window`` observations, needing
+    >= ``min_history`` of history — the streaming-metrics outlier
+    primitive, now incremental.
+
+    Exact-arithmetic parity with the batch window: values quantize to
+    bigint cents IN SPARK (the same ``round(value*100)::long``
+    expression — no Python float rounding can diverge), the per-key
+    state is just the last <= ``window`` cent values (O(1) per key),
+    and z**2 emerges as the integer ``100*(n*x - s)^2 div (n*q - s^2)``
+    over Python ints — bit-identical to the batch operator's bigint
+    algebra over the same arrivals in the same (ts, id) order
+    (asserted in tests/test_streaming_restart.py).
+
+    Scale shape: one hash exchange per micro-batch on (user, type) —
+    the same key the batch window shuffles on; state per key is a
+    bounded long array, so the state store holds
+    keys x ``window`` x 8 bytes.  Cross-batch order is the source's
+    (file/kafka offsets are monotone per key); within a batch, rows
+    sort on (ts, id) like every other stateful twin here.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [
+            fields[id_col],
+            fields[user_col],
+            fields[type_col],
+            StructField("v_cents", LongType()),
+            StructField("n", LongType()),
+            StructField("zsq_x100", LongType(), nullable=True),
+        ]
+    )
+    src = df.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(type_col),
+        F.col(ts_col),
+        F.round(F.col(value_col) * 100).cast("long").alias("v_cents"),
+    )
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hist = list(state.get[0]) if state.exists else []
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            if not state.exists:
+                state.update(([],))
+            return
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        out = {c: [] for c in (id_col, user_col, type_col, "v_cents", "n", "zsq_x100")}
+        for rid, ruser, rtype, v in zip(
+            pdf[id_col], pdf[user_col], pdf[type_col], pdf["v_cents"]
+        ):
+            v = int(v)
+            n = len(hist)
+            if n >= min_history:
+                s = sum(hist)
+                q2 = sum(x * x for x in hist)
+                den = n * q2 - s * s
+                zsq = (
+                    (100 * (n * v - s) * (n * v - s)) // den
+                    if den > 0
+                    else None
+                )
+                out[id_col].append(rid)
+                out[user_col].append(ruser)
+                out[type_col].append(rtype)
+                out["v_cents"].append(v)
+                out["n"].append(n)
+                out["zsq_x100"].append(zsq)
+            hist.append(v)
+            if len(hist) > window:
+                hist.pop(0)
+        state.update((hist,))
+        if out[id_col]:
+            yield pd.DataFrame(out)
+
+    return src.groupBy(user_col, type_col).applyInPandasWithState(
+        fn, out_schema, "vs array<long>", "append",
+        GroupStateTimeout.NoTimeout,
+    )

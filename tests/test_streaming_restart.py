@@ -372,3 +372,108 @@ def test_bloom_dedup_stream_restart_and_batch_parity(spark, tmp_path):
     assert sorted(admitted_batch) == sorted(
         i for v in by_text.values() for i in v
     ), "stream admitted set diverges from batch bloom layout"
+
+
+def test_rolling_zscore_stream_restart_and_batch_parity(spark, tmp_path):
+    """Streaming rolling z-score: (a) the per-key history survives a
+    restart (events after the restart see the pre-restart baseline);
+    (b) over the same arrivals in the same order the emitted
+    (n, zsq_x100) are BIT-IDENTICAL to the batch window operator's
+    bigint algebra."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from file_d_spark.streaming import rolling_zscore_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double"
+    )
+    out_schema = (
+        "event_id long, user_id long, event_type string, "
+        "v_cents long, n long, zsq_x100 long"
+    )
+
+    # two keys; values with a clear spike at the end of key A
+    def ev(i, user, typ, v):
+        return {
+            "event_id": i,
+            "user_id": user,
+            "event_type": typ,
+            "ts": f"2026-01-01T00:00:{i:02d}.000Z",
+            "value": v,
+        }
+
+    b1 = [ev(i, 1, "click", 10.0 + (i % 3)) for i in range(10)] + [
+        ev(i, 2, "buy", 50.0 + (i % 5)) for i in range(10, 20)
+    ]
+    b2 = [ev(20, 1, "click", 99.99), ev(21, 2, "buy", 50.0)]
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return rolling_zscore_stream(df, window=20, min_history=8)
+
+    _write_jsonl(str(in_dir), "b1.jsonl", b1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 4,
+    )
+    # restart with the spike events: history must carry over (n >= 8
+    # for event 20 ONLY if the 10 pre-restart clicks are still there)
+    _write_jsonl(str(in_dir), "b2.jsonl", b2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.event_id == 21 for r in _read_out(spark, out_dir, out_schema)
+        ),
+    )
+    got = {r.event_id: r for r in _read_out(spark, out_dir, out_schema)}
+    assert 20 in got, "history lost across restart (event 20 had n<8)"
+    assert got[20].n == 10 and got[20].zsq_x100 > 100 * 100  # a real spike
+
+    # batch parity: same arrivals through the batch window algebra
+    rows = b1 + b2
+    bdf = spark.createDataFrame(
+        [
+            (
+                r["event_id"], r["user_id"], r["event_type"],
+                r["ts"].replace("T", " ").replace("Z", ""), r["value"],
+            )
+            for r in rows
+        ],
+        "event_id long, user_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.round(F.col("value") * 100).cast("long")
+    batch = (
+        bdf.select("event_id", "user_id", "event_type", "ts", v.alias("v_cents"))
+        .select(
+            "event_id", "user_id", "event_type", "v_cents",
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("v_cents").over(w).alias("s"),
+            F.sum(F.col("v_cents") * F.col("v_cents")).over(w).alias("q2"),
+        )
+        .filter(F.col("n") >= 8)
+        .withColumn(
+            "zsq_x100",
+            # the query's exact integer `div`, not float division
+            F.expr(
+                "CASE WHEN n * q2 - s * s > 0 THEN "
+                "(100 * (n * v_cents - s) * (n * v_cents - s)) "
+                "div (n * q2 - s * s) ELSE NULL END"
+            ),
+        )
+        .select("event_id", "v_cents", "n", "zsq_x100")
+    )
+    want = {r.event_id: r for r in batch.collect()}
+    assert set(want) == set(got)
+    for eid, wr in want.items():
+        gr = got[eid]
+        assert (gr.v_cents, gr.n, gr.zsq_x100) == (
+            wr.v_cents, wr.n, wr.zsq_x100,
+        ), f"event {eid}: stream {gr} != batch {wr}"
