@@ -981,3 +981,110 @@ def budget_select(
             F.col("__cum__").alias("cum_weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling", arXiv:2302.03169)
+# --------------------------------------------------------------------------
+
+
+def dsir_logweights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 8192,
+    round_dp: int = 4,
+) -> DataFrame:
+    """DSIR importance log-weight per raw-corpus document: how much
+    the doc resembles the TARGET domain, as
+    ``sum over hashed n-gram features f of ln p_target(f) - ln p_raw(f)``
+    — the published data-selection signal (hashed unigram+bigram
+    bag-of-ngrams models with Laplace +1 smoothing; resampling then
+    keeps docs with the largest weights).
+
+    Scale design (100 TB): the feature models are BUCKET COUNTS —
+    two groupBys over ``n_buckets`` keys (map-side combine condenses
+    each mapper to <= n_buckets partial rows), collected as a BOUNDED
+    driver model (n_buckets longs, like the k-means centroids), turned
+    into one quantized log-ratio array and shipped back as a broadcast
+    one-row frame.  Scoring is then a SINGLE narrow corpus pass: the
+    in-row feature buckets index the broadcast array via an aggregate
+    HOF — no posting explode, no corpus shuffle, no per-doc join.
+
+    Engine-portability: per-bucket log-ratios quantize once to 1e-7
+    fixed-point bigints (half-away-from-zero, matching both engines'
+    ``round``), so the per-doc sum is exact integer arithmetic — no
+    float accumulation order anywhere.  The bucket hash is the
+    portable 60-bit md5 hash mod ``n_buckets``, so a DuckDB oracle
+    reproduces every value, collisions included.
+
+    Returns ``(id_col, n_feats, logweight)`` for EVERY corpus doc
+    (n_feats = 0, logweight = 0.0 for tokenless docs).
+    """
+    import math
+
+    from file_d_spark.functions.dedup import _portable_hash60
+
+    def feat_buckets(text: Column) -> Column:
+        toks = tokens(text)
+        grams = F.concat(toks, _ngram_col(toks, 2))
+        return F.transform(
+            grams,
+            lambda g: F.pmod(
+                _portable_hash60(g), F.lit(n_buckets)
+            ).cast("int"),
+        )
+
+    def bucket_counts(frame: DataFrame) -> dict[int, int]:
+        rows = (
+            frame.select(
+                F.explode(feat_buckets(F.col(text_col))).alias("__b__")
+            )
+            .groupBy("__b__")
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .collect()
+        )  # <= n_buckets rows: a bounded driver model
+        return {r[0]: r[1] for r in rows}
+
+    raw_c = bucket_counts(corpus)
+    tgt_c = bucket_counts(target)
+    big_r = sum(raw_c.values()) + n_buckets
+    big_t = sum(tgt_c.values()) + n_buckets
+
+    def half_away(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    lrq = [
+        half_away(
+            (
+                math.log((tgt_c.get(b, 0) + 1) / big_t)
+                - math.log((raw_c.get(b, 0) + 1) / big_r)
+            )
+            * 1e7
+        )
+        for b in range(n_buckets)
+    ]
+    spark = corpus.sparkSession
+    model = spark.createDataFrame([(lrq,)], "lrq array<long>")
+    return (
+        corpus.select(
+            F.col(id_col).alias("__id__"),
+            feat_buckets(F.col(text_col)).alias("__f__"),
+        )
+        .crossJoin(F.broadcast(model))
+        .select(
+            F.col("__id__").alias(id_col),
+            F.size("__f__").cast("long").alias("n_feats"),
+            F.round(
+                F.aggregate(
+                    "__f__",
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc + F.element_at(F.col("lrq"), b + F.lit(1)),
+                ).cast("double")
+                / F.lit(1e7),
+                round_dp,
+            ).alias("logweight"),
+        )
+    )

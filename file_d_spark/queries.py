@@ -3671,6 +3671,58 @@ def q_bm25_multi_query(spark, sf_dir):
 
 
 @query(
+    "dsir_importance",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    f AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 15))::UBIGINT % 8192 AS b
+      FROM (SELECT doc_id, lang,
+                   unnest(list_concat(
+                     t,
+                     list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1]))) AS g
+            FROM tok)),
+    rawc AS (SELECT b, count(*) AS c FROM f GROUP BY b),
+    tgtc AS (SELECT b, count(*) AS c FROM f WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM f) AS r_tot,
+                   (SELECT count(*) FROM f WHERE lang = 'en') AS t_tot),
+    lr AS (
+      SELECT r.b,
+             CAST(round(
+               (ln((coalesce(tc.c, 0) + 1)::DOUBLE / (tot.t_tot + 8192))
+                - ln((r.c + 1)::DOUBLE / (tot.r_tot + 8192))) * 1e7,
+               0) AS BIGINT) AS lrq
+      FROM rawc r LEFT JOIN tgtc tc USING (b), tot),
+    sc AS (SELECT doc_id, count(*) AS n_feats,
+                  CAST(sum(lrq) AS BIGINT) AS sq
+           FROM f JOIN lr USING (b) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(sc.n_feats, 0) AS n_feats,
+           round(coalesce(sc.sq, 0)::DOUBLE / 1e7, 4) AS logweight
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """,
+)
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. arXiv:2302.03169):
+    every document scored for resemblance to the English-language
+    target slice via hashed unigram+bigram bag-of-ngrams models
+    (8192 buckets, Laplace +1).  Bucket counts are two n_buckets-key
+    groupBys -> a bounded driver model -> ONE broadcast array; scoring
+    is a single narrow in-row pass (no corpus shuffle).  Per-bucket
+    log-ratios quantize to 1e-7 fixed-point bigints so the per-doc sum
+    is exact integer arithmetic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.dsir_logweights(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+
+
+@query(
     "exact_substr_clean",
     r"""
     WITH t AS (

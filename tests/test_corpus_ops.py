@@ -507,3 +507,63 @@ def test_budget_select_pins_partition_assignment(spark, sf_dir):
     first = sorted((r.doc_id, r.weight, r.cum_weight) for r in out.collect())
     second = sorted((r.doc_id, r.weight, r.cum_weight) for r in out.collect())
     assert first == second
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_logweights_hand_computed(spark):
+    """Two-bucket-level sanity on a tiny fixture: docs made of target-
+    only vocabulary score higher than docs of raw-only vocabulary, the
+    exact value matching the Laplace-smoothed log-ratio sum."""
+    import math
+
+    from file_d_spark.functions.corpus import dsir_logweights
+
+    corpus = spark.createDataFrame(
+        [(1, "aa aa"), (2, "bb bb"), (3, "aa bb")],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame([(10, "aa aa aa")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dsir_logweights(
+            corpus, target, "doc_id", "text", n_buckets=64
+        ).collect()
+    }
+    # features per doc: 2 unigrams + 1 bigram = 3
+    assert all(out[d]["n_feats"] == 3 for d in (1, 2, 3))
+    # target is all-'aa': docs of 'aa' must outscore docs of 'bb'
+    assert out[1]["logweight"] > out[3]["logweight"] > out[2]["logweight"]
+
+    # exact check for doc 2 ('bb bb'): every feature ('bb' x2 + 'bb bb')
+    # is absent from the target
+    raw_counts = {"aa": 3, "bb": 3, "aa aa": 1, "bb bb": 1, "aa bb": 1}
+    tgt_counts = {"aa": 3, "aa aa": 2}
+    big_r = sum(raw_counts.values()) + 64
+    big_t = sum(tgt_counts.values()) + 64
+
+    def lr(g):
+        q = (
+            math.log((tgt_counts.get(g, 0) + 1) / big_t)
+            - math.log((raw_counts.get(g, 0) + 1) / big_r)
+        ) * 1e7
+        return math.floor(q + 0.5) if q >= 0 else math.ceil(q - 0.5)
+
+    want2 = round((lr("bb") * 2 + lr("bb bb")) / 1e7, 4)
+    assert out[2]["logweight"] == want2
+
+
+def test_dsir_scoring_pass_is_narrow(spark, sf_dir):
+    """The 100 TB shape: after the two bounded model aggregations, the
+    scoring pass itself plans as scan -> broadcast join -> project —
+    no exchange, no per-doc feature shuffle."""
+    from file_d_spark.queries import QUERIES
+
+    df = QUERIES["dsir_importance"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
