@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "bm25_topk",
     "exact_substr_clean",
     "rolling_zscore",
+    # round 7
+    "bm25_multi_query",
+    "dsir_importance",
+    "line_dedup",
 ]
 
 

@@ -313,6 +313,26 @@ def _build_source_inner(
         if not spool:
             raise ValueError(f"{typ} input requires spool_dir")
         reader = spark.readStream if streaming else spark.read
+        if typ == "http" and cfg.get("envelope"):
+            # HttpIngestServer(envelope=True) wraps each event line in
+            # a JSON envelope carrying the reference http input's meta
+            # information (login / remote addr / user agent —
+            # http.go newMetaInformation); meta templates reference
+            # them as {{ .login }} etc.
+            df = reader.format("json").schema(
+                "b string, login string, remote_addr string, "
+                "user_agent string"
+            ).load(spool)
+            return _decode_lines(
+                df,
+                plan,
+                line_col="b",
+                meta_cols=[
+                    F.col("login").alias("_login"),
+                    F.col("remote_addr").alias("_remote_addr"),
+                    F.col("user_agent").alias("_user_agent"),
+                ],
+            )
         df = reader.format("text").load(spool)
         return _decode_lines(df, plan)
     if typ == "parquet":

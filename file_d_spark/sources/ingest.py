@@ -109,6 +109,16 @@ class HttpIngestServer:
 
     Note: the reference pairs ES-bulk action lines downstream via the
     parse_es action — same here; the spool keeps raw lines.
+
+    Remaining Config surface (http.go:130-176): ``envelope=True``
+    wraps each spooled line in a JSON envelope carrying the meta
+    information the reference renders per request (login, user IP,
+    user agent — ``newMetaInformation``); the http source reads it
+    back (``envelope: true``) and meta templates reference
+    ``{{ .login }}`` / ``{{ .remote_addr }}`` / ``{{ .user_agent }}``.
+    ``cors`` = CORSConfig (``allowed_origins`` with one wildcard,
+    ``default_origin``); ``ca_cert`` + ``private_key`` (path or PEM
+    content) switch the listener to TLS, as in the reference.
     """
 
     def __init__(
@@ -118,6 +128,10 @@ class HttpIngestServer:
         port: int = 0,
         auth: dict | None = None,
         emulate_mode: str = "no",
+        envelope: bool = False,
+        cors: dict | None = None,
+        ca_cert: str | None = None,
+        private_key: str | None = None,
     ):
         if emulate_mode not in ("no", "elasticsearch"):
             raise ValueError(f"http input: bad emulate_mode {emulate_mode!r}")
@@ -128,6 +142,30 @@ class HttpIngestServer:
         secrets: dict = auth.get("secrets") or {}
         auth_header = auth.get("header", "Authorization")
         token_names = {v: k for k, v in secrets.items()}  # bearer lookup
+        cors = cors or {}
+        allowed_origins = list(cors.get("allowed_origins") or [])
+        default_origin = cors.get("default_origin", "*")
+
+        def origin_for(origin: str) -> str:
+            """Reference CORSConfig.getAllowedByOrigin
+            (http.go:222-252): exact match or one-wildcard
+            prefix/suffix match echoes the origin; otherwise the
+            default.  No allowed_origins configured = allow all."""
+            if not allowed_origins:
+                return origin or default_origin
+            for ao in allowed_origins:
+                if "*" not in ao:
+                    if origin == ao:
+                        return origin
+                    continue
+                pre, _, suf = ao.partition("*")
+                if (
+                    origin.startswith(pre)
+                    and origin.endswith(suf)
+                    and len(origin) >= len(pre) + len(suf)
+                ):
+                    return origin
+            return default_origin
 
         self.writer = _SpoolWriter(spool_dir)
         self.successful_auth_total: dict[str, int] = dict.fromkeys(secrets, 0)
@@ -162,6 +200,11 @@ class HttpIngestServer:
             def _reply(self, code: int, payload: bytes, ctype: str = "application/json"):
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
+                origin = self.headers.get("Origin")
+                if origin is not None or allowed_origins:
+                    self.send_header(
+                        "Access-Control-Allow-Origin", origin_for(origin or "")
+                    )
                 if emulate_mode == "elasticsearch":
                     self.send_header("X-Elastic-Product", "Elasticsearch")
                 self.send_header("Content-Length", str(len(payload)))
@@ -170,6 +213,7 @@ class HttpIngestServer:
 
             def _authed(self) -> bool:
                 ok, login = check_auth(self)
+                self._login = login
                 if ok:
                     if login:
                         server.successful_auth_total[login] += 1
@@ -184,6 +228,11 @@ class HttpIngestServer:
                 self.send_header(
                     "Access-Control-Allow-Methods", "GET,POST,OPTIONS"
                 )
+                origin = self.headers.get("Origin")
+                if origin is not None or allowed_origins:
+                    self.send_header(
+                        "Access-Control-Allow-Origin", origin_for(origin or "")
+                    )
                 self.send_header("Content-Length", "0")
                 self.end_headers()
 
@@ -223,6 +272,27 @@ class HttpIngestServer:
                         return self._reply(200, b"{}")
                     return self._reply(404, b"{}")
                 if body:
+                    if envelope:
+                        # one JSON envelope per event line carrying the
+                        # reference http input's meta information
+                        # (http.go newMetaInformation: login, user ip,
+                        # request) — meta templates read these columns
+                        import json as _json
+
+                        remote = self.client_address[0]
+                        ua = self.headers.get("User-Agent", "")
+                        body = b"\n".join(
+                            _json.dumps(
+                                {
+                                    "b": line.decode("utf-8", "replace"),
+                                    "login": self._login,
+                                    "remote_addr": remote,
+                                    "user_agent": ua,
+                                }
+                            ).encode()
+                            for line in body.split(b"\n")
+                            if line
+                        )
                     writer.write_lines(body)
                 server.bulk_requests_done_total += 1
                 self._reply(200, _ES_BULK_RESULT)
@@ -231,6 +301,33 @@ class HttpIngestServer:
                 pass
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if ca_cert and private_key:
+            # reference http.go:46-49: both ca_cert and private_key set
+            # -> the server accepts connections in TLS mode; each can be
+            # a path or the PEM content itself
+            import ssl
+            import tempfile
+
+            def as_path(v: str, suffix: str) -> str:
+                if "\n" not in v and os.path.exists(v):
+                    return v
+                fh = tempfile.NamedTemporaryFile(
+                    "w", suffix=suffix, delete=False
+                )
+                fh.write(v)
+                fh.close()
+                return fh.name
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(
+                as_path(ca_cert, ".pem"), as_path(private_key, ".key")
+            )
+            self._httpd.socket = ctx.wrap_socket(
+                self._httpd.socket, server_side=True
+            )
+            self.tls = True
+        else:
+            self.tls = False
         self.port = self._httpd.server_port
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
 

@@ -329,3 +329,128 @@ def test_socket_unix_ingest(spark, tmp_path):
     )
     got = sorted(r.key for r in p.run_batch(spark).collect())
     assert got == ["x1", "x2"]
+
+
+# ---------------------------------------------------------------------------
+# http input: meta envelope / CORS / TLS (reference http.go:130-176 Config)
+# ---------------------------------------------------------------------------
+
+
+def test_http_envelope_meta_templates(spark, tmp_path):
+    """envelope=True spools per-line JSON envelopes with the request's
+    meta information; the http source reads them back and meta
+    templates render {{ .login }} / {{ .user_agent }} (the reference's
+    newMetaInformation surface)."""
+    import base64
+
+    from file_d_spark import Pipeline
+    from file_d_spark.sources.ingest import HttpIngestServer
+
+    spool = str(tmp_path / "spool")
+    srv = HttpIngestServer(
+        spool,
+        auth={"strategy": "basic", "secrets": {"shipper1": "pw"}},
+        envelope=True,
+    ).start()
+    try:
+        cred = base64.b64encode(b"shipper1:pw").decode()
+        resp = _post(
+            srv.port,
+            b'{"k":"a"}\n{"k":"b"}\n',
+            {"Authorization": f"Basic {cred}", "User-Agent": "filebeat/8.1"},
+        )
+        assert resp.status == 200
+    finally:
+        srv.stop()
+
+    p = Pipeline.from_dict(
+        {
+            "settings": {
+                "decoder": "json",
+                "decoder_params": {"schema": "k string"},
+            },
+            "input": {
+                "type": "http",
+                "spool_dir": spool,
+                "envelope": True,
+                "meta": {
+                    "shipper": "{{ .login }}",
+                    "agent": "{{ .user_agent }}",
+                },
+            },
+        }
+    )
+    rows = p.run_batch(spark).collect()
+    assert sorted(r.k for r in rows) == ["a", "b"]
+    assert all(r.shipper == "shipper1" for r in rows)
+    assert all(r.agent == "filebeat/8.1" for r in rows)
+
+
+def test_http_cors_origin_matching(tmp_path):
+    """CORSConfig semantics (http.go getAllowedByOrigin): exact or
+    one-wildcard origins echo back; anything else gets the default."""
+    import urllib.request
+
+    from file_d_spark.sources.ingest import HttpIngestServer
+
+    spool = str(tmp_path / "spool")
+    srv = HttpIngestServer(
+        spool,
+        cors={
+            "allowed_origins": ["http://*.example.com", "http://ok.io"],
+            "default_origin": "https://fallback",
+        },
+    ).start()
+    try:
+        def origin_header(origin):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/", data=b"x\n", method="POST"
+            )
+            req.add_header("Origin", origin)
+            return urllib.request.urlopen(req).headers.get(
+                "Access-Control-Allow-Origin"
+            )
+
+        assert origin_header("http://a.example.com") == "http://a.example.com"
+        assert origin_header("http://ok.io") == "http://ok.io"
+        assert origin_header("http://evil.com") == "https://fallback"
+    finally:
+        srv.stop()
+
+
+def test_http_tls_listener(tmp_path):
+    """ca_cert + private_key switch the listener to TLS (http.go:46-49);
+    a TLS client round-trips a body into the spool."""
+    import os
+    import ssl
+    import subprocess
+    import urllib.request
+
+    from file_d_spark.sources.ingest import HttpIngestServer
+
+    cert = str(tmp_path / "cert.pem")
+    key = str(tmp_path / "key.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", key, "-out", cert, "-days", "1", "-nodes",
+            "-subj", "/CN=127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    spool = str(tmp_path / "spool")
+    srv = HttpIngestServer(spool, ca_cert=cert, private_key=key).start()
+    try:
+        assert srv.tls
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        req = urllib.request.Request(
+            f"https://127.0.0.1:{srv.port}/", data=b'{"s":1}\n', method="POST"
+        )
+        resp = json.load(urllib.request.urlopen(req, context=ctx))
+        assert resp["errors"] is False
+    finally:
+        srv.stop()
+    assert len(os.listdir(spool)) == 1
