@@ -418,6 +418,57 @@ def mixture_sample(
     return df.filter(frac < rate)
 
 
+def adaptive_quality_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    quantile: float = 0.25,
+) -> DataFrame:
+    """Per-group adaptive quality gate: flag rows whose integer
+    ``score_col`` falls below the group's exact ``quantile`` — the
+    language-calibrated quality filter of LLM curation pipelines (a
+    fixed global threshold over- prunes low-resource languages whose
+    score distribution sits lower).
+
+    The group threshold is the smallest score s with
+    ``count(score <= s) >= quantile * count(*)`` — computed EXACTLY,
+    in integer arithmetic (``den*cum >= num*tot`` with quantile =
+    num/den), so there is no float percentile drift between engines.
+
+    Scale shape: no sort of the data and no per-row window.  The score
+    distribution is condensed FIRST by a (group, score) groupBy —
+    map-side partial aggregation absorbs hot groups — and the
+    cumulative window then runs over one row per DISTINCT (group,
+    score), bounded by score cardinality, not corpus size.  Thresholds
+    (one row per group) broadcast back; the final pass is a narrow
+    map.  Adds a ``threshold`` and a ``kept`` column.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(quantile))
+    if not 0 < frac <= 1:
+        raise ValueError(f"adaptive_quality_filter: quantile {quantile} not in (0, 1]")
+    hist = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("__n__"))
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    cum = hist.select(
+        group_col,
+        score_col,
+        F.sum("__n__").over(w).alias("__cum__"),
+        F.sum("__n__").over(Window.partitionBy(group_col)).alias("__tot__"),
+    )
+    thr = (
+        cum.filter(
+            F.col("__cum__") * F.lit(frac.denominator)
+            >= F.col("__tot__") * F.lit(frac.numerator)
+        )
+        .groupBy(group_col)
+        .agg(F.min(score_col).alias("threshold"))
+    )
+    return df.join(F.broadcast(thr), group_col).withColumn(
+        "kept", F.col(score_col) >= F.col("threshold")
+    )
+
+
 def pack_offsets(
     df: DataFrame,
     id_col: str,

@@ -473,22 +473,11 @@ def minhash_signature(base: Column, num_hashes: int = 64) -> Column:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 2,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.7,
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding, verified with exact
-    Jaccard >= threshold on the candidates.
-
-    bands=16 over 64 hashes (r=4 rows/band) puts the S-curve knee near
-    j ≈ (1/16)^(1/4) ≈ 0.5 — high recall at threshold 0.7.
-    """
-    rows_per_band = num_hashes // bands
+    """Cached (doc, shingles, set_size) frame — one shingle pass,
+    reused by the signature AND the verify stage."""
     sh = (
         spread(df)
         .select(
@@ -498,8 +487,15 @@ def minhash_lsh_pairs(
         .withColumn("set_size", F.size("shingles"))
         .filter(F.col("set_size") > 0)
         .cache()
-    )  # one shingle pass, reused by the signature AND the verify stage
-    _register_cache(sh)
+    )
+    return _register_cache(sh)
+
+
+def _banded_signatures(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Cached (doc, band, bucket) LSH banding of a shingle frame."""
+    rows_per_band = num_hashes // bands
     # two projections: base hashes materialize once (referenced 64×
     # by the derivations — CollapseProject keeps the non-cheap column)
     hashed = sh.select("doc", base_hashes(F.col("shingles")).alias("__base__"))
@@ -525,7 +521,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    banded = _register_cache(banded.cache())
+    return _register_cache(banded.cache())
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard >= threshold on the candidates.
+
+    bands=16 over 64 hashes (r=4 rows/band) puts the S-curve knee near
+    j ≈ (1/16)^(1/4) ≈ 0.5 — high recall at threshold 0.7.
+    """
+    sh = _shingle_frame(df, id_col, text_col, n)
+    banded = _banded_signatures(sh, num_hashes, bands)
     # dedup pairs via groupBy on the pair key (a pair colliding in
     # several bands must verify once, not once per band)
     candidates = (
@@ -537,6 +552,87 @@ def minhash_lsh_pairs(
         .drop("__nb__")
     )
     return _verify_pairs(sh, candidates, threshold)
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Fuzzy train/eval contamination: flag corpus documents whose text
+    is a NEAR-duplicate (exact Jaccard >= ``threshold``, candidates via
+    MinHash banding) of any eval-set document.  Complements
+    :func:`file_d_spark.functions.corpus.decontaminate`, which needs a
+    verbatim shared n-gram — paraphrased or lightly-edited benchmark
+    leakage only trips this fuzzy check.
+
+    Returns one row per corpus document:
+    ``(id, n_matches, max_jaccard, contaminated)``.
+
+    Scale shape (the 100 TB case is corpus >> eval): the eval side —
+    benchmarks, MBs — is banded and BROADCAST into the candidate join,
+    so the corpus stays un-shuffled end to end: one narrow signature
+    pass, a broadcast-hash join per band key, and a groupBy on the
+    (sparse) candidate pairs.  Verification broadcasts the eval shingle
+    sets and the candidate id list back onto the cached corpus shingle
+    frame — both bounded by the eval/candidate size, never by the
+    corpus.
+    """
+    sh_c = _shingle_frame(corpus, id_col, text_col, n)
+    sh_e = _shingle_frame(eval_set, id_col, text_col, n)
+    banded_c = _banded_signatures(sh_c, num_hashes, bands)
+    banded_e = _banded_signatures(sh_e, num_hashes, bands)
+    candidates = (
+        banded_c.alias("a")
+        .join(F.broadcast(banded_e.alias("b")), ["band", "bucket"])
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("__nb__"))
+        .drop("__nb__")
+    )
+    candidates = _register_cache(candidates.cache())
+    # verify: corpus shingles fetched via a broadcast semi-join on the
+    # candidate ids, eval shingles broadcast whole (both eval-bounded)
+    cand_docs = candidates.select(F.col("doc_a").alias("doc")).distinct()
+    sets_a = sh_c.join(F.broadcast(cand_docs), "doc").select(
+        F.col("doc"), "shingles", "set_size"
+    )
+    pairs = (
+        candidates.join(
+            F.broadcast(sets_a.alias("sa")), F.col("doc_a") == F.col("sa.doc")
+        )
+        .join(F.broadcast(sh_e.alias("sb")), F.col("doc_b") == F.col("sb.doc"))
+        .withColumn(
+            "common", F.size(F.array_intersect("sa.shingles", "sb.shingles"))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sa.set_size") + F.col("sb.set_size") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    hits = pairs.groupBy(F.col("doc_a").alias("doc")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc"))
+        .join(F.broadcast(hits), "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

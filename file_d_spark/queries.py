@@ -2082,6 +2082,61 @@ def q_decontaminate(spark, sf_dir):
 
 
 @query(
+    "fuzzy_decontaminate",
+    # Exact-Jaccard oracle for the MinHash-banded check — legitimate for
+    # the same reason as dedup_minhash_lsh: every LSH candidate is
+    # verified with EXACT Jaccard, and at 64 hashes / 16 bands the
+    # banding catches every true pair >= 0.7 of this corpus (the pair
+    # sets are identical at sf0.01/0.001; tests/test_dedup_recall.py
+    # bounds recall in general), so output == exact cross-split pairs.
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ws
+           FROM t WHERE len(w) >= 3),
+    pairs AS (
+      SELECT doc_a, round(ix::DOUBLE / (na + nb - ix), 6) AS j
+      FROM (
+        SELECT a.doc_id AS doc_a,
+               len(list_intersect(a.ws, b.ws)) AS ix,
+               len(a.ws) AS na, len(b.ws) AS nb
+        FROM (SELECT * FROM sh WHERE doc_id % 50 != 0) a,
+             (SELECT * FROM sh WHERE doc_id % 50 = 0) b
+        WHERE least(len(a.ws), len(b.ws))::DOUBLE
+              / greatest(len(a.ws), len(b.ws)) >= 0.7)
+      WHERE ix::DOUBLE / (na + nb - ix) >= 0.7),
+    hits AS (SELECT doc_a, count(*) AS n_matches, max(j) AS max_jaccard
+             FROM pairs GROUP BY doc_a)
+    SELECT d.doc_id,
+           coalesce(h.n_matches, 0) AS n_matches,
+           coalesce(h.max_jaccard, 0.0) AS max_jaccard,
+           (coalesce(h.n_matches, 0) > 0)::INT AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+    LEFT JOIN hits h ON h.doc_a = d.doc_id
+    """,
+)
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy benchmark decontamination: near-duplicate (Jaccard >= 0.7)
+    overlap between training documents and the deterministic eval
+    slice, candidates via MinHash banding with the eval side broadcast
+    — catches paraphrased leakage the exact n-gram check misses."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_set = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    out = dedup.fuzzy_decontaminate(
+        train, eval_set, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        threshold=0.7,
+    )
+    return out.select(
+        "doc_id",
+        "n_matches",
+        "max_jaccard",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+@query(
     "hash_split_stats",
     """
     WITH s AS (
@@ -3270,6 +3325,46 @@ def q_mixture_sample(spark, sf_dir):
         {"en": 0.5, "de": 0.2, "zh": 0.2, "fr": 0.1},
         salt="mix1",
     ).select("doc_id", "lang")
+
+
+@query(
+    "quality_adaptive_filter",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t <> '')) AS wc
+      FROM documents),
+    h AS (SELECT lang, wc, count(*) AS n FROM d GROUP BY lang, wc),
+    c AS (SELECT lang, wc,
+                 sum(n) OVER (PARTITION BY lang ORDER BY wc) AS cum,
+                 sum(n) OVER (PARTITION BY lang) AS tot
+          FROM h),
+    thr AS (SELECT lang, min(wc) AS threshold
+            FROM c WHERE 4 * cum >= tot GROUP BY lang)
+    SELECT d.doc_id, d.lang, CAST(d.wc AS BIGINT) AS wc,
+           CAST(t.threshold AS BIGINT) AS threshold,
+           (d.wc >= t.threshold)::INT AS kept
+    FROM d JOIN thr t USING (lang)
+    """,
+)
+def q_quality_adaptive_filter(spark, sf_dir):
+    """Language-calibrated quality gate: each document scored by token
+    count and flagged against its OWN language's exact p25 — computed
+    via the (lang, score) histogram cumsum, never a data sort, with
+    the integer test 4*cum >= tot (no float percentile drift)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", text.token_count(F.col("text")).cast("long").alias("wc")
+    )
+    out = corpus.adaptive_quality_filter(scored, "lang", "wc", quantile=0.25)
+    return out.select(
+        "doc_id",
+        "lang",
+        "wc",
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("kept").cast("int").alias("kept"),
+    )
 
 
 @query(

@@ -567,3 +567,69 @@ def test_dsir_scoring_pass_is_narrow(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_adaptive_quality_filter_hand_computed(spark):
+    """threshold = smallest score s with count(<=s) >= q * group size,
+    in exact integer arithmetic."""
+    from file_d_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4),
+         ("b", 10), ("b", 10), ("b", 30)],
+        "grp string, score long",
+    )
+    out = corpus.adaptive_quality_filter(df, "grp", "score", quantile=0.5)
+    rows = [(r.grp, r.score, r.threshold, r.kept) for r in out.collect()]
+    # a: tot=4, need cum*2 >= 4 -> cum >= 2 -> threshold 2
+    assert all(t == 2 for g, s, t, k in rows if g == "a")
+    assert {(s, k) for g, s, t, k in rows if g == "a"} == {
+        (1, False), (2, True), (3, True), (4, True)
+    }
+    # b: tot=3, need cum*2 >= 3 -> cum >= 1.5 -> first score with cum 2
+    assert all(t == 10 for g, s, t, k in rows if g == "b")
+    assert all(k for g, s, t, k in rows if g == "b")
+
+
+def test_adaptive_quality_filter_quantile_edges(spark):
+    from file_d_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [("a", s) for s in (5, 6, 7, 8, 9, 10)], "grp string, score long"
+    )
+    # q=1.0: threshold is the max -> exactly one kept score value
+    out = corpus.adaptive_quality_filter(df, "grp", "score", quantile=1.0)
+    assert {r.score for r in out.collect() if r.kept} == {10}
+    # tiny q: threshold is the min -> everything kept
+    out = corpus.adaptive_quality_filter(df, "grp", "score", quantile=0.001)
+    assert all(r.kept for r in out.collect())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.adaptive_quality_filter(df, "grp", "score", quantile=0.0)
+    with _pytest.raises(ValueError):
+        corpus.adaptive_quality_filter(df, "grp", "score", quantile=1.5)
+
+
+def test_adaptive_quality_filter_window_runs_on_histogram(spark):
+    """The skew story: the cumulative window must consume the
+    (group, score) AGGREGATE, never the raw rows — on web-scale text a
+    hot language would otherwise funnel its whole partition through
+    one WindowExec task."""
+    from file_d_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [("a", i % 3) for i in range(100)], "grp string, score long"
+    )
+    out = corpus.adaptive_quality_filter(df, "grp", "score", quantile=0.25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    w = plan.find("Window")
+    assert w != -1
+    # everything below the window (printed after it in the tree) must
+    # include the histogram HashAggregate before any scan
+    below = plan[w:]
+    agg = below.find("HashAggregate")
+    scan = below.find("Scan")
+    assert agg != -1 and (scan == -1 or agg < scan), (
+        "window consumes raw rows, not the (group, score) histogram"
+    )

@@ -290,3 +290,61 @@ def test_ann_ivf_pq_join_carries_codes_not_vectors(spark, sf_dir):
     assert not any("float" in t or "double" in t for t in schema.values()), (
         f"index carries vector data: {schema}"
     )
+
+
+def test_fuzzy_decontaminate_vs_exact_pairs(spark, docs):
+    """Precision 1.0 (exact-verify step) and bounded recall against the
+    brute-force cross-split Jaccard pairs, plus a complete spine: one
+    row per train doc whether or not it matched."""
+    from pyspark.sql import functions as F
+
+    from file_d_spark.functions import dedup
+
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = dedup.fuzzy_decontaminate(
+        train, eval_set, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        threshold=0.7,
+    ).collect()
+    assert len(out) == train.count()  # complete spine
+    flagged = {r.doc_id for r in out if r.contaminated}
+
+    exact = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    cross = {
+        r.doc_a if r.doc_a % 50 != 0 else r.doc_b
+        for r in exact.collect()
+        if (r.doc_a % 50 == 0) != (r.doc_b % 50 == 0)
+    }
+    assert cross, "fixture should contain cross-split near-dup pairs"
+    assert flagged <= cross  # exact verification => no false positives
+    assert len(flagged & cross) / len(cross) >= 0.9
+    for r in out:
+        if not r.contaminated:
+            assert r.n_matches == 0 and r.max_jaccard == 0.0
+
+
+def test_fuzzy_decontaminate_hand_fixture(spark):
+    """A lightly-edited eval doc is caught; an unrelated doc and a
+    too-short (sub-shingle) doc pass with zero matches."""
+    from file_d_spark.functions import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    train = spark.createDataFrame(
+        [
+            (1, base + " ok"),          # near-dup of the eval doc
+            (2, "completely different content about spark physical plans"),
+            (3, "too short"),           # < 3 tokens of shingle => no signature
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in dedup.fuzzy_decontaminate(
+            train, ev, "doc_id", "text", n=3, threshold=0.7
+        ).collect()
+    }
+    assert rows[1].contaminated and rows[1].n_matches == 1
+    assert rows[1].max_jaccard >= 0.7
+    assert not rows[2].contaminated
+    assert not rows[3].contaminated and rows[3].max_jaccard == 0.0
