@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "bm25_multi_query",
     "dsir_importance",
     "line_dedup",
+    "fuzzy_decontaminate",
+    "quality_adaptive_filter",
 ]
 
 
