@@ -351,7 +351,7 @@ def jaccard_pairs(
     posting = sh.select("doc", "set_size", F.explode("shingles").alias("shingle"))
     hot: list = []
     if hot_fraction > 0:
-        hot = skew.hot_keys(
+        hot = skew.hot_keys_memo(
             skew.doc_sample(sh, "doc", hot_fraction).select(
                 "doc", F.explode("shingles").alias("shingle")
             ),

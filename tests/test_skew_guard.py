@@ -200,3 +200,28 @@ def test_default_guard_never_fires_at_test_scale(spark, sf_dir):
         return re.sub(r"_\d+#", "#", re.sub(r"#\d+|plan_id=\d+", "#", s))
 
     assert norm(guarded) == norm(plain)
+
+
+def test_discovery_memoized_per_plan(spark, skewed, monkeypatch):
+    """Identical discovery subqueries pay the sampled count pass ONCE
+    per session (the production shape: one input, many guarded ops);
+    a different gram size is a different plan and re-discovers."""
+    calls = []
+    real = skew.hot_keys
+
+    def counting(grams, key_col, threshold, max_hot=skew.DEFAULT_MAX_HOT):
+        calls.append(1)
+        return real(grams, key_col, threshold, max_hot)
+
+    monkeypatch.setattr(skew, "hot_keys", counting)
+    skew.clear_hot_memo()
+    a = corpus.dup_span_fraction(skewed, "doc_id", "text", n=8, **GUARD)
+    a.collect()
+    assert len(calls) == 1
+    b = corpus.dup_span_fraction(skewed, "doc_id", "text", n=8, **GUARD)
+    b.collect()
+    assert len(calls) == 1  # second identical call hits the memo
+    c = corpus.dup_span_fraction(skewed, "doc_id", "text", n=5, **GUARD)
+    c.collect()
+    assert len(calls) == 2  # different tokenization -> re-discover
+    skew.clear_hot_memo()
