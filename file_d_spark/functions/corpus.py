@@ -469,6 +469,152 @@ def adaptive_quality_filter(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    salt: str = "",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Cap every group (domain / source / site) at EXACTLY ``cap``
+    rows, keeping a deterministic uniform sample — the "no domain may
+    dominate the corpus" rule of web-scale curation.  Selection order
+    is the portable md5 hash of (id, salt) with the id as tie-break,
+    so membership is stable across runs, engines and partitionings,
+    and re-runs never swap picked rows.
+
+    Returns the kept rows with their selection ``rank`` (1-based).
+
+    Scale shape — distributed exact top-K per key WITHOUT a hot-key
+    window: a single ``row_number() over (partition by group)`` would
+    funnel a dominant domain (half the crawl) through one task.
+    Instead rows first rank inside (group, salt-bucket) — ``n_salts``
+    parallel tasks per group, each emitting at most ``cap`` local
+    survivors — and the global rank window then runs over at most
+    ``n_salts * cap`` rows per group.  Both windows order by the same
+    total key order, so survivor ranks equal the unsalted ranks
+    exactly.  Bucket assignment uses the fast engine hash: any row
+    partition yields the same final set, so it needs no portability.
+    """
+    if cap < 1:
+        raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
+    okey = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    ).alias("__okey__")
+    staged = df.select(
+        "*",
+        okey,
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts)).alias(
+            "__bucket__"
+        ),
+    )
+    local = Window.partitionBy(group_col, "__bucket__").orderBy(
+        "__okey__", id_col
+    )
+    survivors = (
+        staged.withColumn("__lrank__", F.row_number().over(local))
+        .filter(F.col("__lrank__") <= cap)
+        .drop("__lrank__", "__bucket__")
+    )
+    world = Window.partitionBy(group_col).orderBy("__okey__", id_col)
+    return (
+        survivors.withColumn("rank", F.row_number().over(world))
+        .filter(F.col("rank") <= cap)
+        .drop("__okey__")
+    )
+
+
+def unimax_mixture(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    temperature: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled group rebalancing (the UniMax / multilingual
+    sampling rule): group weights w_g = n_g^(1/temperature), so
+    abundant groups are down-weighted and scarce groups up-weighted
+    relative to their natural share, WITHOUT upsampling — the scarcest
+    effective group keeps 100% and everything else keeps
+    w_g * T / n_g with T = min_g(n_g / w_g).
+
+    ``temperature`` must be a power of two (2 or 4): the weight is
+    then a composition of sqrt calls, which IEEE 754 requires to be
+    CORRECTLY ROUNDED — so Python (driver model), Spark and any SQL
+    oracle compute bit-identical rates.  General real exponents would
+    ride on pow(), whose last-ulp behavior is libm-specific.
+
+    Scale shape: identical to :func:`mixture_sample` — one group-count
+    agg (rows = number of groups) collected as a bounded driver model,
+    then a narrow deterministic hash filter; no shuffle, no RNG.
+    """
+    import math
+
+    if temperature not in (2, 4):
+        raise ValueError(
+            f"unimax_mixture: temperature must be 2 or 4 (sqrt-composable), "
+            f"got {temperature}"
+        )
+
+    def weight(n: float) -> float:
+        w = math.sqrt(n)
+        if temperature == 4:
+            w = math.sqrt(w)
+        return w
+
+    counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
+    if not counts:
+        return df.filter(F.lit(False))
+    total = min(n / weight(n) for n in counts.values())
+    frac = _hash_frac(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    rate = F.lit(0.0)
+    for g, n in counts.items():
+        keep = min(1.0, (weight(n) * total) / n)
+        rate = F.when(F.col(group_col) == g, F.lit(keep)).otherwise(rate)
+    return df.filter(frac < rate)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Map each row's integer score to its within-group percentile
+    rank — pct_rank = count(score' <= score) / count(*) in (0, 1] —
+    so heterogeneous quality signals become comparable across
+    languages / sources before combining or thresholding them.
+
+    Adds ``cum_count``, ``group_total`` (exact bigints) and
+    ``pct_rank`` (one double division of the two — deterministic on
+    any IEEE engine).
+
+    Scale shape: same histogram doctrine as
+    :func:`adaptive_quality_filter` — the (group, score) groupBy
+    condenses the distribution map-side before the cumulative window,
+    which only ever sees one row per distinct (group, score).  The
+    rank table joins back on (group, score); its size is score
+    cardinality, not corpus size, so AQE broadcasts it when small and
+    shuffles both sides otherwise — never a per-row window.
+    """
+    hist = df.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    ranks = hist.select(
+        group_col,
+        score_col,
+        F.sum("__n__").over(w).alias("cum_count"),
+        F.sum("__n__").over(Window.partitionBy(group_col)).alias(
+            "group_total"
+        ),
+    ).withColumn(
+        "pct_rank",
+        F.col("cum_count").cast("double") / F.col("group_total").cast("double"),
+    )
+    return df.join(ranks, [group_col, score_col])
+
+
 def pack_offsets(
     df: DataFrame,
     id_col: str,

@@ -29,13 +29,25 @@ from file_d_spark.functions.text import tokens
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Repartition to full parallelism before CPU-heavy array work.
+    """Repartition to full parallelism before CPU-heavy array work —
+    but ONLY when the input is under-split.
 
     Small corpora arrive as one file split; without this the entire
     shingle/signature computation pipelines into a single task.  At
-    real scale the scan already has many splits — the round-robin
-    repartition of a small input is noise there."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    real scale the scan already has many splits, and an unconditional
+    ``repartition`` would round-robin-shuffle the WHOLE corpus for
+    nothing — so the spread is skipped when the scan's file count
+    already reaches the session parallelism.  ``inputFiles()`` is a
+    driver-side listing (no job); frames not backed by files (memory
+    relations, post-shuffle frames) report none and keep the spread,
+    which is right for the small fixtures that produce them."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= parallelism:
+            return df
+    except Exception:
+        pass
+    return df.repartition(parallelism)
 
 # --------------------------------------------------------------------------
 # exact

@@ -633,3 +633,131 @@ def test_adaptive_quality_filter_window_runs_on_histogram(spark):
     assert agg != -1 and (scan == -1 or agg < scan), (
         "window consumes raw rows, not the (group, score) histogram"
     )
+
+
+def test_domain_cap_matches_single_window_rank(spark):
+    """The salted two-level selection must equal the naive one-window
+    top-cap per group (same md5 total order), including ranks."""
+    import hashlib
+
+    from file_d_spark.functions import corpus
+
+    rows = [(i, "big") for i in range(200)] + [
+        (1000 + i, "small") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.domain_cap(df, "doc_id", "source", cap=5, n_salts=8)
+    got = {(r.source, r.doc_id): r.rank for r in out.collect()}
+
+    def key(i):
+        return (hashlib.md5(str(i).encode()).hexdigest(), i)
+
+    want = {}
+    for grp, ids in (
+        ("big", range(200)),
+        ("small", range(1000, 1003)),
+    ):
+        for rank, i in enumerate(sorted(ids, key=key)[:5], start=1):
+            want[(grp, i)] = rank
+    assert got == want  # exact set AND exact ranks
+    # under-cap group keeps everything
+    assert sum(1 for (g, _) in got if g == "small") == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.domain_cap(df, "doc_id", "source", cap=0)
+
+
+def test_domain_cap_no_unsalted_group_window(spark):
+    """The first (corpus-sized) window must partition by (group,
+    bucket), never by the group alone — that's the whole point."""
+    from file_d_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(50)], "doc_id long, source string"
+    )
+    plan = (
+        corpus.domain_cap(df, "doc_id", "source", cap=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    specs = [w for w in windows]
+    assert len(specs) == 2
+    # exactly one of the two windows is the bounded global one; the
+    # corpus-sized one carries the salt bucket in its partition spec
+    assert any("__bucket__" in s for s in specs)
+
+
+def test_unimax_mixture_hand_computed(spark):
+    """counts {a:100, b:4}, temperature 2: w=(10,2), T=min(10,2)=2,
+    rates=(0.2, 1.0) -> b keeps everything, a keeps its md5-frac<0.2
+    slice (checked against DuckDB computing the same expression)."""
+    import duckdb
+
+    from file_d_spark.functions import corpus
+
+    rows = [(f"a{i}", "a") for i in range(100)] + [
+        (f"b{i}", "b") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k string, grp string")
+    kept = {
+        r.k
+        for r in corpus.unimax_mixture(
+            df, "k", "grp", temperature=2, salt="s1"
+        ).collect()
+    }
+    assert {f"b{i}" for i in range(4)} <= kept
+    want = {
+        r[0]
+        for r in duckdb.sql(
+            "SELECT k FROM (SELECT unnest([" +
+            ",".join(f"'a{i}'" for i in range(100)) +
+            "]) AS k) WHERE ('0x' || substr(md5(k || 's1'), 1, 8))::UBIGINT"
+            " / 4294967296.0 < 0.2"
+        ).fetchall()
+    }
+    assert {k for k in kept if k.startswith("a")} == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.unimax_mixture(df, "k", "grp", temperature=3)
+
+
+def test_quantile_normalize_hand_computed(spark):
+    from file_d_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("a", 5), ("b", 7)],
+        "grp string, score long",
+    )
+    out = {
+        (r.grp, r.score): (r.cum_count, r.group_total, r.pct_rank)
+        for r in corpus.quantile_normalize(df, "grp", "score").collect()
+    }
+    assert out[("a", 1)] == (2, 4, 0.5)
+    assert out[("a", 2)] == (3, 4, 0.75)
+    assert out[("a", 5)] == (4, 4, 1.0)
+    assert out[("b", 7)] == (1, 1, 1.0)
+
+
+def test_quantile_normalize_window_on_histogram(spark):
+    from file_d_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [("a", i % 4) for i in range(80)], "grp string, score long"
+    )
+    plan = (
+        corpus.quantile_normalize(df, "grp", "score")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    w = plan.find("Window")
+    below = plan[w:]
+    agg = below.find("HashAggregate")
+    scan = below.find("Scan")
+    assert w != -1 and agg != -1 and (scan == -1 or agg < scan)

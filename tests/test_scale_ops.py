@@ -116,3 +116,29 @@ def test_write_bucketed_rejects_qualified_names(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="qualified"):
         write_bucketed(df, "somedb.tbl", "id", buckets=2)
+
+
+def test_spread_skips_well_split_inputs(spark, tmp_path):
+    """spread() must not round-robin-shuffle a corpus whose scan
+    already has enough splits — at 100 TB that exchange would move the
+    whole input for nothing.  Under-split (single-file) scans and
+    memory-backed fixtures keep the repartition."""
+    from file_d_spark.functions.dedup import spread
+
+    p = spark.sparkContext.defaultParallelism
+    many = str(tmp_path / "many")
+    spark.range(0, p * 4).repartition(p * 2).write.parquet(many)
+    well_split = spark.read.parquet(many)
+    assert len(well_split.inputFiles()) >= p
+    plan = spread(well_split)._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan
+
+    one = str(tmp_path / "one")
+    spark.range(0, 10).coalesce(1).write.parquet(one)
+    single = spark.read.parquet(one)
+    plan = spread(single)._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+
+    mem = spark.createDataFrame([(1,)], "x long")
+    plan = spread(mem)._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
