@@ -647,6 +647,82 @@ def fuzzy_decontaminate(
     )
 
 
+def fuzzy_incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: flag new-batch documents whose text
+    has exact Jaccard >= ``threshold`` (candidates via MinHash
+    banding) against ANY document of the seen corpus — the fuzzy
+    sibling of :func:`incremental_dedup`/:func:`bloom_dedup`, which
+    only catch byte-identical re-crawls.
+
+    Returns one row per new document: ``(id, n_near_dups, kept)``.
+
+    Scale shape — the contrast with :func:`fuzzy_decontaminate` is the
+    SEEN side: a reference corpus is as big as the corpus itself, so
+    nothing broadcasts.  Both sides band to constant-size keys and
+    meet in a (band, bucket)-keyed equi-join — uniform hash keys,
+    shuffle linear in banded rows (the same candidate-generation shape
+    the self-join dedup uses, AQE-splittable); verification joins are
+    bounded by the candidate count.  In steady state the seen side's
+    banded signatures are a persisted artifact (band/bucket-bucketed
+    table — cf. bucketed incremental dedup), so each ingest run only
+    signatures and shuffles the NEW batch.
+    """
+    sh_n = _shingle_frame(new_df, id_col, text_col, n)
+    sh_s = _shingle_frame(seen_df, id_col, text_col, n)
+    banded_n = _banded_signatures(sh_n, num_hashes, bands)
+    banded_s = _banded_signatures(sh_s, num_hashes, bands)
+    candidates = (
+        banded_n.alias("a")
+        .join(banded_s.alias("b"), ["band", "bucket"])
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("__nb__"))
+        .drop("__nb__")
+    )
+    candidates = _register_cache(candidates.cache())
+    sets_a = sh_n.join(
+        candidates.select(F.col("doc_a").alias("doc")).distinct(), "doc"
+    ).select("doc", "shingles", "set_size")
+    sets_b = sh_s.join(
+        candidates.select(F.col("doc_b").alias("doc")).distinct(), "doc"
+    ).select("doc", "shingles", "set_size")
+    dup_counts = (
+        candidates.join(
+            sets_a.alias("sa"), F.col("doc_a") == F.col("sa.doc")
+        )
+        .join(sets_b.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        .withColumn(
+            "common", F.size(F.array_intersect("sa.shingles", "sb.shingles"))
+        )
+        .filter(
+            F.col("common").cast("double")
+            / (F.col("sa.set_size") + F.col("sb.set_size") - F.col("common"))
+            >= threshold
+        )
+        .groupBy(F.col("doc_a").alias("doc"))
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+    )
+    return (
+        new_df.select(F.col(id_col).alias("doc"))
+        .join(dup_counts, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_near_dups", F.lit(0).cast("long")).alias(
+                "n_near_dups"
+            ),
+            (F.coalesce("n_near_dups", F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # simhash
 # --------------------------------------------------------------------------

@@ -761,3 +761,70 @@ def test_quantile_normalize_window_on_histogram(spark):
     agg = below.find("HashAggregate")
     scan = below.find("Scan")
     assert w != -1 and agg != -1 and (scan == -1 or agg < scan)
+
+
+def test_funnel_steps_hand_computed(spark):
+    """Strict-order earliest-completion semantics: step events at or
+    before the previous step's time don't count; broken chains leave
+    nulls; epoch-micro bigints come back exact."""
+    from file_d_spark.functions.funnel import funnel_steps
+
+    rows = [
+        # u1 completes: view@10, click@20, purchase@30 (purchase@5 too early)
+        (1, "2024-01-01 00:00:10.000001", "view"),
+        (1, "2024-01-01 00:00:20", "click"),
+        (1, "2024-01-01 00:00:05", "purchase"),
+        (1, "2024-01-01 00:00:30", "purchase"),
+        # u2 breaks: click BEFORE its first view, never after
+        (2, "2024-01-01 00:00:50", "view"),
+        (2, "2024-01-01 00:00:40", "click"),
+        # u3 never does step 1 -> absent from output
+        (3, "2024-01-01 00:00:01", "click"),
+        # u4: click at the SAME micro as view -> strict > rejects it
+        (4, "2024-01-01 00:01:00", "view"),
+        (4, "2024-01-01 00:01:00", "click"),
+        (4, "2024-01-01 00:01:01", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.user_id: r
+        for r in funnel_steps(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    u1 = out[1]
+    base = 1704067200_000000  # 2024-01-01 UTC epoch micros
+    assert (u1.t_1, u1.t_2, u1.t_3) == (
+        base + 10_000001, base + 20_000000, base + 30_000000
+    )
+    assert u1.completed
+    assert out[2].t_2 is None and not out[2].completed
+    assert out[4].t_2 == base + 61_000000 and out[4].t_3 is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_steps(df, "user_id", "ts", "event_type", ["view"])
+    with _pytest.raises(ValueError):
+        funnel_steps(df, "user_id", "ts", "event_type", ["a", "a", "b"])
+
+
+def test_funnel_steps_no_windows_in_plan(spark):
+    """The funnel must be joins+aggs only — a per-user ordered window
+    would serialize bot users."""
+    from file_d_spark.functions.funnel import funnel_steps
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", "view")],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = (
+        funnel_steps(df, "user_id", "ts", "event_type", ["view", "click"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan

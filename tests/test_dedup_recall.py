@@ -348,3 +348,28 @@ def test_fuzzy_decontaminate_hand_fixture(spark):
     assert rows[1].max_jaccard >= 0.7
     assert not rows[2].contaminated
     assert not rows[3].contaminated and rows[3].max_jaccard == 0.0
+
+
+def test_fuzzy_incremental_dedup_vs_exact(spark, docs):
+    """kept == no exact cross-pair >= threshold (precision from the
+    verify stage, recall from the banding) on the %50 split."""
+    from pyspark.sql import functions as F
+
+    from file_d_spark.functions import dedup
+
+    seen = docs.filter(F.col("doc_id") % 50 == 0)
+    new = docs.filter(F.col("doc_id") % 50 != 0)
+    out = {r.doc_id: r for r in dedup.fuzzy_incremental_dedup(
+        new, seen, "doc_id", "text", n=3, threshold=0.7
+    ).collect()}
+    assert len(out) == new.count()
+
+    exact = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    dup_new = {
+        r.doc_a if r.doc_a % 50 != 0 else r.doc_b
+        for r in exact.collect()
+        if (r.doc_a % 50 == 0) != (r.doc_b % 50 == 0)
+    }
+    assert dup_new  # fixture has cross-split near-dups
+    assert {i for i, r in out.items() if not r.kept} == dup_new
+    assert all(r.n_near_dups == 0 for i, r in out.items() if r.kept)
