@@ -504,9 +504,15 @@ def _shingle_frame(
 
 
 def _banded_signatures(
-    sh: DataFrame, num_hashes: int, bands: int
+    sh: DataFrame, num_hashes: int, bands: int, cache: bool = True
 ) -> DataFrame:
-    """Cached (doc, band, bucket) LSH banding of a shingle frame."""
+    """(doc, band, bucket) LSH banding of a shingle frame.
+
+    ``cache=True`` is for consumers that traverse the banding twice
+    (the self-join in :func:`minhash_lsh_pairs`); single-pass
+    consumers (the two-table fuzzy ops) pass False — materializing a
+    corpus × bands cache that is read once costs memory and a write
+    pass for nothing."""
     rows_per_band = num_hashes // bands
     # two projections: base hashes materialize once (referenced 64×
     # by the derivations — CollapseProject keeps the non-cheap column)
@@ -533,7 +539,9 @@ def _banded_signatures(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    return _register_cache(banded.cache())
+    if cache:
+        return _register_cache(banded.cache())
+    return banded
 
 
 def minhash_lsh_pairs(
@@ -597,8 +605,8 @@ def fuzzy_decontaminate(
     """
     sh_c = _shingle_frame(corpus, id_col, text_col, n)
     sh_e = _shingle_frame(eval_set, id_col, text_col, n)
-    banded_c = _banded_signatures(sh_c, num_hashes, bands)
-    banded_e = _banded_signatures(sh_e, num_hashes, bands)
+    banded_c = _banded_signatures(sh_c, num_hashes, bands, cache=False)
+    banded_e = _banded_signatures(sh_e, num_hashes, bands, cache=False)
     candidates = (
         banded_c.alias("a")
         .join(F.broadcast(banded_e.alias("b")), ["band", "bucket"])
@@ -678,8 +686,8 @@ def fuzzy_incremental_dedup(
     """
     sh_n = _shingle_frame(new_df, id_col, text_col, n)
     sh_s = _shingle_frame(seen_df, id_col, text_col, n)
-    banded_n = _banded_signatures(sh_n, num_hashes, bands)
-    banded_s = _banded_signatures(sh_s, num_hashes, bands)
+    banded_n = _banded_signatures(sh_n, num_hashes, bands, cache=False)
+    banded_s = _banded_signatures(sh_s, num_hashes, bands, cache=False)
     candidates = (
         banded_n.alias("a")
         .join(banded_s.alias("b"), ["band", "bucket"])
