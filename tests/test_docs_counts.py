@@ -89,3 +89,13 @@ def test_scale_md_floor_cites_fresh_bench():
 
 def test_readme_bench_cites_fresh_bench():
     _check_floor_line(open("README.md").read(), "README.md")
+
+
+def test_bench_queries_all_registered():
+    """bench.py must only name live registry entries — a renamed query
+    would otherwise break the driver's per-round benchmark run."""
+    import bench
+
+    missing = [q for q in bench.BENCH_QUERIES if q not in QUERIES]
+    assert missing == []
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
