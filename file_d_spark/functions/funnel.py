@@ -69,3 +69,67 @@ def funnel_steps(
         *[F.col(f"t_{i}") for i in range(1, len(steps) + 1)],
         F.col(f"t_{len(steps)}").isNotNull().alias("completed"),
     )
+
+
+_PERIOD_MICROS = {
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-seen
+    period; for each cohort and each later period offset k, how many
+    of them came back.
+
+    Returns ``(cohort_period, periods_since, n_active, cohort_size,
+    retention)`` — one row per (cohort, offset) that had any activity;
+    ``periods_since = 0`` rows carry ``n_active == cohort_size``.
+    Periods are integer epoch-micro divisions (``epoch_us div
+    period_micros``) — truncating integer arithmetic, identical on any
+    engine; ``retention`` is the single double division
+    n_active/cohort_size.
+
+    Scale shape: two user-keyed aggregations (first-seen min; distinct
+    (user, period) activity), one user-keyed equi-join between them
+    (uniform key, AQE-splittable), then a groupBy on (cohort, offset)
+    whose cardinality is periods² — tiny.  No windows, no sort: a
+    years-long event history with bot users never serializes a task.
+    """
+    if period not in _PERIOD_MICROS:
+        raise ValueError(
+            f"cohort_retention: period must be one of "
+            f"{sorted(_PERIOD_MICROS)}, got {period!r}"
+        )
+    ev = df.select(
+        F.col(user_col).alias("__u__"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t__"),
+    ).select("__u__", F.expr("__t__ div " + str(_PERIOD_MICROS[period])).alias("__p__"))
+    first = ev.groupBy("__u__").agg(F.min("__p__").alias("__cohort__"))
+    active = ev.distinct()
+    joined = active.join(first, "__u__").select(
+        "__cohort__", (F.col("__p__") - F.col("__cohort__")).alias("__k__")
+    )
+    sizes = first.groupBy("__cohort__").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    out = (
+        joined.groupBy("__cohort__", "__k__")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "__cohort__")
+    )
+    return out.select(
+        F.col("__cohort__").alias("cohort_period"),
+        F.col("__k__").alias("periods_since"),
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )

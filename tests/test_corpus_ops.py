@@ -828,3 +828,51 @@ def test_funnel_steps_no_windows_in_plan(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Two day-cohorts: u1/u2 start day 0 (u1 returns day 1 and 3,
+    u2 never), u3 starts day 1 and returns day 2."""
+    from file_d_spark.functions.funnel import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-02 23:00:00"), (1, "2024-01-04 01:00:00"),
+        (2, "2024-01-01 05:00:00"),
+        (3, "2024-01-02 12:00:00"), (3, "2024-01-03 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (r.cohort_period, r.periods_since): (
+            r.n_active, r.cohort_size, r.retention
+        )
+        for r in cohort_retention(df, "user_id", "ts", period="day").collect()
+    }
+    base = 19723  # 2024-01-01 in epoch days
+    assert out[(base, 0)] == (2, 2, 1.0)
+    assert out[(base, 1)] == (1, 2, 0.5)   # only u1 returns day 2
+    assert out[(base, 3)] == (1, 2, 0.5)   # u1 on day 4
+    assert (base, 2) not in out            # nobody from cohort0 on day 3
+    assert out[(base + 1, 0)] == (1, 1, 1.0)
+    assert out[(base + 1, 1)] == (1, 1, 1.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cohort_retention(df, "user_id", "ts", period="fortnight")
+
+
+def test_cohort_retention_no_windows(spark):
+    from file_d_spark.functions.funnel import cohort_retention
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = (
+        cohort_retention(df, "user_id", "ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
