@@ -7,6 +7,7 @@ from file_d_spark.streaming.stateful import (
     dedup_stream,
     multiline_join_stream,
     rolling_zscore_stream,
+    sessionize_stream,
     throttle_stream,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "dedup_stream",
     "multiline_join_stream",
     "rolling_zscore_stream",
+    "sessionize_stream",
     "throttle_stream",
 ]

@@ -26,6 +26,7 @@ from typing import Any, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # The stateful fns run in executor Python workers, which may not have
@@ -586,6 +587,54 @@ def bloom_dedup_stream(
     return src.groupBy("__shard__").applyInPandasWithState(
         fn, out_schema, "words binary", "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization — the continuous twin of the batch
+    ``sessionize`` query, and the engine-native form of the reference's
+    per-stream inactivity timeout (streamer.go stream timeout events:
+    "no activity for N -> the accumulated unit is done").
+
+    Spark-first: this IS ``F.session_window`` — the engine merges
+    events within ``gap`` of each other into per-user sessions in the
+    state store, closes a session when the WATERMARK passes its end
+    (last event + gap), and emits exactly one row per closed session:
+    ``(user, session_start, session_end, n_events)``.  State survives
+    restarts via the checkpoint; a half-built session keeps
+    accumulating after resume (asserted in
+    tests/test_streaming_restart.py).
+
+    Boundary note vs the batch query: the session window is half-open
+    — an event arriving EXACTLY ``gap`` after the previous one starts
+    a new session here, while the batch query's ``gap > 1800`` keeps
+    it.  On real (microsecond) data the exact-boundary gap has measure
+    zero; the fixtures assert equality away from the boundary.
+
+    Scale shape: state is one (user, open-session) row per active
+    user, evicted at the watermark — bounded by ACTIVE users, not
+    history; the shuffle is user-keyed.  At 100 TB/day of events this
+    is the only sessionization shape that doesn't re-sort history
+    every run.
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col), F.session_window(F.col(ts_col), gap).alias("__w__")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("__w__.start").alias("session_start"),
+            F.col("__w__.end").alias("session_end"),
+            "n_events",
+        )
     )
 
 

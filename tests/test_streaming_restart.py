@@ -477,3 +477,55 @@ def test_rolling_zscore_stream_restart_and_batch_parity(spark, tmp_path):
         assert (gr.v_cents, gr.n, gr.zsq_x100) == (
             wr.v_cents, wr.n, wr.zsq_x100,
         ), f"event {eid}: stream {gr} != batch {wr}"
+
+
+def test_sessionize_stream_restart_merges_open_session(spark, tmp_path):
+    """Native session_window twin of the batch sessionize query: (a) a
+    half-built session keeps accumulating across a restart (the closed
+    session counts pre- AND post-restart events); (b) sessions close at
+    last_event + gap and only emit once the watermark passes them."""
+    from file_d_spark.streaming import sessionize_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_schema = "user_id long, ts timestamp"
+    out_schema = (
+        "user_id long, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+
+    def ev(user, hms):
+        return {"user_id": user, "ts": f"2026-01-01T{hms}.000Z"}
+
+    b1 = [
+        ev(1, "00:00:00"), ev(1, "00:10:00"), ev(1, "00:20:00"),
+        ev(2, "00:00:00"),
+    ]
+    # 00:40 is within 30 min of 00:20 -> must EXTEND user 1's
+    # pre-restart session; the probe at 06:00 drags the watermark past
+    # every earlier session end so they all close and emit
+    b2 = [ev(1, "00:40:00"), ev(99, "06:00:00")]
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return sessionize_stream(
+            df, "user_id", "ts", gap="30 minutes", watermark="10 minutes"
+        )
+
+    _write_jsonl(str(in_dir), "b1.jsonl", b1)
+    _drive(make_query(), out_dir, ckpt, lambda q: _inputs_processed(q, 4))
+    assert _read_out(spark, out_dir, out_schema) == []  # watermark behind
+
+    _write_jsonl(str(in_dir), "b2.jsonl", b2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 2,
+    )
+    got = {r.user_id: r for r in _read_out(spark, out_dir, out_schema)}
+    assert set(got) == {1, 2}  # the probe's own session stays open
+    u1 = got[1]
+    assert u1.n_events == 4, "restart lost the open session state"
+    assert u1.session_start.strftime("%H:%M:%S") == "00:00:00"
+    assert u1.session_end.strftime("%H:%M:%S") == "01:10:00"  # 00:40 + gap
+    u2 = got[2]
+    assert u2.n_events == 1
+    assert u2.session_end.strftime("%H:%M:%S") == "00:30:00"
