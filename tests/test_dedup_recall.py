@@ -373,3 +373,37 @@ def test_fuzzy_incremental_dedup_vs_exact(spark, docs):
     assert dup_new  # fixture has cross-split near-dups
     assert {i for i, r in out.items() if not r.kept} == dup_new
     assert all(r.n_near_dups == 0 for i, r in out.items() if r.kept)
+
+
+def test_fuzzy_decontaminate_eval_side_broadcasts(spark, sf_dir):
+    """The scale claim: the corpus never meets a shuffled join — the
+    band join, candidate fetches and verify joins all broadcast the
+    eval-bounded side.  Every hashpartitioning Exchange in the plan
+    must sit above the (candidate-bounded) pair aggregation, never on
+    a corpus-sized shingle/banding frame."""
+    from pyspark.sql import functions as F
+
+    from file_d_spark.functions import dedup
+    from file_d_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.fuzzy_decontaminate(
+        d.filter(F.col("doc_id") % 50 != 0),
+        d.filter(F.col("doc_id") % 50 == 0),
+        "doc_id", "text", n=3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the (band, bucket) candidate join must be broadcast
+    assert "BroadcastHashJoin [band" in plan
+    # no sort-merge join anywhere (a shuffled corpus-side join would
+    # surface as one under AQE with these sizes)
+    assert "SortMergeJoin" not in plan
+    # every hash exchange keys on pair/doc aggregation columns, not on
+    # the banding keys
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "band" not in keys and "bucket" not in keys, (
+            f"banded corpus frame was shuffled: {keys}"
+        )
