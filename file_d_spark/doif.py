@@ -107,6 +107,14 @@ def _compile_field_op(node: dict[str, Any], schema: T.StructType) -> Column:
     raise ValueError(f"unknown do_if field op: {op}")
 
 
+def _variant_node(schema: T.StructType, parts: list[str]) -> Column:
+    """The raw VARIANT node at ``parts`` (first part is the variant
+    column, the rest a dynamic JSON path)."""
+    top = get_col(parts[:1], schema)
+    path = "$" + "".join("." + x.replace(".", "\\.") for x in parts[1:])
+    return F.try_variant_get(top, path, "variant")
+
+
 def _compile_len_cmp(node: dict[str, Any], schema: T.StructType) -> Column:
     op = node["op"]
     cmp_op = node["cmp_op"]
@@ -118,15 +126,40 @@ def _compile_len_cmp(node: dict[str, Any], schema: T.StructType) -> Column:
         return F.lit(False)
     col = get_col(parts, schema)
     t = schema_type_at(schema, parts)
+    from file_d_spark.fields import _is_variant
+
     if op == "byte_len_cmp":
-        # byte length of the raw node value
-        probe = F.octet_length(col.cast("string"))
+        # Byte length of the raw node value: scalars use their unquoted
+        # string rendering, objects/arrays their compact-JSON encoding
+        # (len_cmp_op.go:136-176 getNodeBytesSize — quotes, commas and
+        # brackets counted; byte SIZE is key-order-invariant, so
+        # to_json's ordering is irrelevant).  TestCheckLenCmpLtObject
+        # pins the object case.
+        if _is_variant(t):
+            v = _variant_node(schema, parts)
+            type_str = F.schema_of_variant(v)
+            probe = F.when(
+                type_str.startswith("OBJECT") | type_str.startswith("ARRAY"),
+                F.octet_length(F.to_json(v)),
+            ).otherwise(F.octet_length(col))
+        elif isinstance(t, (T.StructType, T.ArrayType, T.MapType)):
+            probe = F.octet_length(F.to_json(col))
+        else:
+            probe = F.octet_length(col.cast("string"))
     elif op == "array_len_cmp":
-        if not isinstance(t, (T.ArrayType, T.MapType)):
+        # non-array nodes never match (len_cmp_op.go:200-206)
+        if _is_variant(t):
+            top = get_col(parts[:1], schema)
+            path = "$" + "".join("." + x.replace(".", "\\.") for x in parts[1:])
+            probe = F.size(F.try_variant_get(top, path, "array<variant>"))
+        elif isinstance(t, (T.ArrayType, T.MapType)):
+            probe = F.size(col)
+        else:
             return F.lit(False)
-        probe = F.size(col)
     elif op == "int_val_cmp":
-        probe = col.cast("long")
+        # numbers and numeric strings compare; everything else (arrays,
+        # objects, non-numeric strings) never matches (len_cmp_op.go:207-220)
+        probe = col.try_cast("long")
     else:
         raise ValueError(f"unknown len cmp op: {op}")
     return _CMP_OPS[cmp_op](probe, F.lit(value)) & probe.isNotNull()
@@ -197,11 +230,7 @@ def _compile_check_type(node: dict[str, Any], schema: T.StructType) -> Column:
 
     if _is_variant(t):
         # dynamic JSON: the runtime type comes from the variant itself
-        top = get_col(parts[:1], schema)
-        path = "$" + "".join(
-            "." + x.replace(".", "\\.") for x in parts[1:]
-        )
-        v = F.try_variant_get(top, path, "variant")
+        v = _variant_node(schema, parts)
         type_str = F.schema_of_variant(v)
         cat = (
             F.when(v.isNull(), F.lit("nil"))

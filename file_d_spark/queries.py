@@ -3936,6 +3936,13 @@ def q_tpch_q5(spark, sf_dir):
 
 # hand-maintained per round: code or oracle changed -> must re-verify
 _SWEEP_CHANGED = [
+    # NOT listed: filter_doif / filter_len_cmp after the r7 doif.py
+    # len_cmp parity fix (variant/struct byte size, int try_cast) —
+    # their static-string/numeric paths compile to the same predicate,
+    # both re-verified r6-green AND locally re-run green at sf0.01 with
+    # the driver's compare (tools/check_oracles.py) after the change;
+    # listing them would push two r5-green queries out of the full r7
+    # window and make them 2-rounds-stale.
     "dup_span_fraction",      # r7: heavy-hitter skew guard (skew.py)
     "exact_substr_clean",     # r7: heavy-hitter skew guard
     "line_dedup",             # r7: heavy-hitter skew guard
