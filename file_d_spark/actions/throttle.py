@@ -621,77 +621,160 @@ class Cardinality(Action):
 @register("antispam")
 class Antispam(Action):
     """Ban sources emitting more than ``threshold`` events per
-    ``maintenance_interval`` window; exception rules pass through."""
+    ``maintenance_interval`` window.
+
+    Exceptions (antispammer.go:99-112, rules.go Exception): matchrule
+    RuleSets matched against the serialized event — or the source name
+    when ``check_source_name`` — that bypass counting and banning.
+
+    Rules (antispammer.go:113-141, rules.go Rule): ordered list of
+    ``{name, threshold, do_if}``; the FIRST rule whose do_if matches
+    picks the event's threshold — ``-1`` passes unconditionally, ``0``
+    blocks unconditionally, ``N`` overrides the default for that event
+    (the per-source counter is shared across rules).  Rule do_if trees
+    address the pseudo-fields ``event`` (serialized JSON),
+    ``source_name`` and ``meta.*`` (rules.go antispamData.Get).  When
+    rules are set, exceptions are ignored, like the reference.
+
+    Batch shape: per-(source, window) counts vs the per-event
+    threshold — the window-level form of the reference's sequential
+    counter, same as the oracle-checked base semantics.
+    """
 
     def apply_impl(self, df: DataFrame, pred: Column | None) -> DataFrame:
         source_field = self.params.get("source_field", "source_name")
         time_field = self.params.get("time_field", "ts")
         threshold = int(self.params.get("threshold", 0))
+        rules = self.params.get("rules") or []
         interval_s = _parse_duration_seconds(
             self.params.get("maintenance_interval"), 60.0
         )
-        if threshold <= 0:
+        if threshold <= 0 and not rules:
             return df
         if df.isStreaming:
             _require_ungated_stream(pred, "antispam")
+            if rules or self.params.get("exceptions"):
+                raise NotImplementedError(
+                    "antispam rules/exceptions are batch-only; pre-filter "
+                    "the stream with discard+do_if for the same effect"
+                )
             from file_d_spark.streaming import antispam_stream
 
             return antispam_stream(
                 df, source_field, threshold, int(interval_s * 1000)
             )
-        exceptions = self.params.get("exceptions", [])
 
         src = get_col_safe(parse_selector(source_field), df.schema).cast("string")
         tcol = get_col_safe(parse_selector(time_field), df.schema)
-        from pyspark.sql import types as T
 
         t = df.schema[time_field].dataType if time_field in df.columns else None
         ts = xtime.ensure_timestamp(tcol, t, None, context="antispam time_field")
         win = F.floor(F.unix_timestamp(ts) / F.lit(int(interval_s)))
 
-        exc_pred = F.lit(False)
-        for rule in exceptions:
-            field = rule.get("field", source_field)
-            col = get_col_safe(parse_selector(field), df.schema).cast("string")
-            values = rule.get("values", [])
-            if not rule.get("case_sensitive", True):
-                col = F.lower(col)
-                values = [str(v).lower() for v in values]
-            mode = rule.get("mode", "contains")
-            p = F.lit(False)
-            for v in values:
-                v = str(v)
-                if mode == "prefix":
-                    p = p | col.startswith(v)
-                elif mode == "suffix":
-                    p = p | col.endswith(v)
-                else:
-                    p = p | col.contains(v)
-            if rule.get("invert", False):
-                p = ~p
-            exc_pred = exc_pred | p
+        # serialized-event stand-in for the reference's raw event bytes
+        event_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
 
         # gate: non-matching rows bypass — not counted, never banned
         match = F.lit(True) if pred is None else pred
         tagged = (
             df.withColumn("__fd_src__", src)
             .withColumn("__fd_win__", win)
-            .withColumn("__fd_exc__", exc_pred)
             .withColumn("__fd_m__", match)
+            # pseudo-fields the reference's rule/exception checkers see
+            # (rules.go antispamData.Get); pruned by Catalyst when no
+            # rule references them
+            .withColumn("__as_event__", event_json)
+            .withColumn("__as_src__", src)
         )
+
+        if rules:
+            # per-event threshold: first matching rule wins
+            thr: Column = F.lit(int(threshold))
+            for rule in reversed(rules):
+                p = self._rule_pred(rule.get("do_if"), tagged.schema)
+                thr = F.when(p, F.lit(int(rule.get("threshold", 0)))).otherwise(thr)
+            exc_pred = thr == F.lit(-1)  # unlimited: never counted or banned
+            blocked = thr == F.lit(0)
+        else:
+            exc_pred = self._exceptions_pred(tagged.schema)
+            blocked = F.lit(False)
+            thr = F.lit(int(threshold))
+        tagged = (
+            tagged.withColumn("__fd_exc__", exc_pred)
+            .withColumn("__fd_blk__", blocked)
+            .withColumn("__fd_thr__", thr)
+            .drop("__as_event__", "__as_src__")
+        )
+
         counts = (
-            tagged.filter(F.col("__fd_m__") & ~F.col("__fd_exc__"))
+            tagged.filter(
+                F.col("__fd_m__") & ~F.col("__fd_exc__") & ~F.col("__fd_blk__")
+            )
             .groupBy("__fd_src__", "__fd_win__")
             .agg(F.count(F.lit(1)).alias("__fd_n__"))
-            .filter(F.col("__fd_n__") > threshold)
-            .select("__fd_src__", "__fd_win__")
-            .withColumn("__fd_ban__", F.lit(True))
         )
-        # single broadcast left join (was anti ∪ semi — two joins)
+        if not rules:
+            # single fixed threshold: ship only over-threshold windows
+            counts = counts.filter(F.col("__fd_n__") > threshold)
+        # broadcast join: banned-window (or window-count) side is small
         flagged = tagged.join(
             F.broadcast(counts), ["__fd_src__", "__fd_win__"], "left"
         )
-        out = flagged.filter(
-            ~F.col("__fd_m__") | F.col("__fd_ban__").isNull() | F.col("__fd_exc__")
+        banned = F.col("__fd_m__") & ~F.col("__fd_exc__") & (
+            F.col("__fd_blk__")
+            | (F.coalesce(F.col("__fd_n__"), F.lit(0)) > F.col("__fd_thr__"))
         )
-        return out.drop("__fd_src__", "__fd_win__", "__fd_exc__", "__fd_m__", "__fd_ban__")
+        out = flagged.filter(~banned)
+        return out.drop(
+            "__fd_src__", "__fd_win__", "__fd_exc__", "__fd_blk__",
+            "__fd_thr__", "__fd_m__", "__fd_n__",
+        )
+
+    @staticmethod
+    def _pseudo_tree(tree: dict) -> dict:
+        """Rewrite antispam pseudo-field selectors (rules.go
+        antispamData.Get: event | source_name | meta.*) to the helper
+        columns."""
+        out = dict(tree)
+        if "operands" in out:
+            out["operands"] = [Antispam._pseudo_tree(c) for c in out["operands"]]
+            return out
+        field = out.get("field", "")
+        if field == "event":
+            out["field"] = "__as_event__"
+        elif field == "source_name":
+            out["field"] = "__as_src__"
+        return out
+
+    def _rule_pred(self, tree: dict | None, schema) -> Column:
+        if not tree:
+            return F.lit(False)
+        from file_d_spark.doif import compile_doif
+
+        return F.coalesce(
+            compile_doif(self._pseudo_tree(tree), schema), F.lit(False)
+        )
+
+    def _exceptions_pred(self, schema) -> Column:
+        from file_d_spark.matchrule import rule_pred, ruleset_pred
+
+        exc_pred = F.lit(False)
+        for exc in self.params.get("exceptions", []) or []:
+            if "rules" in exc:
+                # reference shape: matchrule RuleSet (+check_source_name)
+                col = (
+                    F.col("__as_src__")
+                    if exc.get("check_source_name")
+                    else F.col("__as_event__")
+                )
+                exc_pred = exc_pred | ruleset_pred(col, exc)
+                continue
+            # legacy single-rule form: {field, mode, values, ...}
+            field = exc.get("field", self.params.get("source_field", "source_name"))
+            col = get_col_safe(parse_selector(field), schema).cast("string")
+            rule = dict(exc)
+            rule.setdefault("mode", "contains")
+            if not exc.get("case_sensitive", True):
+                rule["case_insensitive"] = True
+            exc_pred = exc_pred | rule_pred(col, rule)
+        return exc_pred
