@@ -207,6 +207,27 @@ class PipelineInspector:
 
             def do_POST(self):
                 parts = [p for p in self.path.split("/") if p]
+                if parts == ["api", "v1", "play"]:
+                    # the reference's playground endpoint
+                    # (playground_handler.go:72-118): 1 MiB body cap,
+                    # validation errors -> 400
+                    from file_d_spark.playground import parse_request, play
+
+                    try:
+                        length = int(self.headers.get("Content-Length", 0))
+                        if length > 1 << 20:
+                            return self.send_error(400, "body too large")
+                        req = parse_request(self.rfile.read(length))
+                        spark = insp.frames[0].sparkSession
+                        return self._json(play(spark, req))
+                    except Exception as ex:
+                        self.send_response(400)
+                        self.send_header("Content-Type", "application/json")
+                        self.end_headers()
+                        self.wfile.write(
+                            json.dumps({"error": str(ex)}).encode()
+                        )
+                        return
                 if parts == ["pipelines", name, "0", "reset"]:
                     if resetter is None:
                         return self.send_error(

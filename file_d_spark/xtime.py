@@ -167,9 +167,19 @@ def format_time(ts: Column, fmt: str | None) -> Column:
     # optional-section brackets are parse-only; strip for formatting.
     # 'ppd' (Go _2 space-padded day) has no Spark formatter equivalent —
     # plain 'd' (width divergence documented vs Go's space pad)
-    return F.date_format(
+    rendered = F.date_format(
         ts, pattern.replace("[", "").replace("]", "").replace("ppd", "d")
     )
+    if "[.S" in pattern:
+        # bracketed fraction = Go '9'-style (.999999999): trailing
+        # fractional zeros are DROPPED, a whole second renders with no
+        # fraction at all (time.Format semantics — rfc3339nano
+        # "...:09Z", not "...:09.000000000Z").  The fraction is the
+        # pattern's only dot-digits run, so an end-anchored trim is
+        # exact.
+        rendered = F.regexp_replace(rendered, r"(\.\d*?)0+(\D.*)?$", r"$1$2")
+        rendered = F.regexp_replace(rendered, r"\.(\D.*)?$", r"$1")
+    return rendered
 
 
 def ensure_timestamp(

@@ -45,3 +45,30 @@ def test_unparsable_yields_null(spark):
         df.select(xtime.parse_time(F.col("s"), "rfc3339").alias("t")).collect()[0].t
         is None
     )
+
+
+def test_rfc3339nano_strips_trailing_zeros(spark):
+    """Go time.Format with .999999999 drops trailing fractional zeros
+    (playground_handler_test.go expects "...:09Z" after convert_date to
+    rfc3339nano); .000-style Go fractions keep their zeros."""
+    df = spark.createDataFrame(
+        [("2023-08-21T10:01:09Z", "2023-08-21T10:01:09.5Z",
+          "2023-08-21T10:01:09.282965Z")],
+        "whole string, half string, micro string",
+    )
+    row = df.select(
+        *[
+            xtime.format_time(
+                xtime.parse_time(F.col(c), "rfc3339nano"), "rfc3339nano"
+            ).alias(c)
+            for c in ("whole", "half", "micro")
+        ],
+        xtime.format_time(
+            xtime.parse_time(F.col("half"), "rfc3339nano"),
+            "15:04:05.000",  # Go zero-fraction: zeros preserved
+        ).alias("zeros"),
+    ).collect()[0]
+    assert row.whole == "2023-08-21T10:01:09Z"
+    assert row.half == "2023-08-21T10:01:09.5Z"
+    assert row.micro == "2023-08-21T10:01:09.282965Z"
+    assert row.zeros == "10:01:09.500"
