@@ -105,6 +105,29 @@ class PipelineInspector:
             out.extend({"action": i, "source": r.s} for r in banned)
         return out
 
+    # -- /pipelines/<name> ----------------------------------------------
+    def dump(self) -> str:
+        """Pipeline overview as the reference's HTML-pre dump
+        (pipeline.go:942-949 writes the streamer and event-pool state;
+        the lazy engine's live state is its action chain, per-boundary
+        counters and the output schema)."""
+        counts = [f.count() for f in self.frames]
+        lines = [f"pipeline {self.plan.name}", ""]
+        lines.append(f"input events: {counts[0]}")
+        for i, typ in enumerate(self.action_types):
+            lines.append(
+                f"  action {i} {typ}: received={counts[i]} "
+                f"passed={counts[i + 1]} "
+                f"discarded={max(counts[i] - counts[i + 1], 0)}"
+            )
+        lines.append(f"output events: {counts[-1]}")
+        lines.append("")
+        lines.append("output schema:")
+        for f in self.result.schema.fields:
+            lines.append(f"  {f.name}: {f.dataType.simpleString()}")
+        body = "\n".join(lines)
+        return f"<html><body><pre><p>{body}</p></pre></body></html>"
+
     # -- /metrics -------------------------------------------------------
     def prometheus(self) -> str:
         """Prometheus scrape body: pipeline input/output totals plus
@@ -189,7 +212,23 @@ class PipelineInspector:
                             insp.prometheus(),
                             "text/plain; version=0.0.4; charset=utf-8",
                         )
+                    if parts == ["log", "level"]:
+                        # zap's level handler shape (file.d.go:347:
+                        # mux.Handle("/log/level", logger.Level))
+                        import logging
+
+                        lvl = logging.getLogger("file_d_spark")
+                        return self._json(
+                            {"level": logging.getLevelName(
+                                lvl.getEffectiveLevel()).lower()}
+                        )
                     if parts[:2] == ["pipelines", name]:
+                        if parts[2:] == []:
+                            # pipeline overview dump (pipeline.go:942-949
+                            # renders streamer/event-pool state; the lazy
+                            # engine's state is its action chain + frame
+                            # counters)
+                            return self._text(insp.dump(), "text/html")
                         if parts[2:] == ["ban_list"]:
                             return self._json(insp.ban_list())
                         if len(parts) == 5 and parts[2] == "action":
@@ -204,6 +243,37 @@ class PipelineInspector:
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()
                     self.wfile.write(json.dumps({"error": str(ex)}).encode())
+
+            def do_PUT(self):
+                parts = [p for p in self.path.split("/") if p]
+                if parts == ["log", "level"]:
+                    # zap level handler accepts PUT {"level": "..."}
+                    import logging
+
+                    try:
+                        length = int(self.headers.get("Content-Length", 0))
+                        req = json.loads(self.rfile.read(length) or b"{}")
+                        level = str(req["level"]).upper()
+                        if level not in (
+                            "DEBUG", "INFO", "WARNING", "WARN", "ERROR",
+                            "CRITICAL", "FATAL",
+                        ):
+                            raise ValueError(f"unrecognized level: {level}")
+                        logging.getLogger("file_d_spark").setLevel(
+                            {"WARN": "WARNING", "FATAL": "CRITICAL"}.get(
+                                level, level
+                            )
+                        )
+                        return self._json({"level": level.lower()})
+                    except Exception as ex:
+                        self.send_response(400)
+                        self.send_header("Content-Type", "application/json")
+                        self.end_headers()
+                        self.wfile.write(
+                            json.dumps({"error": str(ex)}).encode()
+                        )
+                        return
+                self.send_error(404)
 
             def do_POST(self):
                 parts = [p for p in self.path.split("/") if p]

@@ -179,3 +179,61 @@ def test_prom_registry_escaping_and_gauge():
     assert samples[("file_d_c_total", (("path", 'a\\"b\\\\c'),))] == 5
     assert samples[("file_d_g", (("kind", "x"),))] == 1.5
     assert "# TYPE file_d_g gauge" in text
+
+
+def test_pipeline_dump_and_log_level(spark):
+    """GET /pipelines/<name> overview dump (pipeline.go:942-949) and
+    the zap-style /log/level handler (file.d.go:347)."""
+    import json as _json
+    import logging
+    import urllib.request
+
+    from file_d_spark import Pipeline
+    from file_d_spark.introspect import PipelineInspector
+
+    df = spark.createDataFrame([("a",), ("b",)], "f string")
+    insp = PipelineInspector(
+        Pipeline.from_dict(
+            {
+                "actions": [
+                    {"type": "discard", "do_if": {
+                        "op": "equal", "field": "f", "values": ["a"]}},
+                ],
+            },
+            name="dumpme",
+        ),
+        df,
+    )
+    srv = insp.serve(port=0)
+    try:
+        port = srv.server_address[1]
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/pipelines/dumpme", timeout=60
+        ).read().decode()
+        assert "<pre>" in page and "pipeline dumpme" in page
+        assert "action 0 discard: received=2 passed=1 discarded=1" in page
+        assert "f: string" in page
+
+        lvl = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/log/level", timeout=60).read())
+        assert "level" in lvl
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/log/level",
+            data=b'{"level": "debug"}', method="PUT")
+        resp = _json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert resp == {"level": "debug"}
+        assert logging.getLogger("file_d_spark").level == logging.DEBUG
+        # restore + bad level -> 400
+        logging.getLogger("file_d_spark").setLevel(logging.NOTSET)
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/log/level",
+            data=b'{"level": "nope"}', method="PUT")
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            code = 200
+        except urllib.error.HTTPError as ex:
+            code = ex.code
+        assert code == 400
+    finally:
+        srv.shutdown()
