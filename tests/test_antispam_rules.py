@@ -143,3 +143,31 @@ def test_antispam_rules_custom_threshold_bans_past_limit(spark):
     # 4 events > rule threshold 3 -> the window is banned despite the
     # permissive default threshold
     assert out == []
+
+
+def test_antispam_event_serialization_pruned(spark):
+    """The to_json event serialization (the __as_event__ pseudo-field)
+    must be pruned by Catalyst when no rule/exception references the
+    `event` pseudo-field — at 100 TB serializing every row to JSON just
+    to throw it away would dominate the stage."""
+    df = spark.createDataFrame(
+        [("s1", "2024-01-01T00:00:00Z", "x")],
+        "source_name string, ts string, payload string",
+    )
+    src_only = Pipeline.from_dict({"actions": [{
+        "type": "antispam", "threshold": 2, "maintenance_interval": "1m",
+        "rules": [{"name": "r", "threshold": -1,
+                   "do_if": {"op": "equal", "field": "source_name",
+                             "values": ["vip"]}}],
+    }]})
+    plan = src_only.apply(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "StructsToJson" not in plan
+
+    event_rule = Pipeline.from_dict({"actions": [{
+        "type": "antispam", "threshold": 2, "maintenance_interval": "1m",
+        "rules": [{"name": "r", "threshold": -1,
+                   "do_if": {"op": "prefix", "field": "event",
+                             "values": ['{"source_name"']}}],
+    }]})
+    plan = event_rule.apply(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "StructsToJson" in plan  # needed, therefore present
