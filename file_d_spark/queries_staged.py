@@ -5,9 +5,16 @@ This round's 50-row driver verification window is exactly full (see
 now would evict entries whose driver evidence is already two rounds
 old.  The six operators below are therefore implemented and
 unit-tested THIS round, with their ``(query fn, oracle SQL)`` pairs
-validated against DuckDB by ``tests/test_staged_queries.py`` — and
-move into ``queries.py`` proper (one ``@query`` block each, plus
-``_SWEEP_CHANGED`` bookkeeping) at the next round's window.
+validated against DuckDB by ``tests/test_staged_queries.py``.
+
+Registration plan: the sustainable registry size is 100 (the driver
+records 50 rows per round; every query must re-verify within two
+rounds), so at the next round FIVE of the six move into ``queries.py``
+proper (one ``@query`` block each, plus ``_SWEEP_CHANGED``
+bookkeeping): funnel_steps, domain_cap, dedup_incremental_fuzzy,
+cohort_retention, unimax_mixture.  ``quantile_normalize`` stays staged
+as the validated spare, to swap in if a registered query is ever
+retired.
 
 Nothing imports this module at runtime; it exists so the staged
 oracles are exercised continuously instead of bit-rotting until
