@@ -74,8 +74,11 @@ def _compile_field_op(node: dict[str, Any], schema: T.StructType) -> Column:
 
     result = F.lit(False)
     if op == "equal":
+        # every leaf must be two-valued like the reference's checkers:
+        # isin() alone is NULL for a NULL field, and a wrapping `not`
+        # would turn that NULL into false instead of true
         if str_values:
-            result = col.isin(str_values)
+            result = col.isin(str_values) & col.isNotNull()
         if has_null_value:
             result = result | col.isNull()
         return result
