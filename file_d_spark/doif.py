@@ -190,6 +190,17 @@ def _compile_ts_cmp(node: dict[str, Any], schema: T.StructType) -> Column:
         # current_timestamp() is per-query constant — same semantics.
         cmp_val: Column = F.current_timestamp()
     else:
+        # the reference parses the constant at tree-build time and
+        # errors on garbage (ts_cmp_op.go ctor); a NULL literal here
+        # would silently leak three-valued logic through `not`
+        import datetime as _dt
+
+        try:
+            _dt.datetime.fromisoformat(str(raw_value).replace("Z", "+00:00"))
+        except ValueError:
+            raise ValueError(
+                f"ts_cmp: unparseable constant value: {raw_value!r}"
+            ) from None
         cmp_val = F.lit(str(raw_value)).cast("timestamp")
     if shift_ns:
         cmp_val = F.timestamp_micros(F.unix_micros(cmp_val) + F.lit(shift_ns // 1000))

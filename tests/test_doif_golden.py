@@ -464,3 +464,16 @@ def test_byte_len_cmp_static_struct(spark):
         pred = compile_doif(tree, df.schema)
         got = df.select(F.coalesce(pred, F.lit(False)).alias("g")).head().g
         assert got is want_true, (field, n)
+
+
+def test_ts_cmp_bad_constant_rejected(spark):
+    """The reference errors at tree-build time on an unparseable ts_cmp
+    constant (ts_cmp_op.go ctor); a NULL literal would silently leak
+    three-valued logic through `not`."""
+    df = spark.createDataFrame([("2024-01-01T00:00:00Z",)], "ts string")
+    with pytest.raises(ValueError, match="unparseable constant"):
+        compile_doif(
+            {"op": "ts_cmp", "field": "ts", "cmp_op": "lt",
+             "format": "rfc3339", "value": "not a time"},
+            df.schema,
+        )
