@@ -477,3 +477,26 @@ def test_ts_cmp_bad_constant_rejected(spark):
              "format": "rfc3339", "value": "not a time"},
             df.schema,
         )
+
+
+def test_check_type_doc_example(spark):
+    """check_type doc example (check_type_op.go doc block): discard
+    NOT(check_type(log, [obj, arr]))."""
+    events = [
+        ('{"log":{"message":"test"}}', True),    # kept (not discarded)
+        ('{"log":[{"message":"test"}]}', True),
+        ('{"log":"test"}', False),
+        ('{"log":123}', False),
+        ('{"log":null}', False),
+        ('{"not_log":{"test":"test"}}', False),
+    ]
+    df = spark.createDataFrame([(e,) for e, _ in events], "raw string")
+    df = df.withColumn("ev", F.try_parse_json("raw"))
+    discard = compile_doif(
+        {"op": "not", "operands": [
+            {"op": "check_type", "field": "ev.log", "values": ["obj", "arr"]}]},
+        df.schema,
+    )
+    kept = {r.raw for r in df.filter(~F.coalesce(discard, F.lit(False))).collect()}
+    for e, want_kept in events:
+        assert (e in kept) is want_kept, e

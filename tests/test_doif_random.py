@@ -55,8 +55,15 @@ def gen_event(rng: random.Random) -> dict:
 def gen_leaf(rng: random.Random) -> dict:
     kind = rng.choice(
         ["equal", "contains", "contains_any", "prefix", "suffix",
-         "byte_len_cmp", "array_len_cmp", "int_val_cmp"]
+         "byte_len_cmp", "array_len_cmp", "int_val_cmp", "check_type"]
     )
+    if kind == "check_type":
+        cats = ["object", "arr", "number", "str", "null", "nil"]
+        return {
+            "op": kind,
+            "field": rng.choice(SCALAR_FIELDS + COMPLEX_FIELDS),
+            "values": rng.sample(cats, rng.randint(1, 3)),
+        }
     if kind in ("byte_len_cmp", "int_val_cmp"):
         return {
             "op": kind,
@@ -155,6 +162,23 @@ def ref_eval(tree: dict, ev: dict) -> bool:
         if not isinstance(raw, list):
             return False
         return _CMP[tree["cmp_op"]](len(raw), tree["value"])
+    if op == "check_type":
+        aliases = {"obj": "object", "arr": "array",
+                   "num": "number", "str": "string"}
+        values = [aliases.get(v, v) for v in tree["values"]]
+        if not present:
+            cat = "nil"
+        elif raw is None:
+            cat = "null"
+        elif isinstance(raw, dict):
+            cat = "object"
+        elif isinstance(raw, list):
+            cat = "array"
+        elif isinstance(raw, str):
+            cat = "string"
+        else:
+            cat = "number"
+        return cat in values
     if op == "int_val_cmp":
         if not present:
             return False
