@@ -520,24 +520,21 @@ def _banded_signatures(
     sig = hashed.select(
         "doc", minhash_signature(F.col("__base__"), num_hashes).alias("sig")
     )
+    # one SQL string instead of bands*rows Column objects: building
+    # ~80 py4j Columns costs ~0.5 s of plan-build per banded frame
+    # (pure driver time, paid on every plan); the parsed expression is
+    # identical, so results are bit-equal
+    structs = ", ".join(
+        "struct({b} as band, xxhash64({refs}) as bucket)".format(
+            b=b,
+            refs=", ".join(
+                f"sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
     if cache:
         return _register_cache(banded.cache())
