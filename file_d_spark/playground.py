@@ -12,6 +12,11 @@ rows plus the per-action prometheus counters.
 Validation matches the reference (playground_handler.go:104-107):
 1-32 events, at most 64 actions; ``actions_type: yaml`` accepts the
 actions list as a YAML string (playground_handler.go:136-148).
+
+Known divergence: the batch engine is typed, so the event schema is
+INFERRED over the whole batch — a field present in one event and
+absent in another serializes as an explicit ``null`` for the event
+that lacks it (the reference's dynamic JSON would omit it).
 """
 
 from __future__ import annotations
