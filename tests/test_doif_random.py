@@ -226,3 +226,69 @@ def test_doif_random_differential(spark):
             if got is not want:
                 mismatches.append((json.dumps(ev), t, want, got))
     assert not mismatches, mismatches[:3]
+
+
+def test_match_fields_random_differential(spark):
+    """Same differential harness for the legacy match_fields matcher
+    (processor.go:331-402): exact values, /regex/ literals, lists,
+    AND/OR modes, invert."""
+    from file_d_spark.doif import compile_match_fields
+
+    rng = random.Random(SEED + 1)
+    events = [gen_event(rng) for _ in range(N_EVENTS)]
+
+    def gen_mf(rng):
+        fields = {}
+        for f in rng.sample(SCALAR_FIELDS, rng.randint(1, 2)):
+            vals = []
+            for _ in range(rng.randint(1, 2)):
+                if rng.random() < 0.3:
+                    vals.append("/" + rng.choice(["test-.", "a.*a", "^x$"]) + "/")
+                else:
+                    vals.append(rng.choice(WORDS))
+            fields[f] = vals if len(vals) > 1 else vals[0]
+        return fields, rng.choice(["and", "or"]), rng.random() < 0.4
+
+    import re as _re
+
+    def ref_mf(fields, mode, invert, ev):
+        preds = []
+        for f, want in fields.items():
+            values = want if isinstance(want, list) else [want]
+            s = _as_string(ev.get(f)) if f in ev else None
+            if s is None:
+                preds.append(False)
+                continue
+            ok = False
+            for v in values:
+                if len(v) >= 2 and v.startswith("/") and v.endswith("/"):
+                    ok = ok or _re.search(v[1:-1], s) is not None
+                else:
+                    ok = ok or s == v
+            preds.append(ok)
+        result = all(preds) if mode == "and" else any(preds)
+        return (not result) if invert else result
+
+    matchers = [gen_mf(rng) for _ in range(32)]
+    df = spark.createDataFrame(
+        [(i, json.dumps(ev)) for i, ev in enumerate(events)], "i int, raw string"
+    ).withColumn("ev", F.try_parse_json("raw"))
+    cols = [
+        F.coalesce(
+            compile_match_fields(
+                {f"ev.{f}": v for f, v in fields.items()}, df.schema,
+                mode=mode, invert=invert,
+            ),
+            F.lit(False),
+        ).alias(f"m{j}")
+        for j, (fields, mode, invert) in enumerate(matchers)
+    ]
+    rows = {r.i: r for r in df.select("i", *cols).collect()}
+    mismatches = []
+    for i, ev in enumerate(events):
+        for j, (fields, mode, invert) in enumerate(matchers):
+            want = ref_mf(fields, mode, invert, ev)
+            got = rows[i][f"m{j}"]
+            if got is not want:
+                mismatches.append((json.dumps(ev), fields, mode, invert, want, got))
+    assert not mismatches, mismatches[:3]
