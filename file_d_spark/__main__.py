@@ -1,0 +1,226 @@
+"""``python -m file_d_spark`` — the daemon entrypoint.
+
+The reference runs as ``file.d --config config.yaml [--http :9000]``
+(/root/reference/cmd/file.d/file.d.go:76-91): load every config file,
+start all pipelines, serve the HTTP control plane, stop gracefully on
+SIGTERM.  Same surface here: each pipeline becomes one Structured
+Streaming query (checkpointed under ``--checkpoint-root/<name>``), and
+the control plane serves the daemon subset of the introspection
+endpoints — /live, /ready (503 while stopping, file.d.go:388-398),
+/metrics (streaming progress counters), /log/level, /api/v1/play, and
+/pipelines (per-query streaming status).
+
+``--once`` drains every source with an availableNow trigger and exits
+when all queries finish — the batch-backfill mode; without it the
+daemon runs until SIGTERM/SIGINT.
+
+Go-runtime knobs of the reference CLI (--mem-limit-ratio,
+--disable-fields-caching) have no Spark analogue and are not exposed;
+executor memory is the cluster's concern.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import signal
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+log = logging.getLogger("file_d_spark.daemon")
+
+
+def load_pipelines(config_paths: list[str]):
+    """Merge the pipelines of every --config file (the reference's
+    repeatable --config: later files add pipelines; a duplicate
+    pipeline name is a config error)."""
+    from file_d_spark import Pipeline
+
+    merged: dict[str, Pipeline] = {}
+    for path in config_paths:
+        with open(path) as fh:
+            for name, p in Pipeline.all_from_yaml(fh.read()).items():
+                if name in merged:
+                    raise ValueError(
+                        f"pipeline {name!r} defined in more than one config"
+                    )
+                merged[name] = p
+    if not merged:
+        raise ValueError("no pipelines configured")
+    return merged
+
+
+def serve_control_plane(spark, queries: dict, state: dict, host: str, port: int):
+    """The daemon HTTP mux (file.d.go:327-373 minus Go pprof/runtime
+    knobs).  Returns the ThreadingHTTPServer (already serving)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, payload, code=200):
+            body = json.dumps(payload, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            parts = [p for p in self.path.split("/") if p]
+            if parts == ["live"]:
+                return self._json({})
+            if parts == ["ready"]:
+                if state.get("stopping"):
+                    return self.send_error(503)
+                return self._json({})
+            if parts == ["log", "level"]:
+                lvl = logging.getLogger("file_d_spark")
+                return self._json(
+                    {"level": logging.getLevelName(lvl.getEffectiveLevel()).lower()}
+                )
+            if parts == ["metrics"]:
+                from file_d_spark.metrics import PromRegistry
+
+                reg = PromRegistry()
+                reg.counter(
+                    "output_plugin_events_count_total",
+                    "Rows written per pipeline (streaming progress)",
+                )
+                for name, q in queries.items():
+                    rows = 0
+                    for prog in q.recentProgress:
+                        rows += int(prog["sink"].get("numOutputRows", 0) or 0)
+                    reg.inc(
+                        "output_plugin_events_count_total", rows, pipeline=name
+                    )
+                body = reg.render().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if parts == ["pipelines"]:
+                return self._json(
+                    {
+                        name: {
+                            "active": q.isActive,
+                            "status": q.status,
+                        }
+                        for name, q in queries.items()
+                    }
+                )
+            self.send_error(404)
+
+        def do_PUT(self):
+            if [p for p in self.path.split("/") if p] == ["log", "level"]:
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    level = str(req["level"]).upper()
+                    mapped = {"WARN": "WARNING", "FATAL": "CRITICAL"}.get(
+                        level, level
+                    )
+                    if mapped not in (
+                        "DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL",
+                    ):
+                        raise ValueError(f"unrecognized level: {level}")
+                    logging.getLogger("file_d_spark").setLevel(mapped)
+                    return self._json({"level": level.lower()})
+                except Exception as ex:
+                    return self._json({"error": str(ex)}, code=400)
+            self.send_error(404)
+
+        def do_POST(self):
+            if [p for p in self.path.split("/") if p] == ["api", "v1", "play"]:
+                from file_d_spark.playground import parse_request, play
+
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    if length > 1 << 20:
+                        return self.send_error(400, "body too large")
+                    req = parse_request(self.rfile.read(length))
+                    return self._json(play(spark, req))
+                except Exception as ex:
+                    return self._json({"error": str(ex)}, code=400)
+            self.send_error(404)
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m file_d_spark",
+        description="Run file.d-style pipelines on Spark Structured Streaming",
+    )
+    ap.add_argument(
+        "--config", action="append", required=True,
+        help="config file (repeat to merge several, like the reference)",
+    )
+    ap.add_argument(
+        "--http", default="127.0.0.1:9000",
+        help='control-plane listen addr "host:port", or "off"',
+    )
+    ap.add_argument("--checkpoint-root", required=True,
+                    help="root directory for per-pipeline checkpoints")
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="local[N] core count (default: all)")
+    ap.add_argument("--once", action="store_true",
+                    help="drain available input and exit (availableNow)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from file_d_spark import Pipeline, get_spark
+
+    pipelines = load_pipelines(args.config)
+    # embedding (tests, notebooks): reuse a live session and leave it
+    # running on exit; standalone daemon: own the session lifecycle
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("file_d_spark", cpus=args.cpus)
+    state = {"stopping": False}
+
+    queries = Pipeline.run_all_streams(
+        pipelines, spark, args.checkpoint_root,
+        trigger_available_now=args.once,
+    )
+    log.info("started %d pipelines: %s", len(queries), sorted(queries))
+
+    srv = None
+    if args.http != "off":
+        host, _, port = args.http.rpartition(":")
+        srv = serve_control_plane(
+            spark, queries, state, host or "127.0.0.1", int(port)
+        )
+        log.info("control plane on %s", args.http)
+
+    def stop(*_sig):
+        state["stopping"] = True
+        for q in queries.values():
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+    signal.signal(signal.SIGTERM, stop)
+    signal.signal(signal.SIGINT, stop)
+
+    try:
+        for q in queries.values():
+            q.awaitTermination()
+    finally:
+        state["stopping"] = True
+        if srv is not None:
+            srv.shutdown()
+        if owns_session:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""Daemon entrypoint (python -m file_d_spark) tests.
+
+Mirrors the reference's cmd/file.d surface
+(/root/reference/cmd/file.d/file.d.go:76-91): repeatable --config
+merge, full config->pipelines->streams->sink drain with --once, and
+the daemon control plane (live/ready/metrics/log-level/play/pipelines).
+"""
+
+import json
+import os
+import urllib.request
+
+import pytest
+
+from file_d_spark.__main__ import load_pipelines, main, serve_control_plane
+
+
+def _write(path, text):
+    with open(path, "w") as fh:
+        fh.write(text)
+    return path
+
+
+def test_load_pipelines_merges_and_rejects_duplicates(tmp_path):
+    a = _write(tmp_path / "a.yaml", """
+pipelines:
+  one:
+    actions: []
+""")
+    b = _write(tmp_path / "b.yaml", """
+pipelines:
+  two:
+    actions: []
+""")
+    merged = load_pipelines([str(a), str(b)])
+    assert sorted(merged) == ["one", "two"]
+    with pytest.raises(ValueError, match="more than one config"):
+        load_pipelines([str(a), str(a)])
+
+
+def test_main_once_drains_file_to_file(tmp_path, spark):
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    ck = tmp_path / "ck"
+    src.mkdir()
+    _write(src / "events.jsonl", "\n".join(
+        json.dumps({"level": lvl, "message": f"m{i}"})
+        for i, lvl in enumerate(["info", "debug", "info", "error"])
+    ))
+    cfg = _write(tmp_path / "fd.yaml", f"""
+pipelines:
+  demo:
+    settings:
+      decoder: json
+      decoder_params: {{schema: "level string, message string"}}
+    input:
+      type: file
+      path: {src}
+      filename_pattern: "*.jsonl"
+    actions:
+      - type: discard
+        do_if: {{op: equal, field: level, values: [debug]}}
+    output:
+      type: file
+      path: {dst}
+      format: json
+""")
+    rc = main([
+        "--config", str(cfg),
+        "--checkpoint-root", str(ck),
+        "--http", "off",
+        "--once",
+        "--cpus", "4",
+    ])
+    assert rc == 0
+    rows = []
+    for root, _dirs, files in os.walk(dst):
+        for f in files:
+            if f.endswith(".json"):
+                with open(os.path.join(root, f)) as fh:
+                    rows += [json.loads(line) for line in fh if line.strip()]
+    assert sorted(r["message"] for r in rows) == ["m0", "m2", "m3"]
+    assert all(r["level"] != "debug" for r in rows)
+
+
+def test_control_plane_endpoints(spark):
+    class FakeQuery:
+        isActive = True
+        status = {"message": "ok"}
+        recentProgress = [{"sink": {"numOutputRows": 7}},
+                          {"sink": {"numOutputRows": 5}}]
+
+    state = {"stopping": False}
+    srv = serve_control_plane(
+        spark, {"demo": FakeQuery()}, state, "127.0.0.1", 0
+    )
+    try:
+        port = srv.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        assert urllib.request.urlopen(f"{base}/live", timeout=30).status == 200
+        assert urllib.request.urlopen(f"{base}/ready", timeout=30).status == 200
+        pipes = json.loads(
+            urllib.request.urlopen(f"{base}/pipelines", timeout=30).read())
+        assert pipes["demo"]["active"] is True
+        metrics = urllib.request.urlopen(
+            f"{base}/metrics", timeout=30).read().decode()
+        assert 'pipeline="demo"' in metrics and "12" in metrics
+        play = json.loads(urllib.request.urlopen(urllib.request.Request(
+            f"{base}/api/v1/play",
+            data=json.dumps({
+                "events": [{"a": "x"}],
+                "actions": [{"type": "modify", "b": "${a}!"}],
+            }).encode(),
+        ), timeout=120).read())
+        assert play["result"] == [{"a": "x", "b": "x!"}]
+        # stopping flips /ready to 503 (file.d.go:388-398)
+        state["stopping"] = True
+        try:
+            urllib.request.urlopen(f"{base}/ready", timeout=30)
+            code = 200
+        except urllib.error.HTTPError as ex:
+            code = ex.code
+        assert code == 503
+    finally:
+        srv.shutdown()
