@@ -185,6 +185,18 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("file_d_spark", cpus=args.cpus)
     state = {"stopping": False}
 
+    # register BEFORE starting streams: a SIGTERM landing during the
+    # multi-second query-startup window must still stop the daemon
+    # cleanly.  The handler only flips a flag — the main thread must
+    # not be deep in a py4j call when the signal lands (a handler that
+    # itself calls into the JVM mid-recv is unreliable), so the wait
+    # below is a pure-Python sleep loop the signal interrupts cleanly.
+    def stop(*_sig):
+        state["stopping"] = True
+
+    signal.signal(signal.SIGTERM, stop)
+    signal.signal(signal.SIGINT, stop)
+
     queries = Pipeline.run_all_streams(
         pipelines, spark, args.checkpoint_root,
         trigger_available_now=args.once,
@@ -199,20 +211,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         log.info("control plane on %s", args.http)
 
-    def stop(*_sig):
-        state["stopping"] = True
+    import time
+
+    try:
+        while not state["stopping"] and any(
+            q.isActive for q in queries.values()
+        ):
+            time.sleep(0.5)
         for q in queries.values():
             try:
                 q.stop()
             except Exception:
                 pass
-
-    signal.signal(signal.SIGTERM, stop)
-    signal.signal(signal.SIGINT, stop)
-
-    try:
         for q in queries.values():
-            q.awaitTermination()
+            try:
+                q.awaitTermination()
+            except Exception:
+                pass
     finally:
         state["stopping"] = True
         if srv is not None:

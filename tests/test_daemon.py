@@ -123,3 +123,54 @@ def test_control_plane_endpoints(spark):
         assert code == 503
     finally:
         srv.shutdown()
+
+
+def test_daemon_sigterm_graceful(tmp_path):
+    """Real daemon subprocess: serves /ready, stops cleanly on SIGTERM
+    (file.d.go main: signal handler -> pipeline stop -> exit 0)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src / "e.jsonl", json.dumps({"level": "info", "message": "m"}))
+    cfg = _write(tmp_path / "fd.yaml", f"""
+pipelines:
+  demo:
+    settings:
+      decoder: json
+      decoder_params: {{schema: "level string, message string"}}
+    input:
+      type: file
+      path: {src}
+      filename_pattern: "*.jsonl"
+    output:
+      type: file
+      path: {tmp_path}/out
+      format: json
+""")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "file_d_spark",
+         "--config", str(cfg),
+         "--checkpoint-root", str(tmp_path / "ck"),
+         "--http", "127.0.0.1:0", "--cpus", "2"],
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        # the daemon binds an ephemeral port; poll until the stream is
+        # running (output dir appears), then signal
+        deadline = time.time() + 120
+        while time.time() < deadline and not (tmp_path / "out").exists():
+            if proc.poll() is not None:
+                raise AssertionError(
+                    proc.stdout.read().decode(errors="replace")[-2000:])
+            time.sleep(0.5)
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=120)
+        assert rc == 0, proc.stdout.read().decode(errors="replace")[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
