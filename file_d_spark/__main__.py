@@ -52,9 +52,31 @@ def load_pipelines(config_paths: list[str]):
     return merged
 
 
-def serve_control_plane(spark, queries: dict, state: dict, host: str, port: int):
+def build_resetters(pipelines: dict) -> dict:
+    """One TailResetter per pipeline whose input is a tail-follow file
+    source with a ``reset_dir`` — the reference mounts /reset only for
+    file inputs (pipeline.go:294-296, resetter.go)."""
+    from file_d_spark.sources.tail_file import TailResetter
+
+    out = {}
+    for name, p in pipelines.items():
+        cfg = p.plan.input
+        if (
+            cfg.get("type") == "file"
+            and cfg.get("tail")
+            and cfg.get("reset_dir")
+        ):
+            out[name] = TailResetter(cfg["reset_dir"])
+    return out
+
+
+def serve_control_plane(
+    spark, queries: dict, state: dict, host: str, port: int,
+    resetters: dict | None = None,
+):
     """The daemon HTTP mux (file.d.go:327-373 minus Go pprof/runtime
     knobs).  Returns the ThreadingHTTPServer (already serving)."""
+    resetters = resetters or {}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -135,7 +157,8 @@ def serve_control_plane(spark, queries: dict, state: dict, host: str, port: int)
             self.send_error(404)
 
         def do_POST(self):
-            if [p for p in self.path.split("/") if p] == ["api", "v1", "play"]:
+            parts = [p for p in self.path.split("/") if p]
+            if parts == ["api", "v1", "play"]:
                 from file_d_spark.playground import parse_request, play
 
                 try:
@@ -144,6 +167,24 @@ def serve_control_plane(spark, queries: dict, state: dict, host: str, port: int)
                         return self.send_error(400, "body too large")
                     req = parse_request(self.rfile.read(length))
                     return self._json(play(spark, req))
+                except Exception as ex:
+                    return self._json({"error": str(ex)}, code=400)
+            if (
+                len(parts) == 4
+                and parts[0] == "pipelines"
+                and parts[2:] == ["0", "reset"]
+                and parts[1] in resetters
+            ):
+                # runtime offset resetter (resetter.go:34-43)
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    path = resetters[parts[1]].reset(
+                        file=req.get("file"),
+                        inode=req.get("inode"),
+                        source_id=req.get("source_id"),
+                    )
+                    return self._json({"status": "ok", "request": path})
                 except Exception as ex:
                     return self._json({"error": str(ex)}, code=400)
             self.send_error(404)
@@ -207,7 +248,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.http != "off":
         host, _, port = args.http.rpartition(":")
         srv = serve_control_plane(
-            spark, queries, state, host or "127.0.0.1", int(port)
+            spark, queries, state, host or "127.0.0.1", int(port),
+            resetters=build_resetters(pipelines),
         )
         log.info("control plane on %s", args.http)
 

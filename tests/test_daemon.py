@@ -174,3 +174,52 @@ pipelines:
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_control_plane_reset_endpoint(tmp_path, spark):
+    """POST /pipelines/<name>/0/reset drops a TailResetter request file
+    (resetter.go:34-43) for tail-file pipelines; others 404."""
+    from file_d_spark import Pipeline
+    from file_d_spark.__main__ import build_resetters
+
+    cfg = f"""
+pipelines:
+  tailed:
+    input:
+      type: file
+      tail: true
+      path: {tmp_path}/logs
+      reset_dir: {tmp_path}/resets
+    output: {{type: devnull}}
+  plain:
+    input: {{type: fake}}
+    output: {{type: devnull}}
+"""
+    pipelines = Pipeline.all_from_yaml(cfg)
+    resetters = build_resetters(pipelines)
+    assert sorted(resetters) == ["tailed"]
+
+    srv = serve_control_plane(
+        spark, {}, {"stopping": False}, "127.0.0.1", 0, resetters=resetters
+    )
+    try:
+        port = srv.server_address[1]
+        resp = json.loads(urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/pipelines/tailed/0/reset",
+            data=b'{"file": "/var/log/app.log"}',
+        ), timeout=30).read())
+        assert resp["status"] == "ok"
+        reqs = os.listdir(tmp_path / "resets")
+        assert len(reqs) == 1
+        body = json.loads((tmp_path / "resets" / reqs[0]).read_text())
+        assert body.get("file") == "/var/log/app.log"
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/pipelines/plain/0/reset",
+                data=b"{}"), timeout=30)
+            code = 200
+        except urllib.error.HTTPError as ex:
+            code = ex.code
+        assert code == 404
+    finally:
+        srv.shutdown()
