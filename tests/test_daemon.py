@@ -223,3 +223,49 @@ pipelines:
         assert code == 404
     finally:
         srv.shutdown()
+
+
+def test_main_once_multiple_pipelines(tmp_path, spark):
+    """Two pipelines in one config drain concurrently to separate sinks
+    (the reference runs all configured pipelines side by side,
+    fd/file.d.go:78-86)."""
+    for name in ("p1", "p2"):
+        (tmp_path / name).mkdir()
+        _write(tmp_path / name / "e.jsonl", "\n".join(
+            json.dumps({"n": i, "src": name}) for i in range(5)))
+    cfg = _write(tmp_path / "fd.yaml", f"""
+pipelines:
+  p1:
+    settings:
+      decoder: json
+      decoder_params: {{schema: "n long, src string"}}
+    input: {{type: file, path: {tmp_path}/p1, filename_pattern: "*.jsonl"}}
+    actions:
+      - {{type: discard, do_if: {{op: int_val_cmp, field: n, cmp_op: ge, value: 3}}}}
+    output: {{type: file, path: {tmp_path}/out1, format: json}}
+  p2:
+    settings:
+      decoder: json
+      decoder_params: {{schema: "n long, src string"}}
+    input: {{type: file, path: {tmp_path}/p2, filename_pattern: "*.jsonl"}}
+    output: {{type: file, path: {tmp_path}/out2, format: json}}
+""")
+    rc = main([
+        "--config", str(cfg), "--checkpoint-root", str(tmp_path / "ck"),
+        "--http", "off", "--once", "--cpus", "4",
+    ])
+    assert rc == 0
+
+    def rows(d):
+        out = []
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".json"):
+                    with open(os.path.join(root, f)) as fh:
+                        out += [json.loads(l) for l in fh if l.strip()]
+        return out
+
+    r1, r2 = rows(tmp_path / "out1"), rows(tmp_path / "out2")
+    assert sorted(r["n"] for r in r1) == [0, 1, 2]      # gated
+    assert sorted(r["n"] for r in r2) == [0, 1, 2, 3, 4]  # full
+    assert {r["src"] for r in r1} == {"p1"} and {r["src"] for r in r2} == {"p2"}
