@@ -28,8 +28,14 @@ from file_d_spark.fields import get_col_safe, set_field
 
 REGISTRY: dict[str, type["Action"]] = {}
 
-# keys of an action config block that are engine-level, not plugin params
-META_KEYS = {"type", "do_if", "match_fields", "match_mode", "match_invert"}
+# keys of an action config block that are engine-level, not plugin
+# params; the metric_* trio is stripped before plugin parse exactly
+# like the reference (fd/util.go:299-323) and consumed by the
+# introspection scrape (introspect.PipelineInspector.prometheus)
+META_KEYS = {
+    "type", "do_if", "match_fields", "match_mode", "match_invert",
+    "metric_name", "metric_labels", "metric_skip_status",
+}
 
 
 def register(name: str) -> Callable[[type["Action"]], type["Action"]]:

@@ -168,7 +168,79 @@ class PipelineInspector:
                     status="discarded", **labels)
             reg.inc("action_events_count_total", passed,
                     status="passed", **labels)
+        self._custom_action_metrics(reg)
         return reg.render()
+
+    def _custom_action_metrics(self, reg) -> None:
+        """Per-action custom counters: an action configured with
+        ``metric_name`` (+ optional ``metric_labels`` whose values come
+        from event fields, absent -> "not_set"; ``metric_skip_status``
+        drops the status label and the received series) emits
+        ``<metric_name>_events_count_total`` and ``_events_size_total``
+        (pipeline.go:683-716 AddAction, processor.go:300-330; size =
+        serialized event bytes).  A lazy engine re-derives each label
+        combination's received/passed counts from the recorded frames —
+        one bounded groupBy per scrape, label cardinality is the
+        operator's responsibility like any Prometheus label."""
+        from pyspark.sql import functions as F
+
+        from file_d_spark.fields import get_col_safe, parse_selector
+
+        for i, cfg in enumerate(self.plan.actions):
+            mname = cfg.get("metric_name")
+            if not mname:
+                continue
+            mlabels = list(cfg.get("metric_labels") or [])
+            skip_status = bool(cfg.get("metric_skip_status", False))
+            cname = f"{mname}_events_count_total"
+            sname = f"{mname}_events_size_total"
+            reg.counter(cname, f"how many events processed by action #{i}")
+            reg.counter(sname, f"total size of events processed by action #{i}")
+
+            def grouped(df):
+                cols = [
+                    F.coalesce(
+                        get_col_safe(parse_selector(l), df.schema).cast("string"),
+                        F.lit("not_set"),
+                    ).alias(f"__l{j}__")
+                    for j, l in enumerate(mlabels)
+                ]
+                size = F.octet_length(
+                    F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+                )
+                rows = (
+                    df.select(*cols, size.alias("__sz__"))
+                    .groupBy(*[f"__l{j}__" for j in range(len(mlabels))])
+                    .agg(
+                        F.count(F.lit(1)).alias("__n__"),
+                        F.sum("__sz__").alias("__s__"),
+                    )
+                    .collect()
+                )
+                return {
+                    tuple(r[f"__l{j}__"] for j in range(len(mlabels))):
+                        (r["__n__"], r["__s__"])
+                    for r in rows
+                }
+
+            recv = grouped(self.frames[i])
+            passed = grouped(self.frames[i + 1])
+            for key in sorted(set(recv) | set(passed)):
+                lab = dict(zip(mlabels, key))
+                rn, rs = recv.get(key, (0, 0))
+                pn, ps = passed.get(key, (0, 0))
+                if skip_status:
+                    # reference: received not recorded, status label
+                    # dropped — the counter totals discarded + passed
+                    reg.inc(cname, max(rn - pn, 0) + pn, **lab)
+                    reg.inc(sname, max(rs - ps, 0) + ps, **lab)
+                    continue
+                reg.inc(cname, rn, status="received", **lab)
+                reg.inc(sname, rs, status="received", **lab)
+                reg.inc(cname, max(rn - pn, 0), status="discarded", **lab)
+                reg.inc(sname, max(rs - ps, 0), status="discarded", **lab)
+                reg.inc(cname, pn, status="passed", **lab)
+                reg.inc(sname, ps, status="passed", **lab)
 
     # -- HTTP surface ---------------------------------------------------
     def serve(self, port: int = 0, host: str = "127.0.0.1", resetter=None):

@@ -237,3 +237,48 @@ def test_pipeline_dump_and_log_level(spark):
         assert code == 400
     finally:
         srv.shutdown()
+
+
+def test_custom_action_metrics(spark):
+    """Actions with metric_name/metric_labels emit
+    <name>_events_count_total / _events_size_total with label values
+    from event fields (pipeline.go:683-716, processor.go:300-330);
+    metric_skip_status drops the status label and the received series;
+    a missing label field reads "not_set"."""
+    from file_d_spark import Pipeline
+    from file_d_spark.introspect import PipelineInspector
+
+    df = spark.createDataFrame(
+        [("k8s", "a"), ("k8s", "b"), ("vm", "c"), (None, "d")],
+        "source string, msg string",
+    )
+    insp = PipelineInspector(
+        Pipeline.from_dict({"actions": [
+            {"type": "discard",
+             "do_if": {"op": "equal", "field": "source", "values": ["vm"]},
+             "metric_name": "drop_vm",
+             "metric_labels": ["source"]},
+            {"type": "add_host", "field": "host",
+             "metric_name": "hosted", "metric_skip_status": True},
+        ]}),
+        df,
+    )
+    body = insp.prometheus()
+    assert ('file_d_drop_vm_events_count_total{source="k8s",'
+            'status="received"} 2') in body
+    assert ('file_d_drop_vm_events_count_total{source="vm",'
+            'status="discarded"} 1') in body
+    assert ('file_d_drop_vm_events_count_total{source="vm",'
+            'status="passed"} 0') in body
+    assert ('file_d_drop_vm_events_count_total{source="not_set",'
+            'status="passed"} 1') in body
+    # skip_status: one series, no status label, received not counted
+    assert "file_d_hosted_events_count_total 3" in body
+    assert 'file_d_hosted_events_count_total{' not in body
+    assert "file_d_drop_vm_events_size_total{" in body
+    # the metric_* keys must not leak into plugin params
+    from file_d_spark.actions import build_action
+
+    act = build_action({"type": "add_host", "metric_name": "x",
+                        "metric_labels": ["a"], "metric_skip_status": True})
+    assert "metric_name" not in act.params
