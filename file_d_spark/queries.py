@@ -35,6 +35,7 @@ from file_d_spark.functions import (
     similarity,
     text,
 )
+from file_d_spark.functions.funnel import cohort_retention, funnel_steps
 from file_d_spark.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -3913,6 +3914,162 @@ def q_tpch_q5(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-8 registrations (promoted from queries_staged.py after a full
+# round of continuous DuckDB validation at sf0.001 + sf0.01).
+# ===========================================================================
+
+
+@query(
+    "domain_cap",
+    """
+    SELECT doc_id, source, rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR || 'dc1'), doc_id)
+               AS rank
+      FROM documents)
+    WHERE rank <= 10
+    """,
+)
+def q_domain_cap(spark, sf_dir):
+    """Per-source corpus cap at 10 docs, deterministic md5 selection —
+    salted two-level exact top-K, no hot-domain window (a single
+    row_number window over a hot domain would serialize one task at
+    100 TB; the salted partial top-K bounds every task at cap*salts)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = corpus.domain_cap(d, "doc_id", "source", cap=10, salt="dc1")
+    return out.select(
+        "doc_id", "source", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "unimax_mixture",
+    """
+    WITH n AS (SELECT lang, count(*)::DOUBLE AS n_g FROM documents GROUP BY lang),
+    t AS (SELECT min(n_g / sqrt(n_g)) AS total FROM n),
+    r AS (SELECT n.lang, least(1.0, sqrt(n.n_g) * t.total / n.n_g) AS keep
+          FROM n, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'um1'), 1, 8))::UBIGINT
+          / 4294967296.0 < r.keep
+    """,
+)
+def q_unimax_mixture(spark, sf_dir):
+    """Temperature-2 (UniMax, arXiv 2304.09151-style) language
+    rebalancing — sqrt-only weight arithmetic so keep-rates are
+    bit-portable across engines; per-language rates are a bounded
+    driver model broadcast back, the corpus itself never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.unimax_mixture(
+        d, "doc_id", "lang", temperature=2, salt="um1"
+    ).select("doc_id", "lang")
+
+
+@query(
+    "dedup_incremental_fuzzy",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ws
+           FROM t WHERE len(w) >= 3),
+    hits AS (
+      SELECT doc_a, count(*) AS n FROM (
+        SELECT a.doc_id AS doc_a,
+               len(list_intersect(a.ws, b.ws)) AS ix,
+               len(a.ws) AS na, len(b.ws) AS nb
+        FROM (SELECT * FROM sh WHERE doc_id % 50 != 0) a,
+             (SELECT * FROM sh WHERE doc_id % 50 = 0) b
+        WHERE least(len(a.ws), len(b.ws))::DOUBLE
+              / greatest(len(a.ws), len(b.ws)) >= 0.7)
+      WHERE ix::DOUBLE / (na + nb - ix) >= 0.7
+      GROUP BY doc_a)
+    SELECT d.doc_id, coalesce(h.n, 0) AS n_near_dups,
+           (coalesce(h.n, 0) = 0)::INT AS kept
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+    LEFT JOIN hits h ON h.doc_a = d.doc_id
+    """,
+)
+def q_dedup_incremental_fuzzy(spark, sf_dir):
+    """New-batch docs near-dup (Jaccard >= 0.7) against the seen
+    slice — MinHash-banded on BOTH sides (neither side broadcast by
+    assumption: at 100 TB the seen corpus is as big as the batch), the
+    candidate join is a banded equi-join, exact Jaccard verify only on
+    candidates.  Oracle is the exact cross-slice Jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 50 == 0)
+    new = d.filter(F.col("doc_id") % 50 != 0)
+    out = dedup.fuzzy_incremental_dedup(
+        new, seen, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        threshold=0.7,
+    )
+    return out.select(
+        "doc_id", "n_near_dups", F.col("kept").cast("int").alias("kept")
+    )
+
+
+@query(
+    "funnel_steps",
+    """
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t_1
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t_1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_2
+           GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+           (s3.t_3 IS NOT NULL)::INT AS completed
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q_funnel_steps(spark, sf_dir):
+    """view -> click -> purchase per-user earliest strict-order
+    completion — K-1 keyed joins on user_id (one shuffle key reused
+    across stages, no per-user window sort)."""
+    e = load_table(spark, sf_dir, "events")
+    out = funnel_steps(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    return out.select(
+        "user_id", "t_1", "t_2", "t_3",
+        F.col("completed").cast("int").alias("completed"),
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
+    f AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, p FROM ev),
+    j AS (SELECT f.cohort, a.p - f.cohort AS k
+          FROM a JOIN f ON a.user_id = f.user_id),
+    s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM f GROUP BY cohort)
+    SELECT j.cohort AS cohort_period, j.k AS periods_since,
+           CAST(count(*) AS BIGINT) AS n_active, s.cohort_size,
+           count(*)::DOUBLE / s.cohort_size::DOUBLE AS retention
+    FROM j JOIN s ON j.cohort = s.cohort
+    GROUP BY j.cohort, j.k, s.cohort_size
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly first-seen cohorts × period offsets — all joins/aggs
+    keyed on user_id then (cohort, k); the cohort-size side is a
+    bounded broadcast (one row per week)."""
+    e = load_table(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts", period="week")
+
+
+# ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in
 # registration order, so with 80+ queries ~33 get no driver row each
@@ -3936,20 +4093,13 @@ def q_tpch_q5(spark, sf_dir):
 
 # hand-maintained per round: code or oracle changed -> must re-verify
 _SWEEP_CHANGED = [
-    # NOT listed: filter_doif / filter_len_cmp after the r7 doif.py
-    # len_cmp parity fix (variant/struct byte size, int try_cast) —
-    # their static-string/numeric paths compile to the same predicate,
-    # both re-verified r6-green AND locally re-run green at sf0.01 with
-    # the driver's compare (tools/check_oracles.py) after the change;
-    # listing them would push two r5-green queries out of the full r7
-    # window and make them 2-rounds-stale.
-    "dup_span_fraction",      # r7: heavy-hitter skew guard (skew.py)
-    "exact_substr_clean",     # r7: heavy-hitter skew guard
-    "line_dedup",             # r7: heavy-hitter skew guard
-    "dedup_ngram_jaccard",    # r7: heavy-hitter skew guard in freq window
-    "dedup_cluster",          # r7: inherits jaccard_pairs guard
-    "dedup_minhash_lsh",      # r7: shares jaccard oracle; verify with it
-    "corpus_build_end2end",   # r7: dup_span_fraction stage guarded
+    # r8: the r7 doif.py compiler changes (null-equal three-valued fix,
+    # len_cmp byte/array parity, int_val_cmp try_cast) landed AFTER
+    # these two queries' last driver rows (r6) — VERDICT r7 "What's
+    # wrong #1" asks for them at the head of the r8 window.  r8 also
+    # adds the int_val_cmp container-type guard (ADVICE r7).
+    "filter_doif",
+    "filter_len_cmp",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
