@@ -78,6 +78,31 @@ def serve_control_plane(
     knobs).  Returns the ThreadingHTTPServer (already serving)."""
     resetters = resetters or {}
 
+    # Monotonic output-row counters.  recentProgress is a bounded ring
+    # (~100 entries): re-summing it on every scrape undercounts long
+    # runs and DECREASES as old batches roll off, which breaks
+    # Prometheus counter semantics (rate() misfires on resets) — ADVICE
+    # r7.  Instead fold each batch into a running total exactly once,
+    # keyed on batchId; no-data ticks repeat the last batchId and are
+    # skipped by the > guard.
+    counter_lock = threading.Lock()
+    counter_state: dict = {
+        name: {"last_batch": -1, "total": 0} for name in queries
+    }
+
+    def output_rows_total(name, q) -> int:
+        st = counter_state.setdefault(name, {"last_batch": -1, "total": 0})
+        with counter_lock:
+            for prog in q.recentProgress:
+                bid = int(prog.get("batchId", -1))
+                if bid <= st["last_batch"]:
+                    continue
+                st["last_batch"] = bid
+                st["total"] += max(
+                    0, int(prog["sink"].get("numOutputRows", 0) or 0)
+                )
+            return st["total"]
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
@@ -111,11 +136,10 @@ def serve_control_plane(
                     "Rows written per pipeline (streaming progress)",
                 )
                 for name, q in queries.items():
-                    rows = 0
-                    for prog in q.recentProgress:
-                        rows += int(prog["sink"].get("numOutputRows", 0) or 0)
                     reg.inc(
-                        "output_plugin_events_count_total", rows, pipeline=name
+                        "output_plugin_events_count_total",
+                        output_rows_total(name, q),
+                        pipeline=name,
                     )
                 body = reg.render().encode()
                 self.send_response(200)

@@ -161,7 +161,14 @@ def _compile_len_cmp(node: dict[str, Any], schema: T.StructType) -> Column:
             return F.lit(False)
     elif op == "int_val_cmp":
         # numbers and numeric strings compare; everything else (arrays,
-        # objects, non-numeric strings) never matches (len_cmp_op.go:207-220)
+        # objects, non-numeric strings) never matches (len_cmp_op.go:207-220).
+        # Statically-typed container columns must short-circuit here:
+        # try_cast('long') on an array/map/struct is an AnalysisException
+        # at plan build, not a runtime null (ADVICE r7).
+        if not _is_variant(t) and isinstance(
+            t, (T.StructType, T.ArrayType, T.MapType)
+        ):
+            return F.lit(False)
         probe = col.try_cast("long")
     else:
         raise ValueError(f"unknown len cmp op: {op}")

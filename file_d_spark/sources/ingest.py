@@ -308,6 +308,8 @@ class HttpIngestServer:
             import ssl
             import tempfile
 
+            tmp_paths: list[str] = []
+
             def as_path(v: str, suffix: str) -> str:
                 if "\n" not in v and os.path.exists(v):
                     return v
@@ -316,12 +318,23 @@ class HttpIngestServer:
                 )
                 fh.write(v)
                 fh.close()
+                tmp_paths.append(fh.name)
                 return fh.name
 
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
-            ctx.load_cert_chain(
-                as_path(ca_cert, ".pem"), as_path(private_key, ".key")
-            )
+            try:
+                ctx.load_cert_chain(
+                    as_path(ca_cert, ".pem"), as_path(private_key, ".key")
+                )
+            finally:
+                # the SSLContext holds the loaded chain in memory — the
+                # temp copies would otherwise leave key material in /tmp
+                # for the life of the host (ADVICE r7)
+                for p in tmp_paths:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
             self._httpd.socket = ctx.wrap_socket(
                 self._httpd.socket, server_side=True
             )

@@ -164,22 +164,40 @@ def format_time(ts: Column, fmt: str | None) -> Column:
         return F.unix_micros(ts)
     if pattern == "unixtimenano":
         return F.unix_micros(ts) * F.lit(1000)
-    # optional-section brackets are parse-only; strip for formatting.
     # 'ppd' (Go _2 space-padded day) has no Spark formatter equivalent —
     # plain 'd' (width divergence documented vs Go's space pad)
-    rendered = F.date_format(
-        ts, pattern.replace("[", "").replace("]", "").replace("ppd", "d")
-    )
-    if "[.S" in pattern:
+    import re as _re
+
+    m = _re.search(r"\[\.(S+)\]", pattern)
+    if m:
         # bracketed fraction = Go '9'-style (.999999999): trailing
         # fractional zeros are DROPPED, a whole second renders with no
         # fraction at all (time.Format semantics — rfc3339nano
-        # "...:09Z", not "...:09.000000000Z").  The fraction is the
-        # pattern's only dot-digits run, so an end-anchored trim is
-        # exact.
-        rendered = F.regexp_replace(rendered, r"(\.\d*?)0+(\D.*)?$", r"$1$2")
-        rendered = F.regexp_replace(rendered, r"\.(\D.*)?$", r"$1")
-    return rendered
+        # "...:09Z", not "...:09.000000000Z").  Render the pieces
+        # around the fraction separately and trim only the fraction
+        # itself — a trim regex over the joined string can land on a
+        # dotted DATE run instead (a '02.01.2006 15:04:05.999' layout
+        # rendered '15.10.2026 ...' would lose the month's zero).
+        pre, post = pattern[: m.start()], pattern[m.end() :]
+        frac = F.regexp_replace(F.date_format(ts, m.group(1)), r"0+$", "")
+        pieces = []
+        if pre:
+            pieces.append(_render_plain(ts, pre))
+        pieces.append(
+            F.when(frac == "", F.lit("")).otherwise(F.concat(F.lit("."), frac))
+        )
+        if post:
+            pieces.append(_render_plain(ts, post))
+        return F.concat(*pieces)
+    return _render_plain(ts, pattern)
+
+
+def _render_plain(ts: Column, pattern: str) -> Column:
+    """date_format with the repo's pattern extensions neutralized:
+    optional-section brackets are parse-only, 'ppd' degrades to 'd'."""
+    return F.date_format(
+        ts, pattern.replace("[", "").replace("]", "").replace("ppd", "d")
+    )
 
 
 def ensure_timestamp(

@@ -8,6 +8,7 @@ the daemon control plane (live/ready/metrics/log-level/play/pipelines).
 
 import json
 import os
+import re
 import urllib.request
 
 import pytest
@@ -87,8 +88,8 @@ def test_control_plane_endpoints(spark):
     class FakeQuery:
         isActive = True
         status = {"message": "ok"}
-        recentProgress = [{"sink": {"numOutputRows": 7}},
-                          {"sink": {"numOutputRows": 5}}]
+        recentProgress = [{"batchId": 0, "sink": {"numOutputRows": 7}},
+                          {"batchId": 1, "sink": {"numOutputRows": 5}}]
 
     state = {"stopping": False}
     srv = serve_control_plane(
@@ -105,6 +106,27 @@ def test_control_plane_endpoints(spark):
         metrics = urllib.request.urlopen(
             f"{base}/metrics", timeout=30).read().decode()
         assert 'pipeline="demo"' in metrics and "12" in metrics
+
+        def scrape_total():
+            text = urllib.request.urlopen(
+                f"{base}/metrics", timeout=30).read().decode()
+            for line in text.splitlines():
+                if re.match(r"file_d_output_plugin_events_count_total\b|file_d_output_plugin_events_count_total\{", line):
+                    return float(line.rsplit(" ", 1)[1])
+            raise AssertionError("counter line missing")
+
+        # counter MONOTONICITY across the recentProgress ring (ADVICE
+        # r7): old entries rolling off must not decrease the total, a
+        # repeated batchId (no-data tick) must not double-count, and a
+        # new batch adds exactly its delta
+        assert scrape_total() == 12
+        FakeQuery.recentProgress = [
+            {"batchId": 1, "sink": {"numOutputRows": 5}},  # repeat: skip
+            {"batchId": 2, "sink": {"numOutputRows": 3}},
+        ]
+        assert scrape_total() == 15
+        FakeQuery.recentProgress = [{"batchId": 3, "sink": {"numOutputRows": 1}}]
+        assert scrape_total() == 16
         play = json.loads(urllib.request.urlopen(urllib.request.Request(
             f"{base}/api/v1/play",
             data=json.dumps({

@@ -100,6 +100,12 @@ def test_len_cmp(spark):
     assert df.filter(compile_doif(t2, df.schema)).count() == 1
     t3 = {"op": "int_val_cmp", "field": "n", "cmp_op": "gt", "value": 50}
     assert df.filter(compile_doif(t3, df.schema)).count() == 1
+    # typed container columns never match int_val_cmp (len_cmp_op.go:
+    # 207-220) — and must not AnalysisException at plan build (ADVICE r7)
+    for fld in ("arr", "o"):
+        t4 = {"op": "int_val_cmp", "field": fld, "cmp_op": "ge", "value": 0}
+        df2 = df.withColumn("o", F.struct(F.lit(1).alias("x")))
+        assert df2.filter(compile_doif(t4, df2.schema)).count() == 0
 
 
 def test_ts_cmp(spark):

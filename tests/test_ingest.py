@@ -454,3 +454,27 @@ def test_http_tls_listener(tmp_path):
     finally:
         srv.stop()
     assert len(os.listdir(spool)) == 1
+
+    # PEM CONTENT (not paths) also works — and the temp copies written
+    # for load_cert_chain are deleted immediately after loading, so no
+    # key material persists in the temp dir (ADVICE r7)
+    import glob
+    import tempfile
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "*.key")))
+    srv2 = HttpIngestServer(
+        str(tmp_path / "spool2"),
+        ca_cert=open(cert).read(),
+        private_key=open(key).read(),
+    ).start()
+    try:
+        assert srv2.tls
+        req = urllib.request.Request(
+            f"https://127.0.0.1:{srv2.port}/", data=b'{"s":2}\n', method="POST"
+        )
+        resp = json.load(urllib.request.urlopen(req, context=ctx))
+        assert resp["errors"] is False
+    finally:
+        srv2.stop()
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "*.key")))
+    assert after <= before, f"leaked key files: {after - before}"

@@ -72,3 +72,24 @@ def test_rfc3339nano_strips_trailing_zeros(spark):
     assert row.half == "2023-08-21T10:01:09.5Z"
     assert row.micro == "2023-08-21T10:01:09.282965Z"
     assert row.zeros == "10:01:09.500"
+
+
+def test_bracketed_fraction_trim_spares_dotted_dates(spark):
+    """The Go-'9' trailing-zero trim must touch only the fraction: a
+    layout mixing dotted dates with .999 ('02.01.2006 15:04:05.999')
+    must not lose the month's zero (ADVICE r7: the old end-anchored
+    regex matched the date's dot-run leftmost-first)."""
+    df = spark.createDataFrame(
+        [("2026-10-15T10:00:09.120Z",), ("2026-10-15T10:00:09Z",)],
+        "s string",
+    )
+    out = [
+        r.f
+        for r in df.select(
+            xtime.format_time(
+                xtime.parse_time(F.col("s"), "rfc3339nano"),
+                "02.01.2006 15:04:05.999",
+            ).alias("f")
+        ).collect()
+    ]
+    assert out == ["15.10.2026 10:00:09.12", "15.10.2026 10:00:09"]
