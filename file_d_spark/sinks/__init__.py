@@ -13,6 +13,7 @@ collector — the container has no live endpoints.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
@@ -79,10 +80,76 @@ def apply_retention(path: str, partition_by: list[str], retention: str) -> int:
     return pruned
 
 
+def _sink_file_zip(df: DataFrame, cfg: dict[str, Any]):
+    """``compression_type: zip`` sealing — the ONLY compression the
+    reference s3 output supports (s3.go:186 ``options:"zip"``,
+    compress.go: one member per archive, deflate, archive name =
+    ``<file>.zip``).  Spark codecs (gzip et al.) write ``.gz`` part
+    files, which is a different container a downstream consumer of the
+    bucket cannot unzip — so this path emits REAL zip archives: each
+    non-empty partition seals into ``<prefix>_<uuid>.json.zip``.
+
+    Scale shape: serialization stays JVM-side (``to_json`` — the
+    Python worker only streams finished lines into the deflate
+    writer), one archive per partition (no driver collect), written
+    tmp-then-rename so readers never see a half-sealed archive — the
+    same close-then-publish contract as the reference's seal+upload
+    workers (s3.go:114,308)."""
+    import uuid as _uuid
+
+    path = cfg["target_file" if "target_file" in cfg else "path"]
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    prefix = cfg.get("file_name", "logs")
+    os.makedirs(path, exist_ok=True)
+    if cfg.get("mode", "overwrite") == "overwrite":
+        for old in os.listdir(path):
+            if old.endswith(".zip"):
+                os.unlink(os.path.join(path, old))
+    run_id = _uuid.uuid4().hex[:8]
+
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("j"))
+
+    def seal_partition(rows):
+        import itertools
+        import os as _os
+        import uuid
+        import zipfile
+
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return  # empty partition: no empty archives (file.go seal-on-data)
+        name = f"{prefix}{fileNameSeparator}{run_id}{fileNameSeparator}{uuid.uuid4().hex}.json"
+        arch = _os.path.join(path, name + ".zip")
+        tmp = arch + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            with zf.open(name, "w") as member:
+                for row in itertools.chain([first], it):
+                    member.write(row.j.encode("utf-8") + b"\n")
+        _os.replace(tmp, arch)
+
+    payload.foreachPartition(seal_partition)
+
+
+fileNameSeparator = "_"  # s3.go:106
+
+
 def sink_file(df: DataFrame, cfg: dict[str, Any]):
     """Rolling-file output.  The reference's sealing (file.go:63-112)
     maps to time partitioning + compression; ``retention_interval``
-    prunes aged-out partition directories after each write."""
+    prunes aged-out partition directories after each write.
+    ``compression_type: zip`` seals literal zip archives instead
+    (the s3 output's contract — see _sink_file_zip)."""
+    if str(cfg.get("compression_type", "")).lower() == "zip":
+        _sink_file_zip(df, cfg)
+        return
+    if "compression_type" in cfg:
+        raise ValueError(
+            f"unsupported compression_type: {cfg['compression_type']!r}"
+            " (the reference supports only 'zip', s3.go:186)"
+        )
     fmt = cfg.get("format", "json")
     path = cfg["target_file" if "target_file" in cfg else "path"]
     writer = df.write.mode(cfg.get("mode", "overwrite"))
@@ -522,7 +589,8 @@ def sink_s3(df: DataFrame, cfg: dict[str, Any]):
     if overlap:
         raise ValueError(f"bucket names can't intersect: {sorted(overlap)}")
     base = {k: v for k, v in cfg.items()
-            if k in ("format", "compression", "partition_by", "mode")}
+            if k in ("format", "compression", "compression_type",
+                     "partition_by", "mode", "file_name")}
     if not (field and multi):
         sink_file(df, {**base, "path": template.format(bucket=bucket, prefix=prefix)})
         return

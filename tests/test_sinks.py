@@ -238,6 +238,69 @@ def test_s3_multi_bucket_routing(spark, tmp_path):
                      "bucket_field_event": "bucket_name"})
 
 
+def test_s3_zip_sealing(spark, tmp_path):
+    """compression_type: zip (the ONLY value the reference s3 output
+    supports, s3.go:186) must seal literal .zip archives — a consumer
+    expecting zip containers from the bucket gets exactly that, one
+    deflate member of JSON lines per archive (compress.go).  Verified
+    by unzipping what was written and diffing the events; multi-bucket
+    fan-out preserved."""
+    import glob as _glob
+    import zipfile
+
+    from file_d_spark.sinks import sink_s3
+
+    df = spark.createDataFrame(
+        [
+            ("secret", "m1"),
+            ("other", "m2"),
+            (None, "m3"),
+            ("audit", "m4"),
+        ],
+        "bucket_name string, msg string",
+    ).coalesce(1)
+    root = str(tmp_path / "zipped")
+    sink_s3(
+        df,
+        {
+            "bucket": "main-logs",
+            "bucket_field_event": "bucket_name",
+            "multi_buckets": [{"bucket": "secret"}, {"bucket": "audit"}],
+            "path_template": "file://" + root + "/{bucket}/{prefix}",
+            "compression_type": "zip",
+            "file_name": "logs",
+        },
+    )
+
+    def unzipped_msgs(bucket):
+        rows = []
+        archives = _glob.glob(f"{root}/{bucket}/logs/*.zip")
+        for arch in archives:
+            with zipfile.ZipFile(arch) as zf:
+                names = zf.namelist()
+                assert len(names) == 1  # one member per archive (compress.go)
+                assert names[0].startswith("logs_") and names[0].endswith(".json")
+                with zf.open(names[0]) as member:
+                    rows += [
+                        json.loads(line)["msg"]
+                        for line in member.read().decode().splitlines()
+                        if line.strip()
+                    ]
+        assert not _glob.glob(f"{root}/{bucket}/logs/*.tmp")
+        return sorted(rows)
+
+    assert unzipped_msgs("main-logs") == ["m2", "m3"]
+    assert unzipped_msgs("secret") == ["m1"]
+    assert unzipped_msgs("audit") == ["m4"]
+
+    # only 'zip' is a legal compression_type (s3.go options:"zip")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compression_type"):
+        sink_s3(df, {"bucket": "b", "compression_type": "rar",
+                     "path_template": "file://" + root + "/{bucket}/{prefix}"})
+
+
 def test_loki_timestamp_fallback(spark, tmp_path):
     """Loki values carry event-time nanos: explicit ts_nano wins, then
     the timestamp column, then ingestion time (never zero)."""
