@@ -899,15 +899,16 @@ def connected_components(
     "one of each pair" would drop both B and C; the right unit is the
     connected component with one representative (min id) kept.
 
-    Scale design: label propagation (Pregel-style), each round one
-    shuffle-join of labels against the symmetrized edge list + a
-    min-aggregate.  Rounds needed = graph diameter, which for near-dup
-    clusters is tiny (dups of one source document form near-cliques);
-    ``max_iter`` bounds pathological chains.  Lineage is truncated each
-    round with localCheckpoint so the loop's plan stays flat (without
-    it, round k replays rounds 1..k-1).  For adversarial long-chain
-    graphs the alternating large-star/small-star variant bounds rounds
-    by O(log n); near-dup graphs don't need it.
+    Scale design: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — each round is two keyed groupBy+join passes over the
+    edge list, and the round count is O(log n) on ANY graph, including
+    adversarial chains where plain label propagation needs
+    diameter-many shuffles.  Lineage is truncated each round with
+    localCheckpoint so round k doesn't replay rounds 1..k-1;
+    convergence is detected from a (count, hash-sum) signature of the
+    edge set — one tiny aggregate per round instead of a full
+    set-compare.  ``max_iter`` stays as a hard safety bound.
     """
     # materialize the pair list ONCE before symmetrizing: the union's
     # two branches would otherwise re-execute the (expensive) pair
@@ -951,43 +952,91 @@ def connected_components(
         rows = [(x, find(x)) for x in parent]
         return pairs.sparkSession.createDataFrame(rows, schema)
 
-    edges = pairs.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).unionByName(
-        pairs.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
-    )
-    edges = _register_cache(edges.repartition("id").localCheckpoint(eager=True))
-
-    labels = (
-        edges.select("id")
+    nodes = _register_cache(
+        pairs.select(F.col(src).alias("id"))
+        .unionByName(pairs.select(F.col(dst).alias("id")))
         .distinct()
-        .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    labels = _register_cache(labels)
-    for _ in range(max_iter):
-        # neighbor's current label, min over neighbors
-        msgs = (
-            edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
-            .groupBy("id")
-            .agg(F.min("label").alias("nbr_min"))
+    stars = _star_contraction(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")), max_iter
+    )
+    # star edges carry every non-root member; roots label themselves
+    return nodes.join(
+        stars.select(F.col("u").alias("id"), F.col("v").alias("root")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("root", F.col("id")).alias("cluster_id"))
+
+
+#: rounds the last _star_contraction ran — read by tests asserting the
+#: O(log n) bound on adversarial chain graphs
+LAST_CC_ROUNDS = 0
+
+
+def _star_contraction(edges0: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set is
+    stable; returns star edges ``(u=member, v=component min)``.
+
+    large-star(u): every strictly-larger neighbor of ``u`` re-attaches
+    to ``m = min(N(u) ∪ {u})`` — after it, every edge points downhill.
+    small-star(u): ``u`` and all its (smaller) parents attach to their
+    common minimum.  Alternating the two halves chain depth every
+    round, so rounds = O(log n) even on a path graph, while each round
+    is two keyed aggregations — no broadcast, no driver state.
+    """
+    global LAST_CC_ROUNDS
+    edges = (
+        edges0.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        new_labels = (
-            labels.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-                (
-                    F.coalesce("nbr_min", F.col("label")) < F.col("label")
-                ).alias("changed"),
-            )
-        ).localCheckpoint(eager=True)
-        new_labels = _register_cache(new_labels)
-        if new_labels.filter("changed").limit(1).count() == 0:
-            labels = new_labels
+        .distinct()
+    )
+    edges = _register_cache(edges.localCheckpoint(eager=True))
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star
+        adj = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # -- small-star (input is downhill-oriented: v < u everywhere)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        edges = _register_cache(
+            small.repartition("u").localCheckpoint(eager=True)
+        )
+        # bit_xor: order-free and overflow-free under ANSI mode (edges
+        # are distinct, so xor-cancellation of duplicates can't occur)
+        sig_row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
             break
-        labels = new_labels
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+        prev_sig = sig
+    LAST_CC_ROUNDS = rounds
+    return edges
 
 
 def dedup_clusters(

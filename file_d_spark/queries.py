@@ -4100,6 +4100,13 @@ _SWEEP_CHANGED = [
     # adds the int_val_cmp container-type guard (ADVICE r7).
     "filter_doif",
     "filter_len_cmp",
+    # NOT listed: dedup_cluster after the r8 star-contraction rewrite
+    # of connected_components — its driver row is r7-fresh, the r8
+    # window is exactly full with the 45 r6-green + 5 new queries, and
+    # it was re-verified locally green at sf0.01 with the driver's
+    # compare (tools/check_oracles.py) right after the rewrite, plus
+    # randomized-graph equivalence vs driver union-find in
+    # test_dedup_cluster.py.  It enters the r9 window as r7-evidence.
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)

@@ -69,3 +69,47 @@ def test_cc_string_ids_lexicographic_min(spark):
             for r in connected_components(pairs, **kw).collect()
         }
         assert got == {"a": "a", "b": "a", "c": "a"}
+
+def test_cc_adversarial_chain_converges_logarithmically(spark):
+    """A 200-node path graph has diameter 199 — plain label propagation
+    needs ~199 rounds, far past max_iter.  The large-star/small-star
+    alternation must converge to the correct single component within
+    O(log n) rounds (VERDICT r7 #6)."""
+    from file_d_spark.functions import dedup as dedup_mod
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            pairs, driver_max_pairs=0, max_iter=12
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    # log2(200) ~ 7.6; allow slack for the +1 convergence-detect round
+    assert dedup_mod.LAST_CC_ROUNDS <= 12, dedup_mod.LAST_CC_ROUNDS
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    """Seeded random graphs through BOTH paths — star contraction must
+    agree with driver union-find on every component label."""
+    import random
+
+    rng = random.Random(8)
+    for trial in range(3):
+        n = rng.randint(20, 60)
+        edges = [
+            (rng.randint(1, n), rng.randint(1, n))
+            for _ in range(rng.randint(10, 80))
+        ]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        fast = {
+            r.id: r.cluster_id for r in connected_components(pairs).collect()
+        }
+        dist = {
+            r.id: r.cluster_id
+            for r in connected_components(pairs, driver_max_pairs=0).collect()
+        }
+        assert fast == dist, f"trial {trial}: {fast} != {dist}"
