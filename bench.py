@@ -23,7 +23,7 @@ BENCH_QUERIES = [
     "mask_digits",
     "hash_normalize",
     "json_extract_props",
-    "decoder_cri",
+    "decoder_lineformats",
     "throttle_batch",
     "cardinality_limit",
     "antispam_ban",
@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "line_dedup",
     "fuzzy_decontaminate",
     "quality_adaptive_filter",
+    # round 8
+    "funnel_steps",
+    "domain_cap",
+    "dedup_incremental_fuzzy",
+    "bpe_train_apply",
 ]
 
 

@@ -737,15 +737,10 @@ def q_parse_es(spark, sf_dir):
     )
 
 
-@query(
-    "decoder_cri",
-    """
-    SELECT event_id,
-           strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS time,
-           'stdout' AS stream, props AS log
-    FROM events
-    """,
-)
+# Registered until r8 as standalone `decoder_cri`; now one leg of the
+# combined `decoder_lineformats` row (registry-capacity policy,
+# COVERAGE.md) — the decode path and its value-hash coverage are
+# unchanged, only the driver-row packaging moved.
 def q_decoder_cri(spark, sf_dir):
     """cri decoder over synthesized container log lines."""
     df = load_table(spark, sf_dir, "events").select(
@@ -762,17 +757,7 @@ def q_decoder_cri(spark, sf_dir):
     return p.apply(df).select("event_id", "time", "stream", "log")
 
 
-@query(
-    "decoder_syslog",
-    """
-    SELECT event_id,
-           ((8 + event_id % 8) // 8)::VARCHAR AS facility,
-           ((8 + event_id % 8) % 8)::VARCHAR AS severity,
-           'app' || user_id % 10 AS app_name,
-           props AS message
-    FROM events
-    """,
-)
+# standalone until r8; now a `decoder_structured` leg (see above)
 def q_decoder_syslog(spark, sf_dir):
     """syslog rfc5424 decoder over synthesized lines."""
     df = load_table(spark, sf_dir, "events").select(
@@ -2507,20 +2492,7 @@ def q_ann_index_build(spark, sf_dir):
     )
 
 
-@query(
-    "decoder_postgres",
-    """
-    SELECT event_id,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') || ' GMT' AS time,
-           user_id::VARCHAR AS pid,
-           '3-1' AS pid_message_number,
-           'c' || user_id::VARCHAR AS client,
-           'db' || user_id::VARCHAR AS db,
-           'u' || user_id::VARCHAR AS "user",
-           event_type AS log
-    FROM events
-    """,
-)
+# standalone until r8; now a `decoder_lineformats` leg
 def q_decoder_postgres(spark, sf_dir):
     """postgres decoder over synthesized server-log lines: the decoder
     must INVERT the generative construction (time/pid/msg-no/client/
@@ -2547,19 +2519,7 @@ def q_decoder_postgres(spark, sf_dir):
     )
 
 
-@query(
-    "decoder_nginx",
-    """
-    SELECT event_id,
-           strftime(ts, '%Y/%m/%d %H:%M:%S') AS time,
-           CASE WHEN event_id % 2 = 0 THEN 'error' ELSE 'warn' END AS level,
-           user_id::VARCHAR AS pid,
-           (event_id % 16)::VARCHAR AS tid,
-           (event_id % 1000)::VARCHAR AS cid,
-           'open() failed ' || event_type AS message
-    FROM events
-    """,
-)
+# standalone until r8; now a `decoder_lineformats` leg
 def q_decoder_nginx(spark, sf_dir):
     """nginx_error decoder over synthesized error-log lines (time,
     level, pid#tid, *connection-id, message recovered from the wire
@@ -2587,16 +2547,7 @@ def q_decoder_nginx(spark, sf_dir):
     )
 
 
-@query(
-    "decoder_csv",
-    """
-    SELECT event_id,
-           'u' || user_id::VARCHAR AS who,
-           event_type AS what,
-           round(value, 2)::VARCHAR AS amount
-    FROM events
-    """,
-)
+# standalone until r8; now a `decoder_structured` leg
 def q_decoder_csv(spark, sf_dir):
     """csv decoder (from_csv with configured columns/delimiter) over
     synthesized semicolon-delimited lines; the oracle restates the
@@ -2630,24 +2581,7 @@ def q_decoder_csv(spark, sf_dir):
     return p.apply(df).select("event_id", "who", "what", "amount")
 
 
-@query(
-    "decoder_syslog3164",
-    """
-    SELECT event_id,
-           'USER' AS facility,
-           ['EMERG','ALERT','CRIT','ERROR','WARN','NOTICE','INFO','DEBUG']
-             [(event_id % 8) + 1] AS severity,
-           'Feb ' || CASE WHEN 1 + event_id % 28 < 10
-                          THEN ' ' || (1 + event_id % 28)::VARCHAR
-                          ELSE (1 + event_id % 28)::VARCHAR END
-             || ' ' || strftime(ts, '%H:%M:%S') AS "timestamp",
-           'host' || (user_id % 5)::VARCHAR AS hostname,
-           'app' || (user_id % 10)::VARCHAR AS app_name,
-           user_id::VARCHAR AS process_id,
-           props AS message
-    FROM events
-    """,
-)
+# standalone until r8; now a `decoder_structured` leg
 def q_decoder_syslog3164(spark, sf_dir):
     """syslog rfc3164 decoder over synthesized BSD-syslog lines —
     exercises the space-padded-day timestamp form and the STRING
@@ -4067,6 +4001,224 @@ def q_cohort_retention(spark, sf_dir):
     bounded broadcast (one row per week)."""
     e = load_table(spark, sf_dir, "events")
     return cohort_retention(e, "user_id", "ts", period="week")
+
+
+# --- registry-capacity consolidation (COVERAGE.md policy #1): the six
+# --- standalone decoder rows fold into two combined rows.  Every leg
+# --- still runs its full Pipeline decode; the decoded fields
+# --- concatenate into `parsed` so each stays value-hashed.
+
+
+@query(
+    "decoder_lineformats",
+    """
+    SELECT event_id, 'cri' AS fmt,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || '|stdout|' || props
+             AS parsed
+    FROM events
+    UNION ALL
+    SELECT event_id, 'nginx',
+           strftime(ts, '%Y/%m/%d %H:%M:%S') || '|' ||
+           CASE WHEN event_id % 2 = 0 THEN 'error' ELSE 'warn' END || '|' ||
+           user_id::VARCHAR || '|' || (event_id % 16)::VARCHAR || '|' ||
+           (event_id % 1000)::VARCHAR || '|' ||
+           'open() failed ' || event_type
+    FROM events
+    UNION ALL
+    SELECT event_id, 'postgres',
+           strftime(ts, '%Y-%m-%d %H:%M:%S') || ' GMT|' ||
+           user_id::VARCHAR || '|3-1|c' || user_id::VARCHAR ||
+           '|db' || user_id::VARCHAR || '|u' || user_id::VARCHAR ||
+           '|' || event_type
+    FROM events
+    """,
+)
+def q_decoder_lineformats(spark, sf_dir):
+    """cri + nginx_error + postgres decoders in one driver row — each
+    leg is the exact standalone query that held its own row through
+    r7 (q_decoder_cri / q_decoder_nginx / q_decoder_postgres), so a
+    regex-offset regression in any decoder still breaks the hash."""
+    legs = []
+    for fmt, fn, cols in (
+        ("cri", q_decoder_cri, ["time", "stream", "log"]),
+        ("nginx", q_decoder_nginx,
+         ["time", "level", "pid", "tid", "cid", "message"]),
+        ("postgres", q_decoder_postgres,
+         ["time", "pid", "pid_message_number", "client", "db", "user",
+          "log"]),
+    ):
+        legs.append(
+            fn(spark, sf_dir).select(
+                "event_id",
+                F.lit(fmt).alias("fmt"),
+                F.concat_ws("|", *cols).alias("parsed"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+@query(
+    "decoder_structured",
+    """
+    SELECT event_id, 'csv' AS fmt,
+           'u' || user_id::VARCHAR || '|' || event_type || '|' ||
+           round(value, 2)::VARCHAR AS parsed
+    FROM events
+    UNION ALL
+    SELECT event_id, 'syslog5424',
+           ((8 + event_id % 8) // 8)::VARCHAR || '|' ||
+           ((8 + event_id % 8) % 8)::VARCHAR ||
+           '|app' || user_id % 10 || '|' || props
+    FROM events
+    UNION ALL
+    SELECT event_id, 'syslog3164',
+           'USER|' ||
+           ['EMERG','ALERT','CRIT','ERROR','WARN','NOTICE','INFO','DEBUG']
+             [(event_id % 8) + 1] ||
+           '|Feb ' || CASE WHEN 1 + event_id % 28 < 10
+                           THEN ' ' || (1 + event_id % 28)::VARCHAR
+                           ELSE (1 + event_id % 28)::VARCHAR END
+             || ' ' || strftime(ts, '%H:%M:%S') ||
+           '|host' || (user_id % 5)::VARCHAR ||
+           '|app' || (user_id % 10)::VARCHAR ||
+           '|' || user_id::VARCHAR || '|' || props
+    FROM events
+    """,
+)
+def q_decoder_structured(spark, sf_dir):
+    """csv + syslog rfc5424 + syslog rfc3164 decoders in one driver
+    row (the 3164 leg keeps the string facility/severity rendering,
+    the 5424 leg the numeric one — both PRI tables stay hash-checked,
+    as do the csv column split and the space-padded-day timestamp)."""
+    legs = []
+    for fmt, fn, cols in (
+        ("csv", q_decoder_csv, ["who", "what", "amount"]),
+        ("syslog5424", q_decoder_syslog,
+         ["facility", "severity", "app_name", "message"]),
+        ("syslog3164", q_decoder_syslog3164,
+         ["facility", "severity", "timestamp", "hostname", "app_name",
+          "process_id", "message"]),
+    ):
+        legs.append(
+            fn(spark, sf_dir).select(
+                "event_id",
+                F.lit(fmt).alias("fmt"),
+                F.concat_ws("|", *cols).alias("parsed"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _bpe_oracle(vocab_size: int = 50, num_merges: int = 6) -> str:
+    """DuckDB oracle for bpe_train_apply with every merge round
+    unrolled as CTEs (the kmeans iterative-oracle pattern): pair
+    counting, the (count DESC, a, b) argmax, and the left-to-right
+    ``replace`` re-segmentation are all restated in SQL, so a drift in
+    ANY round's statistics or tie-break breaks the hash."""
+    sep = "chr(31)"
+    parts = [f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         w -> w <> '') ws
+      FROM documents),
+    inst AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) f FROM inst GROUP BY w),
+    vocab AS (SELECT w, f FROM freq ORDER BY f DESC, w LIMIT {vocab_size}),
+    seg0 AS (SELECT w, f, array_to_string(string_split(w, ''), {sep}) seg
+             FROM vocab)"""]
+    prev = "seg0"
+    for r in range(1, num_merges + 1):
+        parts.append(f""",
+    p{r} AS (
+      SELECT pr.a AS a, pr.b AS b, CAST(sum(f) AS BIGINT) c FROM (
+        SELECT f,
+               unnest(list_transform(range(1, len(parts)),
+                      i -> {{'a': parts[i], 'b': parts[i+1]}})) AS pr
+        FROM (SELECT f, string_split(seg, {sep}) parts FROM {prev}))
+      GROUP BY pr.a, pr.b),
+    m{r} AS (SELECT a, b FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    seg{r} AS (
+      SELECT w, f,
+             replace(seg,
+                     coalesce((SELECT a || {sep} || b FROM m{r}), chr(1)),
+                     coalesce((SELECT a || b FROM m{r}), chr(1))) seg
+      FROM {prev})""")
+        prev = f"seg{r}"
+    parts.append(f""",
+    applied AS (
+      SELECT i.doc_id,
+             coalesce(s.seg, array_to_string(string_split(i.w, ''), {sep}))
+               seg
+      FROM inst i LEFT JOIN {prev} s ON i.w = s.w)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(seg, {sep}))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM applied GROUP BY doc_id""")
+    return "".join(parts)
+
+
+@query("bpe_train_apply", _bpe_oracle())
+def q_bpe_train_apply(spark, sf_dir):
+    """Corpus-trained BPE tokenizer (functions/bpe.py): ONE word
+    histogram shuffle, merge rounds as keyed aggregates over the
+    bounded vocab frame (driver sees only each round's argmax — the
+    kmeans fixed-point shape), application via a broadcast
+    word→segmentation map with char-split OOV fallback.  Upgrades the
+    regex bpe_ish proxy with real trained merges."""
+    d = load_table(spark, sf_dir, "documents")
+    from file_d_spark.functions import bpe as _bpe
+
+    return _bpe.bpe_token_stats(
+        d, "doc_id", "text", vocab_size=50, num_merges=6
+    )
+
+
+@query(
+    "quantile_normalize",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t <> '')) AS wc
+      FROM documents),
+    h AS (SELECT lang, wc, count(*) AS n FROM d GROUP BY lang, wc),
+    c AS (SELECT lang, wc,
+                 CAST(sum(n) OVER (PARTITION BY lang ORDER BY wc) AS BIGINT)
+                   AS cum,
+                 CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+          FROM h)
+    SELECT d.doc_id, d.lang, CAST(d.wc AS BIGINT) AS wc,
+           c.cum AS cum_count, c.tot AS group_total,
+           c.cum::DOUBLE / c.tot::DOUBLE AS pct_rank
+    FROM d JOIN c ON d.lang = c.lang AND d.wc = c.wc
+    """,
+)
+def q_quantile_normalize(spark, sf_dir):
+    """Within-language percentile rank of each document's token count —
+    the window runs over the (lang, wc) histogram, never raw rows, so
+    a hot language cannot serialize a WindowExec task (same shape as
+    quality_adaptive_filter).  Promoted from the staged spare pool
+    when the decoder consolidation freed registry slots."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        text.token_count(F.col("text")).cast("long").alias("wc"),
+    )
+    out = corpus.quantile_normalize(scored, "lang", "wc")
+    return out.select(
+        "doc_id", "lang", "wc",
+        F.col("cum_count").cast("long").alias("cum_count"),
+        F.col("group_total").cast("long").alias("group_total"),
+        "pct_rank",
+    )
 
 
 # ===========================================================================
