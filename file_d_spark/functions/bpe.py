@@ -18,9 +18,10 @@ Scale shape
   histogram, not on running text).
 * Each merge round is a pair-count groupBy over that bounded vocab
   frame (V rows, ≤ V·max_word_len pairs) + a driver top-1 + one
-  ``replace`` projection, localCheckpointed so round k never replays
-  rounds 1..k-1.  Rounds are O(num_merges) tiny jobs — the 100 TB
-  corpus is NOT rescanned per round.
+  ``replace`` projection.  The vocab frame is checkpointed ONCE (and
+  collapsed to a single partition) below; each round then adds only a
+  tiny nested replace to the lineage.  Rounds are O(num_merges) tiny
+  jobs — the 100 TB corpus is NOT rescanned per round.
 * Application is a broadcast join of the trained (word → segmentation)
   map against exploded corpus words, with a character-split fallback
   for out-of-vocabulary words — one narrow corpus pass, one keyed
@@ -140,4 +141,38 @@ def bpe_token_stats(
     return applied.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum(F.size(F.split("seg", SEP))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    vocab_size: int = 50,
+    num_merges: int = 6,
+) -> DataFrame:
+    """Per-group tokenizer fertility (BPE tokens per word) with the
+    corpus-trained merges — the real-tokenizer upgrade of the
+    bpe_ish regex proxy behind token_fertility.  One extra doc-keyed
+    equi-join over bpe_token_stats' per-document output (doc-count
+    sized, not corpus sized), then a group-keyed aggregate; fertility
+    divides the exact bigint sums once at the end, so the double is
+    identical cross-engine."""
+    stats = bpe_token_stats(
+        df, id_col, text_col, vocab_size=vocab_size, num_merges=num_merges
+    )
+    return (
+        stats.join(df.select(id_col, group_col), id_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ),
+        )
     )

@@ -4115,12 +4115,20 @@ def q_decoder_structured(spark, sf_dir):
     return out
 
 
-def _bpe_oracle(vocab_size: int = 50, num_merges: int = 6) -> str:
+def _bpe_oracle(
+    vocab_size: int = 50,
+    num_merges: int = 6,
+    final_select: str | None = None,
+) -> str:
     """DuckDB oracle for bpe_train_apply with every merge round
     unrolled as CTEs (the kmeans iterative-oracle pattern): pair
     counting, the (count DESC, a, b) argmax, and the left-to-right
     ``replace`` re-segmentation are all restated in SQL, so a drift in
-    ANY round's statistics or tie-break breaks the hash."""
+    ANY round's statistics or tie-break breaks the hash.
+
+    ``final_select`` swaps the terminal projection over the
+    ``applied`` CTE (doc_id, seg) — used by the staged bpe_fertility
+    pair, which aggregates the same segmentations per language."""
     sep = "chr(31)"
     parts = [f"""
     WITH docs AS (
@@ -4151,17 +4159,19 @@ def _bpe_oracle(vocab_size: int = 50, num_merges: int = 6) -> str:
                      coalesce((SELECT a || b FROM m{r}), chr(1))) seg
       FROM {prev})""")
         prev = f"seg{r}"
+    tail = final_select or f"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(seg, {sep}))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM applied GROUP BY doc_id"""
     parts.append(f""",
     applied AS (
       SELECT i.doc_id,
              coalesce(s.seg, array_to_string(string_split(i.w, ''), {sep}))
                seg
       FROM inst i LEFT JOIN {prev} s ON i.w = s.w)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(len(string_split(seg, {sep}))) AS BIGINT)
-             AS n_bpe_tokens
-    FROM applied GROUP BY doc_id""")
+    {tail}""")
     return "".join(parts)
 
 
