@@ -74,8 +74,13 @@ def serve_control_plane(
     spark, queries: dict, state: dict, host: str, port: int,
     resetters: dict | None = None,
 ):
-    """The daemon HTTP mux (file.d.go:327-373 minus Go pprof/runtime
-    knobs).  Returns the ThreadingHTTPServer (already serving)."""
+    """The daemon HTTP mux (file.d.go:327-373): control endpoints plus
+    Python-runtime equivalents of the Go pprof handlers — /debug/pprof/
+    threads (goroutine-dump analogue), /profile (sampled folded
+    stacks), /heap (tracemalloc), /cmdline, and /freeosmem (gc pass).
+    The Go-specific mutex/block profile-rate knobs have no Python
+    analogue and stay unexposed.  Returns the ThreadingHTTPServer
+    (already serving)."""
     resetters = resetters or {}
 
     # Monotonic output-row counters.  recentProgress is a bounded ring
@@ -114,8 +119,103 @@ def serve_control_plane(
             self.end_headers()
             self.wfile.write(body)
 
+        def _text(self, body: str, code=200):
+            data = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.end_headers()
+            self.wfile.write(data)
+
         def do_GET(self):
-            parts = [p for p in self.path.split("/") if p]
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            # --- Python-runtime equivalents of the reference's pprof mux
+            # (fd/file.d.go:327-373).  Same /debug/pprof/ paths; the
+            # payloads are the Python-native formats (thread dumps,
+            # folded stack samples, tracemalloc stats) rather than Go
+            # pprof protobufs.
+            if parts == ["debug", "pprof"]:
+                return self._json(
+                    {
+                        "profiles": [
+                            "/debug/pprof/cmdline",
+                            "/debug/pprof/threads",
+                            "/debug/pprof/profile?seconds=5",
+                            "/debug/pprof/heap",
+                        ]
+                    }
+                )
+            if parts == ["debug", "pprof", "cmdline"]:
+                return self._text("\x00".join(sys.argv))
+            if parts == ["debug", "pprof", "threads"]:
+                # goroutine-dump analogue: one stack per live thread
+                import traceback
+
+                frames = sys._current_frames()
+                names = {t.ident: t.name for t in threading.enumerate()}
+                out = []
+                for ident, frame in frames.items():
+                    out.append(
+                        f"thread {ident} ({names.get(ident, '?')}):\n"
+                        + "".join(traceback.format_stack(frame))
+                    )
+                return self._text("\n".join(out))
+            if parts == ["debug", "pprof", "profile"]:
+                # sampling CPU profile: collapse sys._current_frames()
+                # samples into flamegraph-ready folded stacks
+                import time as _time
+
+                q = parse_qs(url.query)
+                seconds = min(float(q.get("seconds", ["5"])[0]), 30.0)
+                hz = 100
+                counts: dict[str, int] = {}
+                me = threading.get_ident()
+                deadline = _time.monotonic() + seconds
+                while _time.monotonic() < deadline:
+                    for ident, frame in sys._current_frames().items():
+                        if ident == me:
+                            continue
+                        stack = []
+                        f = frame
+                        while f is not None:
+                            code = f.f_code
+                            stack.append(
+                                f"{code.co_name} ({code.co_filename}:"
+                                f"{f.f_lineno})"
+                            )
+                            f = f.f_back
+                        key = ";".join(reversed(stack))
+                        counts[key] = counts.get(key, 0) + 1
+                    _time.sleep(1.0 / hz)
+                folded = "\n".join(
+                    f"{k} {v}"
+                    for k, v in sorted(
+                        counts.items(), key=lambda kv: -kv[1]
+                    )
+                )
+                return self._text(folded)
+            if parts == ["debug", "pprof", "heap"]:
+                import tracemalloc
+
+                if not tracemalloc.is_tracing():
+                    tracemalloc.start()
+                    return self._text(
+                        "tracemalloc started; allocation tracking begins"
+                        " now — re-request for stats\n"
+                    )
+                snap = tracemalloc.take_snapshot()
+                top = snap.statistics("lineno")[:30]
+                cur, peak = tracemalloc.get_traced_memory()
+                lines = [f"traced current={cur} peak={peak}"]
+                lines += [str(s) for s in top]
+                return self._text("\n".join(lines))
+            if parts == ["freeosmem"]:
+                import gc
+
+                freed = gc.collect()
+                return self._json({"collected": freed})
             if parts == ["live"]:
                 return self._json({})
             if parts == ["ready"]:

@@ -147,6 +147,46 @@ def test_control_plane_endpoints(spark):
         srv.shutdown()
 
 
+def test_pprof_endpoints(spark):
+    """Python-runtime pprof analogues on the daemon mux
+    (fd/file.d.go:327-373): thread dump, sampled profile (folded
+    stacks), heap stats, cmdline, freeosmem."""
+    srv = serve_control_plane(spark, {}, {"stopping": False},
+                              "127.0.0.1", 0)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        idx = json.loads(
+            urllib.request.urlopen(f"{base}/debug/pprof", timeout=30).read())
+        assert "/debug/pprof/threads" in idx["profiles"]
+        cmd = urllib.request.urlopen(
+            f"{base}/debug/pprof/cmdline", timeout=30).read().decode()
+        assert "python" in cmd or "pytest" in cmd
+        threads = urllib.request.urlopen(
+            f"{base}/debug/pprof/threads", timeout=30).read().decode()
+        assert "thread " in threads and "File " in threads  # real stacks
+        prof = urllib.request.urlopen(
+            f"{base}/debug/pprof/profile?seconds=0.2", timeout=30
+        ).read().decode()
+        # folded-stack lines end with a sample count (may be empty if
+        # every other thread was idle in C code, but format must hold)
+        for line in prof.splitlines():
+            assert line.rsplit(" ", 1)[1].isdigit()
+        first = urllib.request.urlopen(
+            f"{base}/debug/pprof/heap", timeout=30).read().decode()
+        second = urllib.request.urlopen(
+            f"{base}/debug/pprof/heap", timeout=30).read().decode()
+        assert "tracemalloc started" in first or "traced current=" in first
+        assert "traced current=" in second
+        freed = json.loads(urllib.request.urlopen(
+            f"{base}/freeosmem", timeout=30).read())
+        assert "collected" in freed
+    finally:
+        srv.shutdown()
+        import tracemalloc
+
+        tracemalloc.stop()
+
+
 def test_daemon_sigterm_graceful(tmp_path):
     """Real daemon subprocess: serves /ready, stops cleanly on SIGTERM
     (file.d.go main: signal handler -> pipeline stop -> exit 0)."""
