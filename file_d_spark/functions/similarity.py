@@ -1126,3 +1126,112 @@ def kmeans_embeddings(
             ).alias("avg_sq_dist"),
         )
     )
+
+
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding sets
+    (Artetxe & Schwenk 2019, the LASER/CCMatrix bitext-mining score):
+    a (src, tgt) pair's raw cosine is normalized by the mean cosine of
+    each endpoint's k nearest neighbors on the OTHER side, so hubs —
+    vectors that are near everything — stop winning every alignment.
+
+        margin(x, y) = cos(x, y) / ((avg_k(x -> tgt) + avg_k(y -> src)) / 2)
+
+    Returns the best target per source with ``margin >= threshold``
+    (ratio margin; > 1 means the pair stands out from its neighborhood).
+
+    Scale shape: the scored frame is built once — ``tgt`` (in mining
+    runs the smaller, newly-crawled side) broadcasts against an
+    embarrassingly-parallel ``src`` scan, norms computed once per row
+    per side.  Both direction top-k reductions and the margin join run
+    off that single frame, keyed by src/tgt id — at 100 TB swap the
+    broadcast cross for banded/IVF candidate generation (``ivf_topk``)
+    and everything downstream is unchanged.  Neighborhood means use the
+    1e7 fixed-point BIGINT discipline (order-free integer sums) so the
+    margin is bit-stable under any shuffle order.
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("s_vec"),
+        norm(F.col(vec_col)).alias("s_norm"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("t_vec"),
+        norm(F.col(vec_col)).alias("t_norm"),
+    )
+    scored = (
+        s.crossJoin(F.broadcast(t))
+        .withColumn(
+            "sim",
+            dot(F.col("s_vec"), F.col("t_vec"))
+            / (F.col("s_norm") * F.col("t_norm")),
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            "sim",
+            F.round(F.col("sim") * F.lit(1e7), 0).cast("long").alias("sim_fp"),
+        )
+    )
+    # candidates beyond the forward top-k can't win (margin is
+    # monotone in sim for a fixed src), so scored is reduced once per
+    # direction and the margin join touches only k rows per src
+    ws = Window.partitionBy("src_id").orderBy(
+        F.col("sim").desc(), F.col("tgt_id")
+    )
+    wt = Window.partitionBy("tgt_id").orderBy(
+        F.col("sim").desc(), F.col("src_id")
+    )
+    from file_d_spark.cachereg import register as _register_cache
+
+    # fwd feeds both the src-neighborhood mean and the margin join —
+    # checkpoint it (n_src x k ids+sims, bounded) so candidate
+    # generation runs once per direction, not three times; bwd is
+    # consumed once, so a second narrow broadcast pass beats
+    # persisting a candidates-sized frame (the dsir measurement)
+    fwd = _register_cache(
+        scored.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= k)
+        .drop("r")
+        .localCheckpoint(eager=True)
+    )
+    bwd = scored.withColumn("r", F.row_number().over(wt)).filter(
+        F.col("r") <= k
+    )
+    s_hood = fwd.groupBy("src_id").agg(
+        F.sum("sim_fp").alias("s_sum"), F.count(F.lit(1)).alias("s_cnt")
+    )
+    t_hood = bwd.groupBy("tgt_id").agg(
+        F.sum("sim_fp").alias("t_sum"), F.count(F.lit(1)).alias("t_cnt")
+    )
+    denom = (
+        F.col("s_sum").cast("double") / F.col("s_cnt")
+        + F.col("t_sum").cast("double") / F.col("t_cnt")
+    ) / F.lit(2.0) / F.lit(1e7)
+    margined = (
+        fwd
+        .join(s_hood, "src_id")
+        .join(t_hood, "tgt_id")
+        .withColumn("margin", F.col("sim") / denom)
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    return (
+        margined.withColumn("rb", F.row_number().over(wbest))
+        .filter((F.col("rb") == 1) & (F.col("margin") >= threshold))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("sim", 6).alias("sim"),
+            F.round("margin", 6).alias("margin"),
+        )
+    )

@@ -15,16 +15,20 @@ oracle SQL)`` — the exact shape ``queries.py`` registers — and
 ``tests/test_staged_queries.py`` will run the driver's compare against
 DuckDB at sf0.001 + sf0.01 on every pytest run until a slot opens.
 
-Current spare: ``bpe_fertility`` — per-language tokenizer fertility
+Current spares: ``bpe_fertility`` — per-language tokenizer fertility
 with the REAL corpus-trained BPE merges (the fidelity upgrade over
 ``token_fertility``'s regex proxy), sharing ``functions/bpe.py`` and
 the unrolled-CTE oracle generator with the registered
-``bpe_train_apply``.
+``bpe_train_apply`` — and ``bitext_mine``, margin-based kNN bitext
+mining (Artetxe & Schwenk 2019) between the even- and odd-label
+embedding halves via ``similarity.bitext_margin_mine``.
 
 Nothing imports this module at runtime.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 from file_d_spark.tables import load_table
 
@@ -57,7 +61,63 @@ def _fertility_oracle() -> str:
     )
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019) between the
+    even- and odd-label halves of the embeddings table: best target
+    per source whose ratio margin clears 1.0."""
+    from file_d_spark.functions import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.bitext_margin_mine(
+        e.filter(F.col("label") % 2 == 0),
+        e.filter(F.col("label") % 2 == 1),
+        k=4,
+        threshold=1.0,
+    )
+
+
+_BITEXT_ORACLE = """
+    WITH x AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE label % 2 = 0),
+    y AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE label % 2 = 1),
+    scored AS (
+      SELECT x.src_id, y.tgt_id,
+             list_sum(list_transform(range(1, len(x.v)+1),
+               i -> x.v[i] * y.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(x.v)+1),
+                  i -> x.v[i] * x.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(y.v)+1),
+                  i -> y.v[i] * y.v[i])))) AS sim
+      FROM x, y),
+    fp AS (SELECT *, CAST(round(sim * 1e7) AS BIGINT) AS sim_fp FROM scored),
+    fwd AS (SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY sim DESC, tgt_id) AS r
+      FROM fp) WHERE r <= 4),
+    bwd AS (SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                   ORDER BY sim DESC, src_id) AS r
+      FROM fp) WHERE r <= 4),
+    s_hood AS (SELECT src_id, CAST(sum(sim_fp) AS BIGINT) AS s_sum,
+                      count(*) AS s_cnt FROM fwd GROUP BY src_id),
+    t_hood AS (SELECT tgt_id, CAST(sum(sim_fp) AS BIGINT) AS t_sum,
+                      count(*) AS t_cnt FROM bwd GROUP BY tgt_id),
+    m AS (
+      SELECT f.src_id, f.tgt_id, f.sim,
+             f.sim / ((s_sum::DOUBLE / s_cnt + t_sum::DOUBLE / t_cnt)
+                      / 2.0 / 1e7) AS margin
+      FROM fwd f JOIN s_hood USING (src_id) JOIN t_hood USING (tgt_id))
+    SELECT src_id, tgt_id, round(sim, 6) AS sim, round(margin, 6) AS margin
+    FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                                       ORDER BY margin DESC, tgt_id) AS rb
+          FROM m)
+    WHERE rb = 1 AND margin >= 1.0
+"""
+
+
 # name -> (query fn, oracle SQL)
 STAGED: dict = {
     "bpe_fertility": (q_bpe_fertility, _fertility_oracle()),
+    "bitext_mine": (q_bitext_mine, _BITEXT_ORACLE),
 }
