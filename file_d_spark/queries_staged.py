@@ -116,8 +116,61 @@ _BITEXT_ORACLE = """
 """
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-point PageRank over the user-transition graph (an edge
+    per consecutive pair of users within an event_type's time-ordered
+    stream), three unrolled iterations."""
+    from pyspark.sql import Window
+
+    from file_d_spark.functions import graph
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        e.select("user_id", F.lag("user_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("user_id")))
+        .select(F.col("prev").alias("src"), F.col("user_id").alias("dst"))
+    )
+    return graph.pagerank(edges, iters=3)
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE mirror of graph.pagerank: exact bigint fixed-point
+    per round (``//`` == Spark ``div`` on these positive values)."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    c{i} AS (SELECT dst, CAST(sum(rank_fp // out_deg) AS BIGINT) AS s
+             FROM ed JOIN {prev} ON ed.src = {prev}.node GROUP BY dst),
+    r{i} AS (SELECT node,
+                    CAST(150000000 + (85 * coalesce(s, 0)) // 100 AS BIGINT)
+                      AS rank_fp
+             FROM nodes LEFT JOIN c{i} ON node = dst)""")
+        prev = f"r{i}"
+    return f"""
+    WITH ordered AS (
+      SELECT user_id,
+             lag(user_id) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS prev
+      FROM events),
+    edges AS (SELECT prev AS src, user_id AS dst FROM ordered
+              WHERE prev IS NOT NULL AND prev != user_id),
+    nodes AS (SELECT DISTINCT node FROM
+      (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+            FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM nodes),
+    {",".join(rounds)}
+    SELECT node, round(CAST(rank_fp AS DOUBLE) / 1000000000.0, 6) AS rank
+    FROM {prev}
+"""
+
+
 # name -> (query fn, oracle SQL)
 STAGED: dict = {
     "bpe_fertility": (q_bpe_fertility, _fertility_oracle()),
     "bitext_mine": (q_bitext_mine, _BITEXT_ORACLE),
+    "graph_pagerank": (q_graph_pagerank, _pagerank_oracle()),
 }
