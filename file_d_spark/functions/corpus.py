@@ -1006,6 +1006,75 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.9
+) -> DataFrame:
+    """Per document: mean log10 INTERPOLATED-BIGRAM probability of its
+    token stream under the corpus's own statistics — the next fidelity
+    step past :func:`unigram_logprob` toward the KenLM-style filter
+    (CCNet): ``p(b|a) = lam * c(ab)/c(a·) + (1-lam) * c(b)/total``.
+    Docs with fewer than two tokens have no bigrams and drop out.
+
+    Scale design: ONE bigram-count groupBy over the corpus (map-side
+    combine over a zipfian key set); the history totals ``c(a·)`` come
+    from that SAME aggregate (a model-side re-aggregation, not a
+    second corpus pass); the unigram side reuses the token-count
+    aggregate; and the interpolated log-probability is computed ONCE
+    PER DISTINCT BIGRAM model-side, so the corpus-side work is a
+    single (a, b) equi-join against the model followed by the per-doc
+    mean.  At web scale truncate both vocabularies to their heads and
+    fold the tails into an OOV floor before the join so the model side
+    stays broadcastable."""
+    toks = df.select(
+        F.col(id_col).alias("__doc__"),
+        tokens(F.col(text_col)).alias("__toks__"),
+    )
+    n1 = F.greatest(F.size("__toks__") - 1, F.lit(0))
+    bi = toks.select(
+        "__doc__",
+        F.explode(
+            F.zip_with(
+                F.slice("__toks__", 1, n1),
+                F.slice(F.col("__toks__"), 2, n1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("__bg__"),
+    ).select(
+        "__doc__",
+        F.col("__bg__.a").alias("__a__"),
+        F.col("__bg__.b").alias("__b__"),
+    )
+    big = bi.groupBy("__a__", "__b__").agg(F.count(F.lit(1)).alias("__cab__"))
+    hist = big.groupBy("__a__").agg(F.sum("__cab__").alias("__ca__"))
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__b__"))
+        .groupBy("__b__")
+        .agg(F.count(F.lit(1)).alias("__cb__"))
+    )
+    total = uni.agg(F.sum("__cb__")).collect()[0][0] or 1
+    model = (
+        big.join(hist, "__a__")
+        .join(uni, "__b__")
+        .select(
+            "__a__",
+            "__b__",
+            F.log10(
+                F.lit(lam) * F.col("__cab__") / F.col("__ca__")
+                + F.lit(1.0 - lam) * F.col("__cb__") / F.lit(float(total))
+            ).alias("__lp__"),
+        )
+    )
+    return (
+        bi.join(model, ["__a__", "__b__"])
+        .groupBy("__doc__")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__lp__"), 4).alias("mean_logp"),
+        )
+        .select(F.col("__doc__").alias(id_col), "n_bigrams", "mean_logp")
+    )
+
+
 # --------------------------------------------------------------------------
 # TF-IDF keyword extraction
 # --------------------------------------------------------------------------

@@ -168,9 +168,50 @@ def _pagerank_oracle(iters: int = 3) -> str:
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated-bigram mean log-probability per document — the
+    fidelity step past quality_unigram_logprob toward the KenLM-style
+    CCNet filter."""
+    from file_d_spark.functions import corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.bigram_logprob(d, "doc_id", "text")
+
+
+def _bigram_oracle(lam: float = 0.9) -> str:
+    """Mirror of corpus.bigram_logprob; the interpolation literals are
+    repr'd from the SAME Python floats the Spark plan embeds (1 - 0.9
+    is not the double 0.1)."""
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '') AS toks
+      FROM documents),
+    bi AS (
+      SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+      FROM docs, UNNEST(range(1, len(toks))) AS u(i)),
+    big AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b),
+    hist AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a
+             FROM big GROUP BY a),
+    tok AS (SELECT unnest(toks) AS t FROM docs),
+    uni AS (SELECT t AS b, count(*) AS c_b FROM tok GROUP BY t),
+    tot AS (SELECT sum(c_b)::DOUBLE AS n FROM uni),
+    model AS (
+      SELECT big.a, big.b,
+             log10({lam!r} * c_ab / c_a
+                   + {1.0 - lam!r} * c_b / (SELECT n FROM tot)) AS lp
+      FROM big JOIN hist USING (a) JOIN uni USING (b))
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS mean_logp
+    FROM bi JOIN model USING (a, b)
+    GROUP BY doc_id
+"""
+
+
 # name -> (query fn, oracle SQL)
 STAGED: dict = {
     "bpe_fertility": (q_bpe_fertility, _fertility_oracle()),
     "bitext_mine": (q_bitext_mine, _BITEXT_ORACLE),
     "graph_pagerank": (q_graph_pagerank, _pagerank_oracle()),
+    "bigram_logprob": (q_bigram_logprob, _bigram_oracle()),
 }
