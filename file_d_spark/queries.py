@@ -4269,12 +4269,15 @@ _SWEEP_CHANGED = [
     # compare (tools/check_oracles.py) right after the rewrite, plus
     # randomized-graph equivalence vs driver union-find in
     # test_dedup_cluster.py.  It enters the r9 window as r7-evidence.
-    # NOT listed, same protocol: dedup_ngram_jaccard + dedup_cluster
-    # after the late-r8 jaccard_pairs change (shingles hashed to longs
-    # before the posting/verify pipeline; candidates deduped before
-    # verification — SCALE.md "replication stress").  Both re-verified
-    # locally green at sf0.01 with tools/check_oracles.py after the
-    # change; both are r7-fresh and lead the r9 window.
+    # NOT listed, same protocol: dedup_ngram_jaccard + dedup_cluster +
+    # dedup_minhash_lsh + fuzzy_decontaminate after the late-r8
+    # long-hash shingle change (jaccard_pairs and _shingle_frame hash
+    # shingles to xxhash64 longs at the frame boundary; candidates
+    # dedup before verification — SCALE.md "replication stress").
+    # All four re-verified locally green at sf0.01 with
+    # tools/check_oracles.py after the change (dedup_incremental_fuzzy,
+    # the fifth consumer, is never-verified and already heads the r8
+    # window); all four are r7-fresh and lead the r9 window.
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
