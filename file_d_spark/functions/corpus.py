@@ -261,6 +261,56 @@ def stratified_sample(
     return df.filter(frac < rate)
 
 
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int = 5,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis-Spirakis A-ES one-pass scheme with the repo's
+    deterministic-hash uniform instead of an RNG: each row draws
+    ``u in (0, 1]`` from its id's md5 and races with the exponential
+    key ``-ln(u) / w``; the k SMALLEST keys per group are exactly a
+    weight-proportional sample without replacement.  Deterministic
+    across runs, partitionings and engines — re-running a mixture
+    build never migrates documents.
+
+    Scale shape: one narrow projection (hash + log) and one per-group
+    top-k window — the same shuffle budget as any keyed top-k; no
+    global sort, no RNG state, no driver participation.  Rows with
+    non-positive weight are excluded (a zero-weight doc can never be
+    sampled; a negative weight is a config error upstream)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 32))
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w > 0).withColumn("es_key", -F.log(u) / w)
+    win = Window.partitionBy(group_col).orderBy("es_key", id_col)
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            id_col,
+            F.col(weight_col).alias("weight"),
+            F.round("es_key", 6).alias("es_key"),
+            "rank",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------

@@ -15,13 +15,22 @@ oracle SQL)`` — the exact shape ``queries.py`` registers — and
 ``tests/test_staged_queries.py`` will run the driver's compare against
 DuckDB at sf0.001 + sf0.01 on every pytest run until a slot opens.
 
-Current spares: ``bpe_fertility`` — per-language tokenizer fertility
-with the REAL corpus-trained BPE merges (the fidelity upgrade over
-``token_fertility``'s regex proxy), sharing ``functions/bpe.py`` and
-the unrolled-CTE oracle generator with the registered
-``bpe_train_apply`` — and ``bitext_mine``, margin-based kNN bitext
-mining (Artetxe & Schwenk 2019) between the even- and odd-label
-embedding halves via ``similarity.bitext_margin_mine``.
+Current spares (register two at r9 start — the r9 window is the 48
+r7-green queries + 2 slots; the rest wait for r10+ slots or a
+retirement):
+
+- ``bpe_fertility`` — per-language tokenizer fertility with the REAL
+  corpus-trained BPE merges (the fidelity upgrade over
+  ``token_fertility``'s regex proxy), sharing ``functions/bpe.py``
+  and the unrolled-CTE oracle generator with ``bpe_train_apply``.
+- ``bitext_mine`` — margin-based kNN bitext mining (Artetxe &
+  Schwenk 2019) via ``similarity.bitext_margin_mine``.
+- ``graph_pagerank`` — fixed-point PageRank
+  (``functions/graph.py``) over the user-transition graph.
+- ``bigram_logprob`` — interpolated-bigram KenLM-proxy quality
+  score (``corpus.bigram_logprob``).
+- ``weighted_sample`` — Efraimidis-Spirakis weighted sampling
+  without replacement, k per group (``corpus.weighted_sample``).
 
 Nothing imports this module at runtime.
 """
@@ -208,10 +217,37 @@ def _bigram_oracle(lam: float = 0.9) -> str:
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample: 5 docs per language,
+    weight = n_chars, deterministic md5 uniform."""
+    from file_d_spark.functions import corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.weighted_sample(
+        d, "lang", "n_chars", "doc_id", k=5, salt="v1"
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars AS weight,
+             -ln((('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8))
+                    ::UBIGINT::DOUBLE + 1.0) / 4294967296.0)
+               / n_chars::DOUBLE AS es_key
+      FROM documents WHERE n_chars > 0)
+    SELECT lang, doc_id, weight, round(es_key, 6) AS es_key, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY es_key, doc_id) AS rank
+      FROM keyed)
+    WHERE rank <= 5
+"""
+
+
 # name -> (query fn, oracle SQL)
 STAGED: dict = {
     "bpe_fertility": (q_bpe_fertility, _fertility_oracle()),
     "bitext_mine": (q_bitext_mine, _BITEXT_ORACLE),
     "graph_pagerank": (q_graph_pagerank, _pagerank_oracle()),
     "bigram_logprob": (q_bigram_logprob, _bigram_oracle()),
+    "weighted_sample": (q_weighted_sample, _WEIGHTED_SAMPLE_ORACLE),
 }
