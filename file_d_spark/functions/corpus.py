@@ -1068,16 +1068,22 @@ def bigram_logprob(
     Scale design: ONE bigram-count groupBy over the corpus (map-side
     combine over a zipfian key set); the history totals ``c(a·)`` come
     from that SAME aggregate (a model-side re-aggregation, not a
-    second corpus pass); the unigram side reuses the token-count
-    aggregate; and the interpolated log-probability is computed ONCE
+    second corpus pass); the unigram side re-reads the CACHED
+    tokenized frame; and the interpolated log-probability is computed ONCE
     PER DISTINCT BIGRAM model-side, so the corpus-side work is a
     single (a, b) equi-join against the model followed by the per-doc
     mean.  At web scale truncate both vocabularies to their heads and
     fold the tails into an OOV floor before the join so the model side
     stays broadcastable."""
-    toks = df.select(
-        F.col(id_col).alias("__doc__"),
-        tokens(F.col(text_col)).alias("__toks__"),
+    # cached: three consumers read the tokenized frame (the bigram
+    # explode feeds both the count aggregate and the final scoring
+    # join, the unigram explode a third pass) — without the cache the
+    # regex tokenizer re-runs over the corpus for each
+    toks = _register_cache(
+        df.select(
+            F.col(id_col).alias("__doc__"),
+            tokens(F.col(text_col)).alias("__toks__"),
+        ).cache()
     )
     n1 = F.greatest(F.size("__toks__") - 1, F.lit(0))
     bi = toks.select(
@@ -1096,8 +1102,11 @@ def bigram_logprob(
     )
     big = bi.groupBy("__a__", "__b__").agg(F.count(F.lit(1)).alias("__cab__"))
     hist = big.groupBy("__a__").agg(F.sum("__cab__").alias("__ca__"))
+    # unigram counts come off the SAME tokenized frame — re-deriving
+    # from the text column would run the regex tokenizer a second time
+    # over the whole corpus
     uni = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("__b__"))
+        toks.select(F.explode("__toks__").alias("__b__"))
         .groupBy("__b__")
         .agg(F.count(F.lit(1)).alias("__cb__"))
     )
