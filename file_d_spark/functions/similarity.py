@@ -1235,3 +1235,92 @@ def bitext_margin_mine(
             F.round("margin", 6).alias("margin"),
         )
     )
+
+
+def dbscan_clusters(
+    corpus: DataFrame,
+    eps_sim: float = 0.45,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN) over an embedding column,
+    with cosine >= ``eps_sim`` as the neighborhood relation: CORE
+    points have >= ``min_pts`` neighbors (self included), clusters are
+    the connected components of the core-core graph (labelled by min
+    id), BORDER points attach to the smallest cluster label among
+    their core neighbors, everything else is NOISE (cluster -1).
+    Unlike k-means this needs no k and leaves outliers unclustered —
+    the natural fit for "group the near-duplicate neighborhoods,
+    ignore the long tail".
+
+    Built entirely from the scale machinery that already exists: the
+    eps-neighbor pairs come from :func:`cosine_pairs` (exact — swap in
+    the LSH-banded generator at 100 TB exactly like the dedup family),
+    and the component step is :func:`~file_d_spark.functions.dedup.
+    connected_components` (bounded driver union-find fast path,
+    large-star/small-star contraction beyond it).  Per-node degree is
+    one groupBy over the symmetrized pair list; the border attachment
+    is one join from non-core nodes to their core neighbors' labels.
+    Everything is keyed by node id — no global structure.
+    """
+    from file_d_spark.functions.dedup import connected_components
+
+    pairs = cosine_pairs(corpus, eps_sim, id_col, vec_col).select(
+        "id_a", "id_b"
+    )
+    pairs = _register_cache(pairs.localCheckpoint(eager=True))
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).alias("__deg__"))
+    core = deg.filter(F.col("__deg__") + 1 >= min_pts).select(
+        F.col("id_a").alias("__core__")
+    )
+    core_edges = (
+        sym.join(core.withColumnRenamed("__core__", "id_a"), "id_a")
+        .join(core.withColumnRenamed("__core__", "id_b"), "id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    # core singletons (no core neighbor) still form their own cluster
+    cc = connected_components(core_edges, "id_a", "id_b")
+    core_labels = (
+        core.join(
+            cc.withColumnRenamed("id", "__core__"), "__core__", "left"
+        )
+        .select(
+            F.col("__core__").alias("node"),
+            F.coalesce("cluster_id", F.col("__core__")).alias("cluster_id"),
+        )
+    )
+    border = (
+        sym.join(core.withColumnRenamed("__core__", "id_a"), "id_a")
+        .join(
+            core_labels.withColumnRenamed("node", "id_a"),
+            "id_a",
+        )
+        .join(
+            core.withColumnRenamed("__core__", "id_b"),
+            "id_b",
+            "left_anti",
+        )
+        .groupBy(F.col("id_b").alias("node"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    labelled = core_labels.select(
+        "node", "cluster_id", F.lit("core").alias("role")
+    ).unionByName(
+        border.select("node", "cluster_id", F.lit("border").alias("role"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("node"))
+        .join(labelled, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id"),
+            F.coalesce("role", F.lit("noise")).alias("role"),
+        )
+    )

@@ -31,6 +31,9 @@ retirement):
   score (``corpus.bigram_logprob``).
 - ``weighted_sample`` — Efraimidis-Spirakis weighted sampling
   without replacement, k per group (``corpus.weighted_sample``).
+- ``dbscan_clusters`` — density-based clustering over embeddings
+  (``similarity.dbscan_clusters``: cosine neighborhoods, core/border/
+  noise, components via the dedup star-contraction machinery).
 
 Nothing imports this module at runtime.
 """
@@ -243,6 +246,65 @@ _WEIGHTED_SAMPLE_ORACLE = """
 """
 
 
+def q_dbscan(spark, sf_dir):
+    """DBSCAN over the embeddings (cosine >= 0.35 neighborhoods,
+    min_pts 3 — at sf0.01 that is 142 cores / ~200 borders / ~160
+    noise, so every role and the labelling stay hash-checked):
+    core/border/noise roles, clusters = components of the core-core
+    graph labelled by min id."""
+    from file_d_spark.functions import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.dbscan_clusters(e, eps_sim=0.35, min_pts=3)
+
+
+_DBSCAN_ORACLE = """
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+          FROM embeddings),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a, v b
+      WHERE a.vec_id < b.vec_id
+        AND list_sum(list_transform(range(1, len(a.ve)+1),
+              i -> a.ve[i] * b.ve[i]))
+            / (sqrt(list_sum(list_transform(range(1, len(a.ve)+1),
+                 i -> a.ve[i] * a.ve[i])))
+             * sqrt(list_sum(list_transform(range(1, len(b.ve)+1),
+                 i -> b.ve[i] * b.ve[i])))) >= 0.35),
+    sym AS (SELECT id_a, id_b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT id_a AS node, count(*) AS d FROM sym GROUP BY id_a),
+    core AS (SELECT node FROM deg WHERE d + 1 >= 3),
+    ce AS (SELECT s.id_a, s.id_b FROM sym s
+           JOIN core c1 ON s.id_a = c1.node
+           JOIN core c2 ON s.id_b = c2.node
+           WHERE s.id_a < s.id_b),
+    edges AS (SELECT id_a AS a, id_b AS b FROM ce
+              UNION SELECT id_b, id_a FROM ce),
+    cc(id, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.id = e.b),
+    lab AS (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id),
+    core_labels AS (
+      SELECT c.node, coalesce(l.cluster_id, c.node) AS cluster_id
+      FROM core c LEFT JOIN lab l ON l.id = c.node),
+    border AS (
+      SELECT s.id_b AS node, min(cl.cluster_id) AS cluster_id
+      FROM sym s JOIN core c1 ON s.id_a = c1.node
+           JOIN core_labels cl ON cl.node = s.id_a
+      WHERE s.id_b NOT IN (SELECT node FROM core)
+      GROUP BY s.id_b),
+    labelled AS (
+      SELECT node, cluster_id, 'core' AS role FROM core_labels
+      UNION ALL
+      SELECT node, cluster_id, 'border' AS role FROM border)
+    SELECT e.vec_id, coalesce(lb.cluster_id, -1) AS cluster_id,
+           coalesce(lb.role, 'noise') AS role
+    FROM embeddings e LEFT JOIN labelled lb ON lb.node = e.vec_id
+"""
+
+
 # name -> (query fn, oracle SQL)
 STAGED: dict = {
     "bpe_fertility": (q_bpe_fertility, _fertility_oracle()),
@@ -250,4 +312,5 @@ STAGED: dict = {
     "graph_pagerank": (q_graph_pagerank, _pagerank_oracle()),
     "bigram_logprob": (q_bigram_logprob, _bigram_oracle()),
     "weighted_sample": (q_weighted_sample, _WEIGHTED_SAMPLE_ORACLE),
+    "dbscan_clusters": (q_dbscan, _DBSCAN_ORACLE),
 }
