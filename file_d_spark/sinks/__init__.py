@@ -336,6 +336,14 @@ def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
     index_values = list(cfg.get("index_values", ["@time"]))
     time_format = _go_time_to_strftime(cfg.get("time_format", "2006-01-02"))
     now_str = dt.datetime.now(dt.timezone.utc).strftime(time_format)
+    # bulk action verb (elasticsearch.go:163,241: the header prefix is
+    # built from BatchOpType, options index|create)
+    op_type = cfg.get("batch_op_type", "index")
+    if op_type not in ("index", "create"):
+        raise ValueError(
+            f"elasticsearch sink: batch_op_type must be index|create,"
+            f" got {op_type!r}"
+        )
 
     ingest_pipeline = cfg.get("ingest_pipeline")
     if ingest_pipeline and cfg.get("transport") is not None:
@@ -349,7 +357,7 @@ def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
     def doc_lines(d: dict) -> list[str]:
         name = build_index_name(d, index_format, index_values, now_str)
         return [
-            json.dumps({"index": {"_index": name}}),
+            json.dumps({op_type: {"_index": name}}),
             json.dumps(d, default=str),
         ]
 
@@ -426,23 +434,120 @@ def sink_loki(df: DataFrame, cfg: dict[str, Any]):
     _http_batch_sink(df, cfg, encode)
 
 
+def _gelf_extra_name(name: str) -> str:
+    """gelf.go:484 formatExtraField: '_' prefix, disallowed runes -> '-'."""
+    out = ["_"]
+    for c in name:
+        ok = c.isascii() and (c.isalnum() or c in "_-.")
+        out.append(c if ok else "-")
+    return "".join(out)
+
+
+def _gelf_is_blank(s: str) -> bool:
+    """gelf.go isBlank: space/tab/newline/CR/VT/FF/FS/GS/RS/US only."""
+    blanks = " \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f"
+    return all(c in blanks for c in s)
+
+
 def sink_gelf(df: DataFrame, cfg: dict[str, Any]):
-    """GELF envelopes: version/host/short_message + _-prefixed extras,
-    null-byte framed (/root/reference/plugin/output/gelf/gelf.go:18-58)."""
-    host_field = cfg.get("host_field", "host")
-    msg_field = cfg.get("short_message_field", "message")
+    """GELF envelopes, null-byte framed, with the reference's full
+    field mapping (/root/reference/plugin/output/gelf/gelf.go:345-509):
+    every event field first becomes a '_'-sanitized extra
+    (non-string/number values JSON-encoded to strings), then the
+    configured source fields are renamed back to the base GELF names —
+    host (default_value "unknown"), short_message
+    (default_short_message_value, blank-string values also fall back),
+    full_message (skipped when unconfigured), timestamp (numbers
+    de-milli'd to epoch seconds, strings parsed with
+    timestamp_field_format best-effort, missing -> send time), and
+    level (RFC-5424 name or number via the convert_log_level table,
+    unknown names -> informational)."""
+    import datetime as _dt
+
+    from file_d_spark.actions.convert import LOG_LEVEL_NUMBERS
+
+    host_field = _gelf_extra_name(cfg.get("host_field", "host"))
+    msg_field = _gelf_extra_name(cfg.get("short_message_field", "message"))
+    default_msg = cfg.get("default_short_message_value", "not set")
+    full_field_cfg = cfg.get("full_message_field", "")
+    full_field = _gelf_extra_name(full_field_cfg) if full_field_cfg else ""
+    ts_field = _gelf_extra_name(cfg.get("timestamp_field", "time"))
+    level_field_cfg = cfg.get("level_field", "level")
+    level_field = (
+        _gelf_extra_name(level_field_cfg) if level_field_cfg else ""
+    )
+
+    def base_field(g: dict, gelf_name: str, field: str, default: str):
+        # gelf.go makeBaseField: missing -> default (or skip when the
+        # default is empty); non-strings stringified; blank -> default
+        if not field:
+            return
+        if field not in g:
+            if default == "":
+                return
+            g[field] = default
+        v = g.pop(field)
+        if not isinstance(v, str):
+            v = json.dumps(v, default=str) if not isinstance(
+                v, (int, float)
+            ) else str(v)
+        if _gelf_is_blank(v):
+            v = default
+        g[gelf_name] = v
 
     def encode(docs: list[dict]) -> list[str]:
         out = []
+        now = _dt.datetime.now(_dt.timezone.utc).timestamp()
         for d in docs:
-            g = {
-                "version": "1.1",
-                "host": str(d.get(host_field, "unknown")),
-                "short_message": str(d.get(msg_field, "")),
-            }
+            g: dict[str, Any] = {}
             for k, v in d.items():
-                if k not in (host_field, msg_field):
-                    g["_" + k] = v
+                if v is None:
+                    # a null column is the flat-schema spelling of the
+                    # reference's ABSENT dynamic field — defaults apply
+                    continue
+                if not isinstance(v, (str, int, float)) or isinstance(
+                    v, bool
+                ):
+                    v = json.dumps(v, default=str)
+                g[_gelf_extra_name(k)] = v
+            g["version"] = "1.1"
+            base_field(g, "host", host_field, "unknown")
+            base_field(g, "short_message", msg_field, default_msg)
+            base_field(g, "full_message", full_field, "")
+            ts_node = g.pop(ts_field, None)
+            if ts_node is not None:
+                ts = now
+                if isinstance(ts_node, (int, float)) and not isinstance(
+                    ts_node, bool
+                ):
+                    ts = float(ts_node)
+                    if ts > 1_000_000_000_000:  # millis?
+                        ts /= 1000
+                    if ts > 1_000_000_000_000:  # micros?
+                        ts /= 1000
+                elif isinstance(ts_node, str):
+                    try:  # rfc3339-family best effort
+                        ts = _dt.datetime.fromisoformat(
+                            ts_node.replace("Z", "+00:00")
+                        ).timestamp()
+                    except ValueError:
+                        pass
+                g["timestamp"] = ts
+            if level_field:
+                lv_node = g.pop(level_field, None)
+                level = -1
+                if isinstance(lv_node, bool):
+                    lv_node = None
+                if isinstance(lv_node, str):
+                    level = LOG_LEVEL_NUMBERS.get(
+                        lv_node.strip().lower(), 6
+                    )
+                elif isinstance(lv_node, (int, float)):
+                    level = int(lv_node)
+                elif lv_node is not None:
+                    g[level_field] = lv_node  # non-scalar: keep extra
+                if level != -1:
+                    g["level"] = level
             out.append(json.dumps(g, default=str) + "\x00")
         return out
 
@@ -450,17 +555,54 @@ def sink_gelf(df: DataFrame, cfg: dict[str, Any]):
 
 
 def sink_splunk(df: DataFrame, cfg: dict[str, Any]):
-    """Splunk HEC event envelopes (+copy_fields)
-    (/root/reference/plugin/output/splunk/splunk.go:22-111)."""
-    copy_fields = cfg.get("copy_fields", [])
+    """Splunk HEC event envelopes with ``copy_fields``
+    (/root/reference/plugin/output/splunk/splunk.go:25-45,236-251):
+    each ``{from, to}`` entry copies a (possibly nested) event field
+    to a (possibly nested) path in the OUTPUT json next to the
+    "event" key — e.g. ``{from: service, to: fields.service_name}``.
+    Copies to the root (empty ``to``) or to ``event``/its subfields
+    are rejected at config time (the reference logs and skips; a
+    typed config error here beats a silently missing metadata field).
+    A bare string entry is shorthand for ``{from: x, to: x}``.
+    Missing source fields populate nothing."""
+    copies: list[tuple[list[str], list[str]]] = []
+    for cp in cfg.get("copy_fields", []):
+        if isinstance(cp, str):
+            cp = {"from": cp, "to": cp}
+        to = str(cp.get("to", ""))
+        if not to:
+            raise ValueError("splunk copy_fields: copies to the root are not allowed")
+        if to == "event" or to.startswith("event."):
+            raise ValueError(
+                "splunk copy_fields: copies to the `event` field or any"
+                " of its subfields are not allowed"
+            )
+        copies.append((str(cp.get("from", "")).split("."), to.split(".")))
+
+    def dig(d: Any, path: list[str]):
+        for p in path:
+            if not isinstance(d, dict) or p not in d:
+                return None
+            d = d[p]
+        return d
+
+    def put(d: dict, path: list[str], value: Any) -> None:
+        for p in path[:-1]:
+            nxt = d.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                d[p] = nxt
+            d = nxt
+        d[path[-1]] = value
 
     def encode(docs: list[dict]) -> list[str]:
         out = []
         for d in docs:
             env: dict[str, Any] = {"event": d}
-            for cp in copy_fields:
-                if cp in d:
-                    env[cp] = d[cp]
+            for from_path, to_path in copies:
+                v = dig(d, from_path)
+                if v is not None:
+                    put(env, to_path, v)
             out.append(json.dumps(env, default=str))
         return ["\n".join(out)]
 

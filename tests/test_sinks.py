@@ -44,6 +44,29 @@ def test_es_bulk_sink(spark, tmp_path):
     assert docs == ["a", "b"]
 
 
+def test_es_bulk_sink_create_op_type(spark, tmp_path):
+    """batch_op_type: create switches the bulk action verb
+    (elasticsearch.go:163,241); anything else is rejected."""
+    import pytest
+
+    from file_d_spark.sinks import sink_elasticsearch
+
+    df = spark.createDataFrame([("a", 1)], "msg string, n long").coalesce(1)
+    out = str(tmp_path / "es_create")
+    sink_elasticsearch(
+        df,
+        {
+            "index_format": "logs-x",
+            "batch_op_type": "create",
+            "transport": _collector(out),
+        },
+    )
+    lines = [l for p in _payloads(out) for l in p.strip().split("\n")]
+    assert json.loads(lines[0]) == {"create": {"_index": "logs-x"}}
+    with pytest.raises(ValueError, match="batch_op_type"):
+        sink_elasticsearch(df, {"batch_op_type": "upsert", "transport": _collector(out)})
+
+
 def test_gelf_sink(spark, tmp_path):
     from file_d_spark.sinks import sink_gelf
 
@@ -61,6 +84,57 @@ def test_gelf_sink(spark, tmp_path):
     assert g["_svc"] == "extra"
 
 
+def test_gelf_full_field_mapping(spark, tmp_path):
+    """gelf.go:345-509: defaults for missing/blank short_message,
+    full_message rename, numeric de-milli'd timestamp, RFC-5424 level
+    parse (string name / number / unknown->informational), extra-name
+    sanitization, non-scalar extras JSON-encoded."""
+    from file_d_spark.sinks import sink_gelf
+
+    rows = [
+        #  message  detail        time(ms)        level     odd@key  tags
+        ("  ",      "full text",  1723719609120,  "error",  "x",     ["a", "b"]),
+        (None,      None,         None,           "5",      "y",     None),
+        ("ok",      "d",          1609459200,     "weird",  "z",     ["c"]),
+    ]
+    schema = ("message string, detail string, time long, level string,"
+              " `odd key` string, tags array<string>")
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    out = str(tmp_path / "gelf_full")
+    sink_gelf(
+        df,
+        {
+            "full_message_field": "detail",
+            "default_short_message_value": "not set",
+            "transport": _collector(out),
+        },
+    )
+    frames = [
+        json.loads(x)
+        for p in _payloads(out)
+        for x in p.split("\x00")
+        if x
+    ]
+    by_key = {g["_odd-key"]: g for g in frames}
+    a, b, c = by_key["x"], by_key["y"], by_key["z"]
+    # blank short_message falls back; full_message renamed from detail
+    assert a["short_message"] == "not set"
+    assert a["full_message"] == "full text"
+    assert a["host"] == "unknown"
+    # millis -> epoch seconds; string level name -> RFC-5424 number
+    assert a["timestamp"] == 1723719609.120
+    assert a["level"] == 3
+    assert a["_tags"] == '["a", "b"]'
+    # absent fields: short_message defaulted, no timestamp emitted,
+    # numeric-string level parsed
+    assert b["short_message"] == "not set"
+    assert "timestamp" not in b
+    assert b["level"] == 5
+    # seconds stay seconds; unknown level name -> informational (6)
+    assert c["timestamp"] == 1609459200.0
+    assert c["level"] == 6
+
+
 def test_splunk_sink(spark, tmp_path):
     from file_d_spark.sinks import sink_splunk
 
@@ -70,7 +144,44 @@ def test_splunk_sink(spark, tmp_path):
     (payload,) = _payloads(out)
     env = json.loads(payload)
     assert env["event"]["msg"] == "x"
-    assert env["host"] == "h1"
+    assert env["host"] == "h1"  # bare-string copy_fields shorthand
+
+
+def test_splunk_copy_fields_from_to(spark, tmp_path):
+    """splunk.go:25-45,236-251: {from,to} selector copies land next to
+    the event key (nested to-paths create objects); root/event targets
+    are config errors; missing sources populate nothing."""
+    import pytest
+
+    from file_d_spark.sinks import sink_splunk
+
+    df = spark.createDataFrame(
+        [("x", "svc1", "2024-01-01")], "msg string, service string, ts string"
+    ).coalesce(1)
+    out = str(tmp_path / "splunk_ft")
+    sink_splunk(
+        df,
+        {
+            "copy_fields": [
+                {"from": "ts", "to": "time"},
+                {"from": "service", "to": "fields.service_name"},
+                {"from": "absent", "to": "fields.never"},
+            ],
+            "transport": _collector(out),
+        },
+    )
+    (payload,) = _payloads(out)
+    env = json.loads(payload)
+    assert env["time"] == "2024-01-01"
+    assert env["fields"] == {"service_name": "svc1"}
+    assert env["event"]["msg"] == "x"
+    for bad in ("", "event", "event.sub"):
+        with pytest.raises(ValueError, match="not allowed"):
+            sink_splunk(
+                df,
+                {"copy_fields": [{"from": "ts", "to": bad}],
+                 "transport": _collector(out)},
+            )
 
 
 def test_coerce_to_schema_strict_vs_not(spark):
