@@ -8,6 +8,7 @@ map to Spark built-ins; http/socket get custom python datasources
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -169,6 +170,29 @@ def _build_source_inner(
     if typ == "file":
         paths = cfg.get("watching_dir") or cfg.get("path")
         glob = cfg.get("filename_pattern", "*")
+        paths_cfg = cfg.get("paths") or {}
+        exclude = list(paths_cfg.get("exclude", []))
+        include = list(paths_cfg.get("include", []))
+        if include and not streaming:
+            # paths.include/exclude (file.go:73-74): full-path globs,
+            # exclusion wins.  Batch scans expand driver-side (the
+            # reference resolves against the local FS the same way)
+            # and hand Spark the explicit file list.
+            import fnmatch as _fn
+            import glob as _glob
+
+            files = sorted(
+                {f for pat in include for f in _glob.glob(pat, recursive=True)}
+            )
+            files = [
+                f for f in files
+                if not any(_fn.fnmatch(f, pat) for pat in exclude)
+            ]
+            if not files:
+                raise ValueError(
+                    f"file input: paths.include matched no files: {include}"
+                )
+            paths = files
         if streaming and cfg.get("tail"):
             # byte-offset tailing (reference file-input semantics:
             # follow growing files, not just new ones)
@@ -191,6 +215,10 @@ def _build_source_inner(
                 # runtime offset resets between micro-batches
                 # (resetter.go via TailResetter request files)
                 reader = reader.option("reset_dir", cfg["reset_dir"])
+            if exclude:
+                reader = reader.option("exclude", json.dumps(exclude))
+            if cfg.get("dir_pattern"):
+                reader = reader.option("dir_pattern", cfg["dir_pattern"])
             df = reader.load()
             df = df.withColumnsRenamed({"file": "_source_name", "offset": "_offset"})
             return _decode_lines(

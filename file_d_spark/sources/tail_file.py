@@ -50,12 +50,32 @@ class _TailPartition(InputPartition):
         self.end = end
 
 
-def _list_files(root: str, glob: str) -> list[str]:
+def _list_files(
+    root: str,
+    glob: str,
+    dir_pattern: str = "*",
+    exclude: list[str] | None = None,
+) -> list[str]:
+    """Walk ``root`` collecting files whose basename matches ``glob``.
+
+    ``dir_pattern`` filters every directory component below the root
+    (file.go:194 joins watchDir/dir_pattern/filename_pattern — one
+    configured level; applying it to each level is the superset that
+    also covers deeper trees).  ``exclude`` entries are FULL-PATH
+    globs (file.go:74, watcher.go:155: an excluded path wins over any
+    include match)."""
     out = []
-    for dirpath, _dirs, files in os.walk(root):
+    exclude = exclude or []
+    for dirpath, dirs, files in os.walk(root):
+        if dir_pattern != "*":
+            dirs[:] = [d for d in dirs if fnmatch.fnmatch(d, dir_pattern)]
         for name in files:
-            if fnmatch.fnmatch(name, glob):
-                out.append(os.path.join(dirpath, name))
+            if not fnmatch.fnmatch(name, glob):
+                continue
+            path = os.path.join(dirpath, name)
+            if any(fnmatch.fnmatch(path, pat) for pat in exclude):
+                continue
+            out.append(path)
     return sorted(out)
 
 
@@ -138,6 +158,9 @@ class TailFileStreamReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("tail_file requires option 'path'")
         self.glob = options.get("glob", "*")
+        self.dir_pattern = options.get("dir_pattern", "*")
+        # JSON array of full-path globs (paths.exclude, file.go:74)
+        self.exclude = json.loads(options.get("exclude", "[]"))
         # runtime resets (see TailResetter): directory polled at each
         # micro-batch boundary for reset request files
         self.reset_dir = options.get("reset_dir")
@@ -172,7 +195,9 @@ class TailFileStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         files = {}
-        for path in _list_files(self.root, self.glob):
+        for path in _list_files(
+            self.root, self.glob, self.dir_pattern, self.exclude
+        ):
             try:
                 size = os.path.getsize(path)
             except OSError:

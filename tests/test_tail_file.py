@@ -200,3 +200,83 @@ def test_reset_endpoint_on_introspection_server(spark, tmp_path):
         assert len(os.listdir(reset_dir)) == 2
     finally:
         srv.shutdown()
+
+
+def test_tail_exclude_and_dir_pattern(spark, tmp_path):
+    """paths.exclude full-path globs and dir_pattern directory filter
+    (file.go:73-74,194): excluded files and non-matching subtrees
+    never emit, matching ones do."""
+    import json as _json
+
+    from file_d_spark.sources.tail_file import TailFileDataSource
+
+    spark.dataSource.register(TailFileDataSource)
+    logdir = tmp_path / "logs"
+    (logdir / "pod-a").mkdir(parents=True)
+    (logdir / "pod-b").mkdir()
+    (logdir / "sys").mkdir()
+    (logdir / "pod-a" / "app.log").write_text("a-1\n")
+    (logdir / "pod-b" / "app.log").write_text("b-1\n")
+    (logdir / "pod-b" / "noise.log").write_text("noise\n")
+    (logdir / "sys" / "app.log").write_text("sys-1\n")
+
+    df = (
+        spark.readStream.format("tail_file")
+        .option("path", str(logdir))
+        .option("glob", "*.log")
+        .option("dir_pattern", "pod-*")
+        .option("exclude", _json.dumps([f"{logdir}/*/noise.log"]))
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("tail_excl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.value for r in spark.sql("SELECT * FROM tail_excl").collect()}
+        assert got == {"a-1", "b-1"}
+    finally:
+        q.stop()
+
+
+def test_batch_paths_include_exclude(spark, tmp_path):
+    """Batch file input with paths.include/exclude globs: the scan
+    reads exactly the driver-expanded, exclusion-filtered list."""
+    import pytest
+
+    from file_d_spark.engine import Pipeline
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    (logdir / "a.log").write_text('{"m": "a"}\n')
+    (logdir / "b.log").write_text('{"m": "b"}\n')
+    (logdir / "b.bak").write_text('{"m": "bak"}\n')
+
+    p = Pipeline.from_dict(
+        {
+            "input": {
+                "type": "file",
+                "paths": {
+                    "include": [f"{logdir}/*.log", f"{logdir}/*.bak"],
+                    "exclude": [f"{logdir}/b.*"],
+                },
+            },
+            "settings": {"decoder": "json", "decoder_params": {"schema": "m string"}},
+        }
+    )
+    df = p.read(spark)
+    assert sorted(r.m for r in df.select("m").collect()) == ["a"]
+
+    with pytest.raises(ValueError, match="matched no files"):
+        Pipeline.from_dict(
+            {
+                "input": {
+                    "type": "file",
+                    "paths": {"include": [f"{logdir}/nope-*.log"]},
+                },
+                "settings": {"decoder": "raw"},
+            }
+        ).read(spark)
