@@ -164,6 +164,73 @@ def build_source(spark: SparkSession, plan: PipelinePlan, streaming: bool = Fals
     return df
 
 
+
+def join_cri_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    seq_col,
+    split_event_size: int = 1_000_000,
+) -> DataFrame:
+    """Rejoin CRI 'P'-flagged partial chunks into whole events — the
+    core of the reference k8s MultilineAction
+    (/root/reference/plugin/input/k8s/multiline_action.go:66-210):
+    docker splits long container lines into 16 KB chunks, every chunk
+    but the last carrying the P flag; the joined event takes the LAST
+    chunk's fields (the reference emits on the F chunk) with the
+    concatenated log, and an accumulation that would exceed
+    ``split_event_size`` splits into multiple events (the reference
+    warns and splits; here the split point is the deterministic
+    cumulative-length boundary).
+
+    One window pass to derive the event group (running count of F
+    flags over the per-stream sequence) + one grouped aggregation —
+    both keyed by the container stream, so a hot pod parallelizes
+    across streams and nothing is global.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(seq_col)
+    is_end = ~F.coalesce(F.col("is_partial"), F.lit(False))
+    grp = F.sum(is_end.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.sum(F.length(F.coalesce(F.col("log"), F.lit("")))).over(
+        Window.partitionBy(*group_cols, "__grp__").orderBy(seq_col)
+    )
+    sub = F.floor(
+        (cum - F.length(F.coalesce(F.col("log"), F.lit(""))))
+        / F.lit(int(split_event_size))
+    )
+    staged = (
+        df.withColumn("__grp__", F.coalesce(grp, F.lit(0)))
+        .withColumn("__sub__", sub)
+        .withColumn("__seq__", F.col(seq_col) if isinstance(seq_col, str) else seq_col)
+    )
+    others = [
+        c for c in df.columns
+        if c not in group_cols and c not in ("log", "is_partial")
+        and c != seq_col
+    ]
+    joined = (
+        staged.groupBy(*group_cols, "__grp__", "__sub__")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__seq__", F.col("log")))
+                    ),
+                    lambda s: s["log"],
+                ),
+                "",
+            ).alias("log"),
+            *[F.max_by(c, "__seq__").alias(c) for c in others],
+            F.max_by("is_partial", "__seq__").alias("is_partial"),
+            F.max("__seq__").alias("__seq__"),
+        )
+    )
+    return joined.drop("__grp__", "__sub__")
+
+
 def _build_source_inner(
     spark: SparkSession, plan: PipelinePlan, typ: str, cfg: dict, streaming: bool
 ) -> DataFrame:
@@ -324,9 +391,43 @@ def _build_source_inner(
             .withColumn("k8s_container", F.regexp_extract(fname, k8s_re, 3))
             .withColumn("k8s_container_id", F.regexp_extract(fname, k8s_re, 4))
         )
+        if plan.settings.decoder in ("cri", "auto") and cfg.get(
+            "join_partials", True
+        ) and not streaming:
+            # docker 16 KB chunking: rejoin P-flagged partials per
+            # container stream (multiline_action.go).  Ordering comes
+            # from the scan's row id — exact within a file split, the
+            # same per-file sequential order the reference reads in.
+            decoded = join_cri_partials(
+                decoded.withColumn(
+                    "__rowid__", F.monotonically_increasing_id()
+                ),
+                ["_source_name", "stream"],
+                "__rowid__",
+                int(cfg.get("split_event_size", 1_000_000)),
+            ).drop("__rowid__")
         registry_path = cfg.get("pod_registry")
         if registry_path:
             registry = spark.read.json(registry_path)
+            only_node = bool(cfg.get("only_node", False))
+            allowed_pod = cfg.get("allowed_pod_labels")
+            allowed_node = cfg.get("allowed_node_labels")
+            keep = []
+            for c in registry.columns:
+                # label columns follow the reference's emitted names
+                # (multiline_action.go:174-205: k8s_pod_label_*,
+                # k8s_node_label_*); allowed-lists filter by label
+                # name, only_node drops pod labels entirely
+                if c.startswith("k8s_pod_label_"):
+                    if only_node:
+                        continue
+                    if allowed_pod is not None and c[len("k8s_pod_label_"):] not in allowed_pod:
+                        continue
+                elif c.startswith("k8s_node_label_"):
+                    if allowed_node is not None and c[len("k8s_node_label_"):] not in allowed_node:
+                        continue
+                keep.append(c)
+            registry = registry.select(*keep)
             decoded = decoded.join(
                 F.broadcast(registry),
                 on=["k8s_pod", "k8s_namespace"],
