@@ -117,6 +117,7 @@ class PipelineSettings:
     cut_off_event_by_limit: bool = False
     cut_off_event_by_limit_field: str = ""
     antispam_threshold: int = 0
+    source_name_meta_field: str = ""
     extra: dict[str, Any] = field(default_factory=dict)
 
     @classmethod

@@ -105,11 +105,60 @@ class Pipeline:
         }
 
     # -- execution --------------------------------------------------------
+    def _settings_antispam(self) -> dict | None:
+        """Engine-level antispam from pipeline SETTINGS (fd/util.go:
+        96-127): ``settings.antispam.{threshold, maintenance_interval,
+        rules}`` with the legacy ``antispam_threshold`` fallback and
+        ``antispam_exceptions``; a configured threshold is PER SECOND
+        and scales by the maintenance interval
+        (``antispamThreshold *= interval/second``).  The source
+        identity is ``source_name_meta_field`` when set
+        (pipeline.go:452-461), else the input's ``_source_name``."""
+        from file_d_spark.xtime import parse_duration_s
+
+        s = self.plan.settings
+        nested = s.extra.get("antispam") or {}
+        # the legacy key counts ONLY when the nested map is absent
+        # (util.go:113-115: `if mp == nil` falls back)
+        if nested:
+            thr = int(nested.get("threshold", -1))
+        else:
+            thr = int(s.antispam_threshold or -1)
+        rules = nested.get("rules")
+        exceptions = s.extra.get("antispam_exceptions")
+        if thr <= 0 and not rules:
+            return None
+        interval = nested.get("maintenance_interval", "5s")
+        eff = thr * max(1, int(parse_duration_s(interval))) if thr > 0 else thr
+        cfg: dict[str, Any] = {
+            "type": "antispam",
+            "threshold": eff,
+            "maintenance_interval": interval,
+            "source_field": s.source_name_meta_field or "_source_name",
+        }
+        # extension: batch frames need an event-time column for the
+        # maintenance window (the reference ticks on wall clock)
+        time_field = nested.get("time_field") or s.extra.get(
+            "antispam_time_field"
+        )
+        if time_field:
+            cfg["time_field"] = time_field
+        if rules:
+            cfg["rules"] = rules
+        if exceptions:
+            cfg["exceptions"] = exceptions
+        return cfg
+
     def apply(self, df: DataFrame, raw_field: str | None = None) -> DataFrame:
         """Run the action chain over an existing DataFrame (batch or
         streaming)."""
         df = apply_input_guards(df, self.plan, raw_field)
-        return compile_actions(df, self.plan.actions)
+        actions = list(self.plan.actions)
+        antispam_cfg = self._settings_antispam()
+        if antispam_cfg is not None:
+            # the reference antispams in pipeline.In, BEFORE actions
+            actions.insert(0, antispam_cfg)
+        return compile_actions(df, actions)
 
     def read(self, spark: SparkSession) -> DataFrame:
         from file_d_spark.sources import build_source

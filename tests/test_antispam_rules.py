@@ -171,3 +171,71 @@ def test_antispam_event_serialization_pruned(spark):
     }]})
     plan = event_rule.apply(df)._jdf.queryExecution().optimizedPlan().toString()
     assert "StructsToJson" in plan  # needed, therefore present
+
+
+def test_settings_level_antispam(spark):
+    """fd/util.go:96-127 + pipeline.go:452-461: settings.antispam (and
+    the legacy antispam_threshold) run engine-level antispam BEFORE the
+    action chain, the configured threshold is per-second (scaled by
+    the maintenance interval), and source_name_meta_field redirects
+    the source identity."""
+    import datetime as dt
+
+    from file_d_spark import Pipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("spammy" if i < 8 else "quiet", "ten", t0, f"m{i}")
+            for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "_source_name string, tenant string, ts timestamp, msg string"
+    )
+
+    # nested form: threshold 1/s x 2s interval = 2 per window; the
+    # spammy source (8 events in one window) is banned, quiet survives
+    p = Pipeline.from_dict(
+        {
+            "settings": {
+                "antispam": {
+                    "threshold": 1,
+                    "maintenance_interval": "2s",
+                    "time_field": "ts",
+                }
+            },
+            "actions": [],
+        }
+    )
+    out = {r.msg for r in p.apply(df).collect()}
+    assert out == {"m8", "m9"}
+
+    # legacy key (no nested map -> fallback active, util.go:113-115) +
+    # source_name_meta_field: identity = tenant column, shared by both
+    # sources -> everything banned together (threshold 1/s x default
+    # 5s interval = 5 < 10 shared events)
+    p2 = Pipeline.from_dict(
+        {
+            "settings": {
+                "antispam_threshold": 1,
+                "source_name_meta_field": "tenant",
+                "antispam_time_field": "ts",
+            },
+            "actions": [],
+        }
+    )
+    assert p2.apply(df).count() == 0
+
+    # a nested map WITHOUT threshold shadows the legacy key entirely
+    p2b = Pipeline.from_dict(
+        {
+            "settings": {
+                "antispam_threshold": 1,
+                "antispam": {"maintenance_interval": "2s",
+                             "time_field": "ts"},
+            },
+            "actions": [],
+        }
+    )
+    assert p2b.apply(df).count() == 10
+
+    # disabled default: everything passes
+    p3 = Pipeline.from_dict({"settings": {}, "actions": []})
+    assert p3.apply(df).count() == 10
