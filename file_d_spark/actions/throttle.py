@@ -508,7 +508,16 @@ class Cardinality(Action):
             _require_ungated_stream(pred, "cardinality")
             from file_d_spark.streaming import cardinality_stream
 
-            return cardinality_stream(df, key_fields[0], fields[0], limit, mode)
+            # config ttl (cardinality.go:29, default 1m) -> the state
+            # timeout that forgets an idle key's distinct set; batch
+            # runs have no time axis inside one frame, so ttl is a
+            # streaming-only knob
+            ttl_ms = int(
+                _parse_duration_seconds(self.params.get("ttl"), 60.0) * 1000
+            )
+            return cardinality_stream(
+                df, key_fields[0], fields[0], limit, mode, ttl_ms=ttl_ms
+            )
 
         key = F.concat_ws(
             "\x01",

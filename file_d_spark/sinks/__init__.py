@@ -407,8 +407,20 @@ def sink_loki(df: DataFrame, cfg: dict[str, Any]):
     """Loki push payloads: streams with [ts_unix_nano, line] values
     (/root/reference/plugin/output/loki/loki.go:47-64).  Loki rejects
     zero/old timestamps, so the nano stamp falls back from an explicit
-    ts_nano field to the configured time column to ingestion time."""
+    ts_nano field to the configured time column to ingestion time.
+    ``auth.tenant_id`` rides to the transport as the X-Scope-OrgID
+    header value (loki.go:199,456) — the injectable transport seam
+    receives it as ``tenant=`` keyword."""
     import datetime as dt
+
+    tenant = (cfg.get("auth") or {}).get("tenant_id")
+    if tenant and cfg.get("transport") is not None:
+        raw_transport = cfg["transport"]
+
+        def _with_tenant(payload, _t=raw_transport, _tn=tenant):
+            return _t(payload, tenant=_tn)
+
+        cfg = {**cfg, "transport": _with_tenant}
 
     labels = cfg.get("labels", {"job": "file_d_spark"})
     ts_field = cfg.get("timestamp_field", "ts")

@@ -21,10 +21,13 @@ from file_d_spark.sources.ingest import _SpoolWriter
 class ProcessPump:
     """Spawn a line-emitting process; append its stdout to a spool."""
 
-    def __init__(self, cmd: list[str], spool_dir: str, batch_lines: int = 1000):
+    def __init__(self, cmd: list[str], spool_dir: str, batch_lines: int = 1000,
+                 max_lines: int = 0):
         self.cmd = cmd
         self.writer = _SpoolWriter(spool_dir)
         self.batch_lines = batch_lines
+        # journalctl.go:52 MaxLines: stop after N lines (0 = unbounded)
+        self.max_lines = max_lines
         self._proc: subprocess.Popen | None = None
         self._thread: threading.Thread | None = None
 
@@ -35,12 +38,17 @@ class ProcessPump:
 
         def pump():
             buf: list[bytes] = []
+            total = 0
             assert self._proc and self._proc.stdout
             for line in self._proc.stdout:
                 buf.append(line)
+                total += 1
                 if len(buf) >= self.batch_lines:
                     self.writer.write_lines(b"".join(buf))
                     buf = []
+                if self.max_lines and total >= self.max_lines:
+                    self._proc.terminate()
+                    break
             if buf:
                 self.writer.write_lines(b"".join(buf))
 
@@ -59,11 +67,38 @@ class ProcessPump:
             self._proc.terminate()
 
 
+def journalctl_args(
+    journal_args: list[str] | None = None,
+    cursor: str = "",
+    max_lines: int = 0,
+) -> list[str]:
+    """Reference argument assembly (reader.go:67-80 + journalctl.go:
+    46-52): ``-o json -a`` always forced, then ``-c <cursor>`` to
+    resume a stored position or ``-n all`` for a fresh start, then the
+    user's ``journal_args`` (default ``-f``).  ``max_lines`` bounds
+    the emitted lines (the reference counts lines in the read loop;
+    here the same cap is applied by ProcessPump)."""
+    args = ["-o", "json", "-a"]
+    if cursor:
+        args += ["-c", cursor]
+    else:
+        args += ["-n", "all"]
+    args += list(journal_args) if journal_args is not None else ["-f"]
+    _ = max_lines  # consumed by the pump, kept here for signature parity
+    return args
+
+
 def journalctl_pump(spool_dir: str, extra_args: list[str] | None = None,
-                    cmd: list[str] | None = None) -> ProcessPump:
-    """``journalctl -f -o json`` -> spool.  Pass ``cmd`` to substitute
-    the binary (testing / non-systemd hosts)."""
-    return ProcessPump(cmd or ["journalctl", "-f", "-o", "json", *(extra_args or [])], spool_dir)
+                    cmd: list[str] | None = None, cursor: str = "",
+                    max_lines: int = 0) -> ProcessPump:
+    """``journalctl`` -> spool with the reference's argument assembly.
+    Pass ``cmd`` to substitute the binary (testing / non-systemd
+    hosts); ``extra_args`` maps the config's ``journal_args``."""
+    return ProcessPump(
+        cmd or ["journalctl", *journalctl_args(extra_args, cursor)],
+        spool_dir,
+        max_lines=max_lines,
+    )
 
 
 def dmesg_pump(spool_dir: str, cmd: list[str] | None = None) -> ProcessPump:

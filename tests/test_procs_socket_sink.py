@@ -35,6 +35,33 @@ def test_journalctl_pump_to_pipeline(spark, tmp_path):
     assert rows[3].PRIORITY == "error"  # 3 -> error
 
 
+def test_journalctl_args_assembly(tmp_path):
+    """reader.go:67-80: -o json -a forced, -c cursor resumes else
+    -n all, then journal_args (default -f); max_lines caps the pump."""
+    from file_d_spark.sources.procs import journalctl_args, journalctl_pump
+
+    assert journalctl_args() == ["-o", "json", "-a", "-n", "all", "-f"]
+    assert journalctl_args(cursor="s=abc") == [
+        "-o", "json", "-a", "-c", "s=abc", "-f",
+    ]
+    assert journalctl_args(["-u", "nginx"], max_lines=5) == [
+        "-o", "json", "-a", "-n", "all", "-u", "nginx",
+    ]
+
+    spool = str(tmp_path / "spool_max")
+    lines = [f"line-{i}" for i in range(10)]
+    pump = journalctl_pump(
+        spool, cmd=["printf", "%s\n" * len(lines), *lines], max_lines=4
+    ).start()
+    pump.wait(10)
+    import glob as _g
+
+    got = []
+    for f in _g.glob(f"{spool}/*"):
+        got.extend(open(f).read().splitlines())
+    assert len(got) == 4
+
+
 def test_socket_sink_tcp(spark, tmp_path):
     from file_d_spark import Pipeline
 

@@ -434,3 +434,36 @@ def test_loki_timestamp_fallback(spark, tmp_path):
     assert stamps[1] == 77
     assert stamps[2] == int(t.timestamp() * 1e9)
     assert stamps[3] > 1e18  # ingestion-time fallback, not zero
+
+
+def test_loki_tenant_header(spark, tmp_path):
+    """loki.go:199,456: auth.tenant_id becomes the X-Scope-OrgID
+    header — the injected transport receives it as tenant=."""
+    import json as _json
+
+    from file_d_spark.sinks import sink_loki
+
+    import os
+    import uuid
+
+    df = spark.createDataFrame([("hello", 1)], "message string, n long").coalesce(1)
+    out = str(tmp_path / "loki_t")
+    os.makedirs(out, exist_ok=True)
+
+    def transport(payload, tenant=None, _out=out):
+        # foreachPartition runs in worker processes: record via files
+        with open(f"{_out}/{uuid.uuid4().hex}.payload", "w") as fh:
+            fh.write(_json.dumps({"tenant": tenant, "payload": payload}))
+
+    sink_loki(
+        df,
+        {
+            "message_field": "message",
+            "auth": {"tenant_id": "team-42"},
+            "transport": transport,
+        },
+    )
+    (raw,) = _payloads(out)
+    rec = _json.loads(raw)
+    assert rec["tenant"] == "team-42"
+    assert "hello" in rec["payload"]
