@@ -242,6 +242,54 @@ class PipelineInspector:
                 reg.inc(cname, pn, status="passed", **lab)
                 reg.inc(sname, ps, status="passed", **lab)
 
+        # per-mask applied metrics (mask.go:256, metrics.go
+        # applyMaskMetric): masks carrying applied_metric_name count
+        # the events they fired on, labelled from event fields
+        # ("not_set" when absent).  The lazy engine reads the fired
+        # evidence from the mask's applied_field in the recorded
+        # OUTPUT frame, so the metric requires applied_field —
+        # enforced at registration (a silent no-metric is worse).
+        for i, cfg in enumerate(self.plan.actions):
+            if cfg.get("type") != "mask":
+                continue
+            for m in cfg.get("masks", []):
+                aname = m.get("applied_metric_name")
+                if not aname:
+                    continue
+                if not m.get("applied_field"):
+                    raise ValueError(
+                        "mask applied_metric_name requires applied_field"
+                        " (the lazy metrics engine derives the counter"
+                        " from it)"
+                    )
+                alabels = list(m.get("applied_metric_labels") or [])
+                reg.counter(aname, "mask applied counter")
+                df = self.frames[i + 1]
+                cols = [
+                    F.coalesce(
+                        get_col_safe(parse_selector(l), df.schema).cast(
+                            "string"
+                        ),
+                        F.lit("not_set"),
+                    ).alias(f"__l{j}__")
+                    for j, l in enumerate(alabels)
+                ]
+                fired = get_col_safe(
+                    parse_selector(m["applied_field"]), df.schema
+                )
+                rows = (
+                    df.filter(fired.isNotNull())
+                    .select(*cols)
+                    .groupBy(*[f"__l{j}__" for j in range(len(alabels))])
+                    .agg(F.count(F.lit(1)).alias("__n__"))
+                    .collect()
+                )
+                for r in rows:
+                    lab = {
+                        l: r[f"__l{j}__"] for j, l in enumerate(alabels)
+                    }
+                    reg.inc(aname, r["__n__"], **lab)
+
     # -- HTTP surface ---------------------------------------------------
     def serve(self, port: int = 0, host: str = "127.0.0.1", resetter=None):
         """Start a daemon thread serving the reference's URL shape:

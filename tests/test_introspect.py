@@ -282,3 +282,43 @@ def test_custom_action_metrics(spark):
     act = build_action({"type": "add_host", "metric_name": "x",
                         "metric_labels": ["a"], "metric_skip_status": True})
     assert "metric_name" not in act.params
+
+
+def test_mask_applied_metric(spark):
+    """Per-mask applied_metric_name/labels (mask.go:256, metrics.go):
+    counts events the mask fired on, labelled from event fields;
+    requires applied_field so the lazy engine has fired evidence."""
+    import pytest
+
+    from file_d_spark import Pipeline
+    from file_d_spark.introspect import PipelineInspector
+
+    df = spark.createDataFrame(
+        [("card 1234", "shop"), ("no digits", "shop"), ("pin 77", "bank")],
+        "msg string, svc string",
+    )
+    insp = PipelineInspector(
+        Pipeline.from_dict({"actions": [
+            {"type": "mask", "masks": [
+                {"re": r"\d+", "groups": [0],
+                 "applied_field": "masked",
+                 "applied_metric_name": "digits_masked",
+                 "applied_metric_labels": ["svc"]},
+            ]},
+        ]}),
+        df,
+    )
+    body = insp.prometheus()
+    assert 'file_d_digits_masked{svc="shop"} 1' in body
+    assert 'file_d_digits_masked{svc="bank"} 1' in body
+
+    with pytest.raises(ValueError, match="applied_field"):
+        PipelineInspector(
+            Pipeline.from_dict({"actions": [
+                {"type": "mask", "masks": [
+                    {"re": r"\d+", "groups": [0],
+                     "applied_metric_name": "x"},
+                ]},
+            ]}),
+            df,
+        ).prometheus()
