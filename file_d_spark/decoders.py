@@ -319,13 +319,68 @@ def decode_syslog_rfc5424(line: Column, params: dict[str, Any] | None = None) ->
 
 
 def decode_csv(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
+    """csv decoder (decoder/csv.go): named ``columns``, or PREFIX mode
+    when columns are empty — every field lands in the event map as
+    ``prefix + index`` (GenerateColumnName, csv.go:239-245).
+    ``invalid_line_mode`` governs a field-count mismatch against named
+    columns (CheckInvalidLine, csv.go:223-236): ``fatal`` aborts the
+    job, ``continue`` keeps the parsed named prefix (the reference
+    appends prefix+i extras; a typed frame cannot grow per-row
+    columns, so extras drop — documented divergence), ``default``
+    fails the whole event (all fields null, like the reference's
+    decode error path)."""
+    import re as _pyre
+
     params = params or {}
     columns = params.get("csv_columns") or params.get("columns")
-    if not columns:
-        raise ValueError("csv decoder requires csv_columns")
     delimiter = params.get("csv_delimiter", params.get("delimiter", ","))
+    # delimiter outside double quotes (csv.go honors quoting)
+    sep_re = _pyre.escape(delimiter) + r'(?=(?:[^"]*"[^"]*")*[^"]*$)'
+    if not columns:
+        prefix = params.get("prefix", "")
+        cells = F.transform(
+            F.split(line, sep_re),
+            lambda c: F.regexp_replace(
+                F.regexp_replace(c, r'^"(.*)"$', "$1"), '""', '"'
+            ),
+        )
+        return {
+            "__map__": F.map_from_arrays(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(cells) - 1, F.lit(0))
+                    ),
+                    lambda i: F.concat(F.lit(prefix), i.cast("string")),
+                ),
+                cells,
+            )
+        }
+    mode = params.get("invalid_line_mode", "default")
+    if mode not in ("default", "fatal", "continue"):
+        raise ValueError(f"csv decoder: bad invalid_line_mode {mode!r}")
     ddl = ", ".join(f"`{c}` STRING" for c in columns)
     parsed = F.from_csv(line, ddl, {"sep": delimiter})
+    n_fields = F.size(F.split(line, sep_re))
+    mismatch = n_fields != F.lit(len(columns))
+    if mode == "fatal":
+        gate = F.when(
+            mismatch,
+            F.raise_error(
+                F.concat(
+                    F.lit("got invalid line with setting"
+                          " InvalidLineMode=fatal: "),
+                    line,
+                )
+            ),
+        )
+        return {
+            c: F.coalesce(gate.cast("string"), parsed.getField(c))
+            for c in columns
+        }
+    if mode == "default":
+        return {
+            c: F.when(~mismatch, parsed.getField(c)) for c in columns
+        }
     return {c: parsed.getField(c) for c in columns}
 
 

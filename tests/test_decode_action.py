@@ -66,3 +66,43 @@ def test_decode_csv_columns(spark):
     ).apply(df)
     row = out.collect()[0]
     assert (row.a, row.b, row.c) == ("x", "y", "z")
+
+
+def test_decode_csv_prefix_and_invalid_modes(spark):
+    """csv.go:223-245: prefix mode names every field prefix+index into
+    the event map; invalid_line_mode default fails the whole event on
+    a field-count mismatch, continue keeps the named prefix, fatal
+    aborts."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from file_d_spark.decoders import DECODERS
+
+    df = spark.createDataFrame(
+        [('1,"two,2",3',), ("a,b",)], "line string"
+    )
+    # prefix mode: quote-aware split, map keys prefix+i
+    fm = DECODERS["csv"](F.col("line"), {"prefix": "csv_"})
+    rows = df.select(fm["__map__"].alias("m")).collect()
+    assert rows[0].m == {"csv_0": "1", "csv_1": "two,2", "csv_2": "3"}
+    assert rows[1].m == {"csv_0": "a", "csv_1": "b"}
+
+    def decode(mode):
+        fm = DECODERS["csv"](
+            F.col("line"),
+            {"csv_columns": ["a", "b", "c"], "invalid_line_mode": mode},
+        )
+        return df.select(*[v.alias(k) for k, v in fm.items()]).collect()
+
+    # default: mismatched line -> whole event nulls
+    d = decode("default")
+    assert (d[0].a, d[0].b, d[0].c) == ("1", "two,2", "3")
+    assert (d[1].a, d[1].b, d[1].c) == (None, None, None)
+    # continue: the named prefix parses (missing stays null)
+    c = decode("continue")
+    assert (c[1].a, c[1].b, c[1].c) == ("a", "b", None)
+    # fatal: the job aborts on the invalid line
+    with pytest.raises(Exception, match="InvalidLineMode=fatal"):
+        decode("fatal")
+    with pytest.raises(ValueError, match="invalid_line_mode"):
+        decode("nope")
