@@ -7,6 +7,7 @@ from file_d_spark.streaming.stateful import (
     dedup_stream,
     multiline_join_stream,
     rolling_zscore_stream,
+    weighted_sample_stream,
     sessionize_stream,
     throttle_stream,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "dedup_stream",
     "multiline_join_stream",
     "rolling_zscore_stream",
+    "weighted_sample_stream",
     "sessionize_stream",
     "throttle_stream",
 ]

@@ -734,3 +734,115 @@ def rolling_zscore_stream(
         fn, out_schema, "vs array<long>", "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (A-ES), streaming twin
+# --------------------------------------------------------------------------
+
+
+def weighted_sample_stream(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int = 5,
+    salt: str = "",
+) -> DataFrame:
+    """Streaming twin of ``corpus.weighted_sample``: a per-group
+    Efraimidis-Spirakis reservoir.  The exponential race key
+    ``-ln(u)/w`` is computed IN SPARK with the exact expression the
+    batch operator uses (deterministic md5 uniform — no RNG, no Python
+    float divergence), so the reservoir's content after any prefix of
+    arrivals is BIT-IDENTICAL to the batch top-k over the same rows.
+
+    Each micro-batch merges its rows into the k smallest (es_key, id)
+    pairs per group and emits the group's post-batch snapshot tagged
+    with a monotonically increasing ``version`` — consumers take the
+    highest version per group (snapshot-on-change; an A-ES reservoir
+    admits late winners, so per-event append semantics cannot be
+    stable).  State per group is exactly k (key, id, weight) triples.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 32))
+    w = F.col(weight_col).cast("double")
+    src = df.filter(w > 0).select(
+        F.col(group_col).alias("__grp__"),
+        F.col(id_col).cast("long").alias("__id__"),
+        w.alias("__w__"),
+        (-F.log(u) / w).alias("__key__"),
+    )
+    grp_type = df.schema[group_col].dataType
+    out_schema = StructType(
+        [
+            StructField(group_col, grp_type),
+            StructField("version", LongType()),
+            StructField("rank", LongType()),
+            StructField(id_col, LongType()),
+            StructField("weight", DoubleType()),
+            StructField("es_key", DoubleType()),
+        ]
+    )
+    _ = StringType  # grp passes through untyped via key tuple
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            version, keys, ids, weights = state.get
+            pool = list(zip(keys, ids, weights))
+        else:
+            version, pool = 0, []
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        for kk, ii, ww in zip(pdf["__key__"], pdf["__id__"], pdf["__w__"]):
+            pool.append((float(kk), int(ii), float(ww)))
+        pool.sort(key=lambda t: (t[0], t[1]))
+        pool = pool[:k]
+        version += 1
+        state.update(
+            (
+                version,
+                [t[0] for t in pool],
+                [t[1] for t in pool],
+                [t[2] for t in pool],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]] * len(pool),
+                "version": [version] * len(pool),
+                "rank": list(range(1, len(pool) + 1)),
+                id_col: [t[1] for t in pool],
+                "weight": [t[2] for t in pool],
+                "es_key": [t[0] for t in pool],
+            }
+        )
+
+    return src.groupBy("__grp__").applyInPandasWithState(
+        fn,
+        out_schema,
+        "version long, keys array<double>, ids array<long>,"
+        " weights array<double>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -529,3 +529,65 @@ def test_sessionize_stream_restart_merges_open_session(spark, tmp_path):
     u2 = got[2]
     assert u2.n_events == 1
     assert u2.session_end.strftime("%H:%M:%S") == "00:30:00"
+
+
+def test_weighted_sample_stream_restart_and_batch_parity(spark, tmp_path):
+    """Streaming A-ES reservoir: (a) the per-group reservoir survives
+    a restart (post-restart arrivals compete against the pre-restart
+    pool); (b) the final snapshot is BIT-IDENTICAL to the batch
+    corpus.weighted_sample over the same rows (same md5 uniform, same
+    es_key expression)."""
+    from file_d_spark.functions.corpus import weighted_sample
+    from file_d_spark.streaming import weighted_sample_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_schema = "doc_id long, lang string, n_chars long"
+    out_schema = ("lang string, version long, rank long, doc_id long,"
+                  " weight double, es_key double")
+
+    rows1 = [{"doc_id": i, "lang": "en" if i % 2 else "de",
+              "n_chars": 50 + i * 7} for i in range(20)]
+    rows2 = [{"doc_id": i, "lang": "en" if i % 2 else "de",
+              "n_chars": 50 + i * 7} for i in range(20, 40)]
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return weighted_sample_stream(
+            df, "lang", "n_chars", "doc_id", k=3, salt="v1"
+        )
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 6,
+    )
+    _write_jsonl(str(in_dir), "b2.jsonl", rows2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.version >= 2 for r in _read_out(spark, out_dir, out_schema)
+        ),
+    )
+    out = _read_out(spark, out_dir, out_schema)
+    latest = {}
+    for r in out:
+        if r.lang not in latest or r.version > latest[r.lang]:
+            latest[r.lang] = r.version
+    final = {
+        (r.lang, r.rank): (r.doc_id, r.weight, r.es_key)
+        for r in out
+        if r.version == latest[r.lang]
+    }
+
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["n_chars"]) for r in rows1 + rows2],
+        in_schema,
+    )
+    want = {
+        (r.lang, r.rank): (r.doc_id, r.weight, round(r.es_key, 6))
+        for r in weighted_sample(
+            batch_df, "lang", "n_chars", "doc_id", k=3, salt="v1"
+        ).collect()
+    }
+    got = {kk: (d, w, round(e, 6)) for kk, (d, w, e) in final.items()}
+    assert got == want
