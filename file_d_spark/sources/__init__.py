@@ -228,7 +228,7 @@ def join_cri_partials(
             F.max("__seq__").alias("__seq__"),
         )
     )
-    return joined.drop("__grp__", "__sub__")
+    return joined.drop("__grp__", "__sub__", "__seq__")
 
 
 def _build_source_inner(
