@@ -240,6 +240,13 @@ def _build_source_inner(
         paths_cfg = cfg.get("paths") or {}
         exclude = list(paths_cfg.get("exclude", []))
         include = list(paths_cfg.get("include", []))
+        if include and streaming:
+            raise ValueError(
+                "file input: paths.include is batch-only (the include"
+                " list expands once, driver-side); streams take"
+                " watching_dir + filename_pattern/dir_pattern plus"
+                " paths.exclude"
+            )
         if include and not streaming:
             # paths.include/exclude (file.go:73-74): full-path globs,
             # exclusion wins.  Batch scans expand driver-side (the
