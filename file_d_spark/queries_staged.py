@@ -15,18 +15,15 @@ oracle SQL)`` — the exact shape ``queries.py`` registers — and
 ``tests/test_staged_queries.py`` will run the driver's compare against
 DuckDB at sf0.001 + sf0.01 on every pytest run until a slot opens.
 
-Current spares (register two at r9 start — the r9 window is the 48
-r7-green queries + 2 slots; the rest wait for r10+ slots or a
+Round 9 promoted ``graph_pagerank`` and ``bitext_mine`` (family
+diversity: graph + cross-lingual mining), filling the registry at the
+sustainable 100.  Current spares (wait for r10+ slots or a
 retirement):
 
 - ``bpe_fertility`` — per-language tokenizer fertility with the REAL
   corpus-trained BPE merges (the fidelity upgrade over
   ``token_fertility``'s regex proxy), sharing ``functions/bpe.py``
   and the unrolled-CTE oracle generator with ``bpe_train_apply``.
-- ``bitext_mine`` — margin-based kNN bitext mining (Artetxe &
-  Schwenk 2019) via ``similarity.bitext_margin_mine``.
-- ``graph_pagerank`` — fixed-point PageRank
-  (``functions/graph.py``) over the user-transition graph.
 - ``bigram_logprob`` — interpolated-bigram KenLM-proxy quality
   score (``corpus.bigram_logprob``).
 - ``weighted_sample`` — Efraimidis-Spirakis weighted sampling
@@ -71,113 +68,6 @@ def _fertility_oracle() -> str:
     FROM applied JOIN documents doc ON applied.doc_id = doc.doc_id
     GROUP BY doc.lang"""
     )
-
-
-def q_bitext_mine(spark, sf_dir):
-    """Margin-based bitext mining (Artetxe & Schwenk 2019) between the
-    even- and odd-label halves of the embeddings table: best target
-    per source whose ratio margin clears 1.0."""
-    from file_d_spark.functions import similarity
-
-    e = load_table(spark, sf_dir, "embeddings")
-    return similarity.bitext_margin_mine(
-        e.filter(F.col("label") % 2 == 0),
-        e.filter(F.col("label") % 2 == 1),
-        k=4,
-        threshold=1.0,
-    )
-
-
-_BITEXT_ORACLE = """
-    WITH x AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE label % 2 = 0),
-    y AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings WHERE label % 2 = 1),
-    scored AS (
-      SELECT x.src_id, y.tgt_id,
-             list_sum(list_transform(range(1, len(x.v)+1),
-               i -> x.v[i] * y.v[i]))
-             / (sqrt(list_sum(list_transform(range(1, len(x.v)+1),
-                  i -> x.v[i] * x.v[i])))
-              * sqrt(list_sum(list_transform(range(1, len(y.v)+1),
-                  i -> y.v[i] * y.v[i])))) AS sim
-      FROM x, y),
-    fp AS (SELECT *, CAST(round(sim * 1e7) AS BIGINT) AS sim_fp FROM scored),
-    fwd AS (SELECT * FROM (
-      SELECT *, row_number() OVER (PARTITION BY src_id
-                                   ORDER BY sim DESC, tgt_id) AS r
-      FROM fp) WHERE r <= 4),
-    bwd AS (SELECT * FROM (
-      SELECT *, row_number() OVER (PARTITION BY tgt_id
-                                   ORDER BY sim DESC, src_id) AS r
-      FROM fp) WHERE r <= 4),
-    s_hood AS (SELECT src_id, CAST(sum(sim_fp) AS BIGINT) AS s_sum,
-                      count(*) AS s_cnt FROM fwd GROUP BY src_id),
-    t_hood AS (SELECT tgt_id, CAST(sum(sim_fp) AS BIGINT) AS t_sum,
-                      count(*) AS t_cnt FROM bwd GROUP BY tgt_id),
-    m AS (
-      SELECT f.src_id, f.tgt_id, f.sim,
-             f.sim / ((s_sum::DOUBLE / s_cnt + t_sum::DOUBLE / t_cnt)
-                      / 2.0 / 1e7) AS margin
-      FROM fwd f JOIN s_hood USING (src_id) JOIN t_hood USING (tgt_id))
-    SELECT src_id, tgt_id, round(sim, 6) AS sim, round(margin, 6) AS margin
-    FROM (SELECT *, row_number() OVER (PARTITION BY src_id
-                                       ORDER BY margin DESC, tgt_id) AS rb
-          FROM m)
-    WHERE rb = 1 AND margin >= 1.0
-"""
-
-
-def q_graph_pagerank(spark, sf_dir):
-    """Fixed-point PageRank over the user-transition graph (an edge
-    per consecutive pair of users within an event_type's time-ordered
-    stream), three unrolled iterations."""
-    from pyspark.sql import Window
-
-    from file_d_spark.functions import graph
-
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    edges = (
-        e.select("user_id", F.lag("user_id").over(w).alias("prev"))
-        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("user_id")))
-        .select(F.col("prev").alias("src"), F.col("user_id").alias("dst"))
-    )
-    return graph.pagerank(edges, iters=3)
-
-
-def _pagerank_oracle(iters: int = 3) -> str:
-    """Unrolled-CTE mirror of graph.pagerank: exact bigint fixed-point
-    per round (``//`` == Spark ``div`` on these positive values)."""
-    rounds = []
-    prev = "r0"
-    for i in range(1, iters + 1):
-        rounds.append(f"""
-    c{i} AS (SELECT dst, CAST(sum(rank_fp // out_deg) AS BIGINT) AS s
-             FROM ed JOIN {prev} ON ed.src = {prev}.node GROUP BY dst),
-    r{i} AS (SELECT node,
-                    CAST(150000000 + (85 * coalesce(s, 0)) // 100 AS BIGINT)
-                      AS rank_fp
-             FROM nodes LEFT JOIN c{i} ON node = dst)""")
-        prev = f"r{i}"
-    return f"""
-    WITH ordered AS (
-      SELECT user_id,
-             lag(user_id) OVER (PARTITION BY event_type
-                                ORDER BY ts, event_id) AS prev
-      FROM events),
-    edges AS (SELECT prev AS src, user_id AS dst FROM ordered
-              WHERE prev IS NOT NULL AND prev != user_id),
-    nodes AS (SELECT DISTINCT node FROM
-      (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
-            FROM edges GROUP BY src),
-    ed AS (SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d USING (src)),
-    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_fp FROM nodes),
-    {",".join(rounds)}
-    SELECT node, round(CAST(rank_fp AS DOUBLE) / 1000000000.0, 6) AS rank
-    FROM {prev}
-"""
 
 
 def q_bigram_logprob(spark, sf_dir):
@@ -308,8 +198,6 @@ _DBSCAN_ORACLE = """
 # name -> (query fn, oracle SQL)
 STAGED: dict = {
     "bpe_fertility": (q_bpe_fertility, _fertility_oracle()),
-    "bitext_mine": (q_bitext_mine, _BITEXT_ORACLE),
-    "graph_pagerank": (q_graph_pagerank, _pagerank_oracle()),
     "bigram_logprob": (q_bigram_logprob, _bigram_oracle()),
     "weighted_sample": (q_weighted_sample, _WEIGHTED_SAMPLE_ORACLE),
     "dbscan_clusters": (q_dbscan, _DBSCAN_ORACLE),
