@@ -92,12 +92,24 @@ def serve_control_plane(
     # skipped by the > guard.
     counter_lock = threading.Lock()
     counter_state: dict = {
-        name: {"last_batch": -1, "total": 0} for name in queries
+        name: {"last_batch": -1, "total": 0, "run_id": None}
+        for name in queries
     }
 
     def output_rows_total(name, q) -> int:
-        st = counter_state.setdefault(name, {"last_batch": -1, "total": 0})
+        st = counter_state.setdefault(
+            name, {"last_batch": -1, "total": 0, "run_id": None}
+        )
         with counter_lock:
+            # A stop/restart starts a new run whose batchIds may reset
+            # to 0; without clearing the high-water mark the counter
+            # freezes forever after any restart (ADVICE r8).  The
+            # running total carries across runs — the counter stays
+            # monotonic, only the dedup key resets.
+            run_id = str(getattr(q, "runId", "") or "")
+            if run_id != st.get("run_id"):
+                st["run_id"] = run_id
+                st["last_batch"] = -1
             for prog in q.recentProgress:
                 bid = int(prog.get("batchId", -1))
                 if bid <= st["last_batch"]:

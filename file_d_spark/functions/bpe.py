@@ -28,13 +28,23 @@ Scale shape
   aggregate back to documents.
 
 Engine portability (the oracle contract): segmentations are strings
-joined by the unit separator chr(31); a merge of pair (a, b) is
-``replace(seg, a+SEP+b, a+b)`` — left-to-right non-overlapping
-replacement has identical semantics in Spark and DuckDB, so the whole
-iterative train+apply is bit-checkable against SQL with the merge
-rounds unrolled as CTEs (the kmeans oracle pattern).  Ties in pair
-frequency break on (count DESC, a ASC, b ASC) — plain ASCII compare,
-identical in both engines because words are restricted to [a-z]+.
+joined by the unit separator chr(31); a merge of pair (a, b) runs
+over a BOUNDARY-DECORATED rendering — symbols joined by a double
+separator with double-separator sentinels at both ends — replacing
+``SEP+a+SEP+SEP+b+SEP`` with ``SEP+ab+SEP`` and collapsing back.
+Anchoring both symbols between separators means a merged symbol can
+never be split by a later merge (a plain ``replace(seg, a+SEP+b,
+a+b)`` merges (xa, b) when asked for (a, b) — the seg ``xa␟b``
+contains the substring ``a␟b``), and because each replacement leaves
+one separator on each side, consecutive matches re-form each other's
+boundaries: one left-to-right non-overlapping replace IS greedy
+left-to-right BPE merge application (model-checked exhaustively over
+all ≤6-symbol sequences in test_bpe.py).  Replace semantics are
+identical in Spark and DuckDB, so the whole iterative train+apply is
+bit-checkable against SQL with the merge rounds unrolled as CTEs
+(the kmeans oracle pattern).  Ties in pair frequency break on
+(count DESC, a ASC, b ASC) — plain ASCII compare, identical in both
+engines because words are restricted to [a-z]+.
 """
 
 from __future__ import annotations
@@ -61,6 +71,23 @@ def word_histogram(df: DataFrame, text_col: str) -> DataFrame:
 
 def _char_seg(col):
     return F.array_join(F.split(col, ""), SEP)
+
+
+def _apply_merge(seg_col, a: str, b: str):
+    """One merge round over a segmentation string, symbol-boundary
+    anchored (see the module docstring): decorate with double
+    separators, replace the bounded pair, collapse back."""
+    decorated = F.concat(
+        F.lit(SEP * 2),
+        F.replace(seg_col, F.lit(SEP), F.lit(SEP * 2)),
+        F.lit(SEP * 2),
+    )
+    merged = F.replace(
+        decorated, F.lit(SEP + a + SEP + SEP + b + SEP), F.lit(SEP + a + b + SEP)
+    )
+    return F.btrim(
+        F.replace(merged, F.lit(SEP * 2), F.lit(SEP)), F.lit(SEP)
+    ).alias("seg")
 
 
 def train_bpe(
@@ -105,13 +132,7 @@ def train_bpe(
             break  # every word fully merged — no pairs left
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        seg = seg.select(
-            "w",
-            "f",
-            F.replace(
-                F.col("seg"), F.lit(a + SEP + b), F.lit(a + b)
-            ).alias("seg"),
-        )
+        seg = seg.select("w", "f", _apply_merge(F.col("seg"), a, b))
     return merges, seg
 
 

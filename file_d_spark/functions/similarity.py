@@ -1181,9 +1181,12 @@ def bitext_margin_mine(
             F.round(F.col("sim") * F.lit(1e7), 0).cast("long").alias("sim_fp"),
         )
     )
-    # candidates beyond the forward top-k can't win (margin is
-    # monotone in sim for a fixed src), so scored is reduced once per
-    # direction and the margin join touches only k rows per src
+    # candidates are restricted to the forward kNN per the reference
+    # algorithm (Artetxe & Schwenk 2019 score candidates over the
+    # forward neighborhood only); this is a deliberate restriction,
+    # not a lossless reduction — the margin denominator includes the
+    # target's backward-neighborhood mean, so a lower-sim target
+    # outside the top-k could in principle carry a higher margin
     ws = Window.partitionBy("src_id").orderBy(
         F.col("sim").desc(), F.col("tgt_id")
     )

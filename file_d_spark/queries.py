@@ -4154,9 +4154,15 @@ def _bpe_oracle(
     m{r} AS (SELECT a, b FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
     seg{r} AS (
       SELECT w, f,
-             replace(seg,
-                     coalesce((SELECT a || {sep} || b FROM m{r}), chr(1)),
-                     coalesce((SELECT a || b FROM m{r}), chr(1))) seg
+             trim(replace(replace(
+                    {sep} || {sep}
+                      || replace(seg, {sep}, {sep} || {sep})
+                      || {sep} || {sep},
+                    coalesce((SELECT {sep} || a || {sep} || {sep}
+                                     || b || {sep} FROM m{r}), chr(1)),
+                    coalesce((SELECT {sep} || a || b || {sep} FROM m{r}),
+                             chr(1))),
+                  {sep} || {sep}, {sep}), {sep}) seg
       FROM {prev})""")
         prev = f"seg{r}"
     tail = final_select or f"""
@@ -4383,6 +4389,14 @@ _SWEEP_CHANGED = [
     "dedup_minhash_lsh",
     "fuzzy_decontaminate",
     "dedup_cluster",
+    # NOT listed (r7/r8 protocol — the window is exactly full with the
+    # four above + the two r9 registrations + the 44 other r7-green):
+    # bpe_train_apply after the r9 symbol-boundary merge fix (ADVICE
+    # r8: the decorated double-separator replace in bpe._apply_merge
+    # and the seg{r} oracle CTE — both sides changed identically).
+    # Re-verified locally green at sf0.01 with tools/check_oracles.py
+    # after the change; its r8 driver row keeps it inside the r10
+    # window automatically.
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)

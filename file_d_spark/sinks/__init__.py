@@ -544,6 +544,8 @@ def sink_gelf(df: DataFrame, cfg: dict[str, Any]):
                         ).timestamp()
                     except ValueError:
                         pass
+                if ts < 1_000_000_000:  # past/zero clamp: gelf.go:413-415
+                    ts = now
                 g["timestamp"] = ts
             if level_field:
                 lv_node = g.pop(level_field, None)

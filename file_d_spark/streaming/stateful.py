@@ -786,17 +786,22 @@ def weighted_sample_stream(
     w = F.col(weight_col).cast("double")
     src = df.filter(w > 0).select(
         F.col(group_col).alias("__grp__"),
-        F.col(id_col).cast("long").alias("__id__"),
+        F.col(id_col).alias("__id__"),
         w.alias("__w__"),
         (-F.log(u) / w).alias("__key__"),
     )
     grp_type = df.schema[group_col].dataType
+    # the id keeps its NATIVE type end-to-end (ADVICE r8: a hard long
+    # cast nulled string doc ids — the type the batch twin supports —
+    # silently corrupting the reservoir); ties on es_key break on the
+    # native ordering, matching the batch twin's ORDER BY es_key, id.
+    id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [
             StructField(group_col, grp_type),
             StructField("version", LongType()),
             StructField("rank", LongType()),
-            StructField(id_col, LongType()),
+            StructField(id_col, id_type),
             StructField("weight", DoubleType()),
             StructField("es_key", DoubleType()),
         ]
@@ -814,8 +819,11 @@ def weighted_sample_stream(
         pdf = _concat_frames(frames)
         if not len(pdf):
             return
-        for kk, ii, ww in zip(pdf["__key__"], pdf["__id__"], pdf["__w__"]):
-            pool.append((float(kk), int(ii), float(ww)))
+        for kk, ii, ww in zip(
+            pdf["__key__"].tolist(), pdf["__id__"].tolist(),
+            pdf["__w__"].tolist(),
+        ):
+            pool.append((float(kk), ii, float(ww)))
         pool.sort(key=lambda t: (t[0], t[1]))
         pool = pool[:k]
         version += 1
@@ -841,7 +849,7 @@ def weighted_sample_stream(
     return src.groupBy("__grp__").applyInPandasWithState(
         fn,
         out_schema,
-        "version long, keys array<double>, ids array<long>,"
+        f"version long, keys array<double>, ids array<{id_type.simpleString()}>,"
         " weights array<double>",
         "append",
         GroupStateTimeout.NoTimeout,

@@ -57,6 +57,85 @@ def test_left_to_right_nonoverlapping_merge(spark):
     assert seg.first().seg.split(bpe.SEP) == ["aa", "aa"]
 
 
+def test_merge_respects_symbol_boundaries(spark):
+    # ADVICE r8 regression: after merging (x,a), applying (a,b) to the
+    # seg [xa, b] must NOT merge — 'xa␟b' contains the raw substring
+    # 'a␟b' but 'a' is not a symbol there.  The boundary-decorated
+    # replace leaves it untouched; word 'xab' with merges
+    # [(x,a),(a,b)] segments as ['xa','b'], not ['xab'].
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("xab",)], "w string").select(
+        "w", F.lit(1).alias("f"),
+        F.array_join(F.split("w", ""), bpe.SEP).alias("seg"),
+    )
+    for a, b in [("x", "a"), ("a", "b")]:
+        df = df.select("w", "f", bpe._apply_merge(F.col("seg"), a, b))
+    assert df.first().seg.split(bpe.SEP) == ["xa", "b"]
+
+
+def test_apply_merge_matches_greedy_bpe_and_oracle(spark, duck):
+    """Exhaustive differential: _apply_merge (Spark) and the oracle's
+    trim/replace rendering (DuckDB) both equal greedy left-to-right
+    BPE merge application, over every symbol sequence of length <=4
+    from a boundary-adversarial alphabet (single chars plus merged
+    symbols that embed other symbols: 'xa', 'ab', 'aa')."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    S = bpe.SEP
+    alphabet = ["a", "b", "x", "xa", "ab", "aa"]
+
+    def greedy(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return S.join(out)
+
+    cases = [
+        (S.join(syms), a, b, greedy(list(syms), a, b))
+        for n in range(1, 5)
+        for syms in itertools.product(alphabet, repeat=n)
+        for a, b in itertools.product(alphabet, repeat=2)
+    ]
+    df = spark.createDataFrame(
+        cases, "seg string, a string, b string, want string"
+    )
+    # Spark side: one job over every (case, pair); merge pair values
+    # vary per row, so rebuild the constant-pair expression per
+    # distinct pair and union via a single when-chain.
+    got = df
+    for a, b in itertools.product(alphabet, repeat=2):
+        got = got.withColumn(
+            "res",
+            F.when(
+                (F.col("a") == a) & (F.col("b") == b),
+                bpe._apply_merge(F.col("seg"), a, b),
+            ).otherwise(F.col("res") if "res" in got.columns else F.lit(None)),
+        )
+    bad = got.filter(F.col("res") != F.col("want")).count()
+    assert bad == 0
+    # DuckDB side: the exact seg{r} expression shape from _bpe_oracle.
+    duck.register("mc", df.toPandas())
+    n_bad = duck.execute("""
+        SELECT count(*) FROM mc
+        WHERE trim(replace(replace(
+                chr(31) || chr(31)
+                  || replace(seg, chr(31), chr(31) || chr(31))
+                  || chr(31) || chr(31),
+                chr(31) || a || chr(31) || chr(31) || b || chr(31),
+                chr(31) || a || b || chr(31)),
+              chr(31) || chr(31), chr(31)), chr(31)) != want
+    """).fetchone()[0]
+    assert n_bad == 0
+
+
 def test_case_and_punct_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Foo, foo! FOO?"), (2, "")], "doc_id long, text string"

@@ -127,6 +127,19 @@ def test_control_plane_endpoints(spark):
         assert scrape_total() == 15
         FakeQuery.recentProgress = [{"batchId": 3, "sink": {"numOutputRows": 1}}]
         assert scrape_total() == 16
+        # restart: a NEW runId resets batchIds to 0 — the counter must
+        # keep counting (ADVICE r8: the old high-water guard froze it
+        # forever after any stop/start) while staying monotonic
+        FakeQuery.runId = "run-2"
+        FakeQuery.recentProgress = [
+            {"batchId": 0, "sink": {"numOutputRows": 4}},
+        ]
+        assert scrape_total() == 20
+        FakeQuery.recentProgress = [
+            {"batchId": 0, "sink": {"numOutputRows": 4}},  # same: skip
+            {"batchId": 1, "sink": {"numOutputRows": 2}},
+        ]
+        assert scrape_total() == 22
         play = json.loads(urllib.request.urlopen(urllib.request.Request(
             f"{base}/api/v1/play",
             data=json.dumps({

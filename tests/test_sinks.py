@@ -135,6 +135,29 @@ def test_gelf_full_field_mapping(spark, tmp_path):
     assert c["level"] == 6
 
 
+def test_gelf_past_timestamp_clamp(spark, tmp_path):
+    """gelf.go:413-415 (ADVICE r8): a zero/ancient timestamp — earlier
+    than epoch 1e9 — is replaced with send time instead of being
+    emitted as-is."""
+    import time as _time
+
+    from file_d_spark.sinks import sink_gelf
+
+    rows = [("zero", 0), ("ancient", 123456), ("modern", 1609459200)]
+    df = spark.createDataFrame(rows, "message string, time long").coalesce(1)
+    out = str(tmp_path / "gelf_clamp")
+    before = _time.time()
+    sink_gelf(df, {"transport": _collector(out)})
+    after = _time.time()
+    frames = [
+        json.loads(x) for p in _payloads(out) for x in p.split("\x00") if x
+    ]
+    by_msg = {g["short_message"]: g for g in frames}
+    for m in ("zero", "ancient"):
+        assert before <= by_msg[m]["timestamp"] <= after + 1
+    assert by_msg["modern"]["timestamp"] == 1609459200.0
+
+
 def test_splunk_sink(spark, tmp_path):
     from file_d_spark.sinks import sink_splunk
 

@@ -591,3 +591,40 @@ def test_weighted_sample_stream_restart_and_batch_parity(spark, tmp_path):
     }
     got = {kk: (d, w, round(e, 6)) for kk, (d, w, e) in final.items()}
     assert got == want
+
+
+def test_weighted_sample_stream_string_ids(spark, tmp_path):
+    """ADVICE r8 regression: string doc ids (the type the batch twin
+    supports) must flow through the reservoir natively — the old hard
+    long cast nulled them all, silently corrupting the sample."""
+    from file_d_spark.functions.corpus import weighted_sample
+    from file_d_spark.streaming import weighted_sample_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_schema = "doc_id string, lang string, n_chars long"
+    out_schema = ("lang string, version long, rank long, doc_id string,"
+                  " weight double, es_key double")
+    rows = [{"doc_id": f"doc-{i:03d}", "lang": "en", "n_chars": 40 + i * 3}
+            for i in range(12)]
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows)
+    df = spark.readStream.schema(in_schema).json(str(in_dir))
+    q = weighted_sample_stream(df, "lang", "n_chars", "doc_id", k=3, salt="s")
+    _drive(
+        q, out_dir, ckpt,
+        lambda _q: len(_read_out(spark, out_dir, out_schema)) >= 3,
+    )
+    out = _read_out(spark, out_dir, out_schema)
+    got = {r.rank: (r.doc_id, round(r.es_key, 6)) for r in out}
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["n_chars"]) for r in rows], in_schema
+    )
+    want = {
+        r.rank: (r.doc_id, round(r.es_key, 6))
+        for r in weighted_sample(
+            batch_df, "lang", "n_chars", "doc_id", k=3, salt="s"
+        ).collect()
+    }
+    assert got == want
+    assert all(isinstance(d, str) and d.startswith("doc-")
+               for d, _ in got.values())
