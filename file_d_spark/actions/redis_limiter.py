@@ -170,6 +170,7 @@ class RedisLimiter:
         self.distributions = parse_limit_distribution(
             default_distribution or {}, self.limit
         )
+        self.last_distr_cfg: dict = default_distribution or {}
         self.last_error: Exception | None = None
 
     def update_key_limit(self) -> None:
@@ -194,6 +195,7 @@ class RedisLimiter:
         # empty cfg -> simple buckets; a present cfg (re)builds the
         # distributed ones — covers both recreate_* directions of the
         # reference test
+        self.last_distr_cfg = distr_cfg
         self.distributions = parse_limit_distribution(distr_cfg, limit)
 
     def sync(
@@ -229,6 +231,56 @@ class RedisLimiter:
         return totals
 
 
+# --------------------------------------------------------------------------
+# limits file: offline snapshot of the centrally-fetched limits
+# --------------------------------------------------------------------------
+
+#: path -> monotonic time of the last snapshot write (the batch
+#: analogue of the reference's saveLimitsCyclic goroutine: each
+#: plan-build fetch is a tick, saves are rate-limited to the interval)
+_LAST_LIMITS_SAVE: dict[str, float] = {}
+
+
+def save_limits(path: str, lims_cfg: dict) -> None:
+    """Atomic snapshot of the limiter limit configs
+    (limiters_map.go:313-349): marshal to ``<path>.atomic.<rand8>``,
+    fsync, rename over ``path``.  The file format mirrors the
+    reference's ``limsCfg`` map — ``"<rule>:<value>" -> {key, kind,
+    limit, distribution}`` — so snapshots interoperate."""
+    import os
+    import secrets
+
+    tmp = f"{path}.atomic.{secrets.randbelow(10**8):08d}"
+    with open(tmp, "w") as fh:
+        json.dump(lims_cfg, fh, indent=2)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def load_limits(path: str) -> dict:
+    """Startup load (limiters_map.go:362-409): missing file -> empty;
+    a directory is an error; an empty file -> empty; malformed JSON
+    raises ValueError."""
+    import os
+
+    if not os.path.exists(path):
+        return {}
+    if os.path.isdir(path):
+        raise ValueError(f"file {path} is dir")
+    with open(path) as fh:
+        data = fh.read()
+    if not data.strip():
+        return {}
+    try:
+        m = json.loads(data)
+    except ValueError as e:
+        raise ValueError(f"can't unmarshal map: {e}") from e
+    if not isinstance(m, dict):
+        raise ValueError("can't unmarshal map: not a JSON object")
+    return m
+
+
 def _build_client(cfg: dict):
     if cfg.get("client") is not None:
         return cfg["client"]
@@ -262,7 +314,17 @@ def fetch_limit_overrides(
     ``key_col`` is the frame column holding the key values;
     ``throttle_field`` the config field name embedded in the redis key
     prefix.  Driver-side: one bounded distinct + one GET per tracked
-    key."""
+    key.
+
+    With ``limits_file`` set in ``backend_cfg`` (throttle.go:286,
+    limiters_map.go:300-409), the centrally-fetched limits are
+    snapshotted to that JSON file (atomic tmp-then-rename, rate
+    limited to ``limits_save_interval``, default 3s) and loaded back
+    as the starting overrides on the next fetch — so a restart during
+    a redis outage keeps the last known central limits instead of
+    silently falling back to the config value.  When redis answers, its
+    value wins over the file's, mirroring the reference's precedence.
+    """
     from pyspark.sql import functions as F
 
     client = _build_client(backend_cfg)
@@ -278,7 +340,19 @@ def fetch_limit_overrides(
             .collect()
         )
         values = [r["k"] for r in rows]
+
+    limits_file = str(backend_cfg.get("limits_file", "") or "")
+    rule_letter = str(backend_cfg.get("rule_letter", "a"))
+    kind = str(backend_cfg.get("kind", "count") or "count")
+    file_cfg: dict = {}
+    if limits_file:
+        try:
+            file_cfg = load_limits(limits_file)
+        except ValueError:
+            file_cfg = {}  # reference logs the parse failure and continues
+
     out: dict[str, int] = {}
+    snapshot: dict = {}
     for v in values:
         lim = RedisLimiter(
             client,
@@ -291,13 +365,58 @@ def fetch_limit_overrides(
             val_field=backend_cfg.get("limiter_value_field", ""),
             distr_field=backend_cfg.get("limiter_distribution_field", ""),
         )
+        map_key = f"{rule_letter}:{v}"
+        row = file_cfg.get(map_key)
+        if isinstance(row, dict):
+            try:
+                lim.limit = int(row.get("limit"))
+                lim.last_distr_cfg = (
+                    row.get("distribution")
+                    if isinstance(row.get("distribution"), dict)
+                    else {}
+                )
+            except (TypeError, ValueError):
+                pass  # malformed snapshot row: keep the config limit
         try:
             lim.update_key_limit()
         except Exception:  # noqa: BLE001
-            continue  # malformed central value: keep the config limit
+            # redis unreachable or malformed central value: the file
+            # limit (if any) survives, else the config limit holds
+            pass
         if lim.limit != default_limit:
             out[v] = lim.limit
+        snapshot[map_key] = {
+            "key": lim.key_limit,
+            "kind": kind,
+            "limit": lim.limit,
+            "distribution": lim.last_distr_cfg or {},
+        }
+    if limits_file:
+        _maybe_save_limits(limits_file, snapshot, backend_cfg)
     return out
+
+
+def _maybe_save_limits(path: str, snapshot: dict, backend_cfg: dict) -> None:
+    """Rate-limited snapshot write (saveLimitsCyclic,
+    limiters_map.go:300-311): at most one write per
+    ``limits_save_interval`` across fetches; write errors are
+    swallowed like the reference's logged-and-continue."""
+    import time
+
+    from file_d_spark.actions.throttle import _parse_duration_seconds
+
+    interval = _parse_duration_seconds(
+        backend_cfg.get("limits_save_interval"), 3.0
+    )
+    now = time.monotonic()
+    last = _LAST_LIMITS_SAVE.get(path)
+    if last is not None and now - last < interval:
+        return
+    try:
+        save_limits(path, snapshot)
+        _LAST_LIMITS_SAVE[path] = now
+    except OSError:
+        pass
 
 
 def publish_usage(
