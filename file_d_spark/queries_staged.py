@@ -31,6 +31,12 @@ retirement):
 - ``dbscan_clusters`` — density-based clustering over embeddings
   (``similarity.dbscan_clusters``: cosine neighborhoods, core/border/
   noise, components via the dedup star-contraction machinery).
+- ``sketch_hll_distinct`` / ``sketch_kmv_distinct`` /
+  ``sketch_cms_topk`` — the round-9 sketch family
+  (``functions/sketch.py``): HyperLogLog and bottom-k distinct
+  estimates per language and a Count-Min heavy-hitter readout, all
+  engine-portable (md5-32 hashes, registers folded to exact BIGINTs
+  before the single float op).
 
 Nothing imports this module at runtime.
 """
@@ -202,3 +208,72 @@ STAGED: dict = {
     "weighted_sample": (q_weighted_sample, _WEIGHTED_SAMPLE_ORACLE),
     "dbscan_clusters": (q_dbscan, _DBSCAN_ORACLE),
 }
+
+
+_WORDS_SRC_SPARK = None  # built inline in each query fn
+
+_WORDS_SRC_SQL = (
+    "SELECT lang, unnest(list_filter("
+    "string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w "
+    "FROM documents"
+)
+
+
+def _words(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+
+
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct-words-per-language estimate (b=9, 512
+    registers): the 100 TB answer to COUNT(DISTINCT) — one corpus
+    shuffle to bounded per-group registers, algebraic all the way."""
+    from file_d_spark.functions import sketch
+
+    return sketch.hll_distinct(_words(spark, sf_dir), "lang", "w", b=9)
+
+
+def q_sketch_kmv(spark, sf_dir):
+    """Bottom-k (KMV) distinct-words-per-language estimate (k=64)."""
+    from file_d_spark.functions import sketch
+
+    return sketch.kmv_distinct(_words(spark, sf_dir), "lang", "w", k=64)
+
+
+def q_sketch_cms(spark, sf_dir):
+    """Count-Min heavy hitters over the global word stream (4x1024
+    counters): top-10 exact counts vs their sketch estimates."""
+    from file_d_spark.functions import sketch
+
+    return sketch.cms_topk(
+        _words(spark, sf_dir).select("w"), "w", depth=4, width=1024, k=10
+    )
+
+
+def _sketch_oracles():
+    from file_d_spark.functions import sketch
+
+    return {
+        "sketch_hll_distinct": sketch.hll_oracle_sql(
+            _WORDS_SRC_SQL, "lang", "w", b=9
+        ),
+        "sketch_kmv_distinct": sketch.kmv_oracle_sql(
+            _WORDS_SRC_SQL, "lang", "w", k=64
+        ),
+        "sketch_cms_topk": sketch.cms_oracle_sql(
+            _WORDS_SRC_SQL, "w", "w", depth=4, width=1024, k=10
+        ),
+    }
+
+
+_SK = _sketch_oracles()
+STAGED.update(
+    {
+        "sketch_hll_distinct": (q_sketch_hll, _SK["sketch_hll_distinct"]),
+        "sketch_kmv_distinct": (q_sketch_kmv, _SK["sketch_kmv_distinct"]),
+        "sketch_cms_topk": (q_sketch_cms, _SK["sketch_cms_topk"]),
+    }
+)
