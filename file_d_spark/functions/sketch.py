@@ -79,43 +79,60 @@ def hll_distinct(
 
     Columns: (group, zeros, sum_fp, estimate).
     """
-    m = 1 << b
-    rem = HASH_BITS - b
-    coef = hll_alpha(m) * m * m * float(1 << 40)
-
-    h = _h32(F.col(value_col))
-    w = F.shiftright(h, b)
-    rank = F.when(w == 0, F.lit(rem + 1)).otherwise(
-        F.lit(rem) - F.length(F.bin(w)) + 1
-    )
-    regs = (
-        df.select(
-            F.col(group_col).alias("g"),
-            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
-            rank.alias("r"),
-        )
+    folded = (
+        hll_prep(df, group_col, value_col, b)
         .groupBy("g", "bucket")
         .agg(F.max("r").alias("mj"))
-    )
-    folded = regs.groupBy("g").agg(
-        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("zeros"),
-        (
-            F.sum(F.expr("shiftleft(cast(1 as bigint), 40 - mj)"))
-            + (F.lit(m) - F.count(F.lit(1)))
-            * F.lit(1 << 40).cast("long")
-        ).cast("long").alias("sum_fp"),
-    )
-    raw = F.lit(coef) / F.col("sum_fp").cast("double")
-    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double"))
-    est = F.when((raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0), lc).otherwise(
-        raw
+        .groupBy("g")
+        .agg(
+            (F.lit(1 << b) - F.count(F.lit(1))).cast("long").alias("zeros"),
+            (
+                F.sum(F.expr("shiftleft(cast(1 as bigint), 40 - mj)"))
+                + (F.lit(1 << b) - F.count(F.lit(1)))
+                * F.lit(1 << 40).cast("long")
+            ).cast("long").alias("sum_fp"),
+        )
     )
     return folded.select(
         F.col("g").alias(group_col),
         "zeros",
         "sum_fp",
-        F.round(est, 4).alias("estimate"),
+        hll_estimate_col(b).alias("estimate"),
     )
+
+
+def hll_prep(df: DataFrame, group_col: str, value_col: str, b: int) -> DataFrame:
+    """(g, bucket, rank) triples — the shared front half of the batch
+    operator and its streaming twin, so both sides hash and rank with
+    the same Spark expressions."""
+    m = 1 << b
+    rem = HASH_BITS - b
+    h = _h32(F.col(value_col))
+    w = F.shiftright(h, b)
+    rank = F.when(w == 0, F.lit(rem + 1)).otherwise(
+        F.lit(rem) - F.length(F.bin(w)) + 1
+    )
+    return df.select(
+        F.col(group_col).alias("g"),
+        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        rank.alias("r"),
+    )
+
+
+def hll_estimate_col(b: int):
+    """The estimator over (zeros, sum_fp) columns — one double
+    division (or the linear-counting branch), shared by the batch
+    operator, the streaming twin, and (textually) the oracle."""
+    m = 1 << b
+    coef = hll_alpha(m) * m * m * float(1 << 40)
+    raw = F.lit(coef) / F.col("sum_fp").cast("double")
+    lc = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("zeros").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0), lc
+    ).otherwise(raw)
+    return F.round(est, 4)
 
 
 def hll_oracle_sql(
@@ -223,6 +240,108 @@ def kmv_oracle_sql(
                 THEN round({float((k - 1) * (1 << HASH_BITS))!r}
                            / CAST(kth_hash AS DOUBLE), 4)
                 ELSE CAST(n_distinct_capped AS DOUBLE) END AS estimate
+    FROM agg
+"""
+
+
+def kmv_overlap(
+    df_a: DataFrame, df_b: DataFrame, value_col: str, k: int = 256
+) -> DataFrame:
+    """Set-overlap estimation between two corpora WITHOUT a join —
+    the theta-sketch pattern (Dasgupta et al. 2016): each side keeps
+    its bottom-``k`` distinct hashes (a valid KMV sketch), the two
+    k-sized sketches merge (union, re-take the k smallest), and
+    within that uniform sample Jaccard = fraction present in both.
+    Union distinct scales from the k-th hash; intersection =
+    Jaccard × union.
+
+    The per-side bottom-k uses ``orderBy(h).limit(k)`` — Spark's
+    TakeOrderedAndProject computes per-partition top-k before the
+    single-driver merge, so no global sort and no single-task window
+    ever sees the full distinct-hash frame.  Everything after the two
+    per-side reductions touches ≤ 2k rows.
+
+    One row: (k_used, kth_hash, common, jaccard, union_est,
+    intersection_est)."""
+
+    def bottom_k(df, a_flag: int, b_flag: int):
+        return (
+            df.select(_h32(F.col(value_col)).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .select(
+                "h", F.lit(a_flag).alias("a"), F.lit(b_flag).alias("b")
+            )
+        )
+
+    merged = (
+        bottom_k(df_a, 1, 0)
+        .unionByName(bottom_k(df_b, 0, 1))
+        .groupBy("h")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("common"),
+    )
+    jac = F.col("common").cast("double") / F.col("k_used").cast("double")
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * (1 << HASH_BITS)))
+        / F.col("kth_hash").cast("double")
+    )
+    return agg.select(
+        "k_used",
+        "kth_hash",
+        "common",
+        F.round(jac, 6).alias("jaccard"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac * union_est, 4).alias("intersection_est"),
+    )
+
+
+def kmv_overlap_oracle_sql(
+    source_a_sql: str, source_b_sql: str, value_expr: str, k: int = 256
+) -> str:
+    """DuckDB mirror of :func:`kmv_overlap` (``source_*_sql`` expose
+    ``value_expr``)."""
+    h = (
+        f"('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 8))"
+        "::UBIGINT::BIGINT"
+    )
+    return f"""
+    WITH a_sk AS (
+      SELECT h, 1 AS a, 0 AS b FROM (
+        SELECT DISTINCT {h} AS h FROM ({source_a_sql}))
+      ORDER BY h LIMIT {k}),
+    b_sk AS (
+      SELECT h, 0 AS a, 1 AS b FROM (
+        SELECT DISTINCT {h} AS h FROM ({source_b_sql}))
+      ORDER BY h LIMIT {k}),
+    merged AS (
+      SELECT h, max(a) AS a, max(b) AS b
+      FROM (SELECT * FROM a_sk UNION ALL SELECT * FROM b_sk)
+      GROUP BY h ORDER BY h LIMIT {k}),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+             CAST(sum(a * b) AS BIGINT) AS common
+      FROM merged)
+    SELECT k_used, kth_hash, common,
+           round(CAST(common AS DOUBLE) / CAST(k_used AS DOUBLE), 6)
+             AS jaccard,
+           round(CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                      ELSE {float((k - 1) * (1 << HASH_BITS))!r}
+                           / CAST(kth_hash AS DOUBLE) END, 4) AS union_est,
+           round((CAST(common AS DOUBLE) / CAST(k_used AS DOUBLE))
+                 * (CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                         ELSE {float((k - 1) * (1 << HASH_BITS))!r}
+                              / CAST(kth_hash AS DOUBLE) END), 4)
+             AS intersection_est
     FROM agg
 """
 

@@ -277,3 +277,40 @@ STAGED.update(
         "sketch_cms_topk": (q_sketch_cms, _SK["sketch_cms_topk"]),
     }
 )
+
+
+def q_sketch_overlap(spark, sf_dir):
+    """Corpus-overlap estimation without a join: merge the even- and
+    odd-doc-id halves' bottom-k word sketches (theta-sketch pattern)
+    into Jaccard / union / intersection estimates — how one audits
+    training-set contamination between two 100 TB corpora for the
+    cost of two sketch scans."""
+    from file_d_spark.functions import sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    return sketch.kmv_overlap(
+        words.filter(F.col("doc_id") % 2 == 0),
+        words.filter(F.col("doc_id") % 2 == 1),
+        "w",
+        k=256,
+    )
+
+
+def _overlap_oracle():
+    from file_d_spark.functions import sketch
+
+    src = (
+        "SELECT unnest(list_filter(string_split_regex(lower(text),"
+        " '[^a-z]+'), x -> x <> '')) AS w FROM documents"
+    )
+    return sketch.kmv_overlap_oracle_sql(
+        f"{src} WHERE doc_id % 2 = 0", f"{src} WHERE doc_id % 2 = 1",
+        "w", k=256,
+    )
+
+
+STAGED["sketch_overlap"] = (q_sketch_overlap, _overlap_oracle())

@@ -6,6 +6,7 @@ from file_d_spark.streaming.stateful import (
     cardinality_stream,
     dedup_stream,
     multiline_join_stream,
+    hll_distinct_stream,
     rolling_zscore_stream,
     weighted_sample_stream,
     sessionize_stream,
@@ -18,6 +19,7 @@ __all__ = [
     "cardinality_stream",
     "dedup_stream",
     "multiline_join_stream",
+    "hll_distinct_stream",
     "rolling_zscore_stream",
     "weighted_sample_stream",
     "sessionize_stream",

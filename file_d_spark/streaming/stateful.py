@@ -854,3 +854,95 @@ def weighted_sample_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct, streaming twin
+# --------------------------------------------------------------------------
+
+
+def hll_distinct_stream(
+    df: DataFrame, group_col: str, value_col: str, b: int = 9
+) -> DataFrame:
+    """Streaming twin of ``sketch.hll_distinct``: per-group HLL
+    registers merged across micro-batches.
+
+    HLL registers merge by elementwise max — the property that makes
+    the sketch per-partition-parallel in batch makes it
+    restart-stable here: state per group is exactly the m register
+    bytes, and after any prefix of arrivals (zeros, sum_fp, estimate)
+    is BIT-IDENTICAL to the batch operator over the same rows.
+    Hashing and ranking run IN SPARK via the shared
+    ``sketch.hll_prep`` expressions; the stateful function only takes
+    maxes and folds exact integers, and the final estimate is the
+    shared ``sketch.hll_estimate_col`` Spark expression — no Python
+    float ever enters the result.
+
+    Emits a post-batch snapshot per group tagged with a monotonically
+    increasing ``version`` (consumers take the max version per
+    group, the weighted_sample_stream convention)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from file_d_spark.functions import sketch as _sketch
+
+    m = 1 << b
+    src = _sketch.hll_prep(df, group_col, value_col, b)
+    grp_type = df.schema[group_col].dataType
+    snap_schema = StructType(
+        [
+            StructField(group_col, grp_type),
+            StructField("version", LongType()),
+            StructField("zeros", LongType()),
+            StructField("sum_fp", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            version, regs = state.get
+            regs = list(regs)
+        else:
+            version, regs = 0, [0] * m
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        for bucket, r in zip(
+            pdf["bucket"].tolist(), pdf["r"].tolist()
+        ):
+            if r > regs[bucket]:
+                regs[bucket] = r
+        version += 1
+        state.update((version, regs))
+        zeros = sum(1 for x in regs if x == 0)
+        sum_fp = sum(1 << (40 - x) for x in regs if x) + zeros * (1 << 40)
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "version": [version],
+                "zeros": [zeros],
+                "sum_fp": [sum_fp],
+            }
+        )
+
+    snaps = src.groupBy("g").applyInPandasWithState(
+        fn,
+        snap_schema,
+        "version long, regs array<int>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    _ = DoubleType  # estimate computed via the shared Spark expression
+    return snaps.select(
+        group_col,
+        "version",
+        "zeros",
+        "sum_fp",
+        _sketch.hll_estimate_col(b).alias("estimate"),
+    )

@@ -64,6 +64,32 @@ def test_kmv_estimate_envelope(spark):
     assert abs(out.estimate - 5000) / 5000 < 4 / math.sqrt(62)
 
 
+def test_kmv_overlap_estimates_known_jaccard(spark):
+    """Two 3000-value sets sharing 1000 values: true Jaccard 0.2,
+    union 5000, intersection 1000.  k=256 → rel error ~1/sqrt(k)≈6%;
+    allow a loose 4-sigma band on each estimate."""
+    a = spark.range(0, 3000).select(F.concat(F.lit("v"), "id").alias("v"))
+    b = spark.range(2000, 5000).select(
+        F.concat(F.lit("v"), "id").alias("v")
+    )
+    out = sketch.kmv_overlap(a, b, "v", k=256).first()
+    assert out.k_used == 256
+    assert abs(out.jaccard - 0.2) < 0.1
+    assert abs(out.union_est - 5000) / 5000 < 0.25
+    assert abs(out.intersection_est - 1000) / 1000 < 0.5
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    a = spark.range(0, 2000).select(F.concat(F.lit("x"), "id").alias("v"))
+    b = spark.range(2000, 4000).select(
+        F.concat(F.lit("x"), "id").alias("v")
+    )
+    assert sketch.kmv_overlap(a, b, "v", k=128).first().jaccard == 0.0
+    same = sketch.kmv_overlap(a, a, "v", k=128).first()
+    assert same.jaccard == 1.0
+    assert same.common == 128
+
+
 def test_cms_estimate_never_underestimates(spark):
     """The defining CMS invariant: point queries only overestimate."""
     rows = [("hot",)] * 200 + [("warm",)] * 50 + [

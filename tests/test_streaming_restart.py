@@ -593,6 +593,60 @@ def test_weighted_sample_stream_restart_and_batch_parity(spark, tmp_path):
     assert got == want
 
 
+def test_hll_stream_restart_and_batch_parity(spark, tmp_path):
+    """Streaming HLL: registers merge across batches AND across a
+    restart (elementwise max is order-free), and the final snapshot's
+    (zeros, sum_fp, estimate) is BIT-IDENTICAL to the batch
+    sketch.hll_distinct over the union of rows."""
+    from file_d_spark.functions import sketch
+    from file_d_spark.streaming import hll_distinct_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_schema = "lang string, w string"
+    out_schema = ("lang string, version long, zeros long, sum_fp long,"
+                  " estimate double")
+    rows1 = [{"lang": "en" if i % 3 else "de", "w": f"word{i}"}
+             for i in range(400)]
+    # second batch overlaps the first — duplicates must not move
+    # registers, new values must
+    rows2 = [{"lang": "en" if i % 3 else "de", "w": f"word{i}"}
+             for i in range(200, 700)]
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return hll_distinct_stream(df, "lang", "w", b=9)
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 2,
+    )
+    _write_jsonl(str(in_dir), "b2.jsonl", rows2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.version >= 2 for r in _read_out(spark, out_dir, out_schema)
+        ),
+    )
+    out = _read_out(spark, out_dir, out_schema)
+    latest: dict = {}
+    for r in out:
+        if r.lang not in latest or r.version > latest[r.lang].version:
+            latest[r.lang] = r
+    batch_df = spark.createDataFrame(
+        [(r["lang"], r["w"]) for r in rows1 + rows2], in_schema
+    )
+    want = {
+        r.lang: r
+        for r in sketch.hll_distinct(batch_df, "lang", "w", b=9).collect()
+    }
+    assert set(latest) == set(want) == {"en", "de"}
+    for lang, got in latest.items():
+        assert (got.zeros, got.sum_fp, got.estimate) == (
+            want[lang].zeros, want[lang].sum_fp, want[lang].estimate,
+        ), lang
+
+
 def test_weighted_sample_stream_string_ids(spark, tmp_path):
     """ADVICE r8 regression: string doc ids (the type the batch twin
     supports) must flow through the reservoir natively — the old hard
