@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "domain_cap",
     "dedup_incremental_fuzzy",
     "bpe_train_apply",
+    # round 9
+    "graph_pagerank",
+    "bitext_mine",
 ]
 
 
