@@ -140,6 +140,46 @@ def test_action_chain_fuses_into_few_projections(spark, sf_dir):
     assert re.search(r"\*\(\d+\) Project", plan), "projection left codegen"
 
 
+def staged_plan_of(spark, sf_dir, name: str) -> str:
+    from file_d_spark.queries_staged import STAGED
+
+    df = STAGED[name][0](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_staged_queries_stay_jvm_side(spark, sf_dir):
+    """The staged pool is held to the same no-Python bar as the
+    registry — a staged op that regresses to row-UDFs would carry the
+    regression into the registry at promotion time."""
+    from file_d_spark.queries_staged import STAGED
+
+    for name in sorted(STAGED):
+        plan = staged_plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-UDF"
+        assert not re.search(
+            r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan
+        ), f"{name} unexpectedly runs Python"
+
+
+def test_hll_sketch_shuffles_registers_only(spark, sf_dir):
+    """HLL's two exchanges must both be partial-aggregated register
+    shuffles — map-side HashAggregate below each Exchange — never a
+    raw-value exchange."""
+    plan = staged_plan_of(spark, sf_dir, "sketch_hll_distinct")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert plan.count("partial_max") >= 1, "register max lost map-side combine"
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_overlap_uses_distributed_topk(spark, sf_dir):
+    """The per-side bottom-k must plan as TakeOrderedAndProject (the
+    distributed heap), NOT a global Sort — a global sort over the
+    distinct-hash frame is the single-task failure mode at scale."""
+    plan = staged_plan_of(spark, sf_dir, "sketch_overlap")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_incremental_bucketed_shuffles_only_new_side(spark, sf_dir):
     """The bucketed seen-digest anti-join must read the seen corpus as
     a bucketed scan and shuffle ONLY the new batch — one Exchange in
