@@ -1163,8 +1163,15 @@ def bitext_margin_mine(
     # n_src times); with double inputs Catalyst elides the lambda's
     # casts entirely.  Values are bit-identical (same float->double
     # widening), so the oracle is untouched.
+    from file_d_spark.functions.dedup import spread
+
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    s = src.select(
+    # spread the scanned side across cores (brute_force_topk's move):
+    # a single-file embeddings scan is ONE input partition, and without
+    # the round-robin the cross join, the HOF dots and the scored
+    # checkpoint all serialize through one task (measured 6-8s of the
+    # old 8.1s wall clock in that single-task materialization)
+    s = spread(src).select(
         F.col(id_col).alias("src_id"),
         as_double.alias("s_vec"),
         norm(F.col(vec_col)).alias("s_norm"),
