@@ -821,8 +821,15 @@ def dup_span_fraction(
     instead of re-splitting ``text_col`` — composition pipelines that
     tokenize once upstream (corpus_build_end2end) pass it to avoid
     paying the split per stage."""
-    from file_d_spark.functions.dedup import _portable_hash60
+    from file_d_spark.functions.dedup import _portable_hash60, spread
     from file_d_spark.functions.quality import _ngram_col
+
+    if tokens_col is None:
+        # per-gram tokenize+hash is heavy per-row work — don't let a
+        # one-split scan pipeline it into a single task (r9: 2.24s ->
+        # 1.42s at sf0.1); composition pipelines passing tokens_col
+        # manage their own partitioning upstream
+        df = spread(df)
 
     def grams_of(frame: DataFrame) -> DataFrame:
         toks = (
@@ -1350,7 +1357,14 @@ def dsir_logweights(
     """
     import math
 
-    from file_d_spark.functions.dedup import _portable_hash60
+    from file_d_spark.functions.dedup import _portable_hash60, spread
+
+    # the model fits and the scoring pass all do per-gram hashing —
+    # heavy per-row work that would pipeline into a single task on a
+    # one-split scan (the bitext_mine r9 lesson); spread() is
+    # conditional, so real many-split scans skip the repartition
+    corpus = spread(corpus)
+    target = spread(target)
 
     def feat_buckets(text: Column) -> Column:
         toks = tokens(text)
