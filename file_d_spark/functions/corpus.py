@@ -1427,3 +1427,92 @@ def dsir_logweights(
             ).alias("logweight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining
+# --------------------------------------------------------------------------
+
+
+def pmi_phrases(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` two-word collocations by pointwise mutual information
+    — the phrase-mining primitive behind multi-word tokenizer vocab
+    entries and "treat 'new york' as one token" preprocessing:
+
+        pmi(a, b) = ln( (c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)) )
+
+    with ``c_ab >= min_count`` to suppress one-off pairings.
+
+    Scale design: ONE bigram-count groupBy + one unigram-count groupBy
+    over the cached tokenized frame (both zipfian keys — map-side
+    combine condenses each mapper); the corpus totals fold out of the
+    aggregated model frames, never a data re-pass; the pair scoring
+    join runs model-side (distinct bigrams × two unigram lookups) and
+    the final top-k is TakeOrderedAndProject.  The corpus never enters
+    a wide dependency beyond the two counting shuffles.
+
+    Engine-portability: one ``ln`` over one double ratio built with a
+    FIXED operation order, rounded to ``round_dp`` (the weighted-sample
+    precedent: ln is bit-stable cross-engine here); ties break on
+    (a, b).  Returns (a, b, c_ab, pmi)."""
+    toks = _register_cache(
+        df.select(tokens(F.col(text_col)).alias("__toks__")).cache()
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        "__toks__", 1,
+                        F.greatest(F.size("__toks__") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        "__toks__", 2,
+                        F.greatest(F.size("__toks__") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("__p__")
+        )
+        .groupBy(F.col("__p__.a").alias("a"), F.col("__p__.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    uni = (
+        toks.select(F.explode("__toks__").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    )
+    uni = _register_cache(uni.cache())
+    n_uni = uni.agg(F.sum("c_t").cast("double").alias("__nu__"))
+    n_bi = bi.agg(F.sum("c_ab").cast("double").alias("__nb__"))
+    scored = (
+        bi.filter(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("t").alias("a"), F.col("c_t").alias("c_a")), "a")
+        .join(uni.select(F.col("t").alias("b"), F.col("c_t").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("__nb__"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("__nu__"))
+                        * (F.col("c_b").cast("double") / F.col("__nu__"))
+                    )
+                ),
+                round_dp,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "a", "b").limit(k)
+    )

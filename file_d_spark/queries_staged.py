@@ -32,11 +32,15 @@ retirement):
   (``similarity.dbscan_clusters``: cosine neighborhoods, core/border/
   noise, components via the dedup star-contraction machinery).
 - ``sketch_hll_distinct`` / ``sketch_kmv_distinct`` /
-  ``sketch_cms_topk`` — the round-9 sketch family
-  (``functions/sketch.py``): HyperLogLog and bottom-k distinct
-  estimates per language and a Count-Min heavy-hitter readout, all
-  engine-portable (md5-32 hashes, registers folded to exact BIGINTs
-  before the single float op).
+  ``sketch_cms_topk`` / ``sketch_overlap`` — the round-9 sketch
+  family (``functions/sketch.py``): HyperLogLog and bottom-k
+  distinct estimates per language, a Count-Min heavy-hitter readout,
+  and theta-merge corpus-overlap estimation, all engine-portable
+  (md5-32 hashes, registers folded to exact BIGINTs before the
+  single float op).
+- ``pmi_phrases`` — top-k two-word collocations by pointwise mutual
+  information (``corpus.pmi_phrases``): the phrase-mining primitive
+  for multi-word tokenizer vocab entries.
 
 Nothing imports this module at runtime.
 """
@@ -314,3 +318,41 @@ def _overlap_oracle():
 
 
 STAGED["sketch_overlap"] = (q_sketch_overlap, _overlap_oracle())
+
+
+def q_pmi_phrases(spark, sf_dir):
+    """Top-20 two-word collocations by PMI (min bigram count 5) —
+    the phrase-mining primitive for multi-word tokenizer vocab
+    entries."""
+    from file_d_spark.functions import corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.pmi_phrases(d, "text", min_count=5, k=20)
+
+
+_PMI_ORACLE = r"""
+    WITH docs AS (
+      SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    bi AS (
+      SELECT toks[i] AS a, toks[i+1] AS b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM docs, UNNEST(range(1, len(toks))) AS u(i)
+      GROUP BY 1, 2),
+    uni AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c_t
+      FROM (SELECT unnest(toks) AS t FROM docs) GROUP BY t),
+    nu AS (SELECT sum(c_t)::DOUBLE AS n FROM uni),
+    nb AS (SELECT sum(c_ab)::DOUBLE AS n FROM bi)
+    SELECT a, b, c_ab,
+           round(ln((CAST(c_ab AS DOUBLE) / (SELECT n FROM nb))
+                    / ((CAST(ua.c_t AS DOUBLE) / (SELECT n FROM nu))
+                       * (CAST(ub.c_t AS DOUBLE) / (SELECT n FROM nu)))),
+                 6) AS pmi
+    FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, a, b LIMIT 20
+"""
+
+STAGED["pmi_phrases"] = (q_pmi_phrases, _PMI_ORACLE)
