@@ -7,6 +7,7 @@ from file_d_spark.streaming.stateful import (
     dedup_stream,
     multiline_join_stream,
     hll_distinct_stream,
+    kmv_distinct_stream,
     rolling_zscore_stream,
     weighted_sample_stream,
     sessionize_stream,
@@ -20,6 +21,7 @@ __all__ = [
     "dedup_stream",
     "multiline_join_stream",
     "hll_distinct_stream",
+    "kmv_distinct_stream",
     "rolling_zscore_stream",
     "weighted_sample_stream",
     "sessionize_stream",

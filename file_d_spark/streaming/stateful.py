@@ -946,3 +946,90 @@ def hll_distinct_stream(
         "sum_fp",
         _sketch.hll_estimate_col(b).alias("estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k) distinct, streaming twin
+# --------------------------------------------------------------------------
+
+
+def kmv_distinct_stream(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Streaming twin of ``sketch.kmv_distinct``: a per-group bottom-k
+    hash sketch merged across micro-batches (union the arrivals'
+    hashes, keep the k smallest — the same merge the batch operator's
+    distributed heap performs per partition).  State per group is at
+    most k longs; after any prefix of arrivals the snapshot's
+    (n_distinct_capped, kth_hash, estimate) is BIT-IDENTICAL to the
+    batch operator over the same rows.  Hashing runs IN SPARK with the
+    batch operator's expression; the estimate is computed by a shared
+    Spark column expression over the emitted integers.
+
+    Emits a post-batch snapshot per group tagged with a monotonically
+    increasing ``version`` (take the max version per group)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from file_d_spark.functions import sketch as _sketch
+
+    src = df.select(
+        F.col(group_col).alias("__grp__"),
+        _sketch._h32(F.col(value_col)).alias("__h__"),
+    )
+    grp_type = df.schema[group_col].dataType
+    snap_schema = StructType(
+        [
+            StructField(group_col, grp_type),
+            StructField("version", LongType()),
+            StructField("n_distinct_capped", LongType()),
+            StructField("kth_hash", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            version, hashes = state.get
+            pool = set(hashes)
+        else:
+            version, pool = 0, set()
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        pool.update(int(h) for h in pdf["__h__"].tolist())
+        pool = set(sorted(pool)[:k])
+        version += 1
+        ordered = sorted(pool)
+        state.update((version, ordered))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "version": [version],
+                "n_distinct_capped": [len(ordered)],
+                "kth_hash": [ordered[k - 1] if len(ordered) == k else None],
+            }
+        )
+
+    snaps = src.groupBy("__grp__").applyInPandasWithState(
+        fn,
+        snap_schema,
+        "version long, hashes array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    est = F.when(
+        F.col("kth_hash").isNotNull(),
+        F.round(
+            F.lit(float((k - 1) * (1 << _sketch.HASH_BITS)))
+            / F.col("kth_hash").cast("double"),
+            4,
+        ),
+    ).otherwise(F.col("n_distinct_capped").cast("double"))
+    return snaps.select(
+        group_col,
+        "version",
+        "n_distinct_capped",
+        "kth_hash",
+        est.alias("estimate"),
+    )

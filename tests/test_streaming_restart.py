@@ -647,6 +647,59 @@ def test_hll_stream_restart_and_batch_parity(spark, tmp_path):
         ), lang
 
 
+def test_kmv_stream_restart_and_batch_parity(spark, tmp_path):
+    """Streaming bottom-k sketch: merges across batches and a restart
+    (set-union + re-take-k-smallest is order-free), final snapshot
+    bit-identical to batch sketch.kmv_distinct over the union."""
+    from file_d_spark.functions import sketch
+    from file_d_spark.streaming import kmv_distinct_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_schema = "lang string, w string"
+    out_schema = ("lang string, version long, n_distinct_capped long,"
+                  " kth_hash long, estimate double")
+    rows1 = [{"lang": "en" if i % 3 else "de", "w": f"w{i}"}
+             for i in range(150)]
+    rows2 = [{"lang": "en" if i % 3 else "de", "w": f"w{i}"}
+             for i in range(100, 400)]
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return kmv_distinct_stream(df, "lang", "w", k=32)
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 2,
+    )
+    _write_jsonl(str(in_dir), "b2.jsonl", rows2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.version >= 2 for r in _read_out(spark, out_dir, out_schema)
+        ),
+    )
+    out = _read_out(spark, out_dir, out_schema)
+    latest: dict = {}
+    for r in out:
+        if r.lang not in latest or r.version > latest[r.lang].version:
+            latest[r.lang] = r
+    batch_df = spark.createDataFrame(
+        [(r["lang"], r["w"]) for r in rows1 + rows2], in_schema
+    )
+    want = {
+        r.lang: r
+        for r in sketch.kmv_distinct(batch_df, "lang", "w", k=32).collect()
+    }
+    assert set(latest) == set(want) == {"en", "de"}
+    for lang, got in latest.items():
+        assert (got.n_distinct_capped, got.kth_hash, got.estimate) == (
+            want[lang].n_distinct_capped,
+            want[lang].kth_hash,
+            want[lang].estimate,
+        ), lang
+
+
 def test_weighted_sample_stream_string_ids(spark, tmp_path):
     """ADVICE r8 regression: string doc ids (the type the batch twin
     supports) must flow through the reservoir natively — the old hard
