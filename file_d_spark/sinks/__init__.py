@@ -372,7 +372,7 @@ def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
         return
 
     batch_size = int(cfg.get("batch_size", 1000))
-    strict = bool(cfg.get("strict", False))
+    strict = bool(cfg.get("strict_fields", False) or cfg.get("strict", False))
     transport = cfg.get("transport")
     if transport is None:
         raise NotImplementedError(
@@ -796,7 +796,7 @@ def build_stream_sink(
     schema_ddl = cfg.get("schema")
     if schema_ddl:
         schema = T.StructType.fromDDL(schema_ddl)
-        df = coerce_to_schema(df, schema, strict=bool(cfg.get("strict", False)))
+        df = coerce_to_schema(df, schema, strict=bool(cfg.get("strict_fields", False) or cfg.get("strict", False)))
 
     writer = df.writeStream.outputMode(cfg.get("output_mode", "append"))
     if checkpoint_dir:
@@ -876,7 +876,7 @@ def _write_one(df: DataFrame, typ: str, cfg: dict[str, Any]) -> Any:
     schema_ddl = cfg.get("schema")
     if schema_ddl:
         schema = T.StructType.fromDDL(schema_ddl)
-        df = coerce_to_schema(df, schema, strict=bool(cfg.get("strict", False)))
+        df = coerce_to_schema(df, schema, strict=bool(cfg.get("strict_fields", False) or cfg.get("strict", False)))
     return SINKS[typ](df, cfg)
 
 

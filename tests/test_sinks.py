@@ -231,6 +231,22 @@ def test_coerce_to_schema_strict_vs_not(spark):
         coerce_to_schema(df, schema, strict=True).collect()
 
 
+def test_strict_fields_alias_enables_strict(spark):
+    """postgres.go:130-137: `strict` is deprecated in favor of
+    `strict_fields`, and the reference ORs both — a config using the
+    current spelling must get strict coercion too."""
+    from file_d_spark.sinks import build_sink
+
+    df = spark.createDataFrame([("oops",)], "v string")
+
+    class P:
+        output = {"type": "devnull", "schema": "v bigint",
+                  "strict_fields": True}
+
+    with pytest.raises(Exception):
+        build_sink(df, P())
+
+
 def test_file_sink_partitioned(spark, tmp_path):
     from file_d_spark import Pipeline
 
