@@ -352,7 +352,11 @@ def fetch_limit_overrides(
             file_cfg = {}  # reference logs the parse failure and continues
 
     out: dict[str, int] = {}
-    snapshot: dict = {}
+    # seed from the loaded file so keys tracked in earlier batches but
+    # absent from this one keep their persisted central limits (the
+    # reference's limiters map persists across save ticks —
+    # limiters_map.go:300-409); per-key rows below overwrite in place
+    snapshot: dict = dict(file_cfg)
     for v in values:
         lim = RedisLimiter(
             client,

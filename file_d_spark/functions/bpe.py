@@ -38,8 +38,10 @@ a+b)`` merges (xa, b) when asked for (a, b) — the seg ``xa␟b``
 contains the substring ``a␟b``), and because each replacement leaves
 one separator on each side, consecutive matches re-form each other's
 boundaries: one left-to-right non-overlapping replace IS greedy
-left-to-right BPE merge application (model-checked exhaustively over
-all ≤6-symbol sequences in test_bpe.py).  Replace semantics are
+left-to-right BPE merge application (model-checked exhaustively in
+test_bpe.py: all ≤4-symbol sequences over a 6-symbol
+boundary-adversarial alphabet, plus all 5-6-symbol sequences over the
+chain-adversarial {a, b, aa}).  Replace semantics are
 identical in Spark and DuckDB, so the whole iterative train+apply is
 bit-checkable against SQL with the merge rounds unrolled as CTEs
 (the kmeans oracle pattern).  Ties in pair frequency break on

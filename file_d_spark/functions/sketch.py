@@ -112,6 +112,11 @@ def hll_prep(df: DataFrame, group_col: str, value_col: str, b: int) -> DataFrame
     rank = F.when(w == 0, F.lit(rem + 1)).otherwise(
         F.lit(rem) - F.length(F.bin(w)) + 1
     )
+    # null values hash to a null bucket row that would inflate
+    # count(*) (so `zeros` undercounts) and crash the streaming twin's
+    # register indexing — a null contributes nothing to a distinct
+    # count, so drop it here, mirrored by the oracle's WHERE
+    df = df.where(F.col(value_col).isNotNull())
     return df.select(
         F.col(group_col).alias("g"),
         h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
@@ -149,7 +154,7 @@ def hll_oracle_sql(
       SELECT {group_col} AS g,
              ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 8))
                ::UBIGINT::BIGINT AS h
-      FROM src),
+      FROM src WHERE {value_expr} IS NOT NULL),
     ranked AS (
       SELECT g, h & {m - 1} AS bucket,
              CASE WHEN (h >> {b}) = 0 THEN {rem + 1}
@@ -184,9 +189,14 @@ def kmv_distinct(
     The window runs over the DISTINCT-hash frame (already reduced by
     the groupBy), not raw rows, so a hot group costs its distinct
     count, not its row count.  Columns: (group, n_distinct_capped,
-    kth_hash, estimate)."""
+    kth_hash, estimate).
+
+    Nulls are dropped (they contribute nothing to a distinct count;
+    a null hash would also sort NULLS FIRST here but NULLS LAST in
+    DuckDB, breaking bit-parity)."""
     hashes = (
-        df.select(
+        df.where(F.col(value_col).isNotNull())
+        .select(
             F.col(group_col).alias("g"), _h32(F.col(value_col)).alias("h")
         )
         .groupBy("g", "h")
@@ -227,7 +237,7 @@ def kmv_oracle_sql(
       SELECT DISTINCT {group_col} AS g,
              ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 8))
                ::UBIGINT::BIGINT AS h
-      FROM src),
+      FROM src WHERE {value_expr} IS NOT NULL),
     ranked AS (
       SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
       FROM hashes),
@@ -265,8 +275,11 @@ def kmv_overlap(
     intersection_est)."""
 
     def bottom_k(df, a_flag: int, b_flag: int):
+        # null-safe like kmv_distinct: a null hash would sort NULLS
+        # FIRST in Spark / NULLS LAST in DuckDB and steal a k-slot
         return (
-            df.select(_h32(F.col(value_col)).alias("h"))
+            df.where(F.col(value_col).isNotNull())
+            .select(_h32(F.col(value_col)).alias("h"))
             .distinct()
             .orderBy("h")
             .limit(k)
@@ -317,11 +330,13 @@ def kmv_overlap_oracle_sql(
     return f"""
     WITH a_sk AS (
       SELECT h, 1 AS a, 0 AS b FROM (
-        SELECT DISTINCT {h} AS h FROM ({source_a_sql}))
+        SELECT DISTINCT {h} AS h FROM ({source_a_sql})
+        WHERE {value_expr} IS NOT NULL)
       ORDER BY h LIMIT {k}),
     b_sk AS (
       SELECT h, 0 AS a, 1 AS b FROM (
-        SELECT DISTINCT {h} AS h FROM ({source_b_sql}))
+        SELECT DISTINCT {h} AS h FROM ({source_b_sql})
+        WHERE {value_expr} IS NOT NULL)
       ORDER BY h LIMIT {k}),
     merged AS (
       SELECT h, max(a) AS a, max(b) AS b

@@ -972,7 +972,9 @@ def kmv_distinct_stream(
 
     from file_d_spark.functions import sketch as _sketch
 
-    src = df.select(
+    # null-safe like the batch operator (sketch.kmv_distinct): a null
+    # value would yield a null hash that crashes int(h) below
+    src = df.where(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("__grp__"),
         _sketch._h32(F.col(value_col)).alias("__h__"),
     )

@@ -79,7 +79,10 @@ def test_apply_merge_matches_greedy_bpe_and_oracle(spark, duck):
     trim/replace rendering (DuckDB) both equal greedy left-to-right
     BPE merge application, over every symbol sequence of length <=4
     from a boundary-adversarial alphabet (single chars plus merged
-    symbols that embed other symbols: 'xa', 'ab', 'aa')."""
+    symbols that embed other symbols: 'xa', 'ab', 'aa'), PLUS every
+    sequence of length 5-6 over the chain-adversarial sub-alphabet
+    {a, b, aa} — the depth where aaaaaa-style overlapping-match chains
+    would expose a non-greedy replace."""
     import itertools
 
     from pyspark.sql import functions as F
@@ -103,6 +106,13 @@ def test_apply_merge_matches_greedy_bpe_and_oracle(spark, duck):
         for n in range(1, 5)
         for syms in itertools.product(alphabet, repeat=n)
         for a, b in itertools.product(alphabet, repeat=2)
+    ]
+    chain_alphabet = ["a", "b", "aa"]
+    cases += [
+        (S.join(syms), a, b, greedy(list(syms), a, b))
+        for n in range(5, 7)
+        for syms in itertools.product(chain_alphabet, repeat=n)
+        for a, b in itertools.product(chain_alphabet, repeat=2)
     ]
     df = spark.createDataFrame(
         cases, "seg string, a string, b string, want string"

@@ -452,3 +452,43 @@ def test_limits_save_interval_rate_limits_writes(tmp_path):
         assert [f for f in os.listdir(tmp_path) if ".atomic." in f] == []
     finally:
         s.close()
+
+
+def test_limits_file_keeps_keys_absent_from_batch(tmp_path):
+    """ADVICE r9: the snapshot is seeded from the loaded file, so a
+    key tracked in an EARLIER batch but absent from this one keeps its
+    persisted central limit across the rewrite (the reference's
+    limiters map persists across save ticks, limiters_map.go:300-409)
+    — previously the rewrite dropped it, defeating the
+    restart-during-outage protection."""
+    import json as _json
+
+    lf = str(tmp_path / "limits.json")
+    s = MiniRedis()
+    try:
+        s.set(f"{PIPELINE}_{FIELD}_a_limit", "5")
+        s.set(f"{PIPELINE}_{FIELD}_b_limit", "9")
+        base = {
+            "pipeline": PIPELINE,
+            "addrs": [s.addr],
+            "limits_file": lf,
+            "limits_save_interval": "0s",
+        }
+        # batch 1 tracks both keys; batch 2 only b
+        assert _fetch(dict(base, values=["a", "b"])) == {"a": 5, "b": 9}
+        assert _fetch(dict(base, values=["b"])) == {"b": 9}
+        snap = _json.load(open(lf))
+        assert snap["a:a"]["limit"] == 5  # survived the b-only rewrite
+        assert snap["a:b"]["limit"] == 9
+    finally:
+        s.close()
+    # redis down, a-only batch: a's limit still comes from the file
+    down = {
+        "pipeline": PIPELINE,
+        "addrs": ["127.0.0.1:1"],
+        "read_timeout": 0.05,
+        "values": ["a"],
+        "limits_file": lf,
+        "limits_save_interval": "0s",
+    }
+    assert _fetch(down) == {"a": 5}

@@ -105,3 +105,31 @@ def test_cms_estimate_never_underestimates(spark):
     # 4x256 counters against ~700 rows: the heavy hitters' estimates
     # stay tight (min over 4 rows suppresses collisions)
     assert by_v["hot"].cms_estimate <= 200 + 30
+
+
+def test_null_values_dropped_everywhere(spark):
+    """ADVICE r9: a null value contributes nothing to a distinct
+    count.  Every sketch must produce the SAME output with null rows
+    injected — previously a null hashed to a null bucket/hash row that
+    skewed zeros (HLL), stole a NULLS-FIRST k-slot (KMV/overlap), and
+    crashed the streaming twins."""
+    clean = _vals(spark, 300)
+    nulled = clean.union(
+        spark.range(3).select(
+            F.lit("g").alias("grp"), F.lit(None).cast("string").alias("v")
+        )
+    )
+    h_clean = sketch.hll_distinct(clean, "grp", "v", b=9).first()
+    h_null = sketch.hll_distinct(nulled, "grp", "v", b=9).first()
+    assert (h_clean.zeros, h_clean.sum_fp, h_clean.estimate) == (
+        h_null.zeros, h_null.sum_fp, h_null.estimate,
+    )
+    k_clean = sketch.kmv_distinct(clean, "grp", "v", k=64).first()
+    k_null = sketch.kmv_distinct(nulled, "grp", "v", k=64).first()
+    assert (k_clean.n_distinct_capped, k_clean.kth_hash, k_clean.estimate) \
+        == (k_null.n_distinct_capped, k_null.kth_hash, k_null.estimate)
+    o_clean = sketch.kmv_overlap(clean, _vals(spark, 150), "v", k=64).first()
+    o_null = sketch.kmv_overlap(nulled, _vals(spark, 150), "v", k=64).first()
+    assert (o_clean.k_used, o_clean.kth_hash, o_clean.common) == (
+        o_null.k_used, o_null.kth_hash, o_null.common,
+    )

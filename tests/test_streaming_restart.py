@@ -611,6 +611,11 @@ def test_hll_stream_restart_and_batch_parity(spark, tmp_path):
     # registers, new values must
     rows2 = [{"lang": "en" if i % 3 else "de", "w": f"word{i}"}
              for i in range(200, 700)]
+    # null values must be dropped (not crash the register indexing)
+    # and leave the estimate untouched — batch parity covers it since
+    # sketch.hll_distinct drops them too
+    rows1.append({"lang": "en", "w": None})
+    rows2.append({"lang": "de", "w": None})
 
     def make_query():
         df = spark.readStream.schema(in_schema).json(str(in_dir))
@@ -662,6 +667,10 @@ def test_kmv_stream_restart_and_batch_parity(spark, tmp_path):
              for i in range(150)]
     rows2 = [{"lang": "en" if i % 3 else "de", "w": f"w{i}"}
              for i in range(100, 400)]
+    # null values must be dropped (not crash int(h)) — batch parity
+    # covers it since sketch.kmv_distinct drops them too
+    rows1.append({"lang": "en", "w": None})
+    rows2.append({"lang": "de", "w": None})
 
     def make_query():
         df = spark.readStream.schema(in_schema).json(str(in_dir))
