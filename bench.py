@@ -45,8 +45,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "text_fingerprint",
-    "ann_brute_force",
-    "ann_lsh",
+    "ann_methods",  # r10: folded brute/lsh/ivf/ivf_pq combo row
     "semantic_dedup",
     "chunk_documents",
     "mixture_sample",
@@ -65,7 +64,6 @@ BENCH_QUERIES = [
     "dedup_incremental_bucketed",
     "ann_index_build",
     # round 6
-    "ann_ivf_pq",
     "kmeans_clusters",
     "bm25_topk",
     "exact_substr_clean",
@@ -84,6 +82,9 @@ BENCH_QUERIES = [
     # round 9
     "graph_pagerank",
     "bitext_mine",
+    # round 10
+    "sketch_hll_distinct",
+    "sketch_overlap",
 ]
 
 

@@ -17,7 +17,11 @@ DuckDB at sf0.001 + sf0.01 on every pytest run until a slot opens.
 
 Round 9 promoted ``graph_pagerank`` and ``bitext_mine`` (family
 diversity: graph + cross-lingual mining), filling the registry at the
-sustainable 100.  Current spares (wait for r10+ slots or a
+sustainable 100.  Round 10 freed three slots by folding the four ANN
+rows into ``ann_methods`` and the two join_template rows into
+``join_template_blocks`` (the r8 decoder pattern), then promoted
+``sketch_hll_distinct`` + ``sketch_overlap`` (approximate analytics
+had no registered row).  Current spares (wait for r11+ slots or a
 retirement):
 
 - ``bpe_fertility`` — per-language tokenizer fertility with the REAL
@@ -31,13 +35,12 @@ retirement):
 - ``dbscan_clusters`` — density-based clustering over embeddings
   (``similarity.dbscan_clusters``: cosine neighborhoods, core/border/
   noise, components via the dedup star-contraction machinery).
-- ``sketch_hll_distinct`` / ``sketch_kmv_distinct`` /
-  ``sketch_cms_topk`` / ``sketch_overlap`` — the round-9 sketch
-  family (``functions/sketch.py``): HyperLogLog and bottom-k
-  distinct estimates per language, a Count-Min heavy-hitter readout,
-  and theta-merge corpus-overlap estimation, all engine-portable
-  (md5-32 hashes, registers folded to exact BIGINTs before the
-  single float op).
+- ``sketch_kmv_distinct`` / ``sketch_cms_topk`` — the rest of the
+  round-9 sketch family (``functions/sketch.py``): bottom-k distinct
+  estimates per language and a Count-Min heavy-hitter readout, both
+  engine-portable (md5-32 hashes, exact-integer folds).  Their
+  siblings ``sketch_hll_distinct`` / ``sketch_overlap`` were
+  registered at r10.
 - ``pmi_phrases`` — top-k two-word collocations by pointwise mutual
   information (``corpus.pmi_phrases``): the phrase-mining primitive
   for multi-word tokenizer vocab entries.
@@ -231,15 +234,6 @@ def _words(spark, sf_dir):
     ).filter(F.col("w") != "")
 
 
-def q_sketch_hll(spark, sf_dir):
-    """HyperLogLog distinct-words-per-language estimate (b=9, 512
-    registers): the 100 TB answer to COUNT(DISTINCT) — one corpus
-    shuffle to bounded per-group registers, algebraic all the way."""
-    from file_d_spark.functions import sketch
-
-    return sketch.hll_distinct(_words(spark, sf_dir), "lang", "w", b=9)
-
-
 def q_sketch_kmv(spark, sf_dir):
     """Bottom-k (KMV) distinct-words-per-language estimate (k=64)."""
     from file_d_spark.functions import sketch
@@ -261,9 +255,6 @@ def _sketch_oracles():
     from file_d_spark.functions import sketch
 
     return {
-        "sketch_hll_distinct": sketch.hll_oracle_sql(
-            _WORDS_SRC_SQL, "lang", "w", b=9
-        ),
         "sketch_kmv_distinct": sketch.kmv_oracle_sql(
             _WORDS_SRC_SQL, "lang", "w", k=64
         ),
@@ -276,48 +267,10 @@ def _sketch_oracles():
 _SK = _sketch_oracles()
 STAGED.update(
     {
-        "sketch_hll_distinct": (q_sketch_hll, _SK["sketch_hll_distinct"]),
         "sketch_kmv_distinct": (q_sketch_kmv, _SK["sketch_kmv_distinct"]),
         "sketch_cms_topk": (q_sketch_cms, _SK["sketch_cms_topk"]),
     }
 )
-
-
-def q_sketch_overlap(spark, sf_dir):
-    """Corpus-overlap estimation without a join: merge the even- and
-    odd-doc-id halves' bottom-k word sketches (theta-sketch pattern)
-    into Jaccard / union / intersection estimates — how one audits
-    training-set contamination between two 100 TB corpora for the
-    cost of two sketch scans."""
-    from file_d_spark.functions import sketch
-
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
-    ).filter(F.col("w") != "")
-    return sketch.kmv_overlap(
-        words.filter(F.col("doc_id") % 2 == 0),
-        words.filter(F.col("doc_id") % 2 == 1),
-        "w",
-        k=256,
-    )
-
-
-def _overlap_oracle():
-    from file_d_spark.functions import sketch
-
-    src = (
-        "SELECT unnest(list_filter(string_split_regex(lower(text),"
-        " '[^a-z]+'), x -> x <> '')) AS w FROM documents"
-    )
-    return sketch.kmv_overlap_oracle_sql(
-        f"{src} WHERE doc_id % 2 = 0", f"{src} WHERE doc_id % 2 = 1",
-        "w", k=256,
-    )
-
-
-STAGED["sketch_overlap"] = (q_sketch_overlap, _overlap_oracle())
 
 
 def q_pmi_phrases(spark, sf_dir):

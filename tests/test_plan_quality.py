@@ -165,7 +165,7 @@ def test_hll_sketch_shuffles_registers_only(spark, sf_dir):
     """HLL's two exchanges must both be partial-aggregated register
     shuffles — map-side HashAggregate below each Exchange — never a
     raw-value exchange."""
-    plan = staged_plan_of(spark, sf_dir, "sketch_hll_distinct")
+    plan = plan_of(spark, sf_dir, "sketch_hll_distinct")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert plan.count("partial_max") >= 1, "register max lost map-side combine"
     assert "CartesianProduct" not in plan
@@ -175,7 +175,7 @@ def test_kmv_overlap_uses_distributed_topk(spark, sf_dir):
     """The per-side bottom-k must plan as TakeOrderedAndProject (the
     distributed heap), NOT a global Sort — a global sort over the
     distinct-hash frame is the single-task failure mode at scale."""
-    plan = staged_plan_of(spark, sf_dir, "sketch_overlap")
+    plan = plan_of(spark, sf_dir, "sketch_overlap")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
 
