@@ -3,6 +3,7 @@
 from file_d_spark.streaming.stateful import (
     antispam_stream,
     bloom_dedup_stream,
+    bpe_apply_stream,
     cardinality_stream,
     dedup_stream,
     multiline_join_stream,
@@ -17,6 +18,7 @@ from file_d_spark.streaming.stateful import (
 __all__ = [
     "antispam_stream",
     "bloom_dedup_stream",
+    "bpe_apply_stream",
     "cardinality_stream",
     "dedup_stream",
     "multiline_join_stream",

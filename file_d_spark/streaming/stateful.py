@@ -1035,3 +1035,64 @@ def kmv_distinct_stream(
         "kth_hash",
         est.alias("estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trained-BPE apply, streaming twin (stateless broadcast-model map)
+# --------------------------------------------------------------------------
+
+
+def bpe_apply_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_model: list,
+) -> DataFrame:
+    """Streaming twin of the trained-BPE APPLY path — the application
+    half of ``bpe.bpe_token_stats`` (its broadcast (word → seg) join
+    with char-split OOV fallback) as a STATELESS map over arriving
+    documents.
+
+    ``seg_model`` is the collected final segmentation frame from
+    ``bpe.train_bpe`` as (word, seg) pairs — bounded by ``vocab_size``
+    (50 by default), so it enters the plan as ONE map literal: no
+    stream-static join, no state, no watermark; every arriving
+    document emits exactly one (id, n_words, n_bpe_tokens) row in
+    append mode, and the counts are BIT-IDENTICAL to the batch
+    operator over the same rows because both sides evaluate the same
+    Spark expressions (map lookup ≡ broadcast left join on the same
+    bounded vocab; the char-split fallback is ``bpe._char_seg``
+    verbatim).
+
+    At 100 TB this is the shape a tokenizer-audit stream wants: the
+    model is O(vocab) and rides the closure; the per-event work is
+    one HOF pass over the document's words.
+    """
+    from file_d_spark.functions.bpe import SEP
+
+    entries: list = []
+    for w, seg in seg_model:
+        entries += [F.lit(w), F.lit(seg)]
+    seg_map = F.create_map(*entries)
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda w: w != F.lit(""),
+    )
+    segs = F.transform(
+        words,
+        lambda w: F.coalesce(
+            F.element_at(seg_map, w),
+            F.array_join(F.split(w, ""), SEP),  # bpe._char_seg inline
+        ),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(segs).cast("long").alias("n_words"),
+        F.aggregate(
+            segs,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.size(F.split(s, SEP)),
+        ).alias("n_bpe_tokens"),
+    )
+    # the batch operator's explode drops wordless documents — mirror it
+    return out.filter(F.col("n_words") > 0)

@@ -744,3 +744,62 @@ def test_weighted_sample_stream_string_ids(spark, tmp_path):
     assert got == want
     assert all(isinstance(d, str) and d.startswith("doc-")
                for d, _ in got.values())
+
+
+def test_bpe_apply_stream_restart_and_batch_parity(spark, tmp_path):
+    """Streaming trained-BPE apply (VERDICT r8 #7 / r9 #4): the merges
+    model broadcasts as one map literal, the map is stateless, every
+    document emits exactly once across a restart, and every
+    (n_words, n_bpe_tokens) row is BIT-IDENTICAL to the batch
+    bpe.bpe_token_stats over the same corpus (the model is trained
+    once on the full corpus both sides)."""
+    from file_d_spark.functions import bpe
+    from file_d_spark.streaming import bpe_apply_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_schema = "doc_id long, text string"
+    out_schema = "doc_id long, n_words long, n_bpe_tokens long"
+    texts = [
+        "the cat sat on the mat",
+        "the thematic theme of the theater",
+        "aa aaa aaaa a",          # merge-chain adversarial
+        "zzz unseen oov words",   # OOV -> char-split fallback
+        "Punct, CASE! and 123 digits split words",
+        "",                       # wordless: must emit NO row
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    rows1, rows2 = rows[:3], rows[3:]
+
+    corpus = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], in_schema
+    )
+    _, seg = bpe.train_bpe(
+        bpe.word_histogram(corpus, "text"), vocab_size=20, num_merges=5
+    )
+    model = [(r.w, r.seg) for r in seg.select("w", "seg").collect()]
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return bpe_apply_stream(df, "doc_id", "text", model)
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 3,
+    )
+    _write_jsonl(str(in_dir), "b2.jsonl", rows2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 5,
+    )
+    out = _read_out(spark, out_dir, out_schema)
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in out}
+    assert len(out) == len(got) == 5, "duplicate or lost emissions"
+    want = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.bpe_token_stats(
+            corpus, "doc_id", "text", vocab_size=20, num_merges=5
+        ).collect()
+    }
+    assert got == want
+    assert 5 not in got  # wordless doc contributes no row
