@@ -13,6 +13,8 @@ All vector math stays JVM-side: zip_with/aggregate over array columns
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1344,3 +1346,77 @@ def dbscan_clusters(
             F.coalesce("role", F.lit("noise")).alias("role"),
         )
     )
+
+
+def jl_project(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    plane_offset: int = 101,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: ``dim`` → ``out_dim``
+    via deterministic LCG planes (``_hyperplane``, offset past the LSH
+    signature planes so the two families stay independent), scaled by
+    1/sqrt(out_dim) so expected pairwise distances are preserved —
+    the dimensionality-reduction front end for the ANN path (project
+    once, band/search in the cheap space, rerank in the original).
+
+    Output is LONG format — (id, j, comp_fp) with the component in
+    ``scale`` fixed-point (the kmeans round-half-away pattern, bigint
+    cross-engine exact) — so the result value-hashes without
+    array-dtype drift and the shape stays one narrow corpus pass:
+    the planes ride the plan as folded literals (one HOF fold per
+    output dim), no join, no shuffle, no Python.
+
+    At 100 TB: a 4× dim cut is a 4× cut in every downstream dot
+    product and candidate-pair byte volume; the projection itself is
+    embarrassingly parallel and fuses into the scan projection.
+    """
+    inv = scale / math.sqrt(float(out_dim))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = F.array(
+        *[
+            F.round(dot_lit(v, _hyperplane(dim, plane_offset + j)) * F.lit(inv))
+            .cast("long")
+            for j in range(out_dim)
+        ]
+    )
+    return corpus.select(
+        F.col(id_col),
+        F.posexplode(comps).alias("j", "comp_fp"),
+    )
+
+
+def jl_project_oracle_sql(
+    source_sql: str,
+    id_col: str = "vec_id",
+    vec_expr: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    plane_offset: int = 101,
+    scale: float = 1e6,
+) -> str:
+    """DuckDB mirror of :func:`jl_project`: the SAME LCG plane floats
+    embedded as list literals in a VALUES table; list_sum's
+    left-fold order matches the HOF aggregate's (the lsh_topk oracle
+    precedent), and the fixed-point cast matches kmeans'."""
+    inv = scale / math.sqrt(float(out_dim))
+    rows = ", ".join(
+        "({}, [{}])".format(
+            j,
+            ", ".join(repr(c) for c in _hyperplane(dim, plane_offset + j)),
+        )
+        for j in range(out_dim)
+    )
+    return f"""
+    WITH e AS (SELECT {id_col}, CAST({vec_expr} AS DOUBLE[]) AS v
+               FROM ({source_sql})),
+    planes(j, p) AS (VALUES {rows})
+    SELECT e.{id_col}, planes.j,
+           CAST(round(list_sum(list_transform(range(1, {dim} + 1),
+                  i -> e.v[i] * p[i])) * {inv!r}) AS BIGINT) AS comp_fp
+    FROM e, planes
+"""

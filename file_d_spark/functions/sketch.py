@@ -457,3 +457,94 @@ def cms_oracle_sql(
     FROM probes p JOIN sketch s USING (r, c)
     GROUP BY p.v, p.exact_count
 """
+
+
+def f2_moment(df: DataFrame, value_col: str, reps: int = 16) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy
+    1996): F2 = Σ_v f_v² — the SELF-JOIN SIZE of the value column,
+    the quantity a 100 TB join planner wants before committing to a
+    shuffle.  ``reps`` independent ±1 hash signs s_r(v); each rep's
+    X_r = Σ_v s_r(v)·f_v is an EXACT BIGINT (one keyed aggregate over
+    the distinct-value counts frame), E[X_r²] = F2, and the estimate
+    averages the X_r² across reps — the only float op is the final
+    division, so the result is bit-identical cross-engine.
+
+    Scale shape: one corpus shuffle to (value, count); the sketch side
+    then explodes ``reps`` sign cells per DISTINCT value (bounded by
+    the distinct count, not the row count) into ONE aggregate of
+    ``reps`` rows.  X_r² is computed in exact integer arithmetic —
+    at test scale X_r < 2³¹ so the square fits a BIGINT; at
+    production scale shard values and merge X_r per shard (the sketch
+    is linear: X_r(A∪B) = X_r(A) + X_r(B)).
+
+    One row: (reps, f2_exact, f2_estimate) — exact vs estimate
+    exposed for error auditing, the cms_topk convention.
+
+    Nulls are dropped (a null contributes no self-join pairs).
+    """
+    from file_d_spark.cachereg import register as _register_cache
+
+    counts = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    # reused by the sign cells AND the exact readout — one shuffle
+    counts = _register_cache(counts.localCheckpoint(eager=True))
+
+    cells = counts.select(
+        "v",
+        "f",
+        F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("r"),
+    ).select(
+        "r",
+        (
+            (
+                F.lit(1)
+                - F.lit(2)
+                * _h32(
+                    F.concat(F.col("v"), F.lit("#r"), F.col("r").cast("string"))
+                ).bitwiseAND(F.lit(1))
+            )
+            * F.col("f")
+        ).cast("long").alias("sf"),
+    )
+    xs = cells.groupBy("r").agg(F.sum("sf").cast("long").alias("x"))
+    est = xs.agg(
+        (
+            F.sum(F.col("x") * F.col("x")).cast("double") / F.lit(float(reps))
+        ).alias("f2_estimate")
+    )
+    exact = counts.agg(
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.lit(reps).cast("long").alias("reps"),
+        "f2_exact",
+        F.round("f2_estimate", 4).alias("f2_estimate"),
+    )
+
+
+def f2_oracle_sql(source_sql: str, value_expr: str, reps: int = 16) -> str:
+    """DuckDB mirror of :func:`f2_moment`."""
+    return f"""
+    WITH src AS ({source_sql}),
+    counts AS (
+      SELECT CAST({value_expr} AS VARCHAR) AS v,
+             CAST(count(*) AS BIGINT) AS f
+      FROM src WHERE {value_expr} IS NOT NULL GROUP BY 1),
+    cells AS (
+      SELECT r,
+             CAST((1 - 2 * (('0x' || substr(md5(v || '#r'
+                    || CAST(r AS VARCHAR)), 1, 8))::UBIGINT::BIGINT & 1))
+                  * f AS BIGINT) AS sf
+      FROM counts, UNNEST(range(0, {reps})) AS u(r)),
+    xs AS (SELECT r, CAST(sum(sf) AS BIGINT) AS x FROM cells GROUP BY r),
+    est AS (SELECT CAST(sum(x * x) AS DOUBLE) / {float(reps)!r}
+              AS f2_estimate FROM xs),
+    exact AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM counts)
+    SELECT CAST({reps} AS BIGINT) AS reps, f2_exact,
+           round(f2_estimate, 4) AS f2_estimate
+    FROM exact, est
+"""

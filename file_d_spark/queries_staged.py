@@ -44,6 +44,13 @@ retirement):
 - ``pmi_phrases`` — top-k two-word collocations by pointwise mutual
   information (``corpus.pmi_phrases``): the phrase-mining primitive
   for multi-word tokenizer vocab entries.
+- ``sketch_f2_moment`` — NEW r10: AMS second-frequency-moment /
+  self-join-size estimate (``sketch.f2_moment``), exact-bigint X_r
+  per rep, randomized differential + mutation teeth in
+  test_sketch_random.py.
+- ``jl_project`` — NEW r10: Johnson-Lindenstrauss 64→16 projection
+  (``similarity.jl_project``), LCG planes as folded literals,
+  fixed-point long-format output.
 
 Nothing imports this module at runtime.
 """
@@ -309,3 +316,45 @@ _PMI_ORACLE = r"""
 """
 
 STAGED["pmi_phrases"] = (q_pmi_phrases, _PMI_ORACLE)
+
+
+def q_sketch_f2(spark, sf_dir):
+    """AMS F2 / self-join-size estimate over the global word stream —
+    the join-size primitive a planner consults before committing a
+    100 TB shuffle (staged r10)."""
+    from file_d_spark.functions import sketch
+
+    return sketch.f2_moment(
+        _words(spark, sf_dir).select("w"), "w", reps=16
+    )
+
+
+def _f2_oracle():
+    from file_d_spark.functions import sketch
+
+    return sketch.f2_oracle_sql(_WORDS_SRC_SQL, "w", reps=16)
+
+
+STAGED["sketch_f2_moment"] = (q_sketch_f2, _f2_oracle())
+
+
+def q_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→16 projection of the embeddings in
+    fixed-point long format — the dim-reduction front end for the ANN
+    path (staged r10)."""
+    from file_d_spark.functions import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.jl_project(e, "vec_id", "embedding", dim=64, out_dim=16)
+
+
+def _jl_oracle():
+    from file_d_spark.functions import similarity
+
+    return similarity.jl_project_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings",
+        "vec_id", "embedding", dim=64, out_dim=16,
+    )
+
+
+STAGED["jl_project"] = (q_jl_project, _jl_oracle())

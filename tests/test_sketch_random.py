@@ -149,3 +149,48 @@ def test_overlap_matches_pure_python(spark):
     assert got.jaccard == round(jac, 6)
     assert got.union_est == round(union, 4)
     assert got.intersection_est == round(jac * union, 4)
+
+
+def _py_f2(values, reps):
+    from collections import Counter
+
+    counts = Counter(values)
+    exact = sum(f * f for f in counts.values())
+    sq_sum = 0
+    for r in range(reps):
+        x = sum(
+            (1 - 2 * (_h32(f"{v}#r{r}") & 1)) * f
+            for v, f in counts.items()
+        )
+        sq_sum += x * x
+    return exact, round(sq_sum / float(reps), 4)
+
+
+def test_f2_matches_pure_python(spark):
+    """AMS F2 vs an independent Python evaluator (mutation teeth,
+    checked when authoring: flipping the sign convention to
+    2*(h&1)-1 changes nothing — signs are symmetric — but shifting
+    the rep salt to '#'||r, dropping a rep, or squaring in the wrong
+    place each flips the estimate; breaking exact's f*f flips
+    f2_exact)."""
+    for seed in (0xF2, 0xF3):
+        rows = [v for _, v in _rand_corpus(seed=seed)]
+        df = spark.createDataFrame([(v,) for v in rows], "v string")
+        for reps in (8, 16):
+            got = sketch.f2_moment(df, "v", reps=reps).first()
+            exact, est = _py_f2(rows, reps)
+            assert got.reps == reps
+            assert got.f2_exact == exact
+            assert got.f2_estimate == est
+        # the estimate should land within the AMS variance envelope:
+        # Var(X²)<=2·F2², mean of `reps` trials -> sd <= F2·sqrt(2/reps)
+        rel = abs(est - exact) / exact
+        assert rel < 4 * math.sqrt(2.0 / 16)
+
+
+def test_f2_null_and_empty(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "v string"
+    )
+    got = sketch.f2_moment(df, "v", reps=8).first()
+    assert got.f2_exact == 5  # 2² + 1² — the null row contributes 0
