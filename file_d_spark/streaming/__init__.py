@@ -5,7 +5,9 @@ from file_d_spark.streaming.stateful import (
     bloom_dedup_stream,
     bpe_apply_stream,
     cardinality_stream,
+    cms_stream,
     dedup_stream,
+    f2_stream,
     multiline_join_stream,
     hll_distinct_stream,
     kmv_distinct_stream,
@@ -20,7 +22,9 @@ __all__ = [
     "bloom_dedup_stream",
     "bpe_apply_stream",
     "cardinality_stream",
+    "cms_stream",
     "dedup_stream",
+    "f2_stream",
     "multiline_join_stream",
     "hll_distinct_stream",
     "kmv_distinct_stream",

@@ -1096,3 +1096,159 @@ def bpe_apply_stream(
     )
     # the batch operator's explode drops wordless documents — mirror it
     return out.filter(F.col("n_words") > 0)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch, streaming twin
+# --------------------------------------------------------------------------
+
+
+def cms_stream(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Streaming twin of ``sketch.cms_topk``'s counter matrix: the
+    depth×width Count-Min counters merged across micro-batches
+    (counters are sums — the linearity that makes CMS mergeable in
+    batch makes it restart-stable here).  Keyed by the depth row
+    ``r`` (hashing runs IN SPARK with the batch operator's
+    expression), so state per group is exactly the ``width`` counters
+    of one sketch row and the depth rows update in parallel.
+
+    Emits one post-batch snapshot per row — (r, version, counters) —
+    tagged with a monotonically increasing version (take the max per
+    r); a point query is ``min_r counters[r][h(v, r)]``, and after
+    any prefix of arrivals the matrix is BIT-IDENTICAL to the batch
+    sketch over the same rows."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from file_d_spark.functions import sketch as _sketch
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    src = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .select("v", rows)
+        .select(
+            "r",
+            F.pmod(
+                _sketch._h32(
+                    F.concat(F.col("v"), F.lit("#"), F.col("r").cast("string"))
+                ),
+                F.lit(width),
+            ).cast("int").alias("c"),
+        )
+    )
+    snap_schema = StructType(
+        [
+            StructField("r", IntegerType()),
+            StructField("version", LongType()),
+            StructField("counters", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            version, counters = state.get
+            counters = list(counters)
+        else:
+            version, counters = 0, [0] * width
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        for c in pdf["c"].tolist():
+            counters[c] += 1
+        version += 1
+        state.update((version, counters))
+        yield pd.DataFrame(
+            {"r": [key[0]], "version": [version], "counters": [counters]}
+        )
+
+    return src.groupBy("r").applyInPandasWithState(
+        fn,
+        snap_schema,
+        "version long, counters array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# AMS F2 moment, streaming twin
+# --------------------------------------------------------------------------
+
+
+def f2_stream(df: DataFrame, value_col: str, reps: int = 16) -> DataFrame:
+    """Streaming twin of ``sketch.f2_moment``'s sign-sums: the AMS
+    sketch is LINEAR (X_r(A∪B) = X_r(A) + X_r(B) over row multisets),
+    so each rep's running X_r is one long of state merged by addition
+    — keyed by rep, the ``reps`` groups update in parallel and the
+    per-rep sign-sum arrives PRE-AGGREGATED per micro-batch would be
+    ideal, but chaining a streaming aggregate before a stateful op is
+    restricted, so the signs stream through raw (the hll-twin
+    convention).  Hashing and signing run IN SPARK with the batch
+    operator's expressions.
+
+    Emits (r, version, x) snapshots; the consumer recombines
+    ``sum(x²)/reps`` over the max-version rows — BIT-IDENTICAL to the
+    batch estimate over the same rows (integer arithmetic end to
+    end)."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from file_d_spark.functions import sketch as _sketch
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("r")
+    src = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .select("v", rows)
+        .select(
+            F.col("r").cast("int").alias("r"),
+            (
+                F.lit(1)
+                - F.lit(2)
+                * _sketch._h32(
+                    F.concat(F.col("v"), F.lit("#r"), F.col("r").cast("string"))
+                ).bitwiseAND(F.lit(1))
+            ).cast("long").alias("s"),
+        )
+    )
+    snap_schema = StructType(
+        [
+            StructField("r", IntegerType()),
+            StructField("version", LongType()),
+            StructField("x", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            version, x = state.get
+        else:
+            version, x = 0, 0
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        x += int(pdf["s"].sum())
+        version += 1
+        state.update((version, x))
+        yield pd.DataFrame(
+            {"r": [key[0]], "version": [version], "x": [x]}
+        )
+
+    return src.groupBy("r").applyInPandasWithState(
+        fn,
+        snap_schema,
+        "version long, x long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -803,3 +803,107 @@ def test_bpe_apply_stream_restart_and_batch_parity(spark, tmp_path):
     }
     assert got == want
     assert 5 not in got  # wordless doc contributes no row
+
+
+def test_cms_stream_restart_and_batch_parity(spark, tmp_path):
+    """Streaming Count-Min: counters sum across batches AND a restart
+    (linearity), and every probed point query over the final matrix
+    equals the batch cms_topk estimate over the same rows."""
+    from file_d_spark.functions import sketch
+    from file_d_spark.streaming import cms_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_schema = "w string"
+    out_schema = "r int, version long, counters array<long>"
+    depth, width = 4, 64
+    rows1 = [{"w": "hot"}] * 60 + [{"w": f"t{i}"} for i in range(40)]
+    rows2 = [{"w": "hot"}] * 40 + [{"w": "warm"}] * 25 + [{"w": None}]
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return cms_stream(df, "w", depth=depth, width=width)
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= depth,
+    )
+    _write_jsonl(str(in_dir), "b2.jsonl", rows2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.version >= 2 for r in _read_out(spark, out_dir, out_schema)
+        ),
+    )
+    latest: dict = {}
+    for r in _read_out(spark, out_dir, out_schema):
+        if r.r not in latest or r.version > latest[r.r].version:
+            latest[r.r] = r
+    assert set(latest) == set(range(depth))
+    matrix = {r: list(latest[r].counters) for r in latest}
+
+    batch_df = spark.createDataFrame(
+        [(r["w"],) for r in rows1 + rows2], in_schema
+    )
+    want = sketch.cms_topk(
+        batch_df, "w", depth=depth, width=width, k=5
+    ).collect()
+    assert len(want) > 0
+    import hashlib
+
+    def h32(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+
+    for row in want:  # point query vs the streamed matrix
+        est = min(matrix[r][h32(f"{row.w}#{r}") % width] for r in range(depth))
+        assert est == row.cms_estimate, row.w
+    # total mass per row = number of non-null arrivals
+    n = len(rows1) + len(rows2) - 1
+    for r in range(depth):
+        assert sum(matrix[r]) == n
+
+
+def test_f2_stream_restart_and_batch_parity(spark, tmp_path):
+    """Streaming AMS F2: per-rep sign-sums merge across batches and a
+    restart (linearity); recombining sum(x²)/reps over the final
+    snapshots is BIT-IDENTICAL to the batch f2_moment estimate over
+    the same rows."""
+    from file_d_spark.functions import sketch
+    from file_d_spark.streaming import f2_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_schema = "w string"
+    out_schema = "r int, version long, x long"
+    reps = 8
+    rows1 = [{"w": f"w{i % 17}"} for i in range(120)]
+    rows2 = [{"w": f"w{i % 29}"} for i in range(90)] + [{"w": None}]
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return f2_stream(df, "w", reps=reps)
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= reps,
+    )
+    _write_jsonl(str(in_dir), "b2.jsonl", rows2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.version >= 2 for r in _read_out(spark, out_dir, out_schema)
+        ),
+    )
+    latest: dict = {}
+    for r in _read_out(spark, out_dir, out_schema):
+        if r.r not in latest or r.version > latest[r.r].version:
+            latest[r.r] = r
+    assert set(latest) == set(range(reps))
+    est = round(
+        sum(latest[r].x * latest[r].x for r in latest) / float(reps), 4
+    )
+    batch_df = spark.createDataFrame(
+        [(r["w"],) for r in rows1 + rows2], in_schema
+    )
+    want = sketch.f2_moment(batch_df, "w", reps=reps).first()
+    assert est == want.f2_estimate
