@@ -10,6 +10,7 @@ from file_d_spark.streaming.stateful import (
     f2_stream,
     multiline_join_stream,
     hll_distinct_stream,
+    quantile_stream,
     kmv_distinct_stream,
     rolling_zscore_stream,
     weighted_sample_stream,
@@ -27,6 +28,7 @@ __all__ = [
     "f2_stream",
     "multiline_join_stream",
     "hll_distinct_stream",
+    "quantile_stream",
     "kmv_distinct_stream",
     "rolling_zscore_stream",
     "weighted_sample_stream",

@@ -1252,3 +1252,106 @@ def f2_stream(df: DataFrame, value_col: str, reps: int = 16) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# exact histogram quantiles, streaming twin
+# --------------------------------------------------------------------------
+
+
+def quantile_stream(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    quantiles: list | None = None,
+) -> DataFrame:
+    """Streaming twin of the histogram-quantile doctrine behind
+    ``corpus.adaptive_quality_filter`` / ``corpus.quantile_normalize``:
+    per-group integer-score histograms merged across micro-batches
+    (histograms are sums — linear, so restart-stable), with each
+    quantile read out by the batch operators' EXACT integer rule —
+    the smallest score s with ``den·count(score ≤ s) ≥ num·count(*)``
+    (quantile = num/den) — so after any prefix of arrivals every
+    emitted threshold is BIT-IDENTICAL to the batch gate over the
+    same rows, no float percentile drift.
+
+    ``quantiles``: list of (num, den) integer fractions, default
+    [(1,4), (1,2), (9,10)].  State per group is the (score → count)
+    histogram — bounded by the group's distinct-score cardinality
+    (the batch doctrine's own bound), not its row count.
+
+    Emits one long-format row per (group, quantile) per batch:
+    (group, version, num, den, n_rows, threshold)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if quantiles is None:
+        quantiles = [(1, 4), (1, 2), (9, 10)]
+    qs = [(int(n), int(d)) for n, d in quantiles]
+    for n, d in qs:
+        if not 0 < n <= d:
+            raise ValueError(f"quantile_stream: {n}/{d} not in (0, 1]")
+
+    src = df.select(
+        F.col(group_col).alias("__grp__"),
+        F.col(score_col).cast("long").alias("__s__"),
+    ).where(F.col("__s__").isNotNull())
+    grp_type = df.schema[group_col].dataType
+    snap_schema = StructType(
+        [
+            StructField(group_col, grp_type),
+            StructField("version", LongType()),
+            StructField("num", LongType()),
+            StructField("den", LongType()),
+            StructField("n_rows", LongType()),
+            StructField("threshold", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            version, scores, counts = state.get
+            hist = dict(zip(scores, counts))
+        else:
+            version, hist = 0, {}
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        for s in pdf["__s__"].tolist():
+            s = int(s)
+            hist[s] = hist.get(s, 0) + 1
+        version += 1
+        items = sorted(hist.items())
+        state.update(
+            (version, [s for s, _ in items], [c for _, c in items])
+        )
+        tot = sum(c for _, c in items)
+        out = []
+        for n, d in qs:
+            cum = 0
+            thr = items[-1][0]
+            for s, c in items:
+                cum += c
+                if cum * d >= tot * n:
+                    thr = s
+                    break
+            out.append(
+                {
+                    group_col: key[0],
+                    "version": version,
+                    "num": n,
+                    "den": d,
+                    "n_rows": tot,
+                    "threshold": thr,
+                }
+            )
+        yield pd.DataFrame(out)
+
+    return src.groupBy("__grp__").applyInPandasWithState(
+        fn,
+        snap_schema,
+        "version long, scores array<long>, counts array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -907,3 +907,66 @@ def test_f2_stream_restart_and_batch_parity(spark, tmp_path):
     )
     want = sketch.f2_moment(batch_df, "w", reps=reps).first()
     assert est == want.f2_estimate
+
+
+def test_quantile_stream_restart_and_batch_parity(spark, tmp_path):
+    """Streaming exact histogram quantiles: per-group histograms merge
+    across batches and a restart (linearity), and every emitted
+    threshold equals the batch adaptive_quality_filter's threshold
+    (the SAME den*cum >= num*tot integer rule) over the same rows."""
+    import random
+
+    from file_d_spark.functions.corpus import adaptive_quality_filter
+    from file_d_spark.streaming import quantile_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_schema = "lang string, score long"
+    out_schema = ("lang string, version long, num long, den long,"
+                  " n_rows long, threshold long")
+    rng = random.Random(0x51)
+    rows1 = [{"lang": rng.choice(["en", "de"]),
+              "score": rng.randrange(0, 40)} for _ in range(150)]
+    rows2 = [{"lang": rng.choice(["en", "de"]),
+              "score": rng.randrange(10, 80)} for _ in range(120)]
+    rows2.append({"lang": "en", "score": None})  # dropped, not a crash
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return quantile_stream(
+            df, "lang", "score", quantiles=[(1, 4), (1, 2), (9, 10)]
+        )
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 6,
+    )
+    _write_jsonl(str(in_dir), "b2.jsonl", rows2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.version >= 2 for r in _read_out(spark, out_dir, out_schema)
+        ),
+    )
+    latest: dict = {}
+    for r in _read_out(spark, out_dir, out_schema):
+        k = (r.lang, r.num, r.den)
+        if k not in latest or r.version > latest[k].version:
+            latest[k] = r
+
+    batch_df = spark.createDataFrame(
+        [(r["lang"], r["score"]) for r in rows1 + rows2], in_schema
+    ).where("score is not null")
+    for num, den in ((1, 4), (1, 2), (9, 10)):
+        want = {
+            r.lang: r.threshold
+            for r in adaptive_quality_filter(
+                batch_df, "lang", "score", quantile=num / den
+            ).select("lang", "threshold").distinct().collect()
+        }
+        for lang in ("en", "de"):
+            got = latest[(lang, num, den)]
+            assert got.threshold == want[lang], (lang, num, den)
+            assert got.n_rows == batch_df.where(
+                f"lang = '{lang}'"
+            ).count()
