@@ -27,6 +27,11 @@ def get_spark(app_name: str = "file_d_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # the console progress bar rewrites lines with \r and has
+        # swallowed per-query OK lines in every round's check_oracles
+        # sweep (count them, then chase the stragglers); kill it at
+        # the source — logs already report stage progress at WARN
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the driver's testdata parquet stores TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert in tables.py
