@@ -272,6 +272,14 @@ class ParseEs(Action):
         line = get_col_safe(parse_selector(self.params.get("field", "line")), df.schema)
         source = self.params.get("source_field", "source_id")
         seq = self.params.get("seq_field", "seq")
+        missing = [c for c in (source, seq) if c not in df.columns]
+        if missing:
+            raise ValueError(
+                "parse_es: ordering column(s) "
+                f"{missing} not in the frame (columns: {df.columns}); "
+                "set source_field/seq_field to the per-source arrival "
+                "order columns"
+            )
         w = Window.partitionBy(source).orderBy(seq)
         action_type = F.coalesce(
             *[

@@ -737,3 +737,28 @@ def test_join_template_mixed_templates(spark):
         ],
     )
     assert out.count() == 18 + 3 + 9
+
+
+def test_all_actions_fail_clean_without_params(spark):
+    """Config robustness: every registered action given an EMPTY param
+    map either applies cleanly or fails with a Python-level
+    ValueError/KeyError naming what is missing — never a deep
+    Py4J/AnalysisException at runtime (parse_es used to blow up in
+    Catalyst when its default source/seq columns were absent)."""
+    from file_d_spark import Pipeline
+    from file_d_spark.actions import REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "event_id long, k string, log string"
+    )
+    for name in sorted(REGISTRY):
+        try:
+            p = Pipeline.from_dict({"actions": [{"type": name}]})
+            p.apply(df).collect()
+        except (ValueError, KeyError):
+            continue  # clean compile-time refusal
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"action {name} with no params died deep: "
+                f"{type(e).__name__}: {str(e)[:120]}"
+            ) from e
