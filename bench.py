@@ -24,7 +24,7 @@ BENCH_QUERIES = [
     "hash_normalize",
     "json_extract_props",
     "decoder_lineformats",
-    "throttle_batch",
+    "throttle_modes",  # r10: folded throttle_batch/throttle_rules combo row
     "cardinality_limit",
     "antispam_ban",
     "split_explode",
@@ -52,9 +52,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "ngram_vocab",
     "multimodal_meta",
-    "token_stats_salted",
+    "token_stats_suite",  # r10: by_lang + salted + fertility combo row
     "corpus_build_end2end",
-    "token_fertility",
     "embedding_quantize",
     "embedding_pq",
     # round 5
@@ -85,6 +84,13 @@ BENCH_QUERIES = [
     # round 10
     "sketch_hll_distinct",
     "sketch_overlap",
+    "bpe_fertility",
+    "bigram_logprob",
+    "pmi_phrases",
+    # dbscan_clusters is registered + driver-verified but not a bench
+    # headline: its exact all-pairs neighborhood baseline is O(n²d) by
+    # construction (SCALE.md documents the measured sf0.1 cost and the
+    # LSH-banded candidate swap that is the 100 TB path)
 ]
 
 

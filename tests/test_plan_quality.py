@@ -27,7 +27,9 @@ ARROW_PY_ALLOWED = {
     "kitchen_sink_actions",   # convert_utf8_bytes pandas UDF
     "convert_utf8_escapes",   # same
     "multimodal_meta",        # mapInPandas decode plumbing
-    "throttle_rules",         # exact limit_distribution applyInPandas
+    # throttle's exact limit_distribution applyInPandas path is NOT
+    # exercised by the registered throttle_modes combo (its rules leg
+    # compiles to pure window functions) — test_throttle_dist covers it
 }
 
 

@@ -70,12 +70,13 @@ def test_salted_agg_rejects_non_decomposable(events):
 
 
 def test_salted_agg_oracle_parity(spark, sf_dir, duck):
-    """The registered token_stats_salted query equals its DuckDB
-    oracle (the same check the driver runs)."""
+    """The registered token_stats_suite combo (whose `salted` leg is
+    the salted_agg path, hashed side by side with the plain groupBy
+    leg) equals its DuckDB oracle — the same check the driver runs."""
     from file_d_spark.queries import ORACLES, QUERIES
 
-    got = QUERIES["token_stats_salted"](spark, sf_dir)
-    want = duck.execute(ORACLES["token_stats_salted"]).df()
+    got = QUERIES["token_stats_suite"](spark, sf_dir)
+    want = duck.execute(ORACLES["token_stats_suite"]).df()
     assert_frames_match(got, want)
 
 

@@ -38,7 +38,7 @@ BASE_SF = "/root/testdata/sf0.1"
 
 #: group-keyed shapes whose skew guards this probe exercises
 DEFAULT_QUERIES = [
-    "token_stats_salted",        # explicitly salted agg
+    "token_stats_suite",         # salted-agg leg + plain-groupBy leg
     "quality_adaptive_filter",   # histogram-window quantiles
     "quantile_normalize",        # histogram-window percentile
     "topk_per_group",            # rank window per group
