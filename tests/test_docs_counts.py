@@ -99,3 +99,31 @@ def test_bench_queries_all_registered():
     missing = [q for q in bench.BENCH_QUERIES if q not in QUERIES]
     assert missing == []
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_sweep_window_capacity():
+    """The set the driver MUST verify this round — never-green queries
+    plus those whose newest green row is 2+ rounds old plus the
+    hand-maintained _SWEEP_CHANGED list — has to fit the driver's
+    ~50-row correctness window, or some query's evidence goes stale
+    (the registry-capacity policy, COVERAGE.md).  Guarded here so a
+    registration or a _SWEEP_CHANGED addition can't silently overflow."""
+    import glob
+
+    from file_d_spark.queries import (
+        _SWEEP_CHANGED,
+        _SWEEP_WINDOW,
+        _driver_green_rounds,
+    )
+
+    if not glob.glob("CORRECTNESS_r*.json"):
+        return  # fresh clone: everything is never-green by definition
+    greens = _driver_green_rounds()
+    newest = max(greens.values())
+    must = {k for k in QUERIES if greens.get(k, 0) <= newest - 1}
+    must |= set(_SWEEP_CHANGED)
+    assert len(must) <= _SWEEP_WINDOW, (
+        f"{len(must)} queries need driver verification this round but the "
+        f"window holds {_SWEEP_WINDOW}: consolidate or defer registrations "
+        f"(sorted overflow candidates: {sorted(must)[:8]}...)"
+    )
