@@ -1516,3 +1516,130 @@ def pmi_phrases(
     return (
         scored.orderBy(F.col("pmi").desc(), "a", "b").limit(k)
     )
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    quantiles: list | None = None,
+) -> DataFrame:
+    """Per-group exact quantile thresholds in long format — the batch
+    pair of ``streaming.stateful.quantile_stream`` (one row per
+    (group, quantile) with the integer-rule threshold), and the
+    multi-quantile generalization of the single-threshold derivation
+    inside :func:`adaptive_quality_filter`.
+
+    Each threshold is the smallest score s with
+    ``den·count(score ≤ s) ≥ num·count(*)`` (quantile = num/den) —
+    exact integer arithmetic, so Spark, DuckDB and the streaming twin
+    agree bit-for-bit over the same rows.
+
+    Scale shape (the adaptive_quality_filter doctrine): the (group,
+    score) groupBy condenses the distribution FIRST — map-side partial
+    aggregation absorbs hot groups — and the cumulative window runs
+    over one row per distinct (group, score); the quantile fan-out
+    multiplies that bounded frame by len(quantiles), never the corpus.
+
+    Returns (group_col, num, den, n_rows, threshold), all metric
+    columns BIGINT.  Null scores are dropped (the twin's rule).
+    """
+    if quantiles is None:
+        quantiles = [(1, 4), (1, 2), (9, 10)]
+    qs = [(int(n), int(d)) for n, d in quantiles]
+    for n, d in qs:
+        if not 0 < n <= d:
+            raise ValueError(f"quantile_thresholds: {n}/{d} not in (0, 1]")
+
+    src = df.select(
+        F.col(group_col).alias(group_col),
+        F.col(score_col).cast("long").alias("__s__"),
+    ).where(F.col("__s__").isNotNull())
+    hist = src.groupBy(group_col, "__s__").agg(F.count(F.lit(1)).alias("__n__"))
+    w = Window.partitionBy(group_col).orderBy("__s__")
+    cum = hist.select(
+        group_col,
+        "__s__",
+        F.sum("__n__").over(w).alias("__cum__"),
+        F.sum("__n__").over(Window.partitionBy(group_col)).alias("__tot__"),
+    )
+    qlit = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).cast("long").alias("num"),
+                    F.lit(d).cast("long").alias("den"),
+                )
+                for n, d in qs
+            ]
+        )
+    ).alias("__q__")
+    return (
+        cum.select(group_col, "__s__", "__cum__", "__tot__", qlit)
+        .select(group_col, "__s__", "__cum__", "__tot__", "__q__.num", "__q__.den")
+        .filter(F.col("__cum__") * F.col("den") >= F.col("__tot__") * F.col("num"))
+        .groupBy(group_col, "num", "den")
+        .agg(
+            F.max("__tot__").alias("n_rows"),
+            F.min("__s__").alias("threshold"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    lang_col: str,
+    text_col: str,
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Per-language coverage of a top-``vocab_size`` global word
+    vocabulary — the OOV-rate audit run before freezing a tokenizer
+    vocab: a language whose tokens are mostly out-of-vocabulary will
+    be shredded to characters (or UNK) by that vocab.
+
+    Vocabulary selection is deterministic: global word counts ranked
+    by (count desc, word asc), top ``vocab_size`` kept.
+
+    Scale shape: one zipfian word groupBy (map-side combine) feeds a
+    TakeOrderedAndProject of ``vocab_size`` rows — the only ordered
+    structure is vocab-sized; the coverage pass re-scans the tokens
+    narrowly and LEFT-SEMI-ish joins the broadcast vocab (a left join
+    on the bounded frame, flagging membership), then one lang-keyed
+    aggregate.  The corpus never enters a wide dependency.
+
+    Returns (lang, n_tokens, in_vocab, oov_rate) with exact BIGINT
+    counts and oov_rate rounded to 6dp.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_coverage: vocab_size must be >= 1, got {vocab_size}")
+    words = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .orderBy(F.col("__c__").desc(), "w")
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("__in__"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__in__"), F.lit(0)).cast("long")).alias(
+                "in_vocab"
+            ),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "in_vocab",
+            F.round(
+                F.lit(1.0)
+                - F.col("in_vocab").cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -192,3 +192,68 @@ def _jl_oracle():
 
 
 STAGED["jl_project"] = (q_jl_project, _jl_oracle())
+
+
+def q_quantile_thresholds(spark, sf_dir):
+    """Per-language exact quantile thresholds of n_chars (1/4, 1/2,
+    9/10) in long format — the batch pair of the r10
+    ``quantile_stream`` streaming twin (staged r10; bit-parity with
+    the twin asserted in tests/test_streaming.py)."""
+    from file_d_spark.functions import corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.quantile_thresholds(d, "lang", "n_chars")
+
+
+_QUANTILE_THRESHOLDS_ORACLE = """
+    WITH h AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS s, count(*) AS n
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, n_chars),
+    c AS (
+      SELECT lang, s,
+             CAST(sum(n) OVER (PARTITION BY lang ORDER BY s) AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      FROM h),
+    q(num, den) AS (VALUES (1, 4), (1, 2), (9, 10))
+    SELECT lang, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+           CAST(max(tot) AS BIGINT) AS n_rows,
+           CAST(min(s) AS BIGINT) AS threshold
+    FROM c JOIN q ON cum * den >= tot * num
+    GROUP BY lang, num, den
+"""
+
+STAGED["quantile_thresholds"] = (q_quantile_thresholds, _QUANTILE_THRESHOLDS_ORACLE)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-language OOV-rate audit against the top-500 global word
+    vocabulary (count desc, word asc — fully deterministic), staged
+    r10: the vocabulary-freeze sanity check a multilingual tokenizer
+    needs."""
+    from file_d_spark.functions import corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.vocab_coverage(d, "lang", "text", vocab_size=500)
+
+
+_VOCAB_COVERAGE_ORACLE = """
+    WITH words AS (
+      SELECT lang, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS w
+      FROM documents),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM words GROUP BY w
+        ORDER BY c DESC, w LIMIT 500)),
+    flagged AS (
+      SELECT lang, CASE WHEN v.w IS NULL THEN 0 ELSE 1 END AS inv
+      FROM words LEFT JOIN vocab v USING (w))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(inv) AS BIGINT) AS in_vocab,
+           round(1.0 - sum(inv)::DOUBLE / count(*), 6) AS oov_rate
+    FROM flagged GROUP BY lang
+"""
+
+STAGED["vocab_coverage"] = (q_vocab_coverage, _VOCAB_COVERAGE_ORACLE)

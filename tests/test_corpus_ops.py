@@ -876,3 +876,75 @@ def test_cohort_retention_no_windows(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+def test_quantile_thresholds_matches_adaptive_filter(spark):
+    """quantile_thresholds (long-format, multi-quantile — the batch
+    pair of the quantile_stream twin) must produce the SAME integer
+    thresholds adaptive_quality_filter derives one quantile at a time,
+    and count rows exactly (nulls dropped, the twin's rule)."""
+    import random
+
+    rng = random.Random(0xA1)
+    rows = [
+        (rng.choice(["en", "de", "fr"]), rng.randrange(0, 50))
+        for _ in range(400)
+    ] + [("en", None)]
+    df = spark.createDataFrame(rows, "lang string, score long")
+    got = {
+        (r.lang, r.num, r.den): r
+        for r in corpus.quantile_thresholds(
+            df, "lang", "score", quantiles=[(1, 4), (1, 2), (9, 10)]
+        ).collect()
+    }
+    non_null = df.where("score is not null")
+    for num, den in ((1, 4), (1, 2), (9, 10)):
+        want = {
+            r.lang: r.threshold
+            for r in corpus.adaptive_quality_filter(
+                non_null, "lang", "score", quantile=num / den
+            ).select("lang", "threshold").distinct().collect()
+        }
+        for lang in ("en", "de", "fr"):
+            row = got[(lang, num, den)]
+            assert row.threshold == want[lang], (lang, num, den)
+            assert row.n_rows == non_null.where(
+                F.col("lang") == lang
+            ).count()
+
+
+def test_quantile_thresholds_rejects_bad_fraction(spark):
+    df = spark.createDataFrame([("en", 1)], "lang string, score long")
+    with pytest.raises(ValueError, match="not in"):
+        corpus.quantile_thresholds(df, "lang", "score", quantiles=[(3, 2)])
+    with pytest.raises(ValueError, match="not in"):
+        corpus.quantile_thresholds(df, "lang", "score", quantiles=[(0, 4)])
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """Top-V vocab is (count desc, word asc)-deterministic; coverage
+    counts every token occurrence, OOV rate derives from exact longs."""
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat the dog"),
+            ("en", "the zebra"),
+            ("de", "der hund der"),
+        ],
+        "lang string, text string",
+    )
+    # counts: the=3, der=2, cat/dog/zebra/hund=1 -> V=2 keeps {the, der}
+    out = {
+        r.lang: r
+        for r in corpus.vocab_coverage(df, "lang", "text", vocab_size=2)
+        .collect()
+    }
+    assert out["en"].n_tokens == 6 and out["en"].in_vocab == 3
+    assert out["de"].n_tokens == 3 and out["de"].in_vocab == 2
+    assert out["en"].oov_rate == 0.5
+    assert out["de"].oov_rate == round(1 - 2 / 3, 6)
+
+
+def test_vocab_coverage_rejects_bad_size(spark):
+    df = spark.createDataFrame([("en", "x")], "lang string, text string")
+    with pytest.raises(ValueError, match="vocab_size"):
+        corpus.vocab_coverage(df, "lang", "text", vocab_size=0)

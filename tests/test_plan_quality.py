@@ -192,3 +192,26 @@ def test_incremental_bucketed_shuffles_only_new_side(spark, sf_dir):
     assert plan.count("Exchange") == 1, (
         "seen side re-shuffled despite bucketed layout"
     )
+
+
+def test_staged_vocab_coverage_distributed_topk(spark, sf_dir):
+    """vocab_coverage's top-V selection must plan as
+    TakeOrderedAndProject (vocab-sized distributed heap) and join the
+    vocab broadcast — a global Sort of the word histogram or a
+    shuffled join would be the 100 TB failure modes."""
+    plan = staged_plan_of(spark, sf_dir, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_staged_quantile_thresholds_window_on_histogram(spark, sf_dir):
+    """quantile_thresholds' cumulative window must run over the
+    (group, score) HISTOGRAM — partial aggregation below the window's
+    exchange — never over raw rows (the adaptive_quality_filter
+    doctrine)."""
+    plan = staged_plan_of(spark, sf_dir, "quantile_thresholds")
+    assert "Window" in plan
+    assert re.search(r"HashAggregate.*partial_count", plan) or "partial_count" in plan, (
+        "histogram groupBy lost its map-side partial aggregation"
+    )
