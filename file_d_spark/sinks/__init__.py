@@ -623,12 +623,83 @@ def sink_splunk(df: DataFrame, cfg: dict[str, Any]):
     _http_batch_sink(df, cfg, encode)
 
 
+# gzip_compression_level options (http.go:84) -> zlib levels; the Go
+# zero value "no" is zlib level 0, "default" is Go's gzip.DefaultCompression
+_GZIP_LEVELS = {
+    "default": -1,
+    "no": 0,
+    "best-speed": 1,
+    "best-compression": 9,
+    "huffman-only": None,  # strategy switch, not a level
+}
+
+
+def _gzip_payload(payload: str, level_name: str) -> bytes:
+    import zlib
+
+    if level_name not in _GZIP_LEVELS:
+        raise ValueError(
+            f"unknown gzip_compression_level {level_name!r}; supported: "
+            + "|".join(_GZIP_LEVELS)
+        )
+    strategy = (
+        zlib.Z_HUFFMAN_ONLY
+        if level_name == "huffman-only"
+        else zlib.Z_DEFAULT_STRATEGY
+    )
+    level = _GZIP_LEVELS[level_name]
+    co = zlib.compressobj(
+        -1 if level is None else level,
+        zlib.DEFLATED,
+        31,  # wbits 31 = gzip container
+        strategy=strategy,
+    )
+    return co.compress(payload.encode("utf-8")) + co.flush()
+
+
 def sink_http(df: DataFrame, cfg: dict[str, Any]):
     """Generic HTTP batch POST of NDJSON bodies
-    (/root/reference/plugin/output/http/http.go:54)."""
+    (/root/reference/plugin/output/http/http.go:54).
 
-    def encode(docs: list[dict]) -> list[str]:
-        return ["\n".join(json.dumps(d, default=str) for d in docs) + "\n"]
+    ``encoding`` (http.go:74, encoding.go): ``{type: json}`` (default)
+    serializes the full event per line; ``{type: raw, params: {field}}``
+    emits ONLY that field's JSON-encoded value per line — quotes
+    included for strings, exactly the reference's node.Encode
+    (http_test.go TestAppendEvent pins `"[INFO] some event"`), and an
+    event missing the field contributes an EMPTY line (encoding.go:49
+    returns buf[:0], http.go:348 still appends the newline).
+
+    ``use_gzip`` + ``gzip_compression_level`` (http.go:79-84): the
+    assembled body ships gzip-compressed (bytes) to the transport."""
+    enc_cfg = cfg.get("encoding") or {}
+    enc_type = enc_cfg.get("type") or "json"
+    if enc_type not in ("json", "raw"):
+        raise ValueError(
+            f"unknown encoding type {enc_type!r}; supported: json, raw"
+        )
+    raw_field = (enc_cfg.get("params") or {}).get("field") or "message"
+    use_gzip = bool(cfg.get("use_gzip", False))
+    gzip_level = cfg.get("gzip_compression_level", "default") or "default"
+    if use_gzip and gzip_level not in _GZIP_LEVELS:
+        raise ValueError(
+            f"unknown gzip_compression_level {gzip_level!r}; supported: "
+            + "|".join(_GZIP_LEVELS)
+        )
+
+    def encode_doc(d: dict) -> str:
+        if enc_type == "raw":
+            # absent field == Dig miss -> empty line; a present null is
+            # a JSON null node and encodes as the literal `null`
+            if raw_field not in d:
+                return ""
+            return json.dumps(d[raw_field], default=str)
+        return json.dumps(d, default=str)
+
+    def encode(docs: list[dict]) -> list:
+        body = "\n".join(encode_doc(d) for d in docs) + "\n"
+        if use_gzip:
+            return [_gzip_payload(body, gzip_level)]
+        return [body]
 
     _http_batch_sink(df, cfg, encode)
 

@@ -506,3 +506,118 @@ def test_loki_tenant_header(spark, tmp_path):
     rec = _json.loads(raw)
     assert rec["tenant"] == "team-42"
     assert "hello" in rec["payload"]
+
+
+def _bin_collector(tmpdir):
+    """Transport stub for bytes payloads (gzip bodies)."""
+    os.makedirs(tmpdir, exist_ok=True)
+
+    def send(payload):
+        import tempfile
+
+        fd, path = tempfile.mkstemp(dir=tmpdir, suffix=".payload")
+        mode = "wb" if isinstance(payload, bytes) else "w"
+        with os.fdopen(fd, mode) as fh:
+            fh.write(payload)
+
+    return send
+
+
+def test_http_sink_json_and_raw_encoding(spark, tmp_path):
+    """encoding.go + http_test.go TestAppendEvent: json serializes the
+    full event; raw emits ONLY the field's JSON-encoded value (quotes
+    included for strings — the reference pins `"[INFO] some event"`)."""
+    from file_d_spark.sinks import sink_http
+
+    df = spark.createDataFrame(
+        [("[INFO] some event", "AAAA", "BBBB")],
+        "message string, field_a string, field_b string",
+    ).coalesce(1)
+
+    out = str(tmp_path / "h_json")
+    sink_http(df, {"transport": _collector(out)})
+    (payload,) = _payloads(out)
+    assert json.loads(payload.strip()) == {
+        "message": "[INFO] some event",
+        "field_a": "AAAA",
+        "field_b": "BBBB",
+    }
+
+    out = str(tmp_path / "h_raw")
+    sink_http(df, {"encoding": {"type": "raw"}, "transport": _collector(out)})
+    (payload,) = _payloads(out)
+    assert payload == '"[INFO] some event"\n'  # http_test.go literal
+
+    # params.field override + absent field -> empty line (Dig miss)
+    out = str(tmp_path / "h_raw_field")
+    sink_http(
+        df,
+        {"encoding": {"type": "raw", "params": {"field": "field_a"}},
+         "transport": _collector(out)},
+    )
+    (payload,) = _payloads(out)
+    assert payload == '"AAAA"\n'
+
+    out = str(tmp_path / "h_raw_miss")
+    sink_http(
+        df,
+        {"encoding": {"type": "raw", "params": {"field": "nope"}},
+         "transport": _collector(out)},
+    )
+    (payload,) = _payloads(out)
+    assert payload == "\n"
+
+    # present-but-null field is a JSON null node -> literal `null`
+    out = str(tmp_path / "h_raw_null")
+    df_null = spark.createDataFrame(
+        [(None, "x")], "message string, other string"
+    ).coalesce(1)
+    sink_http(
+        df_null,
+        {"encoding": {"type": "raw"}, "transport": _collector(out)},
+    )
+    (payload,) = _payloads(out)
+    assert payload == "null\n"
+
+
+def test_http_sink_rejects_unknown_encoding(spark):
+    from file_d_spark.sinks import sink_http
+
+    df = spark.createDataFrame([("x",)], "message string")
+    with pytest.raises(ValueError, match="supported: json, raw"):
+        sink_http(df, {"encoding": {"type": "xml"}, "transport": lambda p: None})
+
+
+def test_http_sink_gzip_levels(spark, tmp_path):
+    """use_gzip + gzip_compression_level (http.go:79-84): every level
+    option produces a decompressible gzip body identical to the plain
+    NDJSON payload."""
+    import gzip as _gzip
+
+    from file_d_spark.sinks import sink_http
+
+    df = spark.createDataFrame(
+        [("[INFO] some event", "AAAA")], "message string, field_a string"
+    ).coalesce(1)
+    plain_out = str(tmp_path / "plain")
+    sink_http(df, {"transport": _collector(plain_out)})
+    (plain,) = _payloads(plain_out)
+
+    for level in ("default", "no", "best-speed", "best-compression",
+                  "huffman-only"):
+        out = str(tmp_path / f"gz_{level}")
+        sink_http(
+            df,
+            {"use_gzip": True, "gzip_compression_level": level,
+             "transport": _bin_collector(out)},
+        )
+        (path,) = sorted(glob.glob(f"{out}/*.payload"))
+        body = _gzip.decompress(open(path, "rb").read()).decode()
+        assert body == plain, level
+
+    with pytest.raises(ValueError, match="gzip_compression_level"):
+        sink_http(
+            df,
+            {"use_gzip": True, "gzip_compression_level": "turbo",
+             "transport": lambda p: None},
+        )
