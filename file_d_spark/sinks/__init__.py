@@ -795,13 +795,21 @@ def kafka_sink_frame(df: DataFrame, cfg: dict[str, Any]) -> DataFrame:
 def sink_s3(df: DataFrame, cfg: dict[str, Any]):
     """S3 output with multi-bucket fan-out
     (/root/reference/plugin/output/s3/s3.go:28-90): events carrying
-    ``bucket_field_event`` route to that bucket when it's one of the
-    configured ``multi_buckets``; everything else lands in the default
-    ``bucket``.  Each bucket is one filtered write (bucket count is a
-    small config constant; the filter prunes at the scan).  Credentials
-    /endpoints map to hadoop s3a conf outside this function;
-    ``path_template`` (default ``s3a://{bucket}/{prefix}``) makes the
-    layout testable against local paths."""
+    ``bucket_field_event`` route to that bucket — configured
+    ``multi_buckets`` are the static set, and any OTHER value becomes
+    a DYNAMIC bucket created on demand (s3.go:418-452) until
+    ``dynamic_buckets_limit`` (default 32, s3.go:229) distinct dynamic
+    buckets exist; past the limit events fall back to the default
+    ``bucket`` (the reference's CanCreate warning path).  The
+    reference admits dynamic buckets in arrival order (racy across
+    workers); here the admitted set is the lexicographically smallest
+    ``limit`` names — deterministic under any partitioning, same cap
+    semantics (documented divergence).  Each bucket is one filtered
+    write; the dynamic-name discovery is a TakeOrdered over the
+    distinct value frame (bounded by limit+static, never data-sized).
+    Credentials/endpoints map to hadoop s3a conf outside this
+    function; ``path_template`` (default ``s3a://{bucket}/{prefix}``)
+    makes the layout testable against local paths."""
     bucket = cfg.get("bucket")
     if not bucket:
         # plain s3a:// path config — same writer as the file sink
@@ -818,17 +826,34 @@ def sink_s3(df: DataFrame, cfg: dict[str, Any]):
     base = {k: v for k, v in cfg.items()
             if k in ("format", "compression", "compression_type",
                      "partition_by", "mode", "file_name")}
-    if not (field and multi):
+    if not field or field not in df.columns:
         sink_file(df, {**base, "path": template.format(bucket=bucket, prefix=prefix)})
         return
+    dyn_limit = int(cfg.get("dynamic_buckets_limit", 32))
+    known = set(multi) | {bucket}
+    dynamic = [
+        r[0]
+        for r in (
+            df.select(F.col(field).cast("string").alias("__b__"))
+            .filter(
+                F.col("__b__").isNotNull() & ~F.col("__b__").isin(list(known))
+            )
+            .distinct()
+            .orderBy("__b__")
+            .limit(max(dyn_limit, 0))
+            .collect()
+        )
+    ]
+    targets = [*multi, *dynamic]
     route = (
-        F.when(F.col(field).isin(multi), F.col(field)).otherwise(F.lit(bucket))
-        if field in df.columns
+        F.when(F.col(field).isin(targets), F.col(field))
+        .otherwise(F.lit(bucket))
+        if targets
         else F.lit(bucket)
     )
     routed = df.withColumn("__bucket__", route).cache()
     try:
-        for b in [bucket, *multi]:
+        for b in [bucket, *targets]:
             part = routed.filter(F.col("__bucket__") == b).drop("__bucket__")
             sink_file(
                 part, {**base, "path": template.format(bucket=b, prefix=prefix)}

@@ -342,18 +342,27 @@ def test_es_index_routing_placeholders(spark, tmp_path):
         build_index_name({}, "a-%-%", ["only_one"], "t")
 
 
-def test_s3_multi_bucket_routing(spark, tmp_path):
-    """Events route to the bucket named by bucket_field_event when it's
-    a configured multi_bucket, else the default bucket (s3.go:28-90);
-    intersecting bucket names are a config error."""
+def _s3_msgs(root, bucket):
     import glob as _glob
 
+    rows = []
+    for p in _glob.glob(f"{root}/{bucket}/logs/part-*"):
+        rows += [json.loads(l)["msg"] for l in open(p) if l.strip()]
+    return sorted(rows)
+
+
+def test_s3_multi_bucket_routing(spark, tmp_path):
+    """Events route to the bucket named by bucket_field_event: a
+    configured multi_bucket is static, any OTHER value becomes a
+    DYNAMIC bucket created on demand (s3.go:418-452, default limit
+    32); a null field lands in the default bucket; intersecting
+    bucket names are a config error."""
     from file_d_spark.sinks import sink_s3
 
     df = spark.createDataFrame(
         [
             ("secret", "m1"),
-            ("other", "m2"),      # not configured -> default
+            ("other", "m2"),      # not configured -> dynamic bucket
             (None, "m3"),          # absent -> default
             ("audit", "m4"),
         ],
@@ -371,21 +380,60 @@ def test_s3_multi_bucket_routing(spark, tmp_path):
         },
     )
 
-    def msgs(bucket):
-        rows = []
-        for p in _glob.glob(f"{root}/{bucket}/logs/part-*"):
-            rows += [json.loads(l)["msg"] for l in open(p) if l.strip()]
-        return sorted(rows)
-
-    assert msgs("main-logs") == ["m2", "m3"]
-    assert msgs("secret") == ["m1"]
-    assert msgs("audit") == ["m4"]
+    assert _s3_msgs(root, "main-logs") == ["m3"]
+    assert _s3_msgs(root, "secret") == ["m1"]
+    assert _s3_msgs(root, "audit") == ["m4"]
+    assert _s3_msgs(root, "other") == ["m2"]  # dynamically created
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         sink_s3(df, {"bucket": "secret", "multi_buckets": ["secret"],
                      "bucket_field_event": "bucket_name"})
+
+
+def test_s3_dynamic_buckets_limit(spark, tmp_path):
+    """dynamic_buckets_limit (s3.go:229,418-452): only `limit` distinct
+    dynamic buckets are admitted — the lexicographically smallest here
+    (deterministic under any partitioning; the reference admits in
+    racy arrival order) — and overflow values fall back to the default
+    bucket.  limit=0 disables dynamic creation entirely."""
+    from file_d_spark.sinks import sink_s3
+
+    df = spark.createDataFrame(
+        [("db", "m1"), ("da", "m2"), ("dc", "m3"), ("dd", "m4"),
+         ("static", "m5")],
+        "bucket_name string, msg string",
+    ).coalesce(1)
+    root = str(tmp_path / "lim")
+    sink_s3(
+        df,
+        {
+            "bucket": "dflt",
+            "bucket_field_event": "bucket_name",
+            "multi_buckets": ["static"],
+            "dynamic_buckets_limit": 2,
+            "path_template": "file://" + root + "/{bucket}/{prefix}",
+            "format": "json",
+        },
+    )
+    assert _s3_msgs(root, "da") == ["m2"]
+    assert _s3_msgs(root, "db") == ["m1"]
+    assert _s3_msgs(root, "dflt") == ["m3", "m4"]  # dc/dd over the limit
+    assert _s3_msgs(root, "static") == ["m5"]
+
+    root0 = str(tmp_path / "lim0")
+    sink_s3(
+        df,
+        {
+            "bucket": "dflt",
+            "bucket_field_event": "bucket_name",
+            "dynamic_buckets_limit": 0,
+            "path_template": "file://" + root0 + "/{bucket}/{prefix}",
+            "format": "json",
+        },
+    )
+    assert _s3_msgs(root0, "dflt") == ["m1", "m2", "m3", "m4", "m5"]
 
 
 def test_s3_zip_sealing(spark, tmp_path):
@@ -439,9 +487,10 @@ def test_s3_zip_sealing(spark, tmp_path):
         assert not _glob.glob(f"{root}/{bucket}/logs/*.tmp")
         return sorted(rows)
 
-    assert unzipped_msgs("main-logs") == ["m2", "m3"]
+    assert unzipped_msgs("main-logs") == ["m3"]
     assert unzipped_msgs("secret") == ["m1"]
     assert unzipped_msgs("audit") == ["m4"]
+    assert unzipped_msgs("other") == ["m2"]  # dynamic bucket, zip-sealed
 
     # only 'zip' is a legal compression_type (s3.go options:"zip")
     import pytest as _pytest
