@@ -221,9 +221,24 @@ def sink_devnull(df: DataFrame, cfg: dict[str, Any]):
 
 def _http_batch_sink(df: DataFrame, cfg: dict[str, Any], encoder: Callable[[list[dict]], list[str]]):
     """Shared shape for ES/Loki/Splunk/HTTP-style sinks: serialize each
-    partition to request payload batches of ``batch_size`` docs and
-    hand them to ``transport`` (injectable; default stub raises)."""
-    batch_size = int(cfg.get("batch_size", 1000))
+    partition to request payload batches and hand them to ``transport``
+    (injectable; default stub raises).
+
+    Batch caps mirror the reference batcher (pipeline/batch.go:91): a
+    batch is full when it holds ``batch_size`` docs OR its accumulated
+    size reaches ``batch_size_bytes`` — both checked AFTER appending,
+    so the byte cap may be exceeded by the final doc, exactly like the
+    reference.  Size proxy is the JSON-encoded doc length (the
+    reference counts raw event bytes).  Setting both caps to 0 is a
+    config error (batch.go:53)."""
+    batch_size = int(cfg.get("batch_size", 1000) or 0)
+    batch_bytes = int(cfg.get("batch_size_bytes", 0) or 0)
+    if batch_size < 0 or batch_bytes < 0:
+        raise ValueError("batch_size/batch_size_bytes must be >= 0")
+    if batch_size == 0 and batch_bytes == 0:
+        raise ValueError(
+            "at least one of batch_size/batch_size_bytes must be set"
+        )
     transport = cfg.get("transport")
     if transport is None:
         raise NotImplementedError(
@@ -231,13 +246,18 @@ def _http_batch_sink(df: DataFrame, cfg: dict[str, Any], encoder: Callable[[list
         )
 
     def send_partition(rows):
-        buf = []
+        buf, size = [], 0
         for row in rows:
-            buf.append(row.asDict(recursive=True))
-            if len(buf) >= batch_size:
+            doc = row.asDict(recursive=True)
+            buf.append(doc)
+            if batch_bytes:
+                size += len(json.dumps(doc, default=str))
+            if (batch_size and len(buf) >= batch_size) or (
+                batch_bytes and size >= batch_bytes
+            ):
                 for payload in encoder(buf):
                     transport(payload)
-                buf = []
+                buf, size = [], 0
         if buf:
             for payload in encoder(buf):
                 transport(payload)

@@ -670,3 +670,38 @@ def test_http_sink_gzip_levels(spark, tmp_path):
             {"use_gzip": True, "gzip_compression_level": "turbo",
              "transport": lambda p: None},
         )
+
+
+def test_http_sink_batch_size_bytes(spark, tmp_path):
+    """batch_size_bytes (pipeline/batch.go:91): the batch flushes once
+    accumulated doc size reaches the cap — checked after appending, so
+    the final doc may overshoot, exactly like the reference; count and
+    byte caps compose; both zero is a config error (batch.go:53)."""
+    from file_d_spark.sinks import sink_http
+
+    df = spark.createDataFrame(
+        [(f"m{i}", "x" * 40) for i in range(6)], "msg string, pad string"
+    ).coalesce(1)
+
+    # each doc json-encodes to ~65 bytes; cap 100 -> 2 docs per payload
+    out = str(tmp_path / "bytes_cap")
+    sink_http(
+        df,
+        {"batch_size": 0, "batch_size_bytes": 100,
+         "transport": _collector(out)},
+    )
+    payloads = _payloads(out)
+    assert len(payloads) == 3
+    assert all(len(p.strip().split("\n")) == 2 for p in payloads)
+
+    # count cap still trips first when smaller
+    out = str(tmp_path / "count_cap")
+    sink_http(
+        df,
+        {"batch_size": 1, "batch_size_bytes": 10_000,
+         "transport": _collector(out)},
+    )
+    assert len(_payloads(out)) == 6
+
+    with pytest.raises(ValueError, match="at least one"):
+        sink_http(df, {"batch_size": 0, "transport": lambda p: None})
