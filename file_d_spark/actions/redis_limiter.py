@@ -306,6 +306,7 @@ def fetch_limit_overrides(
     backend_cfg: dict,
     default_limit: int,
     bucket_interval_s: float,
+    keys_are_limit_keys: bool = False,
 ) -> dict[str, int]:
     """Per-key limit overrides for a batch: the distinct throttle keys
     of the batch (bounded by ``max_tracked_values`` — beyond the cap
@@ -315,6 +316,11 @@ def fetch_limit_overrides(
     ``throttle_field`` the config field name embedded in the redis key
     prefix.  Driver-side: one bounded distinct + one GET per tracked
     key.
+
+    ``keys_are_limit_keys`` serves ``limiter_key_field``
+    (throttle.go:246,543-545): each tracked value IS the redis limit
+    key verbatim — the naming-pattern prefix is bypassed, exactly the
+    reference's per-event key override.
 
     With ``limits_file`` set in ``backend_cfg`` (throttle.go:286,
     limiters_map.go:300-409), the centrally-fetched limits are
@@ -365,7 +371,10 @@ def fetch_limit_overrides(
             v,
             default_limit,
             bucket_interval_s=bucket_interval_s,
-            key_limit_override=backend_cfg.get("key_limit_override", ""),
+            key_limit_override=(
+                v if keys_are_limit_keys
+                else backend_cfg.get("key_limit_override", "")
+            ),
             val_field=backend_cfg.get("limiter_value_field", ""),
             distr_field=backend_cfg.get("limiter_distribution_field", ""),
         )

@@ -241,13 +241,46 @@ class Throttle(Action):
         # bounded driver model (<= max_tracked_values entries), applied
         # as a literal-map lookup so the plan stays a pure projection
         backend_cfg = self.params.get("limiter_backend")
+        if isinstance(backend_cfg, str):
+            # reference config shape (throttle.go:97-102):
+            # limiter_backend selects memory|redis and the options live
+            # under redis_backend_config; the dict-valued form of
+            # limiter_backend is kept for back-compat
+            if backend_cfg not in ("memory", "redis"):
+                raise ValueError(
+                    f"limiter_backend must be memory|redis, got {backend_cfg!r}"
+                )
+            backend_cfg = (
+                dict(self.params.get("redis_backend_config") or {})
+                if backend_cfg == "redis"
+                else None
+            )
         if backend_cfg:
             from file_d_spark.actions.redis_limiter import fetch_limit_overrides
 
-            overrides = fetch_limit_overrides(
-                df.select(F.col("__fd_key__")), "__fd_key__", key_field,
-                backend_cfg, limit, bucket_s,
-            )
+            # limiter_key_field (throttle.go:246,543-545): the event
+            # field's VALUE becomes the redis limit key, overriding the
+            # <pipeline>_<field>_<value>_limit naming pattern; the
+            # override map then keys on that field per event
+            lkf = str(backend_cfg.get("limiter_key_field", "") or "")
+            if lkf:
+                df = df.withColumn(
+                    "__fd_lkey__",
+                    get_col_safe(parse_selector(lkf), df.schema).cast("string"),
+                )
+                helper_cols.append("__fd_lkey__")
+                lookup = F.col("__fd_lkey__")
+                overrides = fetch_limit_overrides(
+                    df.select("__fd_lkey__"), "__fd_lkey__", key_field,
+                    backend_cfg, limit, bucket_s,
+                    keys_are_limit_keys=True,
+                )
+            else:
+                lookup = F.col("__fd_key__")
+                overrides = fetch_limit_overrides(
+                    df.select(F.col("__fd_key__")), "__fd_key__", key_field,
+                    backend_cfg, limit, bucket_s,
+                )
             if overrides:
                 m = F.create_map(
                     *[
@@ -256,9 +289,7 @@ class Throttle(Action):
                         for x in (F.lit(kv[0]), F.lit(kv[1]))
                     ]
                 )
-                limit_col = F.coalesce(
-                    m[F.col("__fd_key__")], limit_col
-                )
+                limit_col = F.coalesce(m[lookup], limit_col)
 
         w = Window.partitionBy(
             "__fd_key__", "__fd_bucket__", "__fd_rule__"

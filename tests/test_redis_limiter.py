@@ -492,3 +492,98 @@ def test_limits_file_keeps_keys_absent_from_batch(tmp_path):
         "limits_save_interval": "0s",
     }
     assert _fetch(down) == {"a": 5}
+
+
+def test_throttle_reference_backend_config_shape(spark):
+    """The reference's config shape (throttle.go:97-102):
+    ``limiter_backend: redis`` is a STRING selector and the options
+    live under ``redis_backend_config`` — must behave identically to
+    the dict-valued back-compat form; ``limiter_backend: memory``
+    ignores redis entirely; unknown selectors are config errors."""
+    s = MiniRedis()
+    try:
+        s.set("p_src_a_limit", "1")
+        from file_d_spark import Pipeline
+
+        rows = [
+            ("a", f"2024-01-01T00:00:{i:02d}Z", i) for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "src string, time string, seq int")
+
+        def run(backend, redis_cfg=None):
+            cfg = {
+                "type": "throttle",
+                "throttle_field": "src",
+                "time_field": "time",
+                "time_field_format": "rfc3339",
+                "bucket_interval": "1m",
+                "buckets_count": 10,
+                "default_limit": 3,
+                "order_fields": ["seq"],
+                "limiter_backend": backend,
+            }
+            if redis_cfg is not None:
+                cfg["redis_backend_config"] = redis_cfg
+            p = Pipeline.from_dict({"actions": [cfg]})
+            return sorted(r.seq for r in p.apply(df).collect())
+
+        assert run("redis", {"pipeline": "p", "addrs": [s.addr]}) == [0]
+        assert run("memory") == [0, 1, 2]  # config default, no redis
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="memory|redis"):
+            run("etcd")
+    finally:
+        s.close()
+
+
+def test_throttle_limiter_key_field_per_event_override(spark):
+    """limiter_key_field (throttle.go:246,543-545): the event field's
+    VALUE is used verbatim as the redis limit key — events whose field
+    names a clamped key get that central limit, everything else keeps
+    the config default."""
+    s = MiniRedis()
+    try:
+        s.set("tenant-gold", "1")  # raw key, no naming-pattern prefix
+        from file_d_spark import Pipeline
+
+        rows = [
+            ("a", "tenant-gold", f"2024-01-01T00:00:{i:02d}Z", i)
+            for i in range(4)
+        ] + [
+            ("b", "tenant-free", f"2024-01-01T00:00:{i:02d}Z", 10 + i)
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "src string, tenant string, time string, seq int"
+        )
+        p = Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "throttle",
+                        "throttle_field": "src",
+                        "time_field": "time",
+                        "time_field_format": "rfc3339",
+                        "bucket_interval": "1m",
+                        "buckets_count": 10,
+                        "default_limit": 3,
+                        "order_fields": ["seq"],
+                        "limiter_backend": "redis",
+                        "redis_backend_config": {
+                            "pipeline": "p",
+                            "addrs": [s.addr],
+                            "limiter_key_field": "tenant",
+                        },
+                    }
+                ]
+            }
+        )
+        out = p.apply(df).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r.src, []).append(r.seq)
+        assert sorted(by_key["a"]) == [0]            # central limit 1
+        assert sorted(by_key["b"]) == [10, 11, 12]   # config default 3
+    finally:
+        s.close()
