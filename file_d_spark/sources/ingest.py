@@ -117,7 +117,11 @@ class HttpIngestServer:
     back (``envelope: true``) and meta templates reference
     ``{{ .login }}`` / ``{{ .remote_addr }}`` / ``{{ .user_agent }}``.
     ``cors`` = CORSConfig (``allowed_origins`` with one wildcard,
-    ``default_origin``); ``ca_cert`` + ``private_key`` (path or PEM
+    ``default_origin``, ``allowed_headers`` / ``exposed_headers``
+    comma-joined into the Access-Control-Allow-Headers /
+    Access-Control-Exposed-Headers response headers — the reference's
+    non-standard "Exposed" spelling mirrored, http.go:393-404);
+    ``ca_cert`` + ``private_key`` (path or PEM
     content) switch the listener to TLS, as in the reference.
     """
 
@@ -145,6 +149,10 @@ class HttpIngestServer:
         cors = cors or {}
         allowed_origins = list(cors.get("allowed_origins") or [])
         default_origin = cors.get("default_origin", "*")
+        allowed_headers = ",".join(cors.get("allowed_headers") or [])
+        # the reference emits the non-standard spelling
+        # "Access-Control-Exposed-Headers" (http.go:400-404) — mirrored
+        exposed_headers = ",".join(cors.get("exposed_headers") or [])
 
         def origin_for(origin: str) -> str:
             """Reference CORSConfig.getAllowedByOrigin
@@ -205,6 +213,7 @@ class HttpIngestServer:
                     self.send_header(
                         "Access-Control-Allow-Origin", origin_for(origin or "")
                     )
+                self._cors_header_lists()
                 if emulate_mode == "elasticsearch":
                     self.send_header("X-Elastic-Product", "Elasticsearch")
                 self.send_header("Content-Length", str(len(payload)))
@@ -223,6 +232,18 @@ class HttpIngestServer:
                 self._reply(401, b"auth failed\n", "text/plain")
                 return False
 
+            def _cors_header_lists(self):
+                """allowed_headers / exposed_headers (http.go:393-404):
+                comma-joined when configured, omitted otherwise."""
+                if allowed_headers:
+                    self.send_header(
+                        "Access-Control-Allow-Headers", allowed_headers
+                    )
+                if exposed_headers:
+                    self.send_header(
+                        "Access-Control-Exposed-Headers", exposed_headers
+                    )
+
             def do_OPTIONS(self):  # noqa: N802  (CORS preflight)
                 self.send_response(200)
                 self.send_header(
@@ -233,6 +254,7 @@ class HttpIngestServer:
                     self.send_header(
                         "Access-Control-Allow-Origin", origin_for(origin or "")
                     )
+                self._cors_header_lists()
                 self.send_header("Content-Length", "0")
                 self.end_headers()
 

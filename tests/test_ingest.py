@@ -418,6 +418,46 @@ def test_http_cors_origin_matching(tmp_path):
         srv.stop()
 
 
+def test_http_cors_header_lists(tmp_path):
+    """allowed_headers / exposed_headers (http.go:393-404): comma-joined
+    into Access-Control-Allow-Headers and the reference's non-standard
+    Access-Control-Exposed-Headers, on POST responses AND the OPTIONS
+    preflight; omitted entirely when unconfigured."""
+    import urllib.request
+
+    from file_d_spark.sources.ingest import HttpIngestServer
+
+    spool = str(tmp_path / "spool")
+    srv = HttpIngestServer(
+        spool,
+        cors={
+            "allowed_headers": ["Content-Type", "X-Token"],
+            "exposed_headers": ["X-Trace-Id"],
+        },
+    ).start()
+    try:
+        for method, data in (("POST", b"x\n"), ("OPTIONS", None)):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/", data=data, method=method
+            )
+            hdrs = urllib.request.urlopen(req).headers
+            assert hdrs.get("Access-Control-Allow-Headers") == "Content-Type,X-Token"
+            assert hdrs.get("Access-Control-Exposed-Headers") == "X-Trace-Id"
+    finally:
+        srv.stop()
+
+    srv2 = HttpIngestServer(str(tmp_path / "spool2")).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv2.port}/", data=b"x\n", method="POST"
+        )
+        hdrs = urllib.request.urlopen(req).headers
+        assert hdrs.get("Access-Control-Allow-Headers") is None
+        assert hdrs.get("Access-Control-Exposed-Headers") is None
+    finally:
+        srv2.stop()
+
+
 def test_http_tls_listener(tmp_path):
     """ca_cert + private_key switch the listener to TLS (http.go:46-49);
     a TLS client round-trips a body into the spool."""
