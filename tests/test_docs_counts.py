@@ -121,7 +121,11 @@ def test_sweep_window_capacity():
     greens = _driver_green_rounds()
     newest = max(greens.values())
     must = {k for k in QUERIES if greens.get(k, 0) <= newest - 1}
-    must |= set(_SWEEP_CHANGED)
+    # a changed query whose green evidence is already from the NEWEST
+    # round has been re-verified post-change — it no longer needs a
+    # window slot (it stays in the list only until the next round's
+    # session clears it)
+    must |= {k for k in _SWEEP_CHANGED if greens.get(k, 0) < newest}
     assert len(must) <= _SWEEP_WINDOW, (
         f"{len(must)} queries need driver verification this round but the "
         f"window holds {_SWEEP_WINDOW}: consolidate or defer registrations "
