@@ -4900,8 +4900,16 @@ def _driver_green_rounds() -> dict[str, int]:
 
 def _reorder_sweep() -> None:
     greens = _driver_green_rounds()
+    newest = max(greens.values(), default=0)
     reg_pos = {k: i for i, k in enumerate(QUERIES)}
-    changed = [k for k in _SWEEP_CHANGED if k in QUERIES]
+    # a changed query whose green evidence is already from the newest
+    # round has been re-verified post-change: it must not hold a head
+    # slot (a stale list entry would otherwise push a 1-round-old row
+    # out of the window and age it to 2)
+    changed = [
+        k for k in _SWEEP_CHANGED
+        if k in QUERIES and greens.get(k, 0) < newest
+    ]
     rest = [k for k in QUERIES if k not in set(changed)]
     # never-verified first (green round 0), then oldest evidence first;
     # registration order breaks ties deterministically
