@@ -88,7 +88,7 @@ def test_cc_adversarial_chain_converges_logarithmically(spark):
         ).collect()
     }
     assert got == {i: 1 for i in range(1, n + 1)}
-    # log2(200) ~ 7.6; allow slack for the +1 convergence-detect round
+    # log2(200) ~ 7.6; allow headroom for the +1 convergence-detect round
     assert dedup_mod.LAST_CC_ROUNDS <= 12, dedup_mod.LAST_CC_ROUNDS
 
 
