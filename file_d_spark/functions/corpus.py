@@ -1643,3 +1643,99 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Cross-corpus exact-span DECONTAMINATION (the ExactSubstr cut of
+    Lee et al. 2107.06499 pointed at benchmark leakage): every train
+    token covered by an n-gram that appears VERBATIM anywhere in
+    ``eval_df`` is removed.  Where :func:`~file_d_spark.functions.
+    dedup.fuzzy_decontaminate` flags whole documents by near-dup
+    similarity, this cuts exactly the leaked spans and keeps the rest
+    of the document.
+
+    Returns ``(id_col, n_tokens, n_removed, clean_text)`` for every
+    train document (same contract as :func:`remove_dup_spans`).
+
+    Scale shape — cheaper than the within-corpus cut: no corpus-wide
+    count window at all.  The eval side (benchmarks — MBs at any
+    corpus scale) condenses to its DISTINCT gram hashes and BROADCASTS
+    into a left-semi join against the train grams, so the corpus never
+    enters a wide dependency; contaminated start positions collapse to
+    one int array per AFFECTED doc (output proportional to the leaked
+    region), and the span expand/cut/rejoin runs in-row via array HOFs
+    exactly like remove_dup_spans.  Grams travel as the portable
+    60-bit md5-prefix hash, so a DuckDB oracle reproduces the join
+    keys — collisions included.
+    """
+    from file_d_spark.functions.dedup import _portable_hash60
+
+    if n < 2:
+        raise ValueError("decontaminate_spans: n must be >= 2")
+
+    def gram_frame(frame: DataFrame, with_id: bool) -> DataFrame:
+        t = frame.select(
+            F.col(id_col).alias("__id__"),
+            tokens(F.col(text_col)).alias("__t__"),
+        )
+        starts = F.when(
+            F.size("__t__") >= n,
+            F.sequence(F.lit(1), F.size("__t__") - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        g = t.select(
+            "__id__",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        _portable_hash60(
+                            F.concat_ws(" ", F.slice(F.col("__t__"), s, n))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("__g__"),
+        ).select(
+            "__id__",
+            F.col("__g__.s").alias("__s__"),
+            F.col("__g__.h").alias("__h__"),
+        )
+        return g if with_id else g.select("__h__").distinct()
+
+    toks = train.select(
+        F.col(id_col).alias("__id__"),
+        tokens(F.col(text_col)).alias("__t__"),
+    )
+    leaked = gram_frame(train, True).join(
+        F.broadcast(gram_frame(eval_df, False)), "__h__", "left_semi"
+    )
+    leak_starts = leaked.groupBy("__id__").agg(
+        F.collect_list("__s__").alias("__ds__")
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__ds__"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
+        )
+    )
+    joined = toks.join(leak_starts, "__id__", "left").withColumn(
+        "__cov__", covered
+    )
+    kept = F.filter(
+        F.col("__t__"),
+        lambda t, i: ~F.array_contains(F.col("__cov__"), i + F.lit(1)),
+    )
+    return joined.select(
+        F.col("__id__").alias(id_col),
+        F.size("__t__").alias("n_tokens"),
+        (F.size("__t__") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

@@ -257,3 +257,53 @@ _VOCAB_COVERAGE_ORACLE = """
 """
 
 STAGED["vocab_coverage"] = (q_vocab_coverage, _VOCAB_COVERAGE_ORACLE)
+
+
+def q_decontaminate_spans(spark, sf_dir):
+    """Cross-corpus exact-span decontamination (staged r10): cut every
+    8-gram of the train slice (doc_id % 10 != 0) that appears verbatim
+    in the eval slice (doc_id % 10 = 0) — the span-level companion of
+    fuzzy_decontaminate's doc-level flags."""
+    from file_d_spark.functions import corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.decontaminate_spans(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=8,
+    )
+
+
+_DECONTAM_SPANS_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS tk
+      FROM documents),
+    tr AS (SELECT * FROM t WHERE doc_id % 10 != 0),
+    ev AS (SELECT * FROM t WHERE doc_id % 10 = 0),
+    trg AS (SELECT doc_id, s,
+                   ('0x' || substr(md5(array_to_string(tk[s:s+7], ' ')), 1, 15))::UBIGINT AS h
+            FROM (SELECT doc_id, unnest(range(1, len(tk) - 6)) AS s, tk FROM tr)),
+    evh AS (SELECT DISTINCT
+                   ('0x' || substr(md5(array_to_string(tk[s:s+7], ' ')), 1, 15))::UBIGINT AS h
+            FROM (SELECT unnest(range(1, len(tk) - 6)) AS s, tk FROM ev)),
+    ds AS (SELECT doc_id, s FROM trg JOIN evh USING (h)),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 8)) AS p FROM ds),
+    tokpos AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS p, tk FROM tr),
+    kept AS (SELECT tp.doc_id, tp.p, tp.tk[tp.p] AS w
+             FROM tokpos tp LEFT JOIN cov
+               ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+             WHERE cov.p IS NULL),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(w, ' ' ORDER BY p) AS txt
+            FROM kept GROUP BY doc_id)
+    SELECT tr.doc_id,
+           len(tr.tk) AS n_tokens,
+           len(tr.tk) - coalesce(a.n_kept, 0) AS n_removed,
+           coalesce(a.txt, '') AS clean_text
+    FROM tr LEFT JOIN agg a ON tr.doc_id = a.doc_id
+"""
+
+STAGED["decontaminate_spans"] = (q_decontaminate_spans, _DECONTAM_SPANS_ORACLE)

@@ -948,3 +948,36 @@ def test_vocab_coverage_rejects_bad_size(spark):
     df = spark.createDataFrame([("en", "x")], "lang string, text string")
     with pytest.raises(ValueError, match="vocab_size"):
         corpus.vocab_coverage(df, "lang", "text", vocab_size=0)
+
+
+def test_decontaminate_spans_hand_computed(spark):
+    """Exact 3-gram leakage: only the span matching an eval 3-gram is
+    cut from the train doc; untouched docs pass through verbatim;
+    whole-doc leakage empties clean_text."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # leak at tokens 2-4
+            (2, "totally clean text here"),
+            (3, "beta gamma delta"),                 # the whole doc leaks
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "xxx beta gamma delta yyy")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.decontaminate_spans(train, ev, "doc_id", "text", n=3)
+        .collect()
+    }
+    assert out[1].n_tokens == 5 and out[1].n_removed == 3
+    assert out[1].clean_text == "alpha epsilon"
+    assert out[2].n_removed == 0
+    assert out[2].clean_text == "totally clean text here"
+    assert out[3].n_removed == 3 and out[3].clean_text == ""
+
+
+def test_decontaminate_spans_rejects_bad_n(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n must be"):
+        corpus.decontaminate_spans(df, df, "doc_id", "text", n=1)

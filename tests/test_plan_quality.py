@@ -215,3 +215,14 @@ def test_staged_quantile_thresholds_window_on_histogram(spark, sf_dir):
     assert re.search(r"HashAggregate.*partial_count", plan) or "partial_count" in plan, (
         "histogram groupBy lost its map-side partial aggregation"
     )
+
+
+def test_staged_decontaminate_broadcasts_eval(spark, sf_dir):
+    """decontaminate_spans must broadcast the eval gram-hash set into
+    the semi-join (the corpus side never enters a wide dependency) and
+    must not plan any count window — the within-corpus cut's shuffle
+    shape is exactly what this operator avoids."""
+    plan = staged_plan_of(spark, sf_dir, "decontaminate_spans")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
