@@ -1099,3 +1099,63 @@ def dedup_clusters(
             "is_representative", (F.col(id_col) == F.col("cluster_id"))
         )
     )
+
+
+def keep_best_representative(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware duplicate-cluster survivor selection: every doc
+    gets its near-dup cluster (components of ``pairs``, same machinery
+    as :func:`dedup_clusters`), and the KEPT representative is the
+    cluster's highest-``score_col`` member (ties to the smallest id) —
+    the practical dedup policy: when five near-copies exist, keep the
+    best one, not the one with the smallest id.
+
+    Returns ``(id_col, cluster_id, score_col, csize, kept)`` for every
+    input doc.
+
+    Scale shape: survivor selection is ONE keyed aggregation —
+    ``max(struct(score, -id))`` per cluster — so a pathological
+    million-member duplicate cluster reduces through map-side partial
+    maxes instead of funnelling through a per-cluster rank window; the
+    cluster size rides the same aggregate.  Cluster assignment reuses
+    :func:`connected_components` (bounded driver union-find fast path,
+    large-star/small-star contraction beyond it).
+    """
+    cc = connected_components(pairs, src, dst)
+    assigned = (
+        df.select(F.col(id_col), F.col(score_col))
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            score_col,
+        )
+    )
+    best = assigned.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("__best__"),
+        F.count(F.lit(1)).alias("csize"),
+    ).select(
+        "cluster_id",
+        (-F.col("__best__.nid")).alias("__keep_id__"),
+        "csize",
+    )
+    # plain equi-join: `best` is cluster-count-sized (corpus-scaled, so
+    # no broadcast hint — AQE broadcasts it when it IS small)
+    return assigned.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        score_col,
+        "csize",
+        (F.col(id_col) == F.col("__keep_id__")).alias("kept"),
+    )

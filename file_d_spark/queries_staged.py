@@ -307,3 +307,61 @@ _DECONTAM_SPANS_ORACLE = r"""
 """
 
 STAGED["decontaminate_spans"] = (q_decontaminate_spans, _DECONTAM_SPANS_ORACLE)
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup survivor selection (staged r10): same
+    0.7-Jaccard clusters as dedup_cluster, but the kept representative
+    is the cluster's LONGEST member (n_chars, ties to smallest id) —
+    one keyed max(struct) aggregate, no per-cluster rank window."""
+    from file_d_spark.functions import dedup as _dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.7)
+    return _dedup.keep_best_representative(
+        d, pairs, id_col="doc_id", score_col="n_chars"
+    ).select(
+        "doc_id", "cluster_id", "n_chars", "csize",
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+_KEEP_BEST_ORACLE = """
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ws
+           FROM t WHERE len(w) >= 3),
+    pairs AS MATERIALIZED (
+      SELECT da, db FROM (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.ws, b.ws)) AS ix,
+               len(a.ws) AS na, len(b.ws) AS nb
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND least(len(a.ws), len(b.ws))::DOUBLE
+              / greatest(len(a.ws), len(b.ws)) >= 0.7)
+      WHERE ix::DOUBLE / (na + nb - ix) >= 0.7),
+    edges AS (SELECT da AS a, db AS b FROM pairs
+              UNION SELECT db, da FROM pairs),
+    cc(id, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.id = e.b),
+    lab AS (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id),
+    assigned AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+    best AS (
+      SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS csize,
+             first(doc_id ORDER BY n_chars DESC, doc_id) AS keep_id
+      FROM assigned GROUP BY cluster_id)
+    SELECT a.doc_id, a.cluster_id, a.n_chars, b.csize,
+           (a.doc_id = b.keep_id)::INT AS kept
+    FROM assigned a JOIN best b USING (cluster_id)
+"""
+
+STAGED["dedup_keep_best"] = (q_dedup_keep_best, _KEEP_BEST_ORACLE)

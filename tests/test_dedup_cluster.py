@@ -113,3 +113,28 @@ def test_cc_random_graphs_match_union_find(spark):
             for r in connected_components(pairs, driver_max_pairs=0).collect()
         }
         assert fast == dist, f"trial {trial}: {fast} != {dist}"
+
+
+def test_keep_best_representative_hand_computed(spark):
+    """Survivor = highest score in the cluster, ties to the smallest
+    id; singletons keep themselves; csize counts every member."""
+    from file_d_spark.functions.dedup import keep_best_representative
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: r
+        for r in keep_best_representative(docs, pairs, "doc_id", "n_chars")
+        .collect()
+    }
+    # cluster {1,2,3,4}: best score 30 shared by 2 and 3 -> keep 2
+    assert [out[i].kept for i in (1, 2, 3, 4)] == [False, True, False, False]
+    assert all(out[i].csize == 4 for i in (1, 2, 3, 4))
+    assert all(out[i].cluster_id == 1 for i in (1, 2, 3, 4))
+    # singleton keeps itself
+    assert out[9].kept and out[9].csize == 1 and out[9].cluster_id == 9
