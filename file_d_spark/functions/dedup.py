@@ -1120,13 +1120,24 @@ def keep_best_representative(
     input doc.
 
     Scale shape: survivor selection is ONE keyed aggregation —
-    ``max(struct(score, -id))`` per cluster — so a pathological
+    ``min(struct(-score, id))`` per cluster (the SCORE is negated, not
+    the id, so string/struct ids work) — so a pathological
     million-member duplicate cluster reduces through map-side partial
-    maxes instead of funnelling through a per-cluster rank window; the
+    mins instead of funnelling through a per-cluster rank window; the
     cluster size rides the same aggregate.  Cluster assignment reuses
     :func:`connected_components` (bounded driver union-find fast path,
-    large-star/small-star contraction beyond it).
+    large-star/small-star contraction beyond it).  ``score_col`` must
+    be numeric (it is negated); a non-numeric score raises loudly at
+    plan-build instead of silently nulling under implicit casts.
     """
+    from pyspark.sql import types as T
+
+    score_type = df.schema[score_col].dataType
+    if not isinstance(score_type, T.NumericType):
+        raise ValueError(
+            f"keep_best_representative: score_col {score_col!r} must be "
+            f"numeric, got {score_type.simpleString()}"
+        )
     cc = connected_components(pairs, src, dst)
     assigned = (
         df.select(F.col(id_col), F.col(score_col))
@@ -1138,16 +1149,16 @@ def keep_best_representative(
         )
     )
     best = assigned.groupBy("cluster_id").agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col(score_col).alias("s"),
-                (-F.col(id_col)).alias("nid"),
+                (-F.col(score_col)).alias("ns"),
+                F.col(id_col).alias("kid"),
             )
         ).alias("__best__"),
         F.count(F.lit(1)).alias("csize"),
     ).select(
         "cluster_id",
-        (-F.col("__best__.nid")).alias("__keep_id__"),
+        F.col("__best__.kid").alias("__keep_id__"),
         "csize",
     )
     # plain equi-join: `best` is cluster-count-sized (corpus-scaled, so

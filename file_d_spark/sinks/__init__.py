@@ -229,8 +229,11 @@ def _http_batch_sink(df: DataFrame, cfg: dict[str, Any], encoder: Callable[[list
     size reaches ``batch_size_bytes`` — both checked AFTER appending,
     so the byte cap may be exceeded by the final doc, exactly like the
     reference.  Size proxy is the JSON-encoded doc length (the
-    reference counts raw event bytes).  Setting both caps to 0 is a
-    config error (batch.go:53)."""
+    reference counts raw event bytes) — a second serialization per doc
+    on top of the encoder's own, paid ONLY when the byte cap is
+    configured; an exact cap beats saving one dumps on a path that is
+    transport-bound anyway.  Setting both caps to 0 is a config error
+    (batch.go:53)."""
     batch_size = int(cfg.get("batch_size", 1000) or 0)
     batch_bytes = int(cfg.get("batch_size_bytes", 0) or 0)
     if batch_size < 0 or batch_bytes < 0:
@@ -851,35 +854,40 @@ def sink_s3(df: DataFrame, cfg: dict[str, Any]):
         return
     dyn_limit = int(cfg.get("dynamic_buckets_limit", 32))
     known = set(multi) | {bucket}
-    dynamic = [
-        r[0]
-        for r in (
-            df.select(F.col(field).cast("string").alias("__b__"))
-            .filter(
-                F.col("__b__").isNotNull() & ~F.col("__b__").isin(list(known))
-            )
-            .distinct()
-            .orderBy("__b__")
-            .limit(max(dyn_limit, 0))
-            .collect()
-        )
-    ]
-    targets = [*multi, *dynamic]
-    route = (
-        F.when(F.col(field).isin(targets), F.col(field))
-        .otherwise(F.lit(bucket))
-        if targets
-        else F.lit(bucket)
-    )
-    routed = df.withColumn("__bucket__", route).cache()
+    # persist BEFORE discovery so the distinct-name collect materializes
+    # the cache the per-bucket writes then reuse — otherwise an expensive
+    # upstream lineage runs once for discovery and again for the writes
+    df = df.persist()
     try:
+        dynamic = [
+            r[0]
+            for r in (
+                df.select(F.col(field).cast("string").alias("__b__"))
+                .filter(
+                    F.col("__b__").isNotNull()
+                    & ~F.col("__b__").isin(list(known))
+                )
+                .distinct()
+                .orderBy("__b__")
+                .limit(max(dyn_limit, 0))
+                .collect()
+            )
+        ]
+        targets = [*multi, *dynamic]
+        route = (
+            F.when(F.col(field).isin(targets), F.col(field))
+            .otherwise(F.lit(bucket))
+            if targets
+            else F.lit(bucket)
+        )
+        routed = df.withColumn("__bucket__", route)
         for b in [bucket, *targets]:
             part = routed.filter(F.col("__bucket__") == b).drop("__bucket__")
             sink_file(
                 part, {**base, "path": template.format(bucket=b, prefix=prefix)}
             )
     finally:
-        routed.unpersist()
+        df.unpersist()
 
 
 SINKS: dict[str, Callable[[DataFrame, dict[str, Any]], Any]] = {

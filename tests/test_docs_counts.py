@@ -125,7 +125,12 @@ def test_sweep_window_capacity():
     # round has been re-verified post-change — it no longer needs a
     # window slot (it stays in the list only until the next round's
     # session clears it)
-    must |= {k for k in _SWEEP_CHANGED if greens.get(k, 0) < newest}
+    # mirror _reorder_sweep exactly: only REGISTERED changed entries
+    # count (a folded-away name left in the list is runtime-ignored)
+    must |= {
+        k for k in _SWEEP_CHANGED
+        if k in QUERIES and greens.get(k, 0) < newest
+    }
     assert len(must) <= _SWEEP_WINDOW, (
         f"{len(must)} queries need driver verification this round but the "
         f"window holds {_SWEEP_WINDOW}: consolidate or defer registrations "
