@@ -50,6 +50,13 @@ DEFAULT_QUERIES = [
     "dup_span_fraction",         # hot grams -> skew-guard window
     "dedup_ngram_jaccard",       # hot shingles -> prefix filter
     "funnel_steps",              # keyed min-joins on the hot user
+    # r10 registrations (ratios recorded in SCALE.md at registration)
+    "throttle_modes",            # both admission modes, keyed windows
+    "bigram_logprob",            # zipfian bigram histogram
+    "bpe_fertility",             # hot-word histogram + lang groupBy
+    "pmi_phrases",               # identical-text clique bigram counts
+    "sketch_hll_distinct",       # register shuffles under hot groups
+    "sketch_overlap",            # bottom-k heaps under duplication
 ]
 
 
