@@ -395,15 +395,28 @@ class Throttle(Action):
                 dlims = None
             rule_cfgs.append({"limit": int(s["limit"]), "dlims": dlims})
 
+        # batch parity for timestamps: parse time_field through the
+        # same Go-layout machinery (time_field_format, numeric-epoch
+        # handling) BEFORE the state function — raw pd.to_datetime in
+        # the executor read numeric epoch-seconds as nanoseconds and
+        # sorted on unparsed values
+        time_field = self.params.get("time_field", "time")
+        time_fmt = self.params.get("time_field_format", "rfc3339nano")
+        tcol = get_col_safe(parse_selector(time_field), df.schema)
+        t = df.schema[time_field].dataType if time_field in df.columns else None
+        parsed_ts = xtime.ensure_timestamp(
+            tcol, t, time_fmt, context="throttle time_field"
+        )
         staged = (
             df.withColumn("__fd_rule__", rule_idx)
             .withColumn("__fd_cnt__", counted)
             .withColumn("__fd_didx__", didx)
+            .withColumn("__fd_ts__", parsed_ts)
         )
         return throttle_stream(
             staged,
             key_col=self.params.get("throttle_field", ""),
-            ts_col=self.params.get("time_field", "time"),
+            ts_col="__fd_ts__",
             bucket_interval_s=int(
                 _parse_duration_seconds(self.params.get("bucket_interval"), 60.0)
             ),
@@ -546,8 +559,35 @@ class Cardinality(Action):
             ttl_ms = int(
                 _parse_duration_seconds(self.params.get("ttl"), 60.0) * 1000
             )
+            # multi-key / multi-field parity with batch: composite
+            # helper columns (concat_ws over every configured key /
+            # field), dropped from the output by the state fn's
+            # helper-column exclusion
+            skey = F.concat_ws(
+                "\x01",
+                *[
+                    F.coalesce(
+                        get_col_safe(parse_selector(k), df.schema).cast(
+                            "string"
+                        ),
+                        F.lit(""),
+                    )
+                    for k in key_fields
+                ],
+            )
+            sval = F.concat_ws(
+                "\x01",
+                *[
+                    get_col_safe(parse_selector(f), df.schema).cast("string")
+                    for f in fields
+                ],
+            )
+            staged = df.withColumn("__fd_ck__", skey).withColumn(
+                "__fd_cv__", sval
+            )
             return cardinality_stream(
-                df, key_fields[0], fields[0], limit, mode, ttl_ms=ttl_ms
+                staged, "__fd_ck__", "__fd_cv__", limit, mode,
+                ttl_ms=ttl_ms, strip_cols=list(fields),
             )
 
         key = F.concat_ws(

@@ -15,8 +15,10 @@ Reference semantics:
   throttle     /root/reference/plugin/action/throttle/throttle.go:60-140
                in_memory_limiter.go:15-60 (sliding bucket ring)
   cardinality  /root/reference/plugin/action/cardinality/cardinality.go:126-169
-  antispam     /root/reference/pipeline/antispam/antispammer.go:24-120
-               (ban above threshold, unban after 4 idle maintenance ticks)
+  antispam     /root/reference/pipeline/antispam/antispammer.go:94-235
+               (per-event counter; ban charge = unban_iterations x
+               threshold; maintenance decays threshold per tick,
+               deletes idle sources)
 """
 
 from __future__ import annotations
@@ -64,6 +66,7 @@ def multiline_join_stream(
     negate: bool = False,
     event_timeout_ms: int = 30_000,
     templates: list[tuple[str, str | None, bool]] | None = None,
+    max_event_size: int = 0,
 ) -> DataFrame:
     """Streaming multiline join keyed by (source, stream).
 
@@ -83,11 +86,24 @@ def multiline_join_stream(
     (buf, first_row) to (buf, first_row, tpl) when templates landed;
     restarting over a checkpoint written by the two-field version
     fails Spark's state-schema validation — use a NEW checkpoint dir
-    when upgrading across that boundary."""
+    when upgrading across that boundary.
+
+    ``max_event_size`` (the batch operator's cap, applied there via
+    ``substring(joined, 1, max_event_size)``) bounds BOTH the emitted
+    joined value and the state-store buffer — without it a sequence
+    whose continue pattern keeps matching (a lost closing marker, an
+    adversarial source) grows one state row without bound across
+    micro-batches."""
     import re
 
     if templates is None:
         templates = [(start_re, continue_re, negate)]
+    # batch parity (multiline_join): a missing source/key column means
+    # a single-source stream — backfill a constant key instead of
+    # failing groupBy resolution, and drop it from the output
+    missing_keys = [c for c in key_cols if c not in df.columns]
+    for c in missing_keys:
+        df = df.withColumn(c, F.lit(0))
     compiled = [
         (
             re.compile(s_re),
@@ -97,12 +113,14 @@ def multiline_join_stream(
         for s_re, c_re, neg in templates
     ]
 
-    out_schema = df.schema
+    out_schema = df.drop(*missing_keys).schema if missing_keys else df.schema
     # state: the buffered joined text + the first row of the open
     # sequence + the index of the template whose start opened it
     state_schema = "buf string, first_row string, tpl int"
 
-    data_cols = [f.name for f in df.schema.fields]
+    data_cols = [
+        f.name for f in df.schema.fields if f.name not in missing_keys
+    ]
 
     def fn(
         key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
@@ -132,7 +150,7 @@ def multiline_join_stream(
             state.remove()
             if first_packed:
                 row = unpack(first_packed)
-                row[field] = buf
+                row[field] = buf[:max_event_size] if max_event_size else buf
                 yield pd.DataFrame([row])[data_cols]
             return
 
@@ -150,7 +168,7 @@ def multiline_join_stream(
             nonlocal buf, first_packed
             if first_packed is not None:
                 row = unpack(first_packed)
-                row[field] = buf
+                row[field] = buf[:max_event_size] if max_event_size else buf
                 out_rows.append(row)
             buf, first_packed = "", None
 
@@ -179,6 +197,12 @@ def multiline_join_stream(
                     ok = not ok
                 if ok:
                     buf += value
+                    if max_event_size:
+                        # cap the STORED buffer too: (a+b)[:n] ==
+                        # (a[:n]+b)[:n], so the emitted prefix is
+                        # identical to batch's substring-after-join
+                        # while state stays bounded
+                        buf = buf[:max_event_size]
                     continue
                 flush()
             out_rows.append(rec)
@@ -240,15 +264,26 @@ def throttle_stream(
     out_schema = df.schema
     if rule_cfgs is None:
         rule_cfgs = [{"limit": int(limit), "dlims": None}]
+    # keyless throttle (no throttle_field): one shared limiter for the
+    # whole stream — batch builds key = lit('') for this
+    # (actions/throttle.py); synthesize the same constant key here
+    # instead of letting groupBy('') fail to resolve
+    if not key_col:
+        key_col = "__fd_nokey__"
+        df = df.withColumn(key_col, F.lit(""))
     # rings serialized as parallel arrays (rule, bucket, didx) -> used
     state_schema = (
         "rules array<long>, bucket_ids array<long>, "
         "didx array<long>, used array<long>"
     )
+    # helper columns (__fd_*: staged rule/count/distribution indexes,
+    # the synthetic keyless key, the caller's pre-parsed timestamp)
+    # never appear in the output
     data_cols = [
         f.name
         for f in df.schema.fields
         if f.name not in (rule_col, cnt_col, didx_col)
+        and not f.name.startswith("__fd_")
     ]
     out_schema = df.select(*data_cols).schema
 
@@ -356,15 +391,28 @@ def cardinality_stream(
     limit: int,
     mode: str = "discard",
     ttl_ms: int = 0,
+    strip_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming cardinality guard: tracks distinct ``value_col`` per
-    key; over ``limit`` the key's events are discarded / the field
-    nulled / passed (mode nothing).  With ``ttl_ms`` the per-key set
-    expires after inactivity (the reference keeps the distinct sets in
-    a TTL cache — cardinality.go:126-169)."""
-    out_schema = df.schema
-    state_schema = "values array<string>, over boolean"
-    data_cols = [f.name for f in df.schema.fields]
+    key; an event whose key has already accumulated ``limit`` distinct
+    values BEFORE it is discarded / field-stripped / passed — the
+    check runs before the insert and an acted-on event's value is
+    never cached, exactly cardinality.go Do (:259-295; the same
+    ``distinct_before >= limit`` rule the batch sequential path
+    replays).  With ``ttl_ms`` the per-key set expires after
+    inactivity (the reference's TTL cache — cardinality.go:126-169).
+
+    ``strip_cols``: the REAL field columns to null in remove_fields
+    mode (``value_col`` may be a composite helper the caller built
+    from several fields); defaults to ``[value_col]``.  Caller-built
+    ``__fd_*`` helper columns (composite key/value) never appear in
+    the output."""
+    state_schema = "values array<string>"
+    data_cols = [
+        f.name for f in df.schema.fields if not f.name.startswith("__fd_")
+    ]
+    out_schema = df.select(*data_cols).schema
+    strip = list(strip_cols) if strip_cols else [value_col]
 
     def fn(
         key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
@@ -375,26 +423,24 @@ def cardinality_stream(
         pdf = _concat_frames(frames)
         if not len(pdf):
             return
-        if state.exists:
-            values, over = state.get
-            seen = set(values)
-        else:
-            seen, over = set(), False
+        seen = set(state.get[0]) if state.exists else set()
         out_rows = []
         for rec in pdf.to_dict("records"):
             v = str(rec.get(value_col))
-            if not over:
-                seen.add(v)
-                if len(seen) > limit:
-                    over = True
-            if over:
+            # reference order: check the count BEFORE inserting — an
+            # event at the limit is acted on even if its own value is
+            # already cached, and its value is never inserted
+            if len(seen) >= limit:
                 if mode == "discard":
                     continue
                 if mode == "remove_fields":
-                    rec[value_col] = None
+                    for c in strip:
+                        rec[c] = None
+            else:
+                seen.add(v)
             out_rows.append(rec)
-        # cap stored set at limit+1 — once over, membership is moot
-        state.update((sorted(seen)[: limit + 1], over))
+        # the set can never exceed `limit` (inserts stop at the cap)
+        state.update((sorted(seen),))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
         if out_rows:
@@ -418,41 +464,77 @@ def antispam_stream(
     source_col: str,
     threshold: int,
     maintenance_interval_ms: int = 60_000,
-    unban_idle_ticks: int = 4,
+    unban_iterations: int = 4,
+    seq_col: str | None = None,
 ) -> DataFrame:
-    """Streaming antispam: counts per source within a maintenance
-    window (processing-time timeout = the maintenance tick); a source
-    over ``threshold`` is banned; after ``unban_idle_ticks`` quiet
-    ticks it is unbanned (reference antispammer.go:24-120)."""
+    """Streaming antispam with the reference's EXACT per-event counter
+    machine (antispammer.go IsSpam :94-190 / Maintenance :192-235):
+
+      * each event increments the source's counter and is dropped iff
+        the post-increment value ``x >= threshold`` — so the first
+        ``threshold - 1`` events of a burst PASS and only the overflow
+        is dropped, even inside one micro-batch;
+      * at ``x == threshold`` the counter jumps to
+        ``unban_iterations * threshold`` (the ban charge);
+      * every maintenance tick (processing-time timeout) decays the
+        counter by ``threshold`` (floored at 0, capped at the ban
+        charge) — a banned source therefore unbans after
+        ``unban_iterations`` quiet ticks;
+      * a source whose counter decayed to 0 is DELETED from the state
+        store on the next tick (Maintenance's ``x == 0 -> delete``),
+        so idle sources cannot accumulate state at high cardinality.
+
+    ``seq_col`` orders events inside a micro-batch (arrival order);
+    without it the pandas frame order is used.  One documented
+    simplification: the reference gates each increment on the
+    inter-event gap being under the maintenance interval (IsSpam's
+    ``diff < maintenanceInterval``); here every event increments —
+    for sources slower than one event per tick the per-tick decay of
+    ``threshold`` dominates either way, so ban outcomes agree.
+
+    Checkpoint compatibility: the state schema changed from
+    (count, banned, idle) to a single ``counter`` when the machine
+    was aligned to the reference — use a NEW checkpoint dir when
+    upgrading across that boundary."""
     out_schema = df.schema
-    state_schema = "count long, banned boolean, idle int"
+    state_schema = "counter long"
     data_cols = [f.name for f in df.schema.fields]
+    ban_charge = unban_iterations * threshold
 
     def fn(
         key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            count, banned, idle = state.get
-            if count == 0:
-                idle += 1
-            if banned and idle >= unban_idle_ticks:
-                state.remove()
+            (counter,) = state.get
+            if counter == 0:
+                state.remove()  # Maintenance: idle source forgotten
                 return
-            state.update((0, banned, idle))
+            # Maintenance order matters: subtract THEN cap
+            # (antispammer.go:206-224 — x -= threshold; floor 0; cap
+            # at the ban charge)
+            counter = min(max(0, counter - threshold), ban_charge)
+            state.update((counter,))
             state.setTimeoutDuration(maintenance_interval_ms)
             return
 
         pdf = _concat_frames(frames)
         if not len(pdf):
             return
-        count, banned, idle = state.get if state.exists else (0, False, 0)
-        count += len(pdf)
-        if count > threshold:
-            banned = True
-        state.update((count, banned, 0))
+        if seq_col is not None and seq_col in pdf.columns:
+            pdf = pdf.sort_values(seq_col, kind="mergesort")
+        (counter,) = state.get if state.exists else (0,)
+        keep = []
+        for _ in range(len(pdf)):
+            counter += 1
+            x = counter
+            if x == threshold:
+                counter = ban_charge  # the ban: pre-charge the decay
+            keep.append(x < threshold)
+        state.update((counter,))
         state.setTimeoutDuration(maintenance_interval_ms)
-        if not banned:
-            yield pdf[data_cols]
+        out = pdf[pd.Series(keep, index=pdf.index)]
+        if len(out):
+            yield out[data_cols]
 
     return df.groupBy(source_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
@@ -541,6 +623,11 @@ def bloom_dedup_stream(
     n_words = (m_bits + 63) // 64
     data_cols = list(df.columns)
     out_schema = df.schema
+    # batch parity: bloom_dedup's `filter(~might_contain)` evaluates to
+    # NULL for null content and drops the row — mirror that here, or a
+    # null would stringify to the literal 'None' and collide with real
+    # "None" text while being admitted once
+    df = df.filter(F.col(content_col).isNotNull())
     src = df.withColumn(
         "__shard__",
         F.pmod(

@@ -149,10 +149,20 @@ def test_antispam_stream(spark, stream_reader):
         {"source": "quiet", "i": 1}
     ]
     df = stream_reader(rows, "source string, i long")
-    out = antispam_stream(df, "source", threshold=10, maintenance_interval_ms=60_000)
+    out = antispam_stream(
+        df, "source", threshold=10, maintenance_interval_ms=60_000,
+        seq_col="i",
+    )
     _run_stream(out, "anti")
-    got = {r.source for r in spark.sql("SELECT DISTINCT source FROM anti").collect()}
-    assert got == {"quiet"}
+    got = {
+        (r.source, r.i)
+        for r in spark.sql("SELECT source, i FROM anti").collect()
+    }
+    # reference per-event admission (IsSpam: drop iff post-increment
+    # x >= threshold): the burst's first threshold-1 events PASS and
+    # only the overflow is dropped — not the whole micro-batch
+    assert {i for s, i in got if s == "spammy"} == set(range(9))
+    assert ("quiet", 1) in got
 
 
 def test_antispam_stream_idle_unban(spark, tmp_path):
@@ -175,7 +185,7 @@ def test_antispam_stream_idle_unban(spark, tmp_path):
     sdf = spark.readStream.schema("source string, i long").json(str(src))
     out = antispam_stream(
         sdf, "source", threshold=3,
-        maintenance_interval_ms=1500, unban_idle_ticks=2,
+        maintenance_interval_ms=1500, unban_iterations=2, seq_col="i",
     )
     q = (
         out.writeStream.format("memory")
@@ -221,8 +231,9 @@ def test_antispam_stream_idle_unban(spark, tmp_path):
     finally:
         q.stop()
     assert unbanned, f"still banned after idle ticks: {sorted(seen)}"
-    # the original burst stays suppressed; heartbeats flowed through
-    assert not any(s == "spammy" and i < 100 for s, i in seen)
+    # of the original burst only the pre-threshold events (x < 3:
+    # i=0,1) passed; the overflow stays suppressed; heartbeats flowed
+    assert not any(s == "spammy" and 2 <= i < 100 for s, i in seen)
     assert ("other", 0) in seen
 
 
@@ -382,3 +393,151 @@ def test_join_template_stream_per_template_gating(spark, stream_reader):
     assert got[("a", 4)] == "plain line"
     # the cs block consumed ITS continue and flushed via timeout
     assert got.get(("a", 5)) == "Unhandled exception. X   ---> inner exception"
+
+
+def test_cardinality_stream_at_limit_cached_value(spark, stream_reader):
+    """Reference order (cardinality.go Do:259-295): the check runs
+    BEFORE the insert, so once `limit` distinct values accumulated, an
+    event is acted on EVEN IF its own value is already cached — the
+    batch sequential path's exact rule."""
+    from file_d_spark.streaming import cardinality_stream
+
+    rows = [
+        {"tenant": "t", "trace": "A", "i": 0},
+        {"tenant": "t", "trace": "B", "i": 1},
+        {"tenant": "t", "trace": "A", "i": 2},  # cached value, at limit
+    ]
+    df = stream_reader(rows, "tenant string, trace string, i long")
+    out = cardinality_stream(df, "tenant", "trace", limit=2, mode="discard")
+    _run_stream(out, "card_at_limit")
+    got = sorted(r.i for r in spark.sql("SELECT i FROM card_at_limit").collect())
+    assert got == [0, 1], f"cached-value event at the limit admitted: {got}"
+
+
+def test_cardinality_stream_multi_key_multi_field(spark, stream_reader):
+    """Multi-key / multi-field configs go through the engine as
+    composite concat_ws columns (batch parity): distinct counting is
+    per (k1, k2) over (f1, f2), and remove_fields strips EVERY
+    configured field."""
+    from file_d_spark import Pipeline
+
+    rows = [
+        {"k1": "a", "k2": "x", "f1": "1", "f2": "1", "i": 0},
+        {"k1": "a", "k2": "x", "f1": "2", "f2": "2", "i": 1},
+        # different k2 -> separate composite key, stays under limit
+        {"k1": "a", "k2": "y", "f1": "9", "f2": "9", "i": 2},
+        # (a, x) at the limit -> fields stripped
+        {"k1": "a", "k2": "x", "f1": "3", "f2": "3", "i": 3},
+    ]
+    import json as _json
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    with open(f"{d}/rows.jsonl", "w") as fh:
+        fh.write("\n".join(_json.dumps(r) for r in rows))
+    schema = "k1 string, k2 string, f1 string, f2 string, i long"
+    sdf = spark.readStream.schema(schema).json(d)
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "cardinality",
+                    "key": ["k1", "k2"],
+                    "fields": ["f1", "f2"],
+                    "limit": 2,
+                    "action": "remove_fields",
+                }
+            ]
+        }
+    )
+    _run_stream(p.apply(sdf), "card_multi")
+    got = {r.i: r for r in spark.sql("SELECT * FROM card_multi").collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0].f1 == "1" and got[1].f2 == "2" and got[2].f1 == "9"
+    assert got[3].f1 is None and got[3].f2 is None  # BOTH fields stripped
+    assert "__fd_ck__" not in got[0].asDict()  # helpers dropped
+
+
+def test_throttle_stream_keyless_and_numeric_epoch(spark, stream_reader):
+    """Keyless throttle (no throttle_field = one shared limiter) must
+    run in streaming, and a numeric epoch-seconds time_field must
+    parse through the batch xtime machinery — bare pd.to_datetime read
+    it as NANOSECONDS and collapsed every event into bucket ~0."""
+    from file_d_spark import Pipeline
+
+    rows = [
+        # two distinct hours, unix SECONDS; limit 1/bucket
+        {"t": 1704067200, "i": 0},
+        {"t": 1704067201, "i": 1},   # same hour -> over limit
+        {"t": 1704070800, "i": 2},   # next hour -> admitted
+    ]
+    df = stream_reader(rows, "t long, i long")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "throttle",
+                    "time_field": "t",
+                    "time_field_format": "unixtime",
+                    "bucket_interval": "1h",
+                    "buckets_count": 10,
+                    "default_limit": 1,
+                }
+            ]
+        }
+    )
+    _run_stream(p.apply(df), "thr_keyless")
+    got = sorted(r.i for r in spark.sql("SELECT i FROM thr_keyless").collect())
+    # nanosecond misparse would put all three in one bucket -> [0];
+    # correct parsing admits one per hour bucket
+    assert got == [0, 2], got
+
+
+def test_multiline_stream_max_event_size_and_missing_source(spark, stream_reader):
+    """max_event_size caps the joined value exactly like the batch
+    substring; a stream without the source column runs as
+    single-source (batch parity) instead of failing groupBy."""
+    from file_d_spark.streaming import multiline_join_stream
+
+    rows = [
+        {"seq": 0, "log": "START aaaa"},
+        {"seq": 1, "log": "cont bbbb"},
+        {"seq": 2, "log": "cont cccc"},
+        {"seq": 3, "log": "OTHER"},  # breaks the sequence -> flush
+    ]
+    df = stream_reader(rows, "seq long, log string")
+    out = multiline_join_stream(
+        df,
+        key_cols=["source_id"],  # absent column -> backfilled
+        seq_col="seq",
+        field="log",
+        start_re="^START",
+        continue_re="^cont",
+        max_event_size=15,
+    )
+    _run_stream(out, "mjoin_cap")
+    got = {r.seq: r.log for r in spark.sql("SELECT * FROM mjoin_cap").collect()}
+    joined = got[0]
+    assert joined == ("START aaaa" + "cont bbbb" + "cont cccc")[:15]
+    assert got[3] == "OTHER"
+    cols = spark.sql("SELECT * FROM mjoin_cap").columns
+    assert "source_id" not in cols  # synthetic key dropped from output
+
+
+def test_bloom_dedup_stream_drops_null_content(spark, stream_reader):
+    """Batch parity: bloom_dedup's ~might_contain is NULL for null
+    content and drops the row; the stream must not admit a null as the
+    string 'None' (which would also collide with real \"None\" text)."""
+    from file_d_spark.streaming import bloom_dedup_stream
+
+    rows = [
+        {"c": None, "i": 0},
+        {"c": "None", "i": 1},   # REAL text "None" — must be admitted
+        {"c": None, "i": 2},
+        {"c": "x", "i": 3},
+    ]
+    df = stream_reader(rows, "c string, i long")
+    out = bloom_dedup_stream(df, "c")
+    _run_stream(out, "bloom_null")
+    got = sorted(r.i for r in spark.sql("SELECT i FROM bloom_null").collect())
+    assert got == [1, 3], got

@@ -159,11 +159,13 @@ def test_antispam_ban_survives_restart(spark, tmp_path):
         # long maintenance interval: no tick fires inside the test, so
         # the ban can only disappear via state loss
         return antispam_stream(
-            df, "src", threshold=5, maintenance_interval_ms=600_000
+            df, "src", threshold=5, maintenance_interval_ms=600_000,
+            seq_col="i",
         )
 
-    # batch 1: s1 bursts past the threshold -> banned, nothing emitted
-    # (condition watches query progress, not the empty sink)
+    # batch 1: s1 bursts past the threshold -> the first threshold-1
+    # events pass (reference per-event admission), the ban suppresses
+    # the rest (condition watches query progress, not the sink)
     _write_jsonl(str(in_dir), "b1.jsonl", [
         {"src": "s1", "i": i} for i in range(6)
     ])
@@ -183,7 +185,10 @@ def test_antispam_ban_survives_restart(spark, tmp_path):
     )
 
     got = _read_out(spark, out_dir, schema)
-    assert not any(r.src == "s1" for r in got), (
+    s1 = sorted(r.i for r in got if r.src == "s1")
+    # pre-ban events from batch 1 passed; the post-restart trickle is
+    # still suppressed by the surviving ban charge
+    assert s1 == [0, 1, 2, 3], (
         f"antispam ban reset across restart: {[(r.src, r.i) for r in got]}"
     )
     assert [r.i for r in got if r.src == "s2"] == [999]
