@@ -541,3 +541,41 @@ def test_bloom_dedup_stream_drops_null_content(spark, stream_reader):
     _run_stream(out, "bloom_null")
     got = sorted(r.i for r in spark.sql("SELECT i FROM bloom_null").collect())
     assert got == [1, 3], got
+
+
+def test_cardinality_batch_stream_parity(spark, stream_reader):
+    """With the r10 check-before-insert fix the streaming cardinality
+    admission equals the batch SEQUENTIAL path (order_fields) over the
+    same rows — one rule, two execution modes."""
+    from file_d_spark import Pipeline
+
+    rows = [
+        {"tenant": "t", "trace": f"tr{i % 4}", "i": i} for i in range(12)
+    ]
+    cfg = {
+        "type": "cardinality",
+        "key": ["tenant"],
+        "fields": ["trace"],
+        "limit": 3,
+        "action": "discard",
+    }
+    # batch: sequential replay ordered by i
+    bdf = spark.createDataFrame(
+        [(r["tenant"], r["trace"], r["i"]) for r in rows],
+        "tenant string, trace string, i long",
+    )
+    batch_out = sorted(
+        r.i
+        for r in Pipeline.from_dict(
+            {"actions": [{**cfg, "order_fields": ["i"]}]}
+        ).apply(bdf).collect()
+    )
+    # streaming: same rows in arrival order
+    sdf = stream_reader(rows, "tenant string, trace string, i long")
+    _run_stream(
+        Pipeline.from_dict({"actions": [cfg]}).apply(sdf), "card_parity"
+    )
+    stream_out = sorted(
+        r.i for r in spark.sql("SELECT i FROM card_parity").collect()
+    )
+    assert stream_out == batch_out, (stream_out, batch_out)
