@@ -186,7 +186,11 @@ def multiline_join_stream(
             if started is not None:
                 flush()
                 first_packed = pack(rec)
-                buf = value
+                # cap the start line too — one oversized opener would
+                # otherwise hold a state row above max_event_size for
+                # as long as the sequence stays open (the continue
+                # branch alone can't shrink an already-over buffer)
+                buf = value[:max_event_size] if max_event_size else value
                 tpl = started
                 continue
             joining = first_packed is not None
@@ -402,17 +406,42 @@ def cardinality_stream(
     replays).  With ``ttl_ms`` the per-key set expires after
     inactivity (the reference's TTL cache — cardinality.go:126-169).
 
-    ``strip_cols``: the REAL field columns to null in remove_fields
+    ``strip_cols``: the REAL field selectors to null in remove_fields
     mode (``value_col`` may be a composite helper the caller built
-    from several fields); defaults to ``[value_col]``.  Caller-built
-    ``__fd_*`` helper columns (composite key/value) never appear in
-    the output."""
+    from several fields); defaults to ``[value_col]``.  Selectors are
+    dot-paths with the batch path's ``\\.`` escaping — a nested
+    selector (``meta.trace``) nulls the LEAF inside the struct dict,
+    matching batch set_field, instead of planting a bogus top-level
+    key that the output projection would silently drop (the field
+    would survive unstripped).  A selector whose path doesn't resolve
+    in the record is a no-op, like batch's when-over-null on an
+    absent column.  Caller-built ``__fd_*`` helper columns (composite
+    key/value) never appear in the output.
+
+    Checkpoint compatibility: the state schema narrowed from
+    (values, over) to (values) when admission moved to
+    check-before-insert (r10); restarting over a checkpoint written
+    by the two-field version fails Spark's state-schema validation —
+    use a NEW checkpoint dir when upgrading across that boundary."""
+    from file_d_spark.fields import parse_selector
+
     state_schema = "values array<string>"
     data_cols = [
         f.name for f in df.schema.fields if not f.name.startswith("__fd_")
     ]
     out_schema = df.select(*data_cols).schema
     strip = list(strip_cols) if strip_cols else [value_col]
+    strip_parts = [parse_selector(s) for s in strip]
+
+    def _null_leaf(rec: dict, parts: list[str]) -> None:
+        node = rec
+        for p in parts[:-1]:
+            nxt = node.get(p) if isinstance(node, dict) else None
+            if not isinstance(nxt, dict):
+                return  # path absent: nothing to strip
+            node = nxt
+        if isinstance(node, dict) and parts[-1] in node:
+            node[parts[-1]] = None
 
     def fn(
         key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
@@ -434,8 +463,8 @@ def cardinality_stream(
                 if mode == "discard":
                     continue
                 if mode == "remove_fields":
-                    for c in strip:
-                        rec[c] = None
+                    for parts in strip_parts:
+                        _null_leaf(rec, parts)
             else:
                 seen.add(v)
             out_rows.append(rec)
@@ -1191,21 +1220,33 @@ def bpe_apply_stream(
 
 
 def cms_stream(
-    df: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 1024,
+    shards: int = 8,
 ) -> DataFrame:
     """Streaming twin of ``sketch.cms_topk``'s counter matrix: the
     depth×width Count-Min counters merged across micro-batches
     (counters are sums — the linearity that makes CMS mergeable in
-    batch makes it restart-stable here).  Keyed by the depth row
-    ``r`` (hashing runs IN SPARK with the batch operator's
-    expression), so state per group is exactly the ``width`` counters
-    of one sketch row and the depth rows update in parallel.
+    batch makes it restart-stable here).  Keyed by (depth row ``r``,
+    value shard) — hashing runs IN SPARK with the batch operator's
+    expression — so state per group is the ``width`` counters of one
+    sketch-row SHARD and depth×shards groups update in parallel: the
+    whole stream never funnels through only ``depth`` tasks (the
+    ``bloom_dedup_stream`` ``__shard__`` pattern; CMS counters are
+    linear, so per-shard matrices sum to the unsharded one exactly).
+    The shard is a deterministic hash of the value (not round-robin),
+    so a replayed micro-batch lands on the same groups.
 
-    Emits one post-batch snapshot per row — (r, version, counters) —
-    tagged with a monotonically increasing version (take the max per
-    r); a point query is ``min_r counters[r][h(v, r)]``, and after
-    any prefix of arrivals the matrix is BIT-IDENTICAL to the batch
-    sketch over the same rows."""
+    Emits one post-batch snapshot per updated group — (r, shard,
+    version, counters) — tagged with a per-group monotonically
+    increasing version.  Readout: take each group's max-version row,
+    element-wise sum counters over shards per r; a point query is
+    then ``min_r summed[r][h(v, r)]``, and after any prefix of
+    arrivals the summed matrix is BIT-IDENTICAL to the batch sketch
+    over the same rows (with ``shards=1`` each snapshot already is).
+
+    Checkpoint compatibility: the group key widened from (r) to
+    (r, shard) when sharding landed (r11) — use a NEW checkpoint dir
+    when upgrading across that boundary."""
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
@@ -1223,6 +1264,12 @@ def cms_stream(
         .select("v", rows)
         .select(
             "r",
+            # shard salt differs from the position hash's "#r" salt so
+            # shard and column assignment stay independent
+            F.pmod(
+                _sketch._h32(F.concat(F.col("v"), F.lit("#shard"))),
+                F.lit(shards),
+            ).cast("int").alias("shard"),
             F.pmod(
                 _sketch._h32(
                     F.concat(F.col("v"), F.lit("#"), F.col("r").cast("string"))
@@ -1234,6 +1281,7 @@ def cms_stream(
     snap_schema = StructType(
         [
             StructField("r", IntegerType()),
+            StructField("shard", IntegerType()),
             StructField("version", LongType()),
             StructField("counters", ArrayType(LongType())),
         ]
@@ -1255,10 +1303,15 @@ def cms_stream(
         version += 1
         state.update((version, counters))
         yield pd.DataFrame(
-            {"r": [key[0]], "version": [version], "counters": [counters]}
+            {
+                "r": [key[0]],
+                "shard": [key[1]],
+                "version": [version],
+                "counters": [counters],
+            }
         )
 
-    return src.groupBy("r").applyInPandasWithState(
+    return src.groupBy("r", "shard").applyInPandasWithState(
         fn,
         snap_schema,
         "version long, counters array<long>",
@@ -1272,21 +1325,28 @@ def cms_stream(
 # --------------------------------------------------------------------------
 
 
-def f2_stream(df: DataFrame, value_col: str, reps: int = 16) -> DataFrame:
+def f2_stream(
+    df: DataFrame, value_col: str, reps: int = 16, shards: int = 8,
+) -> DataFrame:
     """Streaming twin of ``sketch.f2_moment``'s sign-sums: the AMS
     sketch is LINEAR (X_r(A∪B) = X_r(A) + X_r(B) over row multisets),
-    so each rep's running X_r is one long of state merged by addition
-    — keyed by rep, the ``reps`` groups update in parallel and the
-    per-rep sign-sum arrives PRE-AGGREGATED per micro-batch would be
-    ideal, but chaining a streaming aggregate before a stateful op is
-    restricted, so the signs stream through raw (the hll-twin
-    convention).  Hashing and signing run IN SPARK with the batch
-    operator's expressions.
+    so each rep's running X_r is one long of state merged by addition.
+    Keyed by (rep, value shard) — the ``bloom_dedup_stream``
+    ``__shard__`` pattern — so reps×shards groups update in parallel
+    and the whole stream never funnels through only ``reps`` tasks;
+    per-shard X_r sums to the unsharded X_r exactly (linearity over
+    the value partition).  The shard is a deterministic hash of the
+    value so replayed micro-batches land on the same groups.  Hashing
+    and signing run IN SPARK with the batch operator's expressions.
 
-    Emits (r, version, x) snapshots; the consumer recombines
-    ``sum(x²)/reps`` over the max-version rows — BIT-IDENTICAL to the
-    batch estimate over the same rows (integer arithmetic end to
-    end)."""
+    Emits (r, shard, version, x) snapshots; the consumer takes each
+    group's max-version row, sums x over shards per r, and recombines
+    ``sum(x_r²)/reps`` — BIT-IDENTICAL to the batch estimate over the
+    same rows (integer arithmetic end to end).
+
+    Checkpoint compatibility: the group key widened from (r) to
+    (r, shard) when sharding landed (r11) — use a NEW checkpoint dir
+    when upgrading across that boundary."""
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     from file_d_spark.functions import sketch as _sketch
@@ -1298,6 +1358,12 @@ def f2_stream(df: DataFrame, value_col: str, reps: int = 16) -> DataFrame:
         .select("v", rows)
         .select(
             F.col("r").cast("int").alias("r"),
+            # same value-keyed shard salt as cms_stream; independent of
+            # the "#r" sign hash
+            F.pmod(
+                _sketch._h32(F.concat(F.col("v"), F.lit("#shard"))),
+                F.lit(shards),
+            ).cast("int").alias("shard"),
             (
                 F.lit(1)
                 - F.lit(2)
@@ -1310,6 +1376,7 @@ def f2_stream(df: DataFrame, value_col: str, reps: int = 16) -> DataFrame:
     snap_schema = StructType(
         [
             StructField("r", IntegerType()),
+            StructField("shard", IntegerType()),
             StructField("version", LongType()),
             StructField("x", LongType()),
         ]
@@ -1329,10 +1396,10 @@ def f2_stream(df: DataFrame, value_col: str, reps: int = 16) -> DataFrame:
         version += 1
         state.update((version, x))
         yield pd.DataFrame(
-            {"r": [key[0]], "version": [version], "x": [x]}
+            {"r": [key[0]], "shard": [key[1]], "version": [version], "x": [x]}
         )
 
-    return src.groupBy("r").applyInPandasWithState(
+    return src.groupBy("r", "shard").applyInPandasWithState(
         fn,
         snap_schema,
         "version long, x long",

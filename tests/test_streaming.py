@@ -458,6 +458,42 @@ def test_cardinality_stream_multi_key_multi_field(spark, stream_reader):
     assert "__fd_ck__" not in got[0].asDict()  # helpers dropped
 
 
+def test_cardinality_stream_strips_nested_selector(spark, stream_reader):
+    """A NESTED strip selector (meta.trace) must null the leaf inside
+    the struct — batch parity with set_field.  The old top-level
+    `rec['meta.trace'] = None` planted a bogus key that the output
+    projection silently dropped, so the real nested field leaked
+    through unstripped."""
+    from file_d_spark import Pipeline
+
+    rows = [
+        {"tenant": "t", "meta": {"trace": "A", "keep": "k0"}, "i": 0},
+        # second distinct trace under limit=1 -> acted on
+        {"tenant": "t", "meta": {"trace": "B", "keep": "k1"}, "i": 1},
+    ]
+    schema = "tenant string, meta struct<trace string, keep string>, i long"
+    df = stream_reader(rows, schema)
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "cardinality",
+                    "key": "tenant",
+                    "fields": ["meta.trace"],
+                    "limit": 1,
+                    "action": "remove_fields",
+                }
+            ]
+        }
+    )
+    _run_stream(p.apply(df), "card_nested")
+    got = {r.i: r for r in spark.sql("SELECT * FROM card_nested").collect()}
+    assert set(got) == {0, 1}
+    assert got[0].meta.trace == "A" and got[0].meta.keep == "k0"
+    assert got[1].meta.trace is None, "nested field survived the strip"
+    assert got[1].meta.keep == "k1", "sibling field must survive"
+
+
 def test_throttle_stream_keyless_and_numeric_epoch(spark, stream_reader):
     """Keyless throttle (no throttle_field = one shared limiter) must
     run in streaming, and a numeric epoch-seconds time_field must

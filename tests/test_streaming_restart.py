@@ -811,27 +811,32 @@ def test_bpe_apply_stream_restart_and_batch_parity(spark, tmp_path):
 
 
 def test_cms_stream_restart_and_batch_parity(spark, tmp_path):
-    """Streaming Count-Min: counters sum across batches AND a restart
-    (linearity), and every probed point query over the final matrix
-    equals the batch cms_topk estimate over the same rows."""
+    """Streaming Count-Min: per-(row, shard) counters sum across
+    batches AND a restart (linearity), and — after summing the shard
+    matrices per row — every probed point query over the final matrix
+    equals the batch cms_topk estimate over the same rows.  shards=3
+    exercises the sharded state layout (the whole stream must not
+    funnel through only ``depth`` groups)."""
     from file_d_spark.functions import sketch
     from file_d_spark.streaming import cms_stream
 
     in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
     in_schema = "w string"
-    out_schema = "r int, version long, counters array<long>"
-    depth, width = 4, 64
+    out_schema = "r int, shard int, version long, counters array<long>"
+    depth, width, shards = 4, 64, 3
     rows1 = [{"w": "hot"}] * 60 + [{"w": f"t{i}"} for i in range(40)]
     rows2 = [{"w": "hot"}] * 40 + [{"w": "warm"}] * 25 + [{"w": None}]
 
     def make_query():
         df = spark.readStream.schema(in_schema).json(str(in_dir))
-        return cms_stream(df, "w", depth=depth, width=width)
+        return cms_stream(df, "w", depth=depth, width=width, shards=shards)
 
     _write_jsonl(str(in_dir), "b1.jsonl", rows1)
     _drive(
         make_query(), out_dir, ckpt,
-        lambda q: len(_read_out(spark, out_dir, out_schema)) >= depth,
+        lambda q: len(
+            {r.r for r in _read_out(spark, out_dir, out_schema)}
+        ) >= depth,
     )
     _write_jsonl(str(in_dir), "b2.jsonl", rows2)
     _drive(
@@ -842,10 +847,15 @@ def test_cms_stream_restart_and_batch_parity(spark, tmp_path):
     )
     latest: dict = {}
     for r in _read_out(spark, out_dir, out_schema):
-        if r.r not in latest or r.version > latest[r.r].version:
-            latest[r.r] = r
-    assert set(latest) == set(range(depth))
-    matrix = {r: list(latest[r].counters) for r in latest}
+        g = (r.r, r.shard)
+        if g not in latest or r.version > latest[g].version:
+            latest[g] = r
+    assert {g[0] for g in latest} == set(range(depth))
+    assert len({g[1] for g in latest}) > 1, "sharding never split the stream"
+    matrix = {r: [0] * width for r in range(depth)}
+    for (r, _s), row in latest.items():
+        for i, c in enumerate(row.counters):
+            matrix[r][i] += c
 
     batch_df = spark.createDataFrame(
         [(r["w"],) for r in rows1 + rows2], in_schema
@@ -869,28 +879,31 @@ def test_cms_stream_restart_and_batch_parity(spark, tmp_path):
 
 
 def test_f2_stream_restart_and_batch_parity(spark, tmp_path):
-    """Streaming AMS F2: per-rep sign-sums merge across batches and a
-    restart (linearity); recombining sum(x²)/reps over the final
-    snapshots is BIT-IDENTICAL to the batch f2_moment estimate over
-    the same rows."""
+    """Streaming AMS F2: per-(rep, shard) sign-sums merge across
+    batches and a restart (linearity); summing x over shards per rep
+    and recombining sum(x_r²)/reps is BIT-IDENTICAL to the batch
+    f2_moment estimate over the same rows.  shards=3 exercises the
+    sharded state layout."""
     from file_d_spark.functions import sketch
     from file_d_spark.streaming import f2_stream
 
     in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
     in_schema = "w string"
-    out_schema = "r int, version long, x long"
-    reps = 8
+    out_schema = "r int, shard int, version long, x long"
+    reps, shards = 8, 3
     rows1 = [{"w": f"w{i % 17}"} for i in range(120)]
     rows2 = [{"w": f"w{i % 29}"} for i in range(90)] + [{"w": None}]
 
     def make_query():
         df = spark.readStream.schema(in_schema).json(str(in_dir))
-        return f2_stream(df, "w", reps=reps)
+        return f2_stream(df, "w", reps=reps, shards=shards)
 
     _write_jsonl(str(in_dir), "b1.jsonl", rows1)
     _drive(
         make_query(), out_dir, ckpt,
-        lambda q: len(_read_out(spark, out_dir, out_schema)) >= reps,
+        lambda q: len(
+            {r.r for r in _read_out(spark, out_dir, out_schema)}
+        ) >= reps,
     )
     _write_jsonl(str(in_dir), "b2.jsonl", rows2)
     _drive(
@@ -901,11 +914,16 @@ def test_f2_stream_restart_and_batch_parity(spark, tmp_path):
     )
     latest: dict = {}
     for r in _read_out(spark, out_dir, out_schema):
-        if r.r not in latest or r.version > latest[r.r].version:
-            latest[r.r] = r
-    assert set(latest) == set(range(reps))
+        g = (r.r, r.shard)
+        if g not in latest or r.version > latest[g].version:
+            latest[g] = r
+    assert {g[0] for g in latest} == set(range(reps))
+    assert len({g[1] for g in latest}) > 1, "sharding never split the stream"
+    xsum = {r: 0 for r in range(reps)}
+    for (r, _s), row in latest.items():
+        xsum[r] += row.x
     est = round(
-        sum(latest[r].x * latest[r].x for r in latest) / float(reps), 4
+        sum(x * x for x in xsum.values()) / float(reps), 4
     )
     batch_df = spark.createDataFrame(
         [(r["w"],) for r in rows1 + rows2], in_schema
