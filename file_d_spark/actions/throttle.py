@@ -260,8 +260,17 @@ class Throttle(Action):
 
             # limiter_key_field (throttle.go:246,543-545): the event
             # field's VALUE becomes the redis limit key, overriding the
-            # <pipeline>_<field>_<value>_limit naming pattern; the
-            # override map then keys on that field per event
+            # <pipeline>_<field>_<value>_limit naming pattern.  The
+            # reference's limitersMap.getOrAdd keys the limiter by
+            # (rule, throttleKey) alone (limiters_map.go:266-290), so
+            # the FIRST event's override sticks for that key — the
+            # lookup below therefore resolves each (key, rule) group to
+            # its first event's lkey (by the same arrival order the
+            # admission window uses), not to each event's own.  A null
+            # first lkey (field absent) means no override — the config
+            # default applies (the reference would fall back to the
+            # naming-pattern limit; documented divergence, the non-lkf
+            # branch covers that lookup shape).
             lkf = str(backend_cfg.get("limiter_key_field", "") or "")
             if lkf:
                 df = df.withColumn(
@@ -269,7 +278,10 @@ class Throttle(Action):
                     get_col_safe(parse_selector(lkf), df.schema).cast("string"),
                 )
                 helper_cols.append("__fd_lkey__")
-                lookup = F.col("__fd_lkey__")
+                w_lim = Window.partitionBy(
+                    "__fd_key__", "__fd_rule__"
+                ).orderBy(*order_cols)
+                lookup = F.first("__fd_lkey__").over(w_lim)
                 overrides = fetch_limit_overrides(
                     df.select("__fd_lkey__"), "__fd_lkey__", key_field,
                     backend_cfg, limit, bucket_s,

@@ -587,3 +587,64 @@ def test_throttle_limiter_key_field_per_event_override(spark):
         assert sorted(by_key["b"]) == [10, 11, 12]   # config default 3
     finally:
         s.close()
+
+
+def test_throttle_limiter_key_field_first_seen_sticks(spark):
+    """limitersMap.getOrAdd keys the limiter by (rule, throttleKey)
+    alone (limiters_map.go:266-290): the limiter is created with the
+    FIRST event's keyLimitOverride and later events' lkey values are
+    ignored for that key — mixed lkeys under one throttle key all
+    admit under the first-seen limit."""
+    s = MiniRedis()
+    try:
+        s.set("tenant-gold", "1")  # clamp to 1
+        from file_d_spark import Pipeline
+
+        rows = [
+            # key a: FIRST event names the clamped tenant; the later
+            # tenant-free events must NOT escape to the default limit
+            ("a", "tenant-gold", "2024-01-01T00:00:00Z", 0),
+            ("a", "tenant-free", "2024-01-01T00:00:01Z", 1),
+            ("a", "tenant-free", "2024-01-01T00:00:02Z", 2),
+            # key b: FIRST event is unclamped; a later tenant-gold
+            # event must NOT retro-clamp the key
+            ("b", "tenant-free", "2024-01-01T00:00:00Z", 10),
+            ("b", "tenant-gold", "2024-01-01T00:00:01Z", 11),
+            ("b", "tenant-free", "2024-01-01T00:00:02Z", 12),
+            ("b", "tenant-free", "2024-01-01T00:00:03Z", 13),
+        ]
+        df = spark.createDataFrame(
+            rows, "src string, tenant string, time string, seq int"
+        )
+        p = Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "throttle",
+                        "throttle_field": "src",
+                        "time_field": "time",
+                        "time_field_format": "rfc3339",
+                        "bucket_interval": "1m",
+                        "buckets_count": 10,
+                        "default_limit": 3,
+                        "order_fields": ["seq"],
+                        "limiter_backend": "redis",
+                        "redis_backend_config": {
+                            "pipeline": "p",
+                            "addrs": [s.addr],
+                            "limiter_key_field": "tenant",
+                        },
+                    }
+                ]
+            }
+        )
+        out = p.apply(df).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r.src, []).append(r.seq)
+        assert sorted(by_key["a"]) == [0], "first-seen clamp must govern key a"
+        assert sorted(by_key["b"]) == [10, 11, 12], (
+            "a later lkey must not re-limit key b"
+        )
+    finally:
+        s.close()
