@@ -219,7 +219,12 @@ def sink_devnull(df: DataFrame, cfg: dict[str, Any]):
     df.write.format("noop").mode("overwrite").save()
 
 
-def _http_batch_sink(df: DataFrame, cfg: dict[str, Any], encoder: Callable[[list[dict]], list[str]]):
+def _http_batch_sink(
+    df: DataFrame,
+    cfg: dict[str, Any],
+    encoder: Callable[[list[dict]], list[str]],
+    sizer: Callable[[dict], int] | None = None,
+):
     """Shared shape for ES/Loki/Splunk/HTTP-style sinks: serialize each
     partition to request payload batches and hand them to ``transport``
     (injectable; default stub raises).
@@ -228,12 +233,16 @@ def _http_batch_sink(df: DataFrame, cfg: dict[str, Any], encoder: Callable[[list
     batch is full when it holds ``batch_size`` docs OR its accumulated
     size reaches ``batch_size_bytes`` — both checked AFTER appending,
     so the byte cap may be exceeded by the final doc, exactly like the
-    reference.  Size proxy is the JSON-encoded doc length (the
-    reference counts raw event bytes) — a second serialization per doc
-    on top of the encoder's own, paid ONLY when the byte cap is
-    configured; an exact cap beats saving one dumps on a path that is
-    transport-bound anyway.  Setting both caps to 0 is a config error
-    (batch.go:53)."""
+    reference.  ``sizer`` is the per-doc byte measure; callers whose
+    encoder reshapes the doc (sink_http's raw single-field encoding)
+    pass their own so the cap tracks the REAL payload contribution.
+    The default is the full JSON-encoded doc length (the reference
+    counts raw event bytes) — a second serialization per doc on top of
+    the encoder's own, paid ONLY when the byte cap is configured; an
+    exact cap beats saving one dumps on a path that is transport-bound
+    anyway.  With gzip the cap measures PRE-compression bytes, same as
+    the reference batcher (it caps event bytes before the output
+    encodes).  Setting both caps to 0 is a config error (batch.go:53)."""
     batch_size = int(cfg.get("batch_size", 1000) or 0)
     batch_bytes = int(cfg.get("batch_size_bytes", 0) or 0)
     if batch_size < 0 or batch_bytes < 0:
@@ -247,6 +256,8 @@ def _http_batch_sink(df: DataFrame, cfg: dict[str, Any], encoder: Callable[[list
         raise NotImplementedError(
             "no live HTTP endpoint in this environment; inject cfg['transport']"
         )
+    if sizer is None:
+        sizer = lambda doc: len(json.dumps(doc, default=str))  # noqa: E731
 
     def send_partition(rows):
         buf, size = [], 0
@@ -254,7 +265,7 @@ def _http_batch_sink(df: DataFrame, cfg: dict[str, Any], encoder: Callable[[list
             doc = row.asDict(recursive=True)
             buf.append(doc)
             if batch_bytes:
-                size += len(json.dumps(doc, default=str))
+                size += sizer(doc)
             if (batch_size and len(buf) >= batch_size) or (
                 batch_bytes and size >= batch_bytes
             ):
@@ -315,6 +326,133 @@ class PayloadTooLarge(Exception):
     (elasticsearch.go:452-467)."""
 
 
+class EsFatalError(Exception):
+    """fatal_on_failed_insert (elasticsearch.go:174,276): the insert
+    failed after every retry and no deadqueue is configured — the
+    reference logs at FatalLevel, i.e. exits non-zero.  Raised instead
+    of swallowed so the job fails loudly."""
+
+
+def report_es_errors(resp) -> int:
+    """Parse an ES ``_bulk`` response and report per-item errors —
+    the reference's reportESErrors (elasticsearch.go:568-617), dig
+    shapes included: ``errors: false`` short-circuits; empty ``items``
+    logs an unknown-error line; each item digs ``index`` (the
+    reference digs only that key regardless of batch_op_type), counts
+    an ``error`` node as an indexing error, and flags status >= 400
+    without one as unknown.  Returns the indexing-error count so the
+    caller (and tests) can surface it; accepts the transport's return
+    value as dict, str, or bytes — None (a transport that returns
+    nothing) costs nothing."""
+    import logging
+
+    log = logging.getLogger("file_d_spark.sinks.elasticsearch")
+    if resp is None:
+        return 0
+    if isinstance(resp, (bytes, bytearray)):
+        resp = resp.decode("utf-8", "replace")
+    if isinstance(resp, str):
+        try:
+            resp = json.loads(resp)
+        except ValueError:
+            log.error("can't decode elasticsearch response")
+            return 0
+    if not isinstance(resp, dict) or not resp.get("errors"):
+        return 0
+    items = resp.get("items") or []
+    if not items:
+        log.error(
+            "unknown elasticsearch error, 'items' field in the response"
+            " is empty: %s", resp,
+        )
+        return 0
+    indexing_errors = 0
+    for node in items:
+        index_node = node.get("index") if isinstance(node, dict) else None
+        if not isinstance(index_node, dict):
+            log.error(
+                "unknown elasticsearch response, 'index' field in the"
+                " response is empty: %s", node,
+            )
+            continue
+        if index_node.get("error") is not None:
+            indexing_errors += 1
+            log.error(
+                "elasticsearch indexing error: %s", index_node["error"]
+            )
+            continue
+        if int(index_node.get("status") or 0) < 400:
+            continue
+        log.error("unknown elasticsearch error: %s", node)
+    if indexing_errors:
+        log.error(
+            "some events from batch aren't written, %d indexing errors",
+            indexing_errors,
+        )
+    return indexing_errors
+
+
+def _es_retrying_transport(transport, cfg: dict[str, Any]):
+    """Wrap the injected transport with the reference's insert-failure
+    machinery (elasticsearch.go:266-291 RetriableBatcher + onError):
+
+    - ``retry`` (default 10) re-attempts a failed send with
+      ``retention`` seconds of backoff (default 1.0) growing by
+      ``retention_exponentially_multiplier`` (default 2) — the
+      reference's BackoffOpts.  ``PayloadTooLarge`` is never retried
+      here; the split path owns 413 bisection.
+    - after the last attempt: with a deadqueue configured the error
+      propagates (build_sink routes the events); otherwise
+      ``fatal_on_failed_insert: true`` raises :class:`EsFatalError`
+      (non-zero exit) and ``false`` logs and SKIPS the batch — the
+      reference Fails the events and carries on.
+    - ``process_response`` (default true, elasticsearch.go:205) runs
+      :func:`report_es_errors` over each successful response.
+
+    With a deadqueue, retries are owned by build_sink's wrapper (its
+    ``retry``+1 attempts over the whole frame) — one local attempt per
+    payload here, so the counts don't multiply."""
+    import logging
+    import time as _time
+
+    log = logging.getLogger("file_d_spark.sinks.elasticsearch")
+    process_response = bool(cfg.get("process_response", True))
+    dq_available = bool(cfg.get("_deadqueue_available", False))
+    fatal = bool(cfg.get("fatal_on_failed_insert", False))
+    attempts = 1 if dq_available else int(cfg.get("retry", 10)) + 1
+    retention_s = float(cfg.get("retention", 1.0) or 0.0)
+    mult = float(cfg.get("retention_exponentially_multiplier", 2))
+
+    def send(payload, **kw):
+        last = None
+        for i in range(attempts):
+            try:
+                resp = transport(payload, **kw)
+            except PayloadTooLarge:
+                raise  # non-retryable; the bisect path owns it
+            except Exception as e:  # noqa: BLE001
+                last = e
+                if i + 1 < attempts and retention_s:
+                    _time.sleep(retention_s * (mult ** i))
+                continue
+            if process_response:
+                report_es_errors(resp)
+            return resp
+        if dq_available:
+            raise last  # build_sink routes the events to the deadqueue
+        if fatal:
+            raise EsFatalError(
+                f"can't send to the elastic after {attempts} attempts"
+            ) from last
+        log.error(
+            "can't send to the elastic, skipping batch after %d attempts:"
+            " %s", attempts, last,
+        )
+        return None
+
+    return send
+
+
 def _es_send_split(doc_lines: list[str], transport) -> None:
     """Bisect-on-413 (elasticsearch.go sendSplit, :474-507): try the
     whole span; on PayloadTooLarge split in half and recurse, left half
@@ -352,7 +490,17 @@ def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
     REST OF THE BATCH (the error propagates up the bisection, so
     events after the poison one are dropped — the exact semantics the
     file_es_split e2e scenario asserts: 10 ok, 1 poison, 20 after ->
-    only the first 10 land)."""
+    only the first 10 land).
+
+    Insert-failure handling (elasticsearch.go:168-205,266-291):
+    ``retry`` (default 10) + ``retention`` seconds exponential backoff
+    re-attempt a failed send; after the last attempt
+    ``fatal_on_failed_insert: true`` raises :class:`EsFatalError`
+    (non-zero exit) and ``false`` logs + skips the batch — unless a
+    deadqueue is configured, which disables both (build_sink routes
+    the events instead).  ``process_response`` (default true) parses
+    each ``_bulk`` response through :func:`report_es_errors` and
+    reports per-item indexing errors."""
     import datetime as dt
 
     index_format = cfg.get("index_format", "file-d-%")
@@ -376,6 +524,15 @@ def sink_elasticsearch(df: DataFrame, cfg: dict[str, Any]):
             return _t(payload, pipeline=_p)
 
         cfg = {**cfg, "transport": _with_pipeline}
+
+    # retry / fatal_on_failed_insert / process_response wrap OUTSIDE
+    # the pipeline kw injection so every send path (batched and
+    # split-bisect alike) gets the reference's insert-failure handling
+    if cfg.get("transport") is not None:
+        cfg = {
+            **cfg,
+            "transport": _es_retrying_transport(cfg["transport"], cfg),
+        }
 
     def doc_lines(d: dict) -> list[str]:
         name = build_index_name(d, index_format, index_values, now_str)
@@ -724,7 +881,12 @@ def sink_http(df: DataFrame, cfg: dict[str, Any]):
             return [_gzip_payload(body, gzip_level)]
         return [body]
 
-    _http_batch_sink(df, cfg, encode)
+    # byte cap measures what THIS encoder will emit per doc (+1 for its
+    # newline) — with `encoding: raw` the full-doc default would
+    # overcount and flush far too early
+    _http_batch_sink(
+        df, cfg, encode, sizer=lambda d: len(encode_doc(d)) + 1
+    )
 
 
 def sink_jdbc(df: DataFrame, cfg: dict[str, Any]):
@@ -1017,6 +1179,10 @@ def build_sink(df: DataFrame, plan) -> Any:
     deadqueue = cfg.pop("deadqueue", None)
     if deadqueue is None:
         return _write_one(df, typ, cfg)
+    # a configured deadqueue disables fatal exits and in-sink retries
+    # (elasticsearch.go:276: IsDeadQueueAvailable gates FatalLevel);
+    # this wrapper owns the retry loop instead
+    cfg["_deadqueue_available"] = True
     # retry semantics match the reference: retry == number of retries
     # AFTER the first attempt; retry: 0 -> one attempt then deadqueue
     attempts = int(cfg.get("retry", 0)) + 1

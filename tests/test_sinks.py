@@ -705,3 +705,182 @@ def test_http_sink_batch_size_bytes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one"):
         sink_http(df, {"batch_size": 0, "transport": lambda p: None})
+
+
+def test_http_sink_batch_size_bytes_tracks_raw_encoding(spark, tmp_path):
+    """With `encoding: raw` the byte cap must measure the ENCODED line
+    (field value + newline), not the full JSON doc — a wide event with
+    a short raw field would otherwise flush after every single doc."""
+    from file_d_spark.sinks import sink_http
+
+    df = spark.createDataFrame(
+        [(f"m{i}", "x" * 40) for i in range(6)], "msg string, pad string"
+    ).coalesce(1)
+
+    # raw line per doc: "mN"\n = 5 bytes; cap 12 -> 3 docs per payload
+    # (5, 10, 15 >= 12 -> flush).  The full-doc proxy (~66 bytes) would
+    # have produced 6 single-doc payloads.
+    out = str(tmp_path / "raw_cap")
+    sink_http(
+        df,
+        {
+            "batch_size": 0,
+            "batch_size_bytes": 12,
+            "encoding": {"type": "raw", "params": {"field": "msg"}},
+            "transport": _collector(out),
+        },
+    )
+    payloads = _payloads(out)
+    assert len(payloads) == 2
+    assert all(len(p.strip().split("\n")) == 3 for p in payloads)
+    # mkstemp names are random -> compare payload CONTENTS, not order
+    assert sorted(payloads) == ['"m0"\n"m1"\n"m2"\n', '"m3"\n"m4"\n"m5"\n']
+
+
+# ---------------------------------------------------------------------------
+# ES insert-failure knobs: process_response / fatal_on_failed_insert
+# (elasticsearch.go:168-205,266-291,568-617)
+# ---------------------------------------------------------------------------
+
+
+def test_report_es_errors_parses_bulk_response():
+    """reportESErrors parity (elasticsearch.go:568-617): errors:false
+    short-circuits; per-item `index.error` nodes count as indexing
+    errors; status>=400 without one and item shapes missing `index`
+    log as unknown but don't count; str/bytes bodies decode."""
+    from file_d_spark.sinks import report_es_errors
+
+    assert report_es_errors(None) == 0
+    assert report_es_errors({"errors": False, "items": [{}]}) == 0
+    resp = {
+        "errors": True,
+        "items": [
+            {"index": {"status": 201}},
+            {"index": {"status": 400,
+                       "error": {"type": "mapper_parsing_exception"}}},
+            {"index": {"status": 429,
+                       "error": {"type": "rejected_execution"}}},
+            {"delete": {"status": 200}},  # no `index` dig -> unknown
+            {"index": {"status": 503}},   # >=400, no error node
+        ],
+    }
+    assert report_es_errors(resp) == 2
+    assert report_es_errors(json.dumps(resp)) == 2
+    assert report_es_errors(json.dumps(resp).encode()) == 2
+    assert report_es_errors("{not json") == 0
+    assert report_es_errors({"errors": True, "items": []}) == 0
+
+
+def test_es_sink_processes_bulk_response(spark, tmp_path):
+    """A transport that RETURNS a _bulk response body must not break
+    the sink (process_response default true parses it); with
+    process_response: false the body is ignored untouched."""
+    from file_d_spark.sinks import sink_elasticsearch
+
+    df = spark.createDataFrame([("a",), ("b",)], "msg string").coalesce(1)
+    body = json.dumps(
+        {"errors": True,
+         "items": [{"index": {"status": 400, "error": {"type": "x"}}}]}
+    )
+    for flag in (True, False):
+        out = str(tmp_path / f"resp_{flag}")
+        os.makedirs(out, exist_ok=True)
+
+        def replying(payload, _out=out):
+            import tempfile
+
+            fd, path = tempfile.mkstemp(dir=_out, suffix=".payload")
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload)
+            return body
+
+        sink_elasticsearch(
+            df,
+            {"index_format": "idx", "transport": replying,
+             "process_response": flag},
+        )
+        assert glob.glob(f"{out}/*.payload"), flag
+
+
+def _failing_transport(marker_dir):
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def send(payload):
+        import tempfile
+
+        tempfile.mkstemp(dir=marker_dir, suffix=".try")
+        raise RuntimeError("connection refused")
+
+    return send
+
+
+def test_es_sink_fatal_on_failed_insert(spark, tmp_path):
+    """fatal_on_failed_insert: true (elasticsearch.go:174,276) — after
+    retry+1 attempts the job fails loudly (the reference exits
+    non-zero)."""
+    import pytest as _pytest
+
+    from file_d_spark.sinks import sink_elasticsearch
+
+    marker = str(tmp_path / "attempts")
+    df = spark.createDataFrame([("a",)], "msg string").coalesce(1)
+    with _pytest.raises(Exception) as ei:
+        sink_elasticsearch(
+            df,
+            {"index_format": "idx",
+             "transport": _failing_transport(marker),
+             "retry": 2, "retention": 0,
+             "fatal_on_failed_insert": True},
+        )
+    assert "EsFatalError" in repr(ei.value) or "EsFatalError" in str(ei.value)
+    assert len(glob.glob(f"{marker}/*.try")) == 3  # retry+1 attempts
+
+
+def test_es_sink_nonfatal_skips_batch(spark, tmp_path):
+    """Default fatal_on_failed_insert: false — the failed batch is
+    logged and SKIPPED after retries; the job completes (the reference
+    Fails the events and carries on)."""
+    from file_d_spark.sinks import sink_elasticsearch
+
+    marker = str(tmp_path / "attempts")
+    df = spark.createDataFrame([("a",)], "msg string").coalesce(1)
+    sink_elasticsearch(
+        df,
+        {"index_format": "idx", "transport": _failing_transport(marker),
+         "retry": 1, "retention": 0},
+    )
+    assert len(glob.glob(f"{marker}/*.try")) == 2  # retry+1, no raise
+
+
+def test_es_sink_deadqueue_disables_fatal_and_owns_retries(spark, tmp_path):
+    """A configured deadqueue disables fatal exits AND in-sink retries
+    (build_sink's wrapper owns the loop): the failing ES insert routes
+    the ORIGINAL events to the nested output, fatal flag or not."""
+    from file_d_spark.sinks import build_sink
+
+    class _Plan:
+        def __init__(self, output):
+            self.output = output
+
+    marker = str(tmp_path / "attempts")
+    dq_out = str(tmp_path / "dq")
+    df = spark.createDataFrame([("a",), ("b",)], "msg string").coalesce(1)
+    build_sink(
+        df,
+        _Plan({
+            "type": "elasticsearch",
+            "index_format": "idx",
+            "transport": _failing_transport(marker),
+            "retry": 1, "retention": 0,
+            "fatal_on_failed_insert": True,
+            "deadqueue": {"type": "file", "target_file": f"{dq_out}/dq.log"},
+        }),
+    )
+    # wrapper attempts = retry+1 = 2, ONE in-sink attempt each (no
+    # retry multiplication: 2 markers, not 4)
+    assert len(glob.glob(f"{marker}/*.try")) == 2
+    dq_lines = []
+    for f in glob.glob(f"{dq_out}/**", recursive=True):
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", ".")):
+            dq_lines += [l for l in open(f).read().splitlines() if l.strip()]
+    assert len(dq_lines) == 2, "both events must land in the deadqueue"
