@@ -141,6 +141,127 @@ def cosine_pairs(
     )
 
 
+def banded_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    planes: int = 16,
+    bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB twin of :func:`cosine_pairs`: random-hyperplane
+    LSH-banded candidate generation + exact cosine rerank, same output
+    contract (id_a < id_b, ``sim`` rounded to 6).
+
+    Shape: signatures come from ONE broadcast hyperplane model (the
+    ``lsh_topk`` migration — literal-embedded planes cost seconds of
+    py4j plan build), candidates are a self equi-join of compact
+    (id, band, val) rows — ids and one long each, never the vectors —
+    deduped to distinct (id_a, id_b) before the vectors are joined
+    back for the exact rerank.  Every join is an equi-join on
+    hash-spread keys; pair volume is bucket-bounded instead of n².
+
+    Recall: a pair is a candidate iff SOME band's bits all collide.
+    With the default per_band = planes/bands = 1 bit, a pair at
+    cosine s misses only if all ``planes`` sign bits differ —
+    P(miss) = (acos(s)/pi)^planes, < 1e-7 at s = 0.45 with 16 planes —
+    which is why banded-equals-exact holds at fixture scale (asserted
+    in tests); at higher per_band the generator trades recall for
+    fewer candidates, the standard LSH knob."""
+    if planes % bands:
+        raise ValueError("bands must divide planes")
+    if not 0 < planes <= 62:
+        # signatures pack into ONE signed long of bit weights
+        raise ValueError("planes must be in 1..62 (long signature)")
+    per_band = planes // bands
+
+    from file_d_spark.functions.dedup import spread
+
+    model = corpus.sparkSession.createDataFrame(
+        [(
+            [_hyperplane(dim, i) for i in range(planes)],
+            [1 << i for i in range(planes)],
+        )],
+        "__planes__ array<array<double>>, __weights__ array<bigint>",
+    )
+    vec = F.col(vec_col)
+    sig_col = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("__planes__"), lambda p: dot(vec, p)),
+            F.col("__weights__"),
+            lambda proj, w: F.when(proj > 0, w).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    keyed = (
+        spread(corpus)
+        .crossJoin(F.broadcast(model))
+        .select(F.col(id_col).alias("id"), sig_col.alias("sig"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("sig"), b * per_band)
+                            .bitwiseAND(F.lit((1 << per_band) - 1))
+                            .alias("val"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bv"),
+        )
+        .select("id", "bv.band", "bv.val")
+    )
+    right = keyed.select(
+        F.col("id").alias("id_b"), "band", "val"
+    )
+    cands = (
+        keyed.select(F.col("id").alias("id_a"), "band", "val")
+        .join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sides = corpus.select(
+        F.col(id_col).alias("id"),
+        dvec.alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    return (
+        cands.join(
+            sides.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("vec_a"),
+                F.col("nrm").alias("norm_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sides.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vec_b"),
+                F.col("nrm").alias("norm_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "sim",
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1270,6 +1391,7 @@ def dbscan_clusters(
     min_pts: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pairs_fn=None,
 ) -> DataFrame:
     """Density-based clustering (DBSCAN) over an embedding column,
     with cosine >= ``eps_sim`` as the neighborhood relation: CORE
@@ -1282,20 +1404,35 @@ def dbscan_clusters(
     ignore the long tail".
 
     Built entirely from the scale machinery that already exists: the
-    eps-neighbor pairs come from :func:`cosine_pairs` (exact — swap in
-    the LSH-banded generator at 100 TB exactly like the dedup family),
-    and the component step is :func:`~file_d_spark.functions.dedup.
-    connected_components` (bounded driver union-find fast path,
-    large-star/small-star contraction beyond it).  Per-node degree is
-    one groupBy over the symmetrized pair list; the border attachment
-    is one join from non-core nodes to their core neighbors' labels.
-    Everything is keyed by node id — no global structure.
+    eps-neighbor pairs come from ``pairs_fn`` — default
+    :func:`cosine_pairs` (exact all-pairs, the verification/oracle
+    regime) — and the component step is
+    :func:`~file_d_spark.functions.dedup.connected_components`
+    (bounded driver union-find fast path, large-star/small-star
+    contraction beyond it).  Per-node degree is one groupBy over the
+    symmetrized pair list; the border attachment is one join from
+    non-core nodes to their core neighbors' labels.  Everything is
+    keyed by node id — no global structure.
+
+    ``pairs_fn`` is the 100 TB seam: any callable
+    ``corpus -> DataFrame(id_a, id_b[, sim])`` whose pairs are the
+    eps-neighbor relation.  The LSH-banded generator
+    :func:`banded_cosine_pairs` (equi-join candidates, exact rerank —
+    no broadcast of the corpus, no n² pair volume) is the intended
+    swap::
+
+        dbscan_clusters(corpus, eps, pairs_fn=lambda c:
+            banded_cosine_pairs(c, eps, dim=D))
+
+    With per_band=1 banding the candidate set provably contains every
+    pair at cosine >= eps up to P(miss) < 1e-7, so banded == exact at
+    fixture scale (asserted in tests/test_similarity.py).
     """
     from file_d_spark.functions.dedup import connected_components
 
-    pairs = cosine_pairs(corpus, eps_sim, id_col, vec_col).select(
-        "id_a", "id_b"
-    )
+    if pairs_fn is None:
+        pairs_fn = lambda c: cosine_pairs(c, eps_sim, id_col, vec_col)  # noqa: E731
+    pairs = pairs_fn(corpus).select("id_a", "id_b")
     pairs = _register_cache(pairs.localCheckpoint(eager=True))
     sym = pairs.unionByName(
         pairs.select(

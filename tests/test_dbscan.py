@@ -41,3 +41,57 @@ def test_dbscan_hand_fixture(spark):
         for r in dbscan_clusters(df, eps_sim=0.9, min_pts=3).collect()
     }
     assert got == EXPECTED
+
+
+def _sf(path="/root/testdata/sf0.001"):
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", path)
+
+
+def test_banded_pairs_equal_exact_at_fixture_scale(spark):
+    """banded_cosine_pairs is the 100 TB candidate generator for the
+    eps-neighbor relation: with per_band=1 (16 bands x 1 bit) a pair
+    at cosine >= 0.35 escapes every band with P < 1e-6, so at fixture
+    scale the banded pair set must EQUAL the exact one — same ids,
+    same rounded sims."""
+    from file_d_spark.functions.similarity import (
+        banded_cosine_pairs,
+        cosine_pairs,
+    )
+
+    e = spark.read.parquet(f"{_sf()}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in cosine_pairs(e, 0.35).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b): r.sim
+        for r in banded_cosine_pairs(e, 0.35, dim=64).collect()
+    }
+    assert exact, "fixture produced no qualifying pairs"
+    assert banded == exact
+
+
+def test_dbscan_banded_pairs_fn_matches_exact(spark):
+    """The pairs_fn seam: dbscan over LSH-banded candidates must label
+    every node exactly like the default exact generator (banding is
+    complete at the fixture's eps — previous test)."""
+    from file_d_spark.functions.similarity import banded_cosine_pairs
+
+    e = spark.read.parquet(f"{_sf()}/embeddings.parquet")
+    want = {
+        r.vec_id: (r.cluster_id, r.role)
+        for r in dbscan_clusters(e, eps_sim=0.35, min_pts=3).collect()
+    }
+    got = {
+        r.vec_id: (r.cluster_id, r.role)
+        for r in dbscan_clusters(
+            e,
+            eps_sim=0.35,
+            min_pts=3,
+            pairs_fn=lambda c: banded_cosine_pairs(c, 0.35, dim=64),
+        ).collect()
+    }
+    assert len({v[0] for v in want.values()}) > 1, "degenerate fixture"
+    assert got == want
