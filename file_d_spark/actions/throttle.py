@@ -265,9 +265,13 @@ class Throttle(Action):
             # (rule, throttleKey) alone (limiters_map.go:266-290), so
             # the FIRST event's override sticks for that key — the
             # lookup below therefore resolves each (key, rule) group to
-            # its first event's lkey (by the same arrival order the
-            # admission window uses), not to each event's own.  A null
-            # first lkey (field absent) means no override — the config
+            # the lkey of its first GATE-MATCHED event (by the same
+            # arrival order the admission window uses), not to each
+            # event's own — gated-out rows never reach getOrAdd in the
+            # reference (processor.go skips the action entirely), so
+            # they must not donate the override either.  The struct
+            # wrap keeps a matched-but-null lkey (field absent) as the
+            # governing first: that means no override — the config
             # default applies (the reference would fall back to the
             # naming-pattern limit; documented divergence, the non-lkf
             # branch covers that lookup shape).
@@ -281,7 +285,13 @@ class Throttle(Action):
                 w_lim = Window.partitionBy(
                     "__fd_key__", "__fd_rule__"
                 ).orderBy(*order_cols)
-                lookup = F.first("__fd_lkey__").over(w_lim)
+                lookup = F.first(
+                    F.when(
+                        F.col("__fd_m__"),
+                        F.struct(F.col("__fd_lkey__").alias("v")),
+                    ),
+                    ignorenulls=True,
+                ).over(w_lim).getField("v")
                 overrides = fetch_limit_overrides(
                     df.select("__fd_lkey__"), "__fd_lkey__", key_field,
                     backend_cfg, limit, bucket_s,

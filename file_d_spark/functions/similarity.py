@@ -219,6 +219,12 @@ def banded_cosine_pairs(
         )
         .select("id", "bv.band", "bv.val")
     )
+    # materialize the signature rows ONCE: both self-join sides (and
+    # nothing else) derive from `keyed`, and without a checkpoint each
+    # side re-runs the planes x dim projection over the corpus —
+    # exchange reuse is not guaranteed across the renamed sides.  The
+    # checkpointed frame is compact: ids and two ints per band.
+    keyed = _register_cache(keyed.localCheckpoint(eager=True))
     right = keyed.select(
         F.col("id").alias("id_b"), "band", "val"
     )
@@ -1426,7 +1432,7 @@ def dbscan_clusters(
 
     With per_band=1 banding the candidate set provably contains every
     pair at cosine >= eps up to P(miss) < 1e-7, so banded == exact at
-    fixture scale (asserted in tests/test_similarity.py).
+    fixture scale (asserted in tests/test_dbscan.py).
     """
     from file_d_spark.functions.dedup import connected_components
 

@@ -399,8 +399,12 @@ def _es_retrying_transport(transport, cfg: dict[str, Any]):
     - ``retry`` (default 10) re-attempts a failed send with
       ``retention`` seconds of backoff (default 1.0) growing by
       ``retention_exponentially_multiplier`` (default 2) — the
-      reference's BackoffOpts.  ``PayloadTooLarge`` is never retried
-      here; the split path owns 413 bisection.
+      reference's BackoffOpts.  ``PayloadTooLarge`` is NON-retryable
+      either way (elasticsearch.go:400-409): with ``split_batch`` it
+      propagates so the bisect path can isolate the poison doc; without
+      it the 413 follows the reference's non-split handling — Fatal
+      when ``strict``, else log + skip THIS batch immediately, no
+      retries.
     - after the last attempt: with a deadqueue configured the error
       propagates (build_sink routes the events); otherwise
       ``fatal_on_failed_insert: true`` raises :class:`EsFatalError`
@@ -419,7 +423,13 @@ def _es_retrying_transport(transport, cfg: dict[str, Any]):
     process_response = bool(cfg.get("process_response", True))
     dq_available = bool(cfg.get("_deadqueue_available", False))
     fatal = bool(cfg.get("fatal_on_failed_insert", False))
-    attempts = 1 if dq_available else int(cfg.get("retry", 10)) + 1
+    split = bool(cfg.get("split_batch", False))
+    strict = bool(cfg.get("strict_fields", False) or cfg.get("strict", False))
+    retry = int(cfg.get("retry", 10))
+    if retry < 0:
+        # attempts=0 would silently drop every batch without one send
+        raise ValueError("elasticsearch sink: retry must be >= 0")
+    attempts = 1 if dq_available else retry + 1
     retention_s = float(cfg.get("retention", 1.0) or 0.0)
     mult = float(cfg.get("retention_exponentially_multiplier", 2))
 
@@ -428,8 +438,18 @@ def _es_retrying_transport(transport, cfg: dict[str, Any]):
         for i in range(attempts):
             try:
                 resp = transport(payload, **kw)
-            except PayloadTooLarge:
-                raise  # non-retryable; the bisect path owns it
+            except PayloadTooLarge as e:
+                if split:
+                    raise  # the bisect path owns 413 isolation
+                if dq_available:
+                    raise  # build_sink routes the events
+                if strict:
+                    raise
+                log.error(
+                    "can't send to the elastic, non-retryable error"
+                    " (413), skipping batch: %s", e,
+                )
+                return None
             except Exception as e:  # noqa: BLE001
                 last = e
                 if i + 1 < attempts and retention_s:
@@ -1183,6 +1203,12 @@ def build_sink(df: DataFrame, plan) -> Any:
     # (elasticsearch.go:276: IsDeadQueueAvailable gates FatalLevel);
     # this wrapper owns the retry loop instead
     cfg["_deadqueue_available"] = True
+    if typ == "elasticsearch":
+        # keep the ES plugin's retry default (10, elasticsearch.go:170)
+        # when the wrapper takes over — the generic default of 0 would
+        # silently drop ES from 11 attempts to 1 just because a
+        # deadqueue was configured
+        cfg.setdefault("retry", 10)
     # retry semantics match the reference: retry == number of retries
     # AFTER the first attempt; retry: 0 -> one attempt then deadqueue
     attempts = int(cfg.get("retry", 0)) + 1

@@ -43,10 +43,10 @@ def test_dbscan_hand_fixture(spark):
     assert got == EXPECTED
 
 
-def _sf(path="/root/testdata/sf0.001"):
-    import os
+def _sf():
+    from conftest import SF_DIR  # single source of the fixture path
 
-    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", path)
+    return SF_DIR
 
 
 def test_banded_pairs_equal_exact_at_fixture_scale(spark):

@@ -648,3 +648,58 @@ def test_throttle_limiter_key_field_first_seen_sticks(spark):
         )
     finally:
         s.close()
+
+
+def test_throttle_limiter_key_field_ignores_gated_rows(spark):
+    """Gated-out events never reach limitersMap.getOrAdd in the
+    reference (processor.go skips the action), so they must not donate
+    the first-seen override either: the limiter is created from the
+    first GATE-MATCHED event's lkey."""
+    s = MiniRedis()
+    try:
+        s.set("tenant-gold", "1")  # clamp to 1
+        from file_d_spark import Pipeline
+
+        rows = [
+            # first ARRIVAL for key a fails the gate with an unclamped
+            # tenant; the first MATCHED event is tenant-gold -> the
+            # whole key must admit under the clamp (1)
+            ("a", "tenant-free", "skip", "2024-01-01T00:00:00Z", 0),
+            ("a", "tenant-gold", "keep", "2024-01-01T00:00:01Z", 1),
+            ("a", "tenant-gold", "keep", "2024-01-01T00:00:02Z", 2),
+            ("a", "tenant-gold", "keep", "2024-01-01T00:00:03Z", 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "src string, tenant string, lvl string, time string, seq int"
+        )
+        p = Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "throttle",
+                        "do_if": {"op": "equal", "field": "lvl",
+                                  "values": ["keep"]},
+                        "throttle_field": "src",
+                        "time_field": "time",
+                        "time_field_format": "rfc3339",
+                        "bucket_interval": "1m",
+                        "buckets_count": 10,
+                        "default_limit": 3,
+                        "order_fields": ["seq"],
+                        "limiter_backend": "redis",
+                        "redis_backend_config": {
+                            "pipeline": "p",
+                            "addrs": [s.addr],
+                            "limiter_key_field": "tenant",
+                        },
+                    }
+                ]
+            }
+        )
+        got = sorted(r.seq for r in p.apply(df).collect())
+        # gated event 0 always passes (never counted); matched events
+        # admit 1 under the clamp — the gated tenant-free must not
+        # have unlocked the default limit of 3
+        assert got == [0, 1], got
+    finally:
+        s.close()

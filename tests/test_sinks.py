@@ -884,3 +884,55 @@ def test_es_sink_deadqueue_disables_fatal_and_owns_retries(spark, tmp_path):
         if os.path.isfile(f) and not os.path.basename(f).startswith(("_", ".")):
             dq_lines += [l for l in open(f).read().splitlines() if l.strip()]
     assert len(dq_lines) == 2, "both events must land in the deadqueue"
+
+
+def test_es_sink_413_without_split_batch(spark, tmp_path):
+    """Non-split 413 handling (elasticsearch.go:400-409): PayloadTooLarge
+    is NON-retryable — strict: true raises, default logs + skips the
+    batch WITHOUT retrying (one attempt only) and the job completes."""
+    import pytest as _pytest
+
+    from file_d_spark.sinks import PayloadTooLarge, sink_elasticsearch
+
+    marker = str(tmp_path / "attempts")
+    os.makedirs(marker, exist_ok=True)
+
+    def too_large(payload, _m=marker):
+        import tempfile
+
+        tempfile.mkstemp(dir=_m, suffix=".try")
+        raise PayloadTooLarge(len(payload))
+
+    df = spark.createDataFrame([("a",)], "msg string").coalesce(1)
+    sink_elasticsearch(
+        df,
+        {"index_format": "idx", "transport": too_large,
+         "retry": 3, "retention": 0},
+    )
+    assert len(glob.glob(f"{marker}/*.try")) == 1, "413 must not retry"
+
+    with _pytest.raises(Exception) as ei:
+        sink_elasticsearch(
+            df,
+            {"index_format": "idx", "transport": too_large,
+             "retry": 3, "retention": 0, "strict": True},
+        )
+    assert "PayloadTooLarge" in repr(ei.value) or "PayloadTooLarge" in str(
+        ei.value
+    )
+
+
+def test_es_sink_rejects_negative_retry(spark, tmp_path):
+    """retry < 0 would mean ZERO send attempts — every batch silently
+    dropped; rejected at config time instead."""
+    import pytest as _pytest
+
+    from file_d_spark.sinks import sink_elasticsearch
+
+    df = spark.createDataFrame([("a",)], "msg string").coalesce(1)
+    with _pytest.raises(Exception, match="retry"):
+        sink_elasticsearch(
+            df,
+            {"index_format": "idx", "retry": -1,
+             "transport": lambda p: None},
+        )
