@@ -365,3 +365,154 @@ _KEEP_BEST_ORACLE = """
 """
 
 STAGED["dedup_keep_best"] = (q_dedup_keep_best, _KEEP_BEST_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# r12 fold combos (COVERAGE.md "Registry capacity", re-computed r11
+# arithmetic): the three pre-planned family folds, staged NOW so r12's
+# registration day is bookkeeping.  Each leg is the UNCHANGED
+# registered query called by name, padded to a superset layout with
+# typed NULLs (the token_stats_suite pattern); each oracle is the
+# UNION ALL of the legs' REGISTERED oracles wrapped as subqueries —
+# the fold oracle can never drift from the per-leg oracles it will
+# replace.  On r12 registration day: register these three, retire the
+# seven standalone rows they absorb (net -4), and promote staged
+# spares into the freed slots.
+# ---------------------------------------------------------------------------
+
+
+def _fold_df(spark, sf_dir, legs, all_cols):
+    from file_d_spark.queries import QUERIES
+
+    out = None
+    for tag, qname in legs:
+        df = QUERIES[qname](spark, sf_dir)
+        have = set(df.columns)
+        cols = [F.lit(tag).alias("leg")] + [
+            (
+                F.col(name)
+                if name in have
+                else F.lit(None).cast(spark_t).alias(name)
+            )
+            for name, spark_t, _duck_t in all_cols
+        ]
+        leg_df = df.select(*cols)
+        out = leg_df if out is None else out.unionByName(leg_df)
+    return out
+
+
+def _fold_sql(legs, all_cols):
+    from file_d_spark.queries import ORACLES
+
+    parts = []
+    for tag, qname, present in legs:
+        sel = [f"'{tag}' AS leg"] + [
+            (name if name in present else f"NULL::{duck_t} AS {name}")
+            for name, _spark_t, duck_t in all_cols
+        ]
+        parts.append(
+            "SELECT " + ", ".join(sel) + " FROM (\n" + ORACLES[qname] + "\n)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_BM25_SUITE_COLS = [
+    ("query_id", "string", "VARCHAR"),
+    ("doc_id", "bigint", "BIGINT"),
+    ("score", "double", "DOUBLE"),
+    ("rank", "bigint", "BIGINT"),
+]
+
+
+def q_bm25_suite(spark, sf_dir):
+    """bm25_topk + bm25_multi_query in one row: single-query top-10
+    (no query_id) and the six-query table, every (doc, score, rank)
+    still value-hashed per leg."""
+    df = _fold_df(
+        spark, sf_dir,
+        [("topk", "bm25_topk"), ("multi", "bm25_multi_query")],
+        _BM25_SUITE_COLS,
+    )
+    # row_number() is int on the Spark side, BIGINT in DuckDB — align
+    return df.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+STAGED["bm25_suite"] = (
+    q_bm25_suite,
+    _fold_sql(
+        [
+            ("topk", "bm25_topk", {"doc_id", "score", "rank"}),
+            ("multi", "bm25_multi_query",
+             {"query_id", "doc_id", "score", "rank"}),
+        ],
+        _BM25_SUITE_COLS,
+    ),
+)
+
+
+_CONVERT_SUITE_COLS = [
+    ("event_id", "bigint", "BIGINT"),
+    ("ts_unix", "bigint", "BIGINT"),
+    ("level", "string", "VARCHAR"),
+    ("cnt", "bigint", "BIGINT"),
+    ("decoded", "string", "VARCHAR"),
+]
+
+
+def q_convert_suite(spark, sf_dir):
+    """convert_date + convert_log_level + convert_utf8_escapes in one
+    row — the three convert-action legs (SURVEY §2.3 #4/#5/#6), each
+    the unchanged standalone query."""
+    return _fold_df(
+        spark, sf_dir,
+        [
+            ("date", "convert_date"),
+            ("log_level", "convert_log_level"),
+            ("utf8", "convert_utf8_escapes"),
+        ],
+        _CONVERT_SUITE_COLS,
+    )
+
+
+STAGED["convert_suite"] = (
+    q_convert_suite,
+    _fold_sql(
+        [
+            ("date", "convert_date", {"event_id", "ts_unix"}),
+            ("log_level", "convert_log_level", {"level", "cnt"}),
+            ("utf8", "convert_utf8_escapes", {"event_id", "decoded"}),
+        ],
+        _CONVERT_SUITE_COLS,
+    ),
+)
+
+
+_FILTER_SUITE_COLS = [
+    ("event_id", "bigint", "BIGINT"),
+    ("event_type", "string", "VARCHAR"),
+    ("value", "double", "DOUBLE"),
+    ("doc_id", "bigint", "BIGINT"),
+    ("n_chars", "bigint", "BIGINT"),
+]
+
+
+def q_filter_suite(spark, sf_dir):
+    """filter_doif + filter_len_cmp in one row — the discard/do_if
+    legs over events and documents (SURVEY §2.3 #9, §2.4)."""
+    return _fold_df(
+        spark, sf_dir,
+        [("doif", "filter_doif"), ("len_cmp", "filter_len_cmp")],
+        _FILTER_SUITE_COLS,
+    )
+
+
+STAGED["filter_suite"] = (
+    q_filter_suite,
+    _fold_sql(
+        [
+            ("doif", "filter_doif", {"event_id", "event_type", "value"}),
+            ("len_cmp", "filter_len_cmp", {"doc_id", "n_chars"}),
+        ],
+        _FILTER_SUITE_COLS,
+    ),
+)
