@@ -197,43 +197,67 @@ def banded_cosine_pairs(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    mask = (1 << per_band) - 1
+    vals_col = F.array(
+        *[
+            F.shiftright(F.col("sig"), b * per_band)
+            .bitwiseAND(F.lit(mask))
+            .cast("int")
+            for b in range(bands)
+        ]
+    )
     keyed = (
         spread(corpus)
         .crossJoin(F.broadcast(model))
         .select(F.col(id_col).alias("id"), sig_col.alias("sig"))
+        .select("id", vals_col.alias("vals"))
         .select(
             "id",
+            "vals",
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.shiftright(F.col("sig"), b * per_band)
-                            .bitwiseAND(F.lit((1 << per_band) - 1))
-                            .alias("val"),
+                            F.col("vals").getItem(b).alias("val"),
                         )
                         for b in range(bands)
                     ]
                 )
             ).alias("bv"),
         )
-        .select("id", "bv.band", "bv.val")
+        .select("id", "vals", "bv.band", "bv.val")
     )
     # materialize the signature rows ONCE: both self-join sides (and
     # nothing else) derive from `keyed`, and without a checkpoint each
     # side re-runs the planes x dim projection over the corpus —
     # exchange reuse is not guaranteed across the renamed sides.  The
-    # checkpointed frame is compact: ids and two ints per band.
+    # checkpointed frame is compact: id + the per-band value vector.
     keyed = _register_cache(keyed.localCheckpoint(eager=True))
     right = keyed.select(
-        F.col("id").alias("id_b"), "band", "val"
+        F.col("id").alias("id_b"), F.col("vals").alias("vals_b"), "band", "val"
+    )
+
+    # standard LSH emit-once trick: a pair colliding in k bands would
+    # surface k times; instead of a distinct() (a full shuffle of the
+    # raw candidate volume) each pair is emitted ONLY from its FIRST
+    # colliding band — an in-row check that no EARLIER band collides,
+    # over the two carried band-value vectors (band=0 slices an empty
+    # prefix, vacuously true).
+    first_collision = F.forall(
+        F.zip_with(
+            F.slice(F.col("vals"), F.lit(1), F.col("band")),
+            F.slice(F.col("vals_b"), F.lit(1), F.col("band")),
+            lambda x, y: x != y,
+        ),
+        lambda differs: differs,
     )
     cands = (
-        keyed.select(F.col("id").alias("id_a"), "band", "val")
+        keyed.select(F.col("id").alias("id_a"), "vals", "band", "val")
         .join(right, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_collision)
         .select("id_a", "id_b")
-        .distinct()
     )
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sides = corpus.select(
