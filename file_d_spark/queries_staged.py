@@ -51,6 +51,9 @@ retirement):
 - ``jl_project`` — NEW r10: Johnson-Lindenstrauss 64→16 projection
   (``similarity.jl_project``), LCG planes as folded literals,
   fixed-point long-format output.
+- ``bm25_suite`` / ``convert_suite`` / ``filter_suite`` — NEW r11:
+  the pre-planned r12 family folds (see the section at the bottom);
+  r11 itself registered nothing (zero-slack window, COVERAGE.md).
 
 Nothing imports this module at runtime.
 """
