@@ -1,5 +1,7 @@
-"""Structured Streaming layer: stateful operators + stream runner."""
+"""Structured Streaming layer: stateful + stateless operators and the
+stream runner."""
 
+from file_d_spark.streaming.stateless import decontaminate_stream
 from file_d_spark.streaming.stateful import (
     antispam_stream,
     bloom_dedup_stream,
@@ -20,6 +22,7 @@ from file_d_spark.streaming.stateful import (
 
 __all__ = [
     "antispam_stream",
+    "decontaminate_stream",
     "bloom_dedup_stream",
     "bpe_apply_stream",
     "cardinality_stream",

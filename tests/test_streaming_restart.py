@@ -993,3 +993,62 @@ def test_quantile_stream_restart_and_batch_parity(spark, tmp_path):
             assert got.n_rows == batch_df.where(
                 f"lang = '{lang}'"
             ).count()
+
+
+def test_decontaminate_stream_batch_parity_across_restart(spark, tmp_path):
+    """Stateless streaming decontamination: a file-source stream driven
+    in two batches with a restart in between must emit exactly the
+    batch operator's (id, n_hits, contaminated) rows — once per doc,
+    no duplicates (restart-safety comes from the file source's
+    checkpointed offsets; the operator itself holds no state)."""
+    from file_d_spark.functions.corpus import decontaminate
+    from file_d_spark.streaming import decontaminate_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_schema = "doc_id long, text string"
+    out_schema = "doc_id long, n_hits long, contaminated boolean"
+    eval_rows = [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "pack my box with five dozen liquor jugs right now ok"),
+    ]
+    rows1 = [
+        # shares the eval 8-gram window(s)
+        {"doc_id": 1,
+         "text": "prefix the quick brown fox jumps over the lazy dog tonight suffix"},
+        {"doc_id": 2, "text": "totally clean text with no overlap at all here friend"},
+    ]
+    rows2 = [
+        {"doc_id": 3,
+         "text": "pack my box with five dozen liquor jugs right now ok indeed"},
+        {"doc_id": 4, "text": "another clean document streaming after the restart boundary"},
+    ]
+    eval_df = spark.createDataFrame(eval_rows, in_schema)
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return decontaminate_stream(df, eval_df, "doc_id", "text", n=8)
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 2,
+    )
+    _write_jsonl(str(in_dir), "b2.jsonl", rows2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 4,
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in _read_out(spark, out_dir, out_schema)
+    }
+    assert len(_read_out(spark, out_dir, out_schema)) == 4, "dup emissions"
+    batch_in = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows1 + rows2], in_schema
+    )
+    want = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontaminate(batch_in, eval_df, "doc_id", "text", n=8).collect()
+    }
+    assert got == want
+    assert got[2] == (0, False) and got[1][1] is True
