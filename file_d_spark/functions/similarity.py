@@ -102,6 +102,64 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dup_sim: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-``k`` MOST similar corpus vectors whose cosine is
+    strictly BELOW ``dup_sim``.  The band ``sim >= dup_sim`` is the
+    near-duplicate / likely-positive zone — mining those as negatives
+    poisons a contrastive objective with false negatives, so they are
+    excluded and the ranking continues just under the band (the
+    standard retrieval-finetuning recipe).
+
+    Shape = :func:`brute_force_topk` with the band filter before the
+    per-query rank window: queries broadcast, one narrow corpus pass,
+    the only shuffle is the per-query top-k.  At 100 TB swap the
+    candidate pass for :func:`lsh_topk`'s banded join and keep the
+    same band filter on the exact rerank."""
+    from file_d_spark.functions.dedup import spread
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .filter(F.col("sim") < dup_sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
 def cosine_pairs(
     corpus: DataFrame,
     threshold: float,

@@ -54,6 +54,11 @@ retirement):
 - ``bm25_suite`` / ``convert_suite`` / ``filter_suite`` — NEW r11:
   the pre-planned r12 family folds (see the section at the bottom);
   r11 itself registered nothing (zero-slack window, COVERAGE.md).
+- ``hard_negatives`` — NEW r11: contrastive-training hard-negative
+  mining (``similarity.hard_negatives``): top-k most similar corpus
+  vectors per query EXCLUDING the near-duplicate band, the
+  false-negative guard every retrieval-finetuning pipeline needs;
+  band-bites teeth test in tests/test_hard_negatives.py.
 
 Nothing imports this module at runtime.
 """
@@ -519,3 +524,40 @@ STAGED["filter_suite"] = (
         _FILTER_SUITE_COLS,
     ),
 )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): top-10 most
+    similar corpus vectors per query EXCLUDING the near-duplicate band
+    (sim >= 0.3 at this synthetic fixture's sim scale, where the
+    queries' top sims run 0.33-0.39 — the exclusion provably bites,
+    asserted in tests/test_hard_negatives.py).  The contrastive-
+    training companion of the ANN family: same broadcast + narrow-pass
+    + per-query-window shape as brute_force_topk."""
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.hard_negatives(e, queries, k=10, dup_sim=0.3)
+
+
+_HARD_NEG_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                  i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+                  i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim
+      FROM embeddings c, q WHERE c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored WHERE sim < 0.3) WHERE rank <= 10
+    """
+
+STAGED["hard_negatives"] = (q_hard_negatives, _HARD_NEG_ORACLE)

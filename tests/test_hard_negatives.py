@@ -1,0 +1,44 @@
+"""hard_negatives: the near-duplicate exclusion band must BITE — the
+result differs from plain brute-force top-k exactly by the banded
+neighbors — and below the band the two rankings agree."""
+
+from pyspark.sql import functions as F
+
+from file_d_spark.functions.similarity import brute_force_topk, hard_negatives
+
+
+def _sf():
+    from conftest import SF_DIR
+
+    return SF_DIR
+
+
+def test_band_excluded_and_ranking_continues(spark):
+    e = spark.read.parquet(f"{_sf()}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(e, q, k=10).collect()
+    hard = hard_negatives(e, q, k=10, dup_sim=0.3).collect()
+
+    top_brute = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in brute}
+    top_hard = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in hard}
+    assert set(r.query_id for r in hard) == set(range(5))
+    # every mined negative is strictly below the band
+    assert all(r.sim < 0.3 for r in hard)
+    # the band bites: at this fixture every query's top sims exceed 0.3
+    banded = {r.query_id for r in brute if r.sim >= 0.3}
+    assert banded == set(range(5)), "fixture no longer exercises the band"
+    assert top_hard != top_brute
+    # below the band the ranking is the brute ranking with banded rows
+    # removed: same (neighbor, sim) sequence, ranks compacted
+    for qid in range(5):
+        b_seq = [
+            (r.neighbor_id, r.sim)
+            for r in sorted(brute, key=lambda r: (r.query_id, r.rank))
+            if r.query_id == qid and r.sim < 0.3
+        ]
+        h_seq = [
+            (r.neighbor_id, r.sim)
+            for r in sorted(hard, key=lambda r: (r.query_id, r.rank))
+            if r.query_id == qid
+        ]
+        assert h_seq[: len(b_seq)] == b_seq
