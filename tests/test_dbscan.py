@@ -95,3 +95,41 @@ def test_dbscan_banded_pairs_fn_matches_exact(spark):
     }
     assert len({v[0] for v in want.values()}) > 1, "degenerate fixture"
     assert got == want
+
+
+def test_banded_pairs_always_subset_of_exact(spark):
+    """Invariant, not a recall claim: whatever the banding parameters,
+    every banded pair must appear in the exact pair set WITH THE SAME
+    rounded sim (candidates are exact-reranked, so false positives are
+    impossible; only misses are).  Random corpus, fixed seed; a
+    selective parameterization (few bands, many bits) guarantees some
+    misses so the test can't silently degenerate into the equality
+    case."""
+    import numpy as np
+
+    from file_d_spark.functions.similarity import (
+        banded_cosine_pairs,
+        cosine_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n = 16, 120
+    base = rng.normal(size=(8, dim))
+    rows = []
+    for i in range(n):
+        # cluster around 8 anchors so plenty of pairs clear 0.6
+        v = base[i % 8] + 0.35 * rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b): r.sim for r in cosine_pairs(df, 0.6).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b): r.sim
+        for r in banded_cosine_pairs(
+            df, 0.6, dim=dim, planes=16, bands=2  # 8-bit bands: selective
+        ).collect()
+    }
+    assert exact, "fixture produced no qualifying pairs"
+    assert set(banded) <= set(exact)
+    assert all(banded[k] == exact[k] for k in banded)
