@@ -57,12 +57,17 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_sim: float | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     ``queries`` is expected to be small (it is broadcast); the corpus
     scan is embarrassingly parallel and the only shuffle is the
     per-query window for rank.
+
+    ``max_sim`` (optional) drops candidates at cosine >= the bound
+    BEFORE ranking — the hard-negative-mining band
+    (:func:`hard_negatives` is this with the bound required).
     """
     from file_d_spark.functions.dedup import spread
 
@@ -87,6 +92,8 @@ def brute_force_topk(
             / (F.col("q_norm") * F.col("c_norm")),
         )
     )
+    if max_sim is not None:
+        scored = scored.filter(F.col("sim") < max_sim)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
@@ -118,45 +125,15 @@ def hard_negatives(
     excluded and the ranking continues just under the band (the
     standard retrieval-finetuning recipe).
 
-    Shape = :func:`brute_force_topk` with the band filter before the
-    per-query rank window: queries broadcast, one narrow corpus pass,
-    the only shuffle is the per-query top-k.  At 100 TB swap the
-    candidate pass for :func:`lsh_topk`'s banded join and keep the
-    same band filter on the exact rerank."""
-    from file_d_spark.functions.dedup import spread
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
-    )
-    c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "sim",
-            dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm")),
-        )
-        .filter(F.col("sim") < dup_sim)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("sim", 6).alias("sim"),
-        )
+    IS :func:`brute_force_topk` with the band filter before the
+    per-query rank window (one shared implementation — ``max_sim``):
+    queries broadcast, one narrow corpus pass, the only shuffle is the
+    per-query top-k.  At 100 TB swap the candidate pass for
+    :func:`lsh_topk`'s banded join and keep the same band filter on
+    the exact rerank."""
+    return brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        max_sim=dup_sim,
     )
 
 

@@ -4862,6 +4862,11 @@ _SWEEP_CHANGED = [
     # the oracle is unchanged — and the row is never-green (auto-head),
     # so this entry costs no window slot either.
     "dbscan_clusters",
+    # r11: brute_force_topk grew an optional max_sim band parameter
+    # (hard_negatives refactor — a no-op when unset, as in the
+    # registered ann_methods leg).  ann_methods is never-green
+    # (auto-head), so this entry also costs no window slot.
+    "ann_methods",
     # r11 window arithmetic: 10 never-green r10 registrations (auto-
     # head) + 40 r8-green rows = exactly 50 — ZERO fold/registration
     # slack until CORRECTNESS_r11 lands (VERDICT r10 directive).

@@ -59,7 +59,12 @@ def decontaminate_stream(
     model = df.sparkSession.createDataFrame(
         [(sorted(eval_digests),)], "__eval__ array<bigint>"
     )
-    hits = F.size(F.array_intersect(digests, F.col("__eval__")))
+    # null text: batch drops the null gram row from hits and the spine
+    # left-join coalesces to (0, false) — mirror with a coalesce here,
+    # or size(null) would emit null n_hits; cast long = batch's count
+    hits = F.coalesce(
+        F.size(F.array_intersect(digests, F.col("__eval__"))), F.lit(0)
+    ).cast("long")
     return (
         df.crossJoin(F.broadcast(model))
         .select(

@@ -133,3 +133,6 @@ def test_banded_pairs_always_subset_of_exact(spark):
     assert exact, "fixture produced no qualifying pairs"
     assert set(banded) <= set(exact)
     assert all(banded[k] == exact[k] for k in banded)
+    # STRICT subset — the selective parameterization must actually
+    # miss pairs, or this degenerates into the equality test above
+    assert set(banded) != set(exact), "banding missed nothing; not selective"

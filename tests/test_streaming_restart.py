@@ -1021,6 +1021,8 @@ def test_decontaminate_stream_batch_parity_across_restart(spark, tmp_path):
         {"doc_id": 3,
          "text": "pack my box with five dozen liquor jugs right now ok indeed"},
         {"doc_id": 4, "text": "another clean document streaming after the restart boundary"},
+        # null text: batch coalesces to (0, false) — the stream must too
+        {"doc_id": 5, "text": None},
     ]
     eval_df = spark.createDataFrame(eval_rows, in_schema)
 
@@ -1036,13 +1038,13 @@ def test_decontaminate_stream_batch_parity_across_restart(spark, tmp_path):
     _write_jsonl(str(in_dir), "b2.jsonl", rows2)
     _drive(
         make_query(), out_dir, ckpt,
-        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 4,
+        lambda q: len(_read_out(spark, out_dir, out_schema)) >= 5,
     )
     got = {
         r.doc_id: (r.n_hits, r.contaminated)
         for r in _read_out(spark, out_dir, out_schema)
     }
-    assert len(_read_out(spark, out_dir, out_schema)) == 4, "dup emissions"
+    assert len(_read_out(spark, out_dir, out_schema)) == 5, "dup emissions"
     batch_in = spark.createDataFrame(
         [(r["doc_id"], r["text"]) for r in rows1 + rows2], in_schema
     )
