@@ -1634,3 +1634,215 @@ def jl_project_oracle_sql(
                   i -> e.v[i] * p[i])) * {inv!r}) AS BIGINT) AS comp_fp
     FROM e, planes
 """
+
+
+# --------------------------------------------------------------------------
+# MMR diversified selection
+# --------------------------------------------------------------------------
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): pick
+    ``k`` results per query that are RELEVANT but mutually DIVERSE —
+    greedily maximize ``λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)``
+    over a ``pool``-size exact top-k candidate set.  The standard
+    recipe for building diverse eval/demo sets and dedup-aware
+    retrieval shortlists from an embedding column.
+
+    Exactness: λ is the rational ``lam_num/lam_den`` and every score
+    is the INTEGER ``lam_num·sq − (lam_den−lam_num)·pen`` over 1e-6
+    fixed-point sims (argmax is invariant under the positive
+    ``lam_den`` scaling), so selection is exact integer arithmetic —
+    the same cross-engine determinism idiom as bm25/dsir.  Ties break
+    by id.
+
+    Shape: greedy selection is sequential in ``k``, so the loop is
+    UNROLLED into ``k`` DataFrame stages (the bpe unrolled-oracle
+    pattern) — all JVM joins/windows over candidate frames bounded by
+    queries × pool rows; the only corpus-sized work is the one
+    narrow :func:`brute_force_topk` pass that builds the pool.  No
+    Python in the plan."""
+    if not (0 < lam_num < lam_den):
+        raise ValueError("need 0 < lam_num < lam_den")
+    cand = brute_force_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
+    )
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        norm(F.col(vec_col)).alias("nn"),
+    )
+    cv = cand.join(v, "neighbor_id").select(
+        "query_id", "neighbor_id", "sim", "v", "nn"
+    )
+    # queries x pool rows — tiny; checkpoint so the k unrolled stages
+    # don't re-run the corpus top-k per stage
+    cv = _register_cache(cv.localCheckpoint(eager=True))
+    a = cv.select(
+        "query_id", F.col("neighbor_id").alias("id_a"),
+        F.col("v").alias("va"), F.col("nn").alias("na"),
+    )
+    b = cv.select(
+        "query_id", F.col("neighbor_id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("nn").alias("nb"),
+    )
+    pair_fp = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id", "id_a", "id_b",
+            F.round(
+                F.round(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")),
+                    6,
+                ) * 1e6
+            ).cast("long").alias("sab"),
+        )
+    )
+    pair_fp = _register_cache(pair_fp.localCheckpoint(eager=True))
+    base = cv.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("sim") * 1e6).cast("long").alias("sq"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("sq").desc(), F.col("neighbor_id")
+    )
+    selected = (
+        base.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("sel_id"),
+            F.lit(1).alias("pick"),
+            (F.lit(lam_num) * F.col("sq")).alias("score_fp"),
+        )
+    )
+    comp = lam_den - lam_num
+    for p in range(2, k + 1):
+        sel_ids = selected.select("query_id", F.col("sel_id").alias("id_b"))
+        remaining = base.join(
+            selected.select(
+                "query_id", F.col("sel_id").alias("neighbor_id")
+            ),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pen = (
+            pair_fp.join(sel_ids, ["query_id", "id_b"])
+            .groupBy("query_id", F.col("id_a").alias("neighbor_id"))
+            .agg(F.max("sab").alias("pen"))
+        )
+        scored = remaining.join(pen, ["query_id", "neighbor_id"]).withColumn(
+            "score_fp",
+            F.lit(lam_num) * F.col("sq") - F.lit(comp) * F.col("pen"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("score_fp").desc(), F.col("neighbor_id")
+        )
+        nxt = (
+            scored.withColumn("rk", F.row_number().over(wp))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                F.col("neighbor_id").alias("sel_id"),
+                F.lit(p).alias("pick"),
+                "score_fp",
+            )
+        )
+        selected = selected.unionByName(nxt)
+    return selected.select(
+        "query_id", "pick", "sel_id",
+        F.round(F.col("score_fp") / 1e6, 6).alias("mmr"),
+    )
+
+
+def mmr_oracle_sql(
+    k: int = 5,
+    pool: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`mmr_diversify` over the embeddings
+    table with queries = vec_id < ``n_queries``: the greedy loop
+    unrolls into sel1..sel{k} CTEs with the SAME integer fixed-point
+    scores and id tiebreaks, so selection is bit-identical."""
+    cos = (
+        "list_sum(list_transform(range(1, len({a}.embedding)+1),"
+        " i -> {a}.embedding[i]::DOUBLE * {b}.{bv}[i]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(range(1, len({a}.embedding)+1),"
+        " i -> {a}.embedding[i]::DOUBLE * {a}.embedding[i]::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(range(1, len({b}.{bv})+1),"
+        " i -> {b}.{bv}[i]::DOUBLE * {b}.{bv}[i]::DOUBLE))))"
+    )
+    comp = lam_den - lam_num
+    parts = [f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {n_queries}),
+    scored0 AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {cos.format(a='c', b='q', bv='qv')} AS sim
+      FROM embeddings c, q WHERE c.vec_id != q.query_id),
+    cand AS (
+      SELECT query_id, neighbor_id, round(sim, 6) AS sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored0) WHERE rk <= {pool}),
+    base AS (SELECT query_id, neighbor_id,
+                    CAST(round(sim * 1e6) AS BIGINT) AS sq FROM cand),
+    pair AS (
+      SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+             CAST(round(round({cos.format(a='ea', b='eb', bv='embedding')},
+                              6) * 1e6) AS BIGINT) AS sab
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id
+                 AND a.neighbor_id != b.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+    sel1 AS (
+      SELECT query_id, neighbor_id AS sel_id, 1 AS pick,
+             {lam_num} * sq AS score_fp
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sq DESC, neighbor_id) rk
+            FROM base) WHERE rk = 1)"""]
+    for p in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, sel_id FROM sel{i}" for i in range(1, p)
+        )
+        parts.append(f""",
+    selu{p} AS ({prev}),
+    sel{p} AS (
+      SELECT query_id, neighbor_id AS sel_id, {p} AS pick, score_fp FROM (
+        SELECT s.query_id, s.neighbor_id, s.score_fp,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.score_fp DESC, s.neighbor_id) rk
+        FROM (
+          SELECT b.query_id, b.neighbor_id,
+                 {lam_num} * b.sq - {comp} * max(pr.sab) AS score_fp
+          FROM base b
+          JOIN pair pr ON pr.query_id = b.query_id
+                      AND pr.id_a = b.neighbor_id
+          JOIN selu{p} su ON su.query_id = pr.query_id
+                         AND su.sel_id = pr.id_b
+          WHERE NOT EXISTS (SELECT 1 FROM selu{p} x
+                            WHERE x.query_id = b.query_id
+                              AND x.sel_id = b.neighbor_id)
+          GROUP BY b.query_id, b.neighbor_id, b.sq) s) WHERE rk = 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, k + 1)
+    )
+    parts.append(f"""
+    SELECT query_id, pick, sel_id,
+           round(score_fp::DOUBLE / 1e6, 6) AS mmr
+    FROM ({union})""")
+    return "".join(parts)

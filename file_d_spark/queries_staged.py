@@ -59,6 +59,12 @@ retirement):
   vectors per query EXCLUDING the near-duplicate band, the
   false-negative guard every retrieval-finetuning pipeline needs;
   band-bites teeth test in tests/test_hard_negatives.py.
+- ``mmr_diversify`` — NEW r11: Maximal Marginal Relevance diversified
+  top-5 per query (``similarity.mmr_diversify``): greedy
+  relevance-vs-redundancy selection unrolled into pure-JVM stages,
+  exact integer fixed-point scores, oracle = the same unrolled
+  sel1..sel5 CTEs (``mmr_oracle_sql``); diversity teeth in
+  tests/test_hard_negatives.py.
 
 Nothing imports this module at runtime.
 """
@@ -561,3 +567,25 @@ _HARD_NEG_ORACLE = """
     """
 
 STAGED["hard_negatives"] = (q_hard_negatives, _HARD_NEG_ORACLE)
+
+
+def q_mmr_diversify(spark, sf_dir):
+    """MMR diversified top-5 per query over a 20-candidate exact pool
+    (similarity.mmr_diversify, λ=7/10): exact integer fixed-point
+    greedy selection, unrolled into pure-JVM stages — no Python in the
+    plan.  Diversity teeth in tests/test_hard_negatives.py."""
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.mmr_diversify(e, queries, k=5, pool=20)
+
+
+def _mmr_oracle():
+    from file_d_spark.functions import similarity
+
+    return similarity.mmr_oracle_sql(k=5, pool=20)
+
+
+STAGED["mmr_diversify"] = (q_mmr_diversify, _mmr_oracle())

@@ -42,3 +42,31 @@ def test_band_excluded_and_ranking_continues(spark):
             if r.query_id == qid
         ]
         assert h_seq[: len(b_seq)] == b_seq
+
+
+def test_mmr_diversifies_beyond_plain_topk(spark):
+    """MMR teeth: pick 1 is the plain top-1 (no penalty yet), but the
+    full MMR selection must DIFFER from the plain top-k set for at
+    least one query — otherwise the diversity term did nothing at this
+    fixture and the staged pair degenerates into brute_force_topk."""
+    from file_d_spark.functions.similarity import (
+        brute_force_topk,
+        mmr_diversify,
+    )
+
+    e = spark.read.parquet(f"{_sf()}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    mmr = mmr_diversify(e, q, k=5, pool=20).collect()
+    brute = brute_force_topk(e, q, k=5).collect()
+    top1 = {r.query_id: r.neighbor_id for r in brute if r.rank == 1}
+    mmr1 = {r.query_id: r.sel_id for r in mmr if r.pick == 1}
+    assert mmr1 == top1, "pick 1 must be the undiversified argmax"
+    b_sets = {}
+    m_sets = {}
+    for r in brute:
+        b_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in mmr:
+        m_sets.setdefault(r.query_id, set()).add(r.sel_id)
+    assert any(m_sets[qid] != b_sets[qid] for qid in m_sets), (
+        "diversity never changed the selection; fixture degenerate"
+    )
