@@ -1673,13 +1673,23 @@ def mmr_diversify(
     Python in the plan."""
     if not (0 < lam_num < lam_den):
         raise ValueError("need 0 < lam_num < lam_den")
+    if k < 1:
+        raise ValueError("need k >= 1")
     cand = brute_force_topk(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
     )
-    v = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        norm(F.col(vec_col)).alias("nn"),
+    # fetch vectors for the CANDIDATES only: semi-join the corpus to
+    # the bounded (queries x pool) id set before computing norms — a
+    # second full-corpus transform+norm pass would contradict the
+    # one-corpus-pass scale shape
+    cand_ids = cand.select(F.col("neighbor_id").alias(id_col)).distinct()
+    v = (
+        corpus.join(F.broadcast(cand_ids), id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            norm(F.col(vec_col)).alias("nn"),
+        )
     )
     cv = cand.join(v, "neighbor_id").select(
         "query_id", "neighbor_id", "sim", "v", "nn"
@@ -1759,10 +1769,17 @@ def mmr_diversify(
                 "score_fp",
             )
         )
-        selected = selected.unionByName(nxt)
+        # each stage references `selected` three times (ids, anti-join,
+        # union); checkpoint per pick or the plan grows ~3^k — the
+        # frame is queries x pick rows, so this is cheap
+        selected = _register_cache(
+            selected.unionByName(nxt).localCheckpoint(eager=True)
+        )
+    # score_fp carries the lam_den scaling (argmax-invariant); divide
+    # it back out so `mmr` is the actual Carbonell-Goldstein score
     return selected.select(
         "query_id", "pick", "sel_id",
-        F.round(F.col("score_fp") / 1e6, 6).alias("mmr"),
+        F.round(F.col("score_fp") / F.lit(1e6 * lam_den), 6).alias("mmr"),
     )
 
 
@@ -1843,6 +1860,6 @@ def mmr_oracle_sql(
     )
     parts.append(f"""
     SELECT query_id, pick, sel_id,
-           round(score_fp::DOUBLE / 1e6, 6) AS mmr
+           round(score_fp::DOUBLE / (1e6 * {lam_den}), 6) AS mmr
     FROM ({union})""")
     return "".join(parts)

@@ -582,7 +582,7 @@ def q_mmr_diversify(spark, sf_dir):
     return similarity.mmr_diversify(e, queries, k=5, pool=20)
 
 
-def _mmr_oracle():
+def _mmr_oracle() -> str:
     from file_d_spark.functions import similarity
 
     return similarity.mmr_oracle_sql(k=5, pool=20)

@@ -58,9 +58,18 @@ def test_mmr_diversifies_beyond_plain_topk(spark):
     q = e.filter(F.col("vec_id") < 5)
     mmr = mmr_diversify(e, q, k=5, pool=20).collect()
     brute = brute_force_topk(e, q, k=5).collect()
-    top1 = {r.query_id: r.neighbor_id for r in brute if r.rank == 1}
+    # pick 1's true invariant: argmax over ROUNDED sims (MMR scores in
+    # 1e-6 fixed point), min id among rounded ties — not brute's
+    # raw-double rank 1, which can diverge on a past-6dp tie
+    top1 = {}
+    for r in brute:
+        best = top1.get(r.query_id)
+        if best is None or (-r.sim, r.neighbor_id) < (-best[0], best[1]):
+            top1[r.query_id] = (r.sim, r.neighbor_id)
     mmr1 = {r.query_id: r.sel_id for r in mmr if r.pick == 1}
-    assert mmr1 == top1, "pick 1 must be the undiversified argmax"
+    assert mmr1 == {q_: t[1] for q_, t in top1.items()}, (
+        "pick 1 must be the undiversified (rounded-sim) argmax"
+    )
     b_sets = {}
     m_sets = {}
     for r in brute:
@@ -70,3 +79,15 @@ def test_mmr_diversifies_beyond_plain_topk(spark):
     assert any(m_sets[qid] != b_sets[qid] for qid in m_sets), (
         "diversity never changed the selection; fixture degenerate"
     )
+
+
+def test_mmr_rejects_bad_k(spark):
+    """k < 1 must raise, not silently emit pick 1 anyway."""
+    import pytest
+
+    from file_d_spark.functions.similarity import mmr_diversify
+
+    e = spark.read.parquet(f"{_sf()}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="k >= 1"):
+        mmr_diversify(e, q, k=0)
