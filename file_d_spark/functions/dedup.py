@@ -1170,3 +1170,76 @@ def keep_best_representative(
         "csize",
         (F.col(id_col) == F.col("__keep_id__")).alias("kept"),
     )
+
+
+def minhash_candidates_emit_once(
+    sh: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Distinct MinHash-banded candidate pairs, each emitted from its
+    FIRST colliding band — the LSH emit-once form that replaced the
+    distinct() in ``similarity.banded_cosine_pairs`` (2x on its x10
+    decade row, SCALE.md r11).  Where :func:`minhash_lsh_pairs` dedups
+    multi-band collisions with a pair-key groupBy (a full shuffle of
+    the raw candidate volume), this checks in-row that no EARLIER band
+    collides, over the two carried per-band bucket vectors, so the
+    candidate stream is distinct by construction.
+
+    Same (doc_a, doc_b) set as the groupBy form — asserted in
+    tests/test_dedup_emit_once.py.  Not yet wired into the registered
+    operators (that swap changes registered-query code and must ride
+    an r12 sweep slot — COVERAGE.md "Registry capacity"); the r12 port
+    is ``candidates = minhash_candidates_emit_once(sh, ...)`` in
+    :func:`minhash_lsh_pairs` plus the broadcast-eval variant for
+    :func:`fuzzy_decontaminate`."""
+    rows_per_band = num_hashes // bands
+    hashed = sh.select(
+        "doc", base_hashes(F.col("shingles")).alias("__base__")
+    )
+    sig = hashed.select(
+        "doc", minhash_signature(F.col("__base__"), num_hashes).alias("sig")
+    )
+    # per-doc bucket vector (one xxhash64 per band) as ONE SQL string —
+    # the _banded_signatures plan-build economy, same bucket values
+    buckets_sql = "array({})".format(
+        ", ".join(
+            "xxhash64({refs})".format(
+                refs=", ".join(
+                    f"sig[{b * rows_per_band + r}]"
+                    for r in range(rows_per_band)
+                )
+            )
+            for b in range(bands)
+        )
+    )
+    keyed = (
+        sig.select("doc", F.expr(buckets_sql).alias("buckets"))
+        .select(
+            "doc",
+            "buckets",
+            F.posexplode("buckets").alias("band", "bucket"),
+        )
+    )
+    keyed = _register_cache(keyed.localCheckpoint(eager=True))
+    right = keyed.select(
+        F.col("doc").alias("doc_b"),
+        F.col("buckets").alias("buckets_b"),
+        "band",
+        "bucket",
+    )
+    first_collision = F.forall(
+        F.zip_with(
+            F.slice(F.col("buckets"), F.lit(1), F.col("band")),
+            F.slice(F.col("buckets_b"), F.lit(1), F.col("band")),
+            lambda x, y: x != y,
+        ),
+        lambda differs: differs,
+    )
+    return (
+        keyed.select(
+            F.col("doc").alias("doc_a"), "buckets", "band", "bucket"
+        )
+        .join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first_collision)
+        .select("doc_a", "doc_b")
+    )

@@ -1,0 +1,66 @@
+"""minhash_candidates_emit_once: the emit-once candidate stream must
+equal the groupBy-deduped candidate set of minhash_lsh_pairs, and the
+verified pairs through _verify_pairs must match the registered
+operator's output exactly — the r12 swap's safety net, validated now
+(COVERAGE.md "Registry capacity" r12 perf candidate)."""
+
+from pyspark.sql import functions as F
+
+from file_d_spark.functions.dedup import (
+    _banded_signatures,
+    _shingle_frame,
+    _verify_pairs,
+    minhash_candidates_emit_once,
+    minhash_lsh_pairs,
+)
+
+
+def _sf():
+    from conftest import SF_DIR
+
+    return SF_DIR
+
+
+def test_emit_once_candidates_equal_groupby_dedup(spark):
+    d = spark.read.parquet(f"{_sf()}/documents.parquet")
+    sh = _shingle_frame(d, "doc_id", "text", 2)
+    banded = _banded_signatures(sh, 64, 16)
+    grouped = {
+        (r.doc_a, r.doc_b)
+        for r in (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band", "bucket"])
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    emit_once = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidates_emit_once(sh, 64, 16).collect()
+    }
+    assert grouped, "fixture produced no candidates"
+    assert emit_once == grouped
+    # exactly-once by construction: collect() above would hide dups,
+    # so re-check the raw count
+    assert minhash_candidates_emit_once(sh, 64, 16).count() == len(grouped)
+
+
+def test_emit_once_verified_pairs_match_registered_operator(spark):
+    d = spark.read.parquet(f"{_sf()}/documents.parquet")
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", n=2, threshold=0.7
+        ).collect()
+    }
+    sh = _shingle_frame(d, "doc_id", "text", 2)
+    cands = minhash_candidates_emit_once(sh, 64, 16)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _verify_pairs(sh, cands, 0.7).collect()
+    }
+    assert got == want
