@@ -1243,3 +1243,73 @@ def minhash_candidates_emit_once(
         .filter(first_collision)
         .select("doc_a", "doc_b")
     )
+
+
+def minhash_candidates_emit_once_vs(
+    sh_big: DataFrame,
+    sh_small: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Two-table emit-once MinHash candidates: ``sh_big`` (the corpus
+    shingle frame) against a BROADCAST ``sh_small`` (the eval set) —
+    the :func:`fuzzy_decontaminate` candidate stage without its
+    pair-key groupBy.  With the small side broadcast, the groupBy was
+    the ONLY corpus-volume shuffle left in that operator; the in-row
+    first-colliding-band check removes it, so the corpus stays
+    entirely un-shuffled end to end.  Emits distinct
+    (doc_a = big, doc_b = small) pairs by construction; same set as
+    the groupBy form (tests/test_dedup_emit_once.py).  Not yet wired
+    into the registered operator (r12, with the one-table swap)."""
+
+    def keyed(sh: DataFrame) -> DataFrame:
+        rows_per_band = num_hashes // bands
+        hashed = sh.select(
+            "doc", base_hashes(F.col("shingles")).alias("__base__")
+        )
+        sig = hashed.select(
+            "doc",
+            minhash_signature(F.col("__base__"), num_hashes).alias("sig"),
+        )
+        buckets_sql = "array({})".format(
+            ", ".join(
+                "xxhash64({refs})".format(
+                    refs=", ".join(
+                        f"sig[{b * rows_per_band + r}]"
+                        for r in range(rows_per_band)
+                    )
+                )
+                for b in range(bands)
+            )
+        )
+        return (
+            sig.select("doc", F.expr(buckets_sql).alias("buckets"))
+            .select(
+                "doc",
+                "buckets",
+                F.posexplode("buckets").alias("band", "bucket"),
+            )
+        )
+
+    big = keyed(sh_big).select(
+        F.col("doc").alias("doc_a"), "buckets", "band", "bucket"
+    )
+    small = keyed(sh_small).select(
+        F.col("doc").alias("doc_b"),
+        F.col("buckets").alias("buckets_b"),
+        "band",
+        "bucket",
+    )
+    first_collision = F.forall(
+        F.zip_with(
+            F.slice(F.col("buckets"), F.lit(1), F.col("band")),
+            F.slice(F.col("buckets_b"), F.lit(1), F.col("band")),
+            lambda x, y: x != y,
+        ),
+        lambda differs: differs,
+    )
+    return (
+        big.join(F.broadcast(small), ["band", "bucket"])
+        .filter(first_collision)
+        .select("doc_a", "doc_b")
+    )

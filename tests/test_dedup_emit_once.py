@@ -64,3 +64,34 @@ def test_emit_once_verified_pairs_match_registered_operator(spark):
         for r in _verify_pairs(sh, cands, 0.7).collect()
     }
     assert got == want
+
+
+def test_emit_once_two_table_matches_groupby(spark):
+    """The broadcast two-table variant must produce exactly the
+    candidate set fuzzy_decontaminate's groupBy stage dedups to."""
+    d = spark.read.parquet(f"{_sf()}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    ev = d.filter(F.col("doc_id") % 7 == 0).limit(30)
+    sh_c = _shingle_frame(corpus, "doc_id", "text", 3)
+    sh_e = _shingle_frame(ev, "doc_id", "text", 3)
+    banded_c = _banded_signatures(sh_c, 64, 16, cache=False)
+    banded_e = _banded_signatures(sh_e, 64, 16, cache=False)
+    grouped = {
+        (r.doc_a, r.doc_b)
+        for r in (
+            banded_c.alias("a")
+            .join(F.broadcast(banded_e.alias("b")), ["band", "bucket"])
+            .select(
+                F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    from file_d_spark.functions.dedup import minhash_candidates_emit_once_vs
+
+    emit = minhash_candidates_emit_once_vs(sh_c, sh_e, 64, 16)
+    rows = emit.collect()
+    assert grouped, "fixture produced no cross-table candidates"
+    assert {(r.doc_a, r.doc_b) for r in rows} == grouped
+    assert len(rows) == len(grouped), "duplicate emissions"

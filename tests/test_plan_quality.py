@@ -155,12 +155,16 @@ def test_staged_queries_stay_jvm_side(spark, sf_dir):
     regression into the registry at promotion time."""
     from file_d_spark.queries_staged import STAGED
 
+    # convert_suite folds the registered convert_utf8_escapes leg,
+    # which carries the sanctioned Arrow UDF (ARROW_PY_ALLOWED above)
+    staged_arrow_allowed = {"convert_suite"}
     for name in sorted(STAGED):
         plan = staged_plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} fell back to row-UDF"
-        assert not re.search(
-            r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan
-        ), f"{name} unexpectedly runs Python"
+        if name not in staged_arrow_allowed:
+            assert not re.search(
+                r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan
+            ), f"{name} unexpectedly runs Python"
 
 
 def test_hll_sketch_shuffles_registers_only(spark, sf_dir):
