@@ -1185,12 +1185,15 @@ def minhash_candidates_emit_once(
     candidate stream is distinct by construction.
 
     Same (doc_a, doc_b) set as the groupBy form — asserted in
-    tests/test_dedup_emit_once.py.  Not yet wired into the registered
-    operators (that swap changes registered-query code and must ride
-    an r12 sweep slot — COVERAGE.md "Registry capacity"); the r12 port
-    is ``candidates = minhash_candidates_emit_once(sh, ...)`` in
-    :func:`minhash_lsh_pairs` plus the broadcast-eval variant for
-    :func:`fuzzy_decontaminate`."""
+    tests/test_dedup_emit_once.py.  MEASURED AND NOT WIRED into the
+    registered operators: at x10 documents (50k docs, ~306k
+    candidates) the groupBy form is FASTER (5.5 s vs 8.6 s) because
+    near-dup candidates are sparse — the pair-key shuffle this
+    avoids is tiny, while carrying the bucket vector through the
+    join is not.  Use this form only where multi-band collision
+    volume dominates (the dense regime where
+    ``similarity.banded_cosine_pairs`` measured 2x — SCALE.md r11;
+    COVERAGE.md "Registry capacity" records the rejection)."""
     rows_per_band = num_hashes // bands
     hashed = sh.select(
         "doc", base_hashes(F.col("shingles")).alias("__base__")
@@ -1259,8 +1262,11 @@ def minhash_candidates_emit_once_vs(
     first-colliding-band check removes it, so the corpus stays
     entirely un-shuffled end to end.  Emits distinct
     (doc_a = big, doc_b = small) pairs by construction; same set as
-    the groupBy form (tests/test_dedup_emit_once.py).  Not yet wired
-    into the registered operator (r12, with the one-table swap)."""
+    the groupBy form (tests/test_dedup_emit_once.py).  Like the
+    one-table form, NOT wired into the registered operator — the
+    sparse-candidate measurement (see
+    :func:`minhash_candidates_emit_once`) applies here too; reach
+    for it only when cross-table collision volume dominates."""
 
     def keyed(sh: DataFrame) -> DataFrame:
         rows_per_band = num_hashes // bands
