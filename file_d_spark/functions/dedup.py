@@ -1172,6 +1172,51 @@ def keep_best_representative(
     )
 
 
+def _bucket_vector_frame(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Compact (doc, buckets array<long>) frame — one xxhash64 bucket
+    per band from the minhash signature, built with ONE SQL string
+    (the _banded_signatures plan-build economy, bit-equal buckets).
+    Checkpointed COMPACT (one vector per doc) so consumers that
+    posexplode it afterwards don't materialize 16 copies of each
+    vector in the checkpoint."""
+    rows_per_band = num_hashes // bands
+    hashed = sh.select(
+        "doc", base_hashes(F.col("shingles")).alias("__base__")
+    )
+    sig = hashed.select(
+        "doc", minhash_signature(F.col("__base__"), num_hashes).alias("sig")
+    )
+    buckets_sql = "array({})".format(
+        ", ".join(
+            "xxhash64({refs})".format(
+                refs=", ".join(
+                    f"sig[{b * rows_per_band + r}]"
+                    for r in range(rows_per_band)
+                )
+            )
+            for b in range(bands)
+        )
+    )
+    frame = sig.select("doc", F.expr(buckets_sql).alias("buckets"))
+    return _register_cache(frame.localCheckpoint(eager=True))
+
+
+def _first_band_collision(a_vec: Column, b_vec: Column, band: Column) -> Column:
+    """True iff no band BEFORE ``band`` collides between the two
+    bucket vectors — the LSH emit-once predicate (band 0 slices an
+    empty prefix, vacuously true)."""
+    return F.forall(
+        F.zip_with(
+            F.slice(a_vec, F.lit(1), band),
+            F.slice(b_vec, F.lit(1), band),
+            lambda x, y: x != y,
+        ),
+        lambda differs: differs,
+    )
+
+
 def minhash_candidates_emit_once(
     sh: DataFrame, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
@@ -1187,55 +1232,23 @@ def minhash_candidates_emit_once(
     Same (doc_a, doc_b) set as the groupBy form — asserted in
     tests/test_dedup_emit_once.py.  MEASURED AND NOT WIRED into the
     registered operators: at x10 documents (50k docs, ~306k
-    candidates) the groupBy form is FASTER (5.5 s vs 8.6 s) because
-    near-dup candidates are sparse — the pair-key shuffle this
-    avoids is tiny, while carrying the bucket vector through the
-    join is not.  Use this form only where multi-band collision
-    volume dominates (the dense regime where
-    ``similarity.banded_cosine_pairs`` measured 2x — SCALE.md r11;
-    COVERAGE.md "Registry capacity" records the rejection)."""
-    rows_per_band = num_hashes // bands
-    hashed = sh.select(
-        "doc", base_hashes(F.col("shingles")).alias("__base__")
+    candidates) the groupBy form is FASTER because near-dup
+    candidates are sparse — the pair-key shuffle this avoids is tiny,
+    while carrying the bucket vector through the join is not (numbers
+    in COVERAGE.md "Registry capacity", which records the rejection).
+    Use this form only where multi-band collision volume dominates
+    (the dense regime where ``similarity.banded_cosine_pairs``
+    measured 2x — SCALE.md r11)."""
+    keyed = _bucket_vector_frame(sh, num_hashes, bands).select(
+        "doc",
+        "buckets",
+        F.posexplode("buckets").alias("band", "bucket"),
     )
-    sig = hashed.select(
-        "doc", minhash_signature(F.col("__base__"), num_hashes).alias("sig")
-    )
-    # per-doc bucket vector (one xxhash64 per band) as ONE SQL string —
-    # the _banded_signatures plan-build economy, same bucket values
-    buckets_sql = "array({})".format(
-        ", ".join(
-            "xxhash64({refs})".format(
-                refs=", ".join(
-                    f"sig[{b * rows_per_band + r}]"
-                    for r in range(rows_per_band)
-                )
-            )
-            for b in range(bands)
-        )
-    )
-    keyed = (
-        sig.select("doc", F.expr(buckets_sql).alias("buckets"))
-        .select(
-            "doc",
-            "buckets",
-            F.posexplode("buckets").alias("band", "bucket"),
-        )
-    )
-    keyed = _register_cache(keyed.localCheckpoint(eager=True))
     right = keyed.select(
         F.col("doc").alias("doc_b"),
         F.col("buckets").alias("buckets_b"),
         "band",
         "bucket",
-    )
-    first_collision = F.forall(
-        F.zip_with(
-            F.slice(F.col("buckets"), F.lit(1), F.col("band")),
-            F.slice(F.col("buckets_b"), F.lit(1), F.col("band")),
-            lambda x, y: x != y,
-        ),
-        lambda differs: differs,
     )
     return (
         keyed.select(
@@ -1243,7 +1256,11 @@ def minhash_candidates_emit_once(
         )
         .join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(first_collision)
+        .filter(
+            _first_band_collision(
+                F.col("buckets"), F.col("buckets_b"), F.col("band")
+            )
+        )
         .select("doc_a", "doc_b")
     )
 
@@ -1268,54 +1285,28 @@ def minhash_candidates_emit_once_vs(
     :func:`minhash_candidates_emit_once`) applies here too; reach
     for it only when cross-table collision volume dominates."""
 
-    def keyed(sh: DataFrame) -> DataFrame:
-        rows_per_band = num_hashes // bands
-        hashed = sh.select(
-            "doc", base_hashes(F.col("shingles")).alias("__base__")
-        )
-        sig = hashed.select(
+    def exploded(sh: DataFrame) -> DataFrame:
+        return _bucket_vector_frame(sh, num_hashes, bands).select(
             "doc",
-            minhash_signature(F.col("__base__"), num_hashes).alias("sig"),
-        )
-        buckets_sql = "array({})".format(
-            ", ".join(
-                "xxhash64({refs})".format(
-                    refs=", ".join(
-                        f"sig[{b * rows_per_band + r}]"
-                        for r in range(rows_per_band)
-                    )
-                )
-                for b in range(bands)
-            )
-        )
-        return (
-            sig.select("doc", F.expr(buckets_sql).alias("buckets"))
-            .select(
-                "doc",
-                "buckets",
-                F.posexplode("buckets").alias("band", "bucket"),
-            )
+            "buckets",
+            F.posexplode("buckets").alias("band", "bucket"),
         )
 
-    big = keyed(sh_big).select(
+    big = exploded(sh_big).select(
         F.col("doc").alias("doc_a"), "buckets", "band", "bucket"
     )
-    small = keyed(sh_small).select(
+    small = exploded(sh_small).select(
         F.col("doc").alias("doc_b"),
         F.col("buckets").alias("buckets_b"),
         "band",
         "bucket",
     )
-    first_collision = F.forall(
-        F.zip_with(
-            F.slice(F.col("buckets"), F.lit(1), F.col("band")),
-            F.slice(F.col("buckets_b"), F.lit(1), F.col("band")),
-            lambda x, y: x != y,
-        ),
-        lambda differs: differs,
-    )
     return (
         big.join(F.broadcast(small), ["band", "bucket"])
-        .filter(first_collision)
+        .filter(
+            _first_band_collision(
+                F.col("buckets"), F.col("buckets_b"), F.col("band")
+            )
+        )
         .select("doc_a", "doc_b")
     )

@@ -241,34 +241,24 @@ def banded_cosine_pairs(
             for b in range(bands)
         ]
     )
-    keyed = (
+    compact = (
         spread(corpus)
         .crossJoin(F.broadcast(model))
         .select(F.col(id_col).alias("id"), sig_col.alias("sig"))
         .select("id", vals_col.alias("vals"))
-        .select(
-            "id",
-            "vals",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.col("vals").getItem(b).alias("val"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bv"),
-        )
-        .select("id", "vals", "bv.band", "bv.val")
     )
     # materialize the signature rows ONCE: both self-join sides (and
-    # nothing else) derive from `keyed`, and without a checkpoint each
-    # side re-runs the planes x dim projection over the corpus —
-    # exchange reuse is not guaranteed across the renamed sides.  The
-    # checkpointed frame is compact: id + the per-band value vector.
-    keyed = _register_cache(keyed.localCheckpoint(eager=True))
+    # nothing else) derive from this frame, and without a checkpoint
+    # each side re-runs the planes x dim projection over the corpus —
+    # exchange reuse is not guaranteed across the renamed sides.
+    # Checkpoint the COMPACT (id, vals) frame and explode AFTER it, so
+    # the store holds one vector per id instead of one per band row.
+    compact = _register_cache(compact.localCheckpoint(eager=True))
+    keyed = compact.select(
+        "id",
+        "vals",
+        F.posexplode("vals").alias("band", "val"),
+    )
     right = keyed.select(
         F.col("id").alias("id_b"), F.col("vals").alias("vals_b"), "band", "val"
     )

@@ -1,8 +1,10 @@
 """minhash_candidates_emit_once: the emit-once candidate stream must
 equal the groupBy-deduped candidate set of minhash_lsh_pairs, and the
 verified pairs through _verify_pairs must match the registered
-operator's output exactly — the r12 swap's safety net, validated now
-(COVERAGE.md "Registry capacity" r12 perf candidate)."""
+operator's output exactly.  The swap into the registered operators
+was MEASURED AND REJECTED (sparse candidates -> groupBy faster; see
+COVERAGE.md "Registry capacity"); these tests keep the dense-regime
+variants honest for callers that do need them."""
 
 from pyspark.sql import functions as F
 
@@ -38,15 +40,11 @@ def test_emit_once_candidates_equal_groupby_dedup(spark):
             .collect()
         )
     }
-    emit_once = {
-        (r.doc_a, r.doc_b)
-        for r in minhash_candidates_emit_once(sh, 64, 16).collect()
-    }
+    rows = minhash_candidates_emit_once(sh, 64, 16).collect()
     assert grouped, "fixture produced no candidates"
-    assert emit_once == grouped
-    # exactly-once by construction: collect() above would hide dups,
-    # so re-check the raw count
-    assert minhash_candidates_emit_once(sh, 64, 16).count() == len(grouped)
+    assert {(r.doc_a, r.doc_b) for r in rows} == grouped
+    # exactly-once by construction: the raw row count has no dups
+    assert len(rows) == len(grouped)
 
 
 def test_emit_once_verified_pairs_match_registered_operator(spark):

@@ -156,15 +156,20 @@ def test_staged_queries_stay_jvm_side(spark, sf_dir):
     from file_d_spark.queries_staged import STAGED
 
     # convert_suite folds the registered convert_utf8_escapes leg,
-    # which carries the sanctioned Arrow UDF (ARROW_PY_ALLOWED above)
-    staged_arrow_allowed = {"convert_suite"}
+    # which carries exactly ONE sanctioned Arrow UDF (ARROW_PY_ALLOWED
+    # above) — still cap it at one node so the OTHER legs can't
+    # silently regress to Python, and forbid the grouped/map forms
     for name in sorted(STAGED):
         plan = staged_plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} fell back to row-UDF"
-        if name not in staged_arrow_allowed:
-            assert not re.search(
-                r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan
-            ), f"{name} unexpectedly runs Python"
+        assert not re.search(
+            r"FlatMapGroupsInPandas|MapInPandas", plan
+        ), f"{name} unexpectedly runs grouped/map Python"
+        n_arrow = len(re.findall(r"ArrowEvalPython", plan))
+        allowed = 1 if name == "convert_suite" else 0
+        assert n_arrow <= allowed, (
+            f"{name}: {n_arrow} ArrowEvalPython nodes (allowed {allowed})"
+        )
 
 
 def test_hll_sketch_shuffles_registers_only(spark, sf_dir):
