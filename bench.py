@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     # file.d operator path
-    "filter_doif",
+    "filter_suite",  # r12: folded filter_doif/filter_len_cmp combo row
     "modify_template",
     "mask_digits",
     "hash_normalize",
@@ -64,11 +64,10 @@ BENCH_QUERIES = [
     "ann_index_build",
     # round 6
     "kmeans_clusters",
-    "bm25_topk",
+    "bm25_suite",  # r12: folded bm25_topk/bm25_multi_query combo row
     "exact_substr_clean",
     "rolling_zscore",
     # round 7
-    "bm25_multi_query",
     "dsir_importance",
     "line_dedup",
     "fuzzy_decontaminate",
@@ -87,6 +86,9 @@ BENCH_QUERIES = [
     "bpe_fertility",
     "bigram_logprob",
     "pmi_phrases",
+    # round 12 promotions
+    "hard_negatives",
+    "mmr_diversify",
     # dbscan_clusters is registered + driver-verified but not a bench
     # headline: its exact all-pairs neighborhood baseline is O(n²d) by
     # construction (SCALE.md documents the measured sf0.1 cost and the

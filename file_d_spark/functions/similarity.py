@@ -1766,10 +1766,21 @@ def mmr_diversify(
             selected.unionByName(nxt).localCheckpoint(eager=True)
         )
     # score_fp carries the lam_den scaling (argmax-invariant); divide
-    # it back out so `mmr` is the actual Carbonell-Goldstein score
+    # it back out so `mmr` is the actual Carbonell-Goldstein score.
+    # The 6dp rounding happens IN INTEGER ARITHMETIC (half away from
+    # zero on the exact fixed-point score) — a float round here sits
+    # exactly on the .5 decimal boundary whenever score_fp % lam_den
+    # == lam_den/2, where Spark's BigDecimal HALF_UP and DuckDB's
+    # multiply-and-rint disagree by 1e-6 (observed at sf0.01).  The
+    # final float is ONE exact-integer division on both engines, so
+    # the driver hash can't drift.
+    sgn = F.when(F.col("score_fp") < 0, F.lit(-1)).otherwise(F.lit(1))
+    fp6 = sgn * F.expr(
+        f"(abs(score_fp) * 2 + {lam_den}) div {2 * lam_den}"
+    )
     return selected.select(
         "query_id", "pick", "sel_id",
-        F.round(F.col("score_fp") / F.lit(1e6 * lam_den), 6).alias("mmr"),
+        (fp6.cast("double") / F.lit(1e6)).alias("mmr"),
     )
 
 
@@ -1850,6 +1861,8 @@ def mmr_oracle_sql(
     )
     parts.append(f"""
     SELECT query_id, pick, sel_id,
-           round(score_fp::DOUBLE / (1e6 * {lam_den}), 6) AS mmr
+           ((CASE WHEN score_fp < 0 THEN -1 ELSE 1 END)
+            * ((abs(score_fp) * 2 + {lam_den}) // {2 * lam_den}))::DOUBLE
+           / 1e6 AS mmr
     FROM ({union})""")
     return "".join(parts)

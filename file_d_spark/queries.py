@@ -69,15 +69,17 @@ def query(name: str, oracle: str | None = None):
 # ===========================================================================
 
 
-@query(
-    "filter_doif",
-    """
+_FILTER_DOIF_ORACLE = """
     SELECT event_id, event_type, round(value, 2) AS value
     FROM events
     WHERE NOT (event_type IN ('click','view')
                OR ts < TIMESTAMP '2024-01-03 00:00:00')
-    """,
-)
+    """
+
+
+# standalone until r11; now a `filter_suite` leg (see below) — the
+# Pipeline/do_if path and its value-hash coverage are unchanged, only
+# the driver-row packaging moved (registry-capacity policy)
 def q_filter_doif(spark, sf_dir):
     """discard + do_if tree (equal, ts_cmp, or) — SURVEY §2.3 #9, §2.4."""
     df = load_table(spark, sf_dir, "events")
@@ -105,15 +107,15 @@ def q_filter_doif(spark, sf_dir):
     return p.apply(df).select("event_id", "event_type", F.round("value", 2).alias("value"))
 
 
-@query(
-    "filter_len_cmp",
-    """
+_FILTER_LEN_CMP_ORACLE = """
     SELECT doc_id, n_chars FROM documents
     WHERE NOT (octet_length(text::BLOB) < 200
                OR len(string_split(text, ' ')) > 60
                OR n_chars > 400)
-    """,
-)
+    """
+
+
+# standalone until r11; now a `filter_suite` leg (see below)
 def q_filter_len_cmp(spark, sf_dir):
     """discard + byte_len_cmp / array_len_cmp / int_val_cmp do_if ops
     (SURVEY §2.4 length comparisons)."""
@@ -204,10 +206,12 @@ def q_rename_move_flatten(spark, sf_dir):
     return p.apply(df)
 
 
-@query(
-    "convert_date",
-    "SELECT event_id, floor(epoch(ts))::BIGINT AS ts_unix FROM events",
+_CONVERT_DATE_ORACLE = (
+    "SELECT event_id, floor(epoch(ts))::BIGINT AS ts_unix FROM events"
 )
+
+
+# standalone until r11; now a `convert_suite` leg (see below)
 def q_convert_date(spark, sf_dir):
     """convert_date: rfc3339-micro string -> unixtime."""
     df = load_table(spark, sf_dir, "events").select(
@@ -231,15 +235,15 @@ def q_convert_date(spark, sf_dir):
     )
 
 
-@query(
-    "convert_log_level",
-    """
+_CONVERT_LOG_LEVEL_ORACLE = """
     SELECT CASE WHEN lower(trim(event_type)) = 'error' THEN '3'
                 ELSE event_type END AS level,
            count(*) AS cnt
     FROM events GROUP BY 1
-    """,
-)
+    """
+
+
+# standalone until r11; now a `convert_suite` leg (see below)
 def q_convert_log_level(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     p = Pipeline.from_dict(
@@ -268,9 +272,7 @@ _UTF8_ESCAPE_INPUTS = [
 ]
 
 
-@query(
-    "convert_utf8_escapes",
-    """
+_CONVERT_UTF8_ORACLE = """
     SELECT event_id,
            CASE (event_id % 5)
              WHEN 0 THEN 'café au lait'
@@ -280,8 +282,12 @@ _UTF8_ESCAPE_INPUTS = [
              WHEN 4 THEN 'smile 😀 bad \\xZZ tail'
            END AS decoded
     FROM events
-    """,
-)
+    """
+
+
+# standalone until r11; now a `convert_suite` leg (see below) — the
+# sanctioned Arrow-UDF decode is unchanged (plan guard allows exactly
+# one ArrowEvalPython in convert_suite, zero elsewhere)
 def q_convert_utf8_escapes(spark, sf_dir):
     """convert_utf8_bytes over a deterministic escape corpus — SURVEY
     §2.3 #6 (reference plugin/action/convert_utf8_bytes)."""
@@ -3801,9 +3807,7 @@ def q_tfidf_keywords(spark, sf_dir):
     return corpus.tfidf_topk(d, "doc_id", "text", k=5)
 
 
-@query(
-    "bm25_topk",
-    r"""
+_BM25_TOPK_ORACLE = r"""
     WITH t AS (
       SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
                                  x -> x <> '') AS toks
@@ -3841,8 +3845,10 @@ def q_tfidf_keywords(spark, sf_dir):
     SELECT doc_id, score,
            row_number() OVER (ORDER BY score DESC, doc_id) AS rank
     FROM sc ORDER BY score DESC, doc_id LIMIT 10
-    """,
-)
+    """
+
+
+# standalone until r11; now a `bm25_suite` leg (see below)
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-10 retrieval for the query {merge, spark, window}
     (k1=1.2, b=0.75, Lucene idf).  Term contributions are one column
@@ -3873,9 +3879,7 @@ _BM25_MULTI_VALUES = ", ".join(
 )
 
 
-@query(
-    "bm25_multi_query",
-    rf"""
+_BM25_MULTI_ORACLE = rf"""
     WITH t AS (
       SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
                                  x -> x <> '') AS toks
@@ -3910,8 +3914,10 @@ _BM25_MULTI_VALUES = ", ".join(
                                 ORDER BY score DESC, doc_id) AS rank
       FROM sc)
     WHERE rank <= 10
-    """,
-)
+    """
+
+
+# standalone until r11; now a `bm25_suite` leg (see below)
 def q_bm25_multi_query(spark, sf_dir):
     """BM25 top-10 per query for a six-query TABLE (k1=1.2, b=0.75,
     Lucene idf) — one corpus shuffle total; query/model joins all
@@ -4825,6 +4831,197 @@ def q_dbscan_clusters(spark, sf_dir):
 
 
 # ===========================================================================
+# r12 fold combos + promotions (registry-capacity policy, COVERAGE.md
+# "Registry capacity").  Each suite leg is the UNCHANGED standalone
+# query function (demoted above from its own @query row at r11-end
+# arithmetic) padded to a superset column layout with typed NULLs —
+# the token_stats_suite pattern generalized; each suite oracle is the
+# UNION ALL of the legs' former registered oracles wrapped as
+# subqueries, so the fold can never drift from what it replaced.
+# ===========================================================================
+
+
+def _suite_df(spark, sf_dir, legs, all_cols):
+    """Union the leg DataFrames under (leg, *all_cols), padding columns
+    a leg doesn't produce with typed NULLs so every leg keeps its exact
+    standalone values under the combined value-hash."""
+    out = None
+    for tag, fn in legs:
+        df = fn(spark, sf_dir)
+        have = set(df.columns)
+        cols = [F.lit(tag).alias("leg")] + [
+            (
+                F.col(name)
+                if name in have
+                else F.lit(None).cast(spark_t).alias(name)
+            )
+            for name, spark_t, _duck_t in all_cols
+        ]
+        leg_df = df.select(*cols)
+        out = leg_df if out is None else out.unionByName(leg_df)
+    return out
+
+
+def _suite_sql(legs, all_cols):
+    parts = []
+    for tag, inner, present in legs:
+        sel = [f"'{tag}' AS leg"] + [
+            (name if name in present else f"NULL::{duck_t} AS {name}")
+            for name, _spark_t, duck_t in all_cols
+        ]
+        parts.append(
+            "SELECT " + ", ".join(sel) + " FROM (\n" + inner + "\n)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_BM25_SUITE_COLS = [
+    ("query_id", "string", "VARCHAR"),
+    ("doc_id", "bigint", "BIGINT"),
+    ("score", "double", "DOUBLE"),
+    ("rank", "bigint", "BIGINT"),
+]
+
+
+@query(
+    "bm25_suite",
+    _suite_sql(
+        [
+            ("topk", _BM25_TOPK_ORACLE, {"doc_id", "score", "rank"}),
+            ("multi", _BM25_MULTI_ORACLE,
+             {"query_id", "doc_id", "score", "rank"}),
+        ],
+        _BM25_SUITE_COLS,
+    ),
+)
+def q_bm25_suite(spark, sf_dir):
+    """bm25_topk + bm25_multi_query in one driver row: single-query
+    top-10 (no query_id) and the six-query table, every (doc, score,
+    rank) still value-hashed per leg.  Folded at r12 per the
+    registry-capacity policy."""
+    df = _suite_df(
+        spark, sf_dir,
+        [("topk", q_bm25_topk), ("multi", q_bm25_multi_query)],
+        _BM25_SUITE_COLS,
+    )
+    # row_number() is int on the Spark side, BIGINT in DuckDB — align
+    return df.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_CONVERT_SUITE_COLS = [
+    ("event_id", "bigint", "BIGINT"),
+    ("ts_unix", "bigint", "BIGINT"),
+    ("level", "string", "VARCHAR"),
+    ("cnt", "bigint", "BIGINT"),
+    ("decoded", "string", "VARCHAR"),
+]
+
+
+@query(
+    "convert_suite",
+    _suite_sql(
+        [
+            ("date", _CONVERT_DATE_ORACLE, {"event_id", "ts_unix"}),
+            ("log_level", _CONVERT_LOG_LEVEL_ORACLE, {"level", "cnt"}),
+            ("utf8", _CONVERT_UTF8_ORACLE, {"event_id", "decoded"}),
+        ],
+        _CONVERT_SUITE_COLS,
+    ),
+)
+def q_convert_suite(spark, sf_dir):
+    """convert_date + convert_log_level + convert_utf8_escapes in one
+    driver row — the three convert-action legs (SURVEY §2.3 #4/#5/#6),
+    each the unchanged standalone query.  The utf8 leg keeps its
+    sanctioned Arrow UDF (exactly one ArrowEvalPython, plan-guarded)."""
+    return _suite_df(
+        spark, sf_dir,
+        [
+            ("date", q_convert_date),
+            ("log_level", q_convert_log_level),
+            ("utf8", q_convert_utf8_escapes),
+        ],
+        _CONVERT_SUITE_COLS,
+    )
+
+
+_FILTER_SUITE_COLS = [
+    ("event_id", "bigint", "BIGINT"),
+    ("event_type", "string", "VARCHAR"),
+    ("value", "double", "DOUBLE"),
+    ("doc_id", "bigint", "BIGINT"),
+    ("n_chars", "bigint", "BIGINT"),
+]
+
+
+@query(
+    "filter_suite",
+    _suite_sql(
+        [
+            ("doif", _FILTER_DOIF_ORACLE,
+             {"event_id", "event_type", "value"}),
+            ("len_cmp", _FILTER_LEN_CMP_ORACLE, {"doc_id", "n_chars"}),
+        ],
+        _FILTER_SUITE_COLS,
+    ),
+)
+def q_filter_suite(spark, sf_dir):
+    """filter_doif + filter_len_cmp in one driver row — the
+    discard/do_if legs over events and documents (SURVEY §2.3 #9,
+    §2.4)."""
+    return _suite_df(
+        spark, sf_dir,
+        [("doif", q_filter_doif), ("len_cmp", q_filter_len_cmp)],
+        _FILTER_SUITE_COLS,
+    )
+
+
+_HARD_NEG_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                  i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+                  i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim
+      FROM embeddings c, q WHERE c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored WHERE sim < 0.3) WHERE rank <= 10
+    """
+
+
+@query("hard_negatives", _HARD_NEG_ORACLE)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): top-10 most
+    similar corpus vectors per query EXCLUDING the near-duplicate band
+    (sim >= 0.3 at this synthetic fixture's sim scale, where the
+    queries' top sims run 0.33-0.39 — the exclusion provably bites,
+    asserted in tests/test_hard_negatives.py).  The contrastive-
+    training companion of the ANN family: same broadcast + narrow-pass
+    + per-query-window shape as brute_force_topk.  Promoted from the
+    staged pool at r12."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.hard_negatives(e, queries, k=10, dup_sim=0.3)
+
+
+@query("mmr_diversify", similarity.mmr_oracle_sql(k=5, pool=20))
+def q_mmr_diversify(spark, sf_dir):
+    """MMR diversified top-5 per query over a 20-candidate exact pool
+    (similarity.mmr_diversify, λ=7/10): exact integer fixed-point
+    greedy selection, unrolled into pure-JVM stages — no Python in the
+    plan.  Diversity teeth in tests/test_hard_negatives.py.  Promoted
+    from the staged pool at r12."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.mmr_diversify(e, queries, k=5, pool=20)
+
+
+# ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in
 # registration order, so with 80+ queries ~33 get no driver row each
@@ -4848,28 +5045,17 @@ def q_dbscan_clusters(spark, sf_dir):
 
 # hand-maintained per round: code or oracle changed -> must re-verify
 _SWEEP_CHANGED = [
-    # r11 carries FORWARD the two r10 entries: CORRECTNESS_r10.json
-    # never landed (only BENCH_r10 did — VERDICT r10 "What's wrong
-    # #1"), so neither changed row has a post-change driver-green row
-    # yet.  Both are r8-green rows already inside the r11 window
-    # (10 never + 40 r8 = exactly 50); listing them costs no slot,
-    # it only pins them to the head.
-    "bpe_train_apply",      # r10 BPE symbol-boundary merge fix
-    "decoder_lineformats",  # r10 CRI P-flag partial rejoin
-    # r11: dbscan_clusters grew an injectable candidate generator
-    # (pairs_fn) + the LSH-banded leg (VERDICT r10 next-round #2).
-    # The registered form still defaults to the exact generator, so
-    # the oracle is unchanged — and the row is never-green (auto-head),
-    # so this entry costs no window slot either.
-    "dbscan_clusters",
-    # r11: brute_force_topk grew an optional max_sim band parameter
-    # (hard_negatives refactor — a no-op when unset, as in the
-    # registered ann_methods leg).  ann_methods is never-green
-    # (auto-head), so this entry also costs no window slot.
-    "ann_methods",
-    # r11 window arithmetic: 10 never-green r10 registrations (auto-
-    # head) + 40 r8-green rows = exactly 50 — ZERO fold/registration
-    # slack until CORRECTNESS_r11 lands (VERDICT r10 directive).
+    # r12: all four r11 entries cleared — CORRECTNESS_r11 landed with
+    # every one driver-green.  The r12 registrations (bm25_suite /
+    # convert_suite / filter_suite / hard_negatives / mmr_diversify)
+    # are never-green, so they auto-head without a list entry.
+    #
+    # r12 window arithmetic (VERDICT r11 next-round #1): 49 r9-stale
+    # rows − 4 retired by the fold (bm25_multi_query, convert_date,
+    # convert_log_level, convert_utf8_escapes were r9-green; the other
+    # 3 retirees were r11-green) = 45 stale + 5 never-green = exactly
+    # 50.  ZERO additional slack — any r12 code change to a registered
+    # query must be a no-op-by-default parameter or wait for r13.
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)

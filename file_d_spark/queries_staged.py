@@ -21,50 +21,37 @@ sustainable 100.  Round 10 freed three slots by folding the four ANN
 rows into ``ann_methods`` and the two join_template rows into
 ``join_template_blocks`` (the r8 decoder pattern), then promoted
 ``sketch_hll_distinct`` + ``sketch_overlap`` (approximate analytics
-had no registered row).  Current spares (wait for r11+ slots or a
-retirement):
+had no registered row).  Round 11 staged the r12 fold combos and two
+promotion candidates but registered nothing (zero-slack window after
+CORRECTNESS_r10 failed to land).  Current spares (wait for r13+
+slots or a retirement):
 
-- ``bpe_fertility`` — per-language tokenizer fertility with the REAL
-  corpus-trained BPE merges (the fidelity upgrade over
-  ``token_fertility``'s regex proxy), sharing ``functions/bpe.py``
-  and the unrolled-CTE oracle generator with ``bpe_train_apply``.
-- ``bigram_logprob`` — interpolated-bigram KenLM-proxy quality
-  score (``corpus.bigram_logprob``).
 - ``weighted_sample`` — Efraimidis-Spirakis weighted sampling
   without replacement, k per group (``corpus.weighted_sample``).
-- ``dbscan_clusters`` — density-based clustering over embeddings
-  (``similarity.dbscan_clusters``: cosine neighborhoods, core/border/
-  noise, components via the dedup star-contraction machinery).
-- ``sketch_kmv_distinct`` / ``sketch_cms_topk`` — the rest of the
-  round-9 sketch family (``functions/sketch.py``): bottom-k distinct
-  estimates per language and a Count-Min heavy-hitter readout, both
-  engine-portable (md5-32 hashes, exact-integer folds).  Their
-  siblings ``sketch_hll_distinct`` / ``sketch_overlap`` were
-  registered at r10.
-- ``pmi_phrases`` — top-k two-word collocations by pointwise mutual
-  information (``corpus.pmi_phrases``): the phrase-mining primitive
-  for multi-word tokenizer vocab entries.
-- ``sketch_f2_moment`` — NEW r10: AMS second-frequency-moment /
-  self-join-size estimate (``sketch.f2_moment``), exact-bigint X_r
-  per rep, randomized differential + mutation teeth in
-  test_sketch_random.py.
-- ``jl_project`` — NEW r10: Johnson-Lindenstrauss 64→16 projection
+- ``sketch_kmv_distinct`` / ``sketch_cms_topk`` /
+  ``sketch_f2_moment`` — the rest of the sketch family
+  (``functions/sketch.py``): bottom-k distinct estimates per
+  language, a Count-Min heavy-hitter readout, and the AMS
+  second-frequency-moment / self-join-size estimate — all
+  engine-portable (md5-32 hashes, exact-integer folds).  Siblings
+  ``sketch_hll_distinct`` / ``sketch_overlap`` registered at r10.
+- ``jl_project`` — Johnson-Lindenstrauss 64→16 projection
   (``similarity.jl_project``), LCG planes as folded literals,
   fixed-point long-format output.
-- ``bm25_suite`` / ``convert_suite`` / ``filter_suite`` — NEW r11:
-  the pre-planned r12 family folds (see the section at the bottom);
-  r11 itself registered nothing (zero-slack window, COVERAGE.md).
-- ``hard_negatives`` — NEW r11: contrastive-training hard-negative
-  mining (``similarity.hard_negatives``): top-k most similar corpus
-  vectors per query EXCLUDING the near-duplicate band, the
-  false-negative guard every retrieval-finetuning pipeline needs;
-  band-bites teeth test in tests/test_hard_negatives.py.
-- ``mmr_diversify`` — NEW r11: Maximal Marginal Relevance diversified
-  top-5 per query (``similarity.mmr_diversify``): greedy
-  relevance-vs-redundancy selection unrolled into pure-JVM stages,
-  exact integer fixed-point scores, oracle = the same unrolled
-  sel1..sel5 CTEs (``mmr_oracle_sql``); diversity teeth in
-  tests/test_hard_negatives.py.
+- ``quantile_thresholds`` — exact per-language quantile cutpoints
+  (the filtering-threshold calibration pass).
+- ``vocab_coverage`` — OOV/coverage audit of a fixed vocabulary over
+  the corpus tokens.
+- ``decontaminate_spans`` — span-level eval-overlap removal (the
+  surgical variant of the doc-level ``decontaminate`` row).
+- ``dedup_keep_best`` — cluster-aware canonical-doc selection
+  (keep the highest-quality member per duplicate cluster).
+
+Round 12 executed the pre-planned registration day: the three family
+folds (``bm25_suite`` / ``convert_suite`` / ``filter_suite``, staged
+r11) registered and retired the seven standalone rows they absorb, and
+``hard_negatives`` + ``mmr_diversify`` (staged r11) promoted into the
+two freed window slots.  The nine spares above wait for r13+ slots.
 
 Nothing imports this module at runtime.
 """
@@ -382,210 +369,9 @@ STAGED["dedup_keep_best"] = (q_dedup_keep_best, _KEEP_BEST_ORACLE)
 
 
 # ---------------------------------------------------------------------------
-# r12 fold combos (COVERAGE.md "Registry capacity", re-computed r11
-# arithmetic): the three pre-planned family folds, staged NOW so r12's
-# registration day is bookkeeping.  Each leg is the UNCHANGED
-# registered query called by name, padded to a superset layout with
-# typed NULLs (the token_stats_suite pattern); each oracle is the
-# UNION ALL of the legs' REGISTERED oracles wrapped as subqueries —
-# the fold oracle can never drift from the per-leg oracles it will
-# replace.  On r12 registration day: register these three, retire the
-# seven standalone rows they absorb (net -4), and promote staged
-# spares into the freed slots.
+# r12 registration day EXECUTED: the three family folds (bm25_suite /
+# convert_suite / filter_suite) and the two promotions (hard_negatives
+# / mmr_diversify) moved to queries.py — the fold helpers went with
+# them as queries._suite_df/_suite_sql, re-parameterized over the
+# demoted leg functions/oracle constants instead of registry names.
 # ---------------------------------------------------------------------------
-
-
-def _fold_df(spark, sf_dir, legs, all_cols):
-    from file_d_spark.queries import QUERIES
-
-    out = None
-    for tag, qname in legs:
-        df = QUERIES[qname](spark, sf_dir)
-        have = set(df.columns)
-        cols = [F.lit(tag).alias("leg")] + [
-            (
-                F.col(name)
-                if name in have
-                else F.lit(None).cast(spark_t).alias(name)
-            )
-            for name, spark_t, _duck_t in all_cols
-        ]
-        leg_df = df.select(*cols)
-        out = leg_df if out is None else out.unionByName(leg_df)
-    return out
-
-
-def _fold_sql(legs, all_cols):
-    from file_d_spark.queries import ORACLES
-
-    parts = []
-    for tag, qname, present in legs:
-        sel = [f"'{tag}' AS leg"] + [
-            (name if name in present else f"NULL::{duck_t} AS {name}")
-            for name, _spark_t, duck_t in all_cols
-        ]
-        parts.append(
-            "SELECT " + ", ".join(sel) + " FROM (\n" + ORACLES[qname] + "\n)"
-        )
-    return "\nUNION ALL\n".join(parts)
-
-
-_BM25_SUITE_COLS = [
-    ("query_id", "string", "VARCHAR"),
-    ("doc_id", "bigint", "BIGINT"),
-    ("score", "double", "DOUBLE"),
-    ("rank", "bigint", "BIGINT"),
-]
-
-
-def q_bm25_suite(spark, sf_dir):
-    """bm25_topk + bm25_multi_query in one row: single-query top-10
-    (no query_id) and the six-query table, every (doc, score, rank)
-    still value-hashed per leg."""
-    df = _fold_df(
-        spark, sf_dir,
-        [("topk", "bm25_topk"), ("multi", "bm25_multi_query")],
-        _BM25_SUITE_COLS,
-    )
-    # row_number() is int on the Spark side, BIGINT in DuckDB — align
-    return df.withColumn("rank", F.col("rank").cast("bigint"))
-
-
-STAGED["bm25_suite"] = (
-    q_bm25_suite,
-    _fold_sql(
-        [
-            ("topk", "bm25_topk", {"doc_id", "score", "rank"}),
-            ("multi", "bm25_multi_query",
-             {"query_id", "doc_id", "score", "rank"}),
-        ],
-        _BM25_SUITE_COLS,
-    ),
-)
-
-
-_CONVERT_SUITE_COLS = [
-    ("event_id", "bigint", "BIGINT"),
-    ("ts_unix", "bigint", "BIGINT"),
-    ("level", "string", "VARCHAR"),
-    ("cnt", "bigint", "BIGINT"),
-    ("decoded", "string", "VARCHAR"),
-]
-
-
-def q_convert_suite(spark, sf_dir):
-    """convert_date + convert_log_level + convert_utf8_escapes in one
-    row — the three convert-action legs (SURVEY §2.3 #4/#5/#6), each
-    the unchanged standalone query."""
-    return _fold_df(
-        spark, sf_dir,
-        [
-            ("date", "convert_date"),
-            ("log_level", "convert_log_level"),
-            ("utf8", "convert_utf8_escapes"),
-        ],
-        _CONVERT_SUITE_COLS,
-    )
-
-
-STAGED["convert_suite"] = (
-    q_convert_suite,
-    _fold_sql(
-        [
-            ("date", "convert_date", {"event_id", "ts_unix"}),
-            ("log_level", "convert_log_level", {"level", "cnt"}),
-            ("utf8", "convert_utf8_escapes", {"event_id", "decoded"}),
-        ],
-        _CONVERT_SUITE_COLS,
-    ),
-)
-
-
-_FILTER_SUITE_COLS = [
-    ("event_id", "bigint", "BIGINT"),
-    ("event_type", "string", "VARCHAR"),
-    ("value", "double", "DOUBLE"),
-    ("doc_id", "bigint", "BIGINT"),
-    ("n_chars", "bigint", "BIGINT"),
-]
-
-
-def q_filter_suite(spark, sf_dir):
-    """filter_doif + filter_len_cmp in one row — the discard/do_if
-    legs over events and documents (SURVEY §2.3 #9, §2.4)."""
-    return _fold_df(
-        spark, sf_dir,
-        [("doif", "filter_doif"), ("len_cmp", "filter_len_cmp")],
-        _FILTER_SUITE_COLS,
-    )
-
-
-STAGED["filter_suite"] = (
-    q_filter_suite,
-    _fold_sql(
-        [
-            ("doif", "filter_doif", {"event_id", "event_type", "value"}),
-            ("len_cmp", "filter_len_cmp", {"doc_id", "n_chars"}),
-        ],
-        _FILTER_SUITE_COLS,
-    ),
-)
-
-
-def q_hard_negatives(spark, sf_dir):
-    """Hard-negative mining (similarity.hard_negatives): top-10 most
-    similar corpus vectors per query EXCLUDING the near-duplicate band
-    (sim >= 0.3 at this synthetic fixture's sim scale, where the
-    queries' top sims run 0.33-0.39 — the exclusion provably bites,
-    asserted in tests/test_hard_negatives.py).  The contrastive-
-    training companion of the ANN family: same broadcast + narrow-pass
-    + per-query-window shape as brute_force_topk."""
-    from file_d_spark.functions import similarity
-    from file_d_spark.tables import load_table
-
-    e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 5)
-    return similarity.hard_negatives(e, queries, k=10, dup_sim=0.3)
-
-
-_HARD_NEG_ORACLE = """
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id < 5),
-    scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             list_sum(list_transform(range(1, len(c.embedding)+1),
-               i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
-             / (sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
-                  i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
-              * sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
-                  i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS sim
-      FROM embeddings c, q WHERE c.vec_id != q.query_id)
-    SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY sim DESC, neighbor_id) AS rank
-      FROM scored WHERE sim < 0.3) WHERE rank <= 10
-    """
-
-STAGED["hard_negatives"] = (q_hard_negatives, _HARD_NEG_ORACLE)
-
-
-def q_mmr_diversify(spark, sf_dir):
-    """MMR diversified top-5 per query over a 20-candidate exact pool
-    (similarity.mmr_diversify, λ=7/10): exact integer fixed-point
-    greedy selection, unrolled into pure-JVM stages — no Python in the
-    plan.  Diversity teeth in tests/test_hard_negatives.py."""
-    from file_d_spark.functions import similarity
-    from file_d_spark.tables import load_table
-
-    e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 5)
-    return similarity.mmr_diversify(e, queries, k=5, pool=20)
-
-
-def _mmr_oracle() -> str:
-    from file_d_spark.functions import similarity
-
-    return similarity.mmr_oracle_sql(k=5, pool=20)
-
-
-STAGED["mmr_diversify"] = (q_mmr_diversify, _mmr_oracle())

@@ -25,7 +25,7 @@ def plan_of(spark, sf_dir, name: str) -> str:
 # genuinely can't express the op (SURVEY.md §2 notes per op)
 ARROW_PY_ALLOWED = {
     "kitchen_sink_actions",   # convert_utf8_bytes pandas UDF
-    "convert_utf8_escapes",   # same
+    "convert_suite",          # same UDF via its folded utf8 leg (r12)
     "multimodal_meta",        # mapInPandas decode plumbing
     # throttle's exact limit_distribution applyInPandas path is NOT
     # exercised by the registered throttle_modes combo (its rules leg
@@ -41,6 +41,14 @@ def test_no_row_at_a_time_python(spark, sf_dir, name):
         assert not re.search(
             r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan
         ), f"{name} unexpectedly runs Python"
+    elif name == "convert_suite":
+        # only the folded utf8 leg carries the sanctioned Arrow UDF —
+        # cap at one node so the date/log_level legs can't silently
+        # regress to Python under the suite's allowance
+        assert len(re.findall(r"ArrowEvalPython", plan)) <= 1, (
+            "convert_suite: a non-utf8 leg grew an Arrow UDF"
+        )
+        assert not re.search(r"FlatMapGroupsInPandas|MapInPandas", plan)
 
 
 def test_enrich_joins_broadcast(spark, sf_dir):
@@ -155,21 +163,15 @@ def test_staged_queries_stay_jvm_side(spark, sf_dir):
     regression into the registry at promotion time."""
     from file_d_spark.queries_staged import STAGED
 
-    # convert_suite folds the registered convert_utf8_escapes leg,
-    # which carries exactly ONE sanctioned Arrow UDF (ARROW_PY_ALLOWED
-    # above) — still cap it at one node so the OTHER legs can't
-    # silently regress to Python, and forbid the grouped/map forms
+    # (convert_suite and its single sanctioned Arrow leg registered at
+    # r12 — the registered guard's ARROW_PY_ALLOWED covers it now; the
+    # staged pool is back to a strict zero-Python bar)
     for name in sorted(STAGED):
         plan = staged_plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} fell back to row-UDF"
         assert not re.search(
-            r"FlatMapGroupsInPandas|MapInPandas", plan
-        ), f"{name} unexpectedly runs grouped/map Python"
-        n_arrow = len(re.findall(r"ArrowEvalPython", plan))
-        allowed = 1 if name == "convert_suite" else 0
-        assert n_arrow <= allowed, (
-            f"{name}: {n_arrow} ArrowEvalPython nodes (allowed {allowed})"
-        )
+            r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan
+        ), f"{name} unexpectedly runs Python"
 
 
 def test_hll_sketch_shuffles_registers_only(spark, sf_dir):

@@ -35,7 +35,7 @@ DEFAULT_QUERIES = [
     "dedup_cluster", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dsir_importance", "dup_span_fraction",
     "exact_substr_clean", "fuzzy_decontaminate", "line_dedup",
-    "bm25_multi_query", "bpe_train_apply", "ann_methods",
+    "bm25_suite", "bpe_train_apply", "ann_methods",
     "kmeans_clusters", "embedding_pq", "quality_adaptive_filter",
 ]
 
