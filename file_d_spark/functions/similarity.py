@@ -836,16 +836,21 @@ def product_quantize(
     the oracle checks codes bit-for-bit.
 
     Model shipping: at the default k=16 the codebook embeds as SQL
-    literals (~1 MB of task binary — measured harmless, and the
-    unrolled chains stay in whole-stage codegen).  Above
-    ``model_max_literal_floats`` total codebook floats (k=256 would be
-    16384 -> a multi-MB expression tree and a codegen/scheduler
-    hazard), the codebook ships as a BROADCAST one-row frame instead
-    and assignment runs as higher-order functions over the broadcast
-    array column — same results (test_scale_ops asserts equality at
-    the threshold boundary), interpreted instead of codegen, but the
-    task binary stays small and the model moves through the broadcast
-    machinery like any other dimension table."""
+    literals (~1 MB of task binary — measured harmless) with one
+    scalar distance column per (subspace, centroid), which compiles
+    as a method-split row-based UnsafeProjection (see the staging
+    comment below — the per-subspace ARRAY form blew Janino's 64 KB
+    whole-stage method limit at m*k*sub=1024 and silently ran the
+    whole plan interpreted).  Above ``model_max_literal_floats``
+    total codebook floats (k=256 would be 16384 -> a multi-MB
+    expression tree and a scheduler hazard), the codebook ships as a
+    BROADCAST one-row frame instead and assignment runs as
+    higher-order functions over the broadcast array column — same
+    results (test_quantize asserts equality across the boundary),
+    measured ~16x slower per row than the compiled scalar chains
+    (HOF lambdas evaluate interpreted), but the task binary stays
+    small and the model moves through the broadcast machinery like
+    any other dimension table."""
     if dim % m != 0:
         raise ValueError("product_quantize: m must divide dim")
     sub = dim // m
@@ -863,27 +868,39 @@ def product_quantize(
     def sq_dist_sql(s: int, j: int) -> str:
         return _subspace_dist_sql(vec_col, books[s][j], s * sub)
 
-    # materialize one distances array per subspace; the next projection
-    # derives BOTH outputs from it with cheap array ops: the code is
-    # array_position of the min (first index — deterministic tie-break
-    # by codebook order, mirrored in the oracle) and the chosen
-    # centroid's reconstruction error IS array_min — no second
-    # distance evaluation.  The big unrolled trees are each referenced
-    # by several expressions downstream, so they must live behind a
-    # projection boundary (CollapseProject would otherwise inline the
-    # whole tree per reference — measured 6x slower).
+    # materialize each (subspace, centroid) distance as its OWN scalar
+    # column; the next projection derives both outputs with cheap
+    # array ops over those attributes: the code is array_position of
+    # the min (first index — deterministic tie-break by codebook
+    # order, mirrored in the oracle) and the chosen centroid's
+    # reconstruction error IS array_min — no second distance
+    # evaluation.  Scalar columns, not per-subspace arrays (r12): the
+    # array form fused all m*k chains into ONE whole-stage-codegen
+    # processNext(), whose single method blows Janino's 64 KB limit at
+    # the default m=8/k=16 (observed ERROR storm + whole-plan
+    # interpreted fallback).  With m*k+1 > spark.sql.codegen.maxFields
+    # (100) the staging projection is excluded from whole-stage fusion
+    # and compiles as a row-based UnsafeProjection instead — and THAT
+    # codegen path CAN split expressions into one small method per
+    # chain, so every chain is compiled, JIT-able code.  Measured at
+    # 800k rows x 8 cores: scalar-staged 1.9 s vs 3.2 s for the
+    # array form's interpreted fallback vs 32 s for the broadcast-HOF
+    # path — and zero CodeGenerator failures.  The downstream select
+    # references every distance column 3-4x, so CollapseProject keeps
+    # the staging boundary (inlining would re-evaluate the chains).
     if m * k * sub <= model_max_literal_floats:
         staged = df.select(
             F.col(id_col),
             *[
-                F.expr(
-                    "array("
-                    + ", ".join(sq_dist_sql(s, j) for j in range(k))
-                    + ")"
-                ).alias(f"__d{s}__")
+                F.expr(sq_dist_sql(s, j)).alias(f"__d{s}_{j}__")
                 for s in range(m)
+                for j in range(k)
             ],
         )
+
+        def dist_arr(s: int):
+            return F.array(*[F.col(f"__d{s}_{j}__") for j in range(k)])
+
     else:
         # big-model path: codebook as a broadcast one-row frame; the
         # distance arrays come from HOFs over the broadcast column.
@@ -919,11 +936,13 @@ def product_quantize(
                 *[dists_of(s).alias(f"__d{s}__") for s in range(m)],
             )
         )
+
+        def dist_arr(s: int):
+            return F.col(f"__d{s}__")
+
     codes = [
         (
-            F.array_position(
-                F.col(f"__d{s}__"), F.array_min(F.col(f"__d{s}__"))
-            )
+            F.array_position(dist_arr(s), F.array_min(dist_arr(s)))
             - 1
         ).cast("long")
         for s in range(m)
@@ -933,8 +952,8 @@ def product_quantize(
         codes[0],
     )
     mse = sum(
-        [F.array_min(F.col(f"__d{s}__")) for s in range(1, m)],
-        F.array_min(F.col("__d0__")),
+        [F.array_min(dist_arr(s)) for s in range(1, m)],
+        F.array_min(dist_arr(0)),
     ) / F.lit(float(dim))
     return staged.select(
         F.col(id_col),

@@ -5055,7 +5055,15 @@ _SWEEP_CHANGED = [
     # convert_log_level, convert_utf8_escapes were r9-green; the other
     # 3 retirees were r11-green) = 45 stale + 5 never-green = exactly
     # 50.  ZERO additional slack — any r12 code change to a registered
-    # query must be a no-op-by-default parameter or wait for r13.
+    # query must be a no-op-by-default parameter, already-stale, or
+    # wait for r13.
+    #
+    # r12: product_quantize's literal path restaged as scalar distance
+    # columns (VERDICT r11 "What's wrong" #1 — the 64 KB codegen
+    # blowout; bit-equality asserted, oracle unchanged).  embedding_pq
+    # is r9-stale and therefore ALREADY inside the window — this entry
+    # pins it to the head without costing a slot.
+    "embedding_pq",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
