@@ -266,16 +266,31 @@ class Throttle(Action):
             # the FIRST event's override sticks for that key — the
             # lookup below therefore resolves each (key, rule) group to
             # the lkey of its first GATE-MATCHED event (by the same
-            # arrival order the admission window uses), not to each
-            # event's own — gated-out rows never reach getOrAdd in the
-            # reference (processor.go skips the action entirely), so
-            # they must not donate the override either.  The struct
-            # wrap keeps a matched-but-null lkey (field absent) as the
-            # governing first: that means no override — the config
-            # default applies (the reference would fall back to the
-            # naming-pattern limit; documented divergence, the non-lkf
-            # branch covers that lookup shape).
+            # arrival order the admission window uses, with the lkey
+            # value itself as a final deterministic tiebreak: when
+            # timestamps tie and no order_fields are set, there is no
+            # defined arrival order, and without the tiebreak which
+            # matched event donates its lkey would vary run to run),
+            # not to each event's own — gated-out rows never reach
+            # getOrAdd in the reference (processor.go skips the action
+            # entirely), so they must not donate the override either.
+            # The struct wrap keeps a matched-but-null lkey (field
+            # absent) as the governing first: the reference then passes
+            # keyLimitOverride="" and the limiter falls back to the
+            # <pipeline>_<field>_<value>_limit NAMING-PATTERN fetch
+            # keyed by the throttle key (redis_limiter.go keyLimit
+            # construction) — mirrored below by the second override map.
             lkf = str(backend_cfg.get("limiter_key_field", "") or "")
+
+            def _lit_map(d: dict):
+                return F.create_map(
+                    *[
+                        x
+                        for kv in sorted(d.items())
+                        for x in (F.lit(kv[0]), F.lit(kv[1]))
+                    ]
+                )
+
             if lkf:
                 df = df.withColumn(
                     "__fd_lkey__",
@@ -284,7 +299,7 @@ class Throttle(Action):
                 helper_cols.append("__fd_lkey__")
                 w_lim = Window.partitionBy(
                     "__fd_key__", "__fd_rule__"
-                ).orderBy(*order_cols)
+                ).orderBy(*order_cols, F.col("__fd_lkey__").asc_nulls_last())
                 lookup = F.first(
                     F.when(
                         F.col("__fd_m__"),
@@ -297,21 +312,34 @@ class Throttle(Action):
                     backend_cfg, limit, bucket_s,
                     keys_are_limit_keys=True,
                 )
+                fallback = fetch_limit_overrides(
+                    df.select(F.col("__fd_key__")), "__fd_key__", key_field,
+                    backend_cfg, limit, bucket_s,
+                )
+                if overrides or fallback:
+                    lk_val = (
+                        _lit_map(overrides)[lookup]
+                        if overrides
+                        else F.lit(None).cast("bigint")
+                    )
+                    key_val = (
+                        _lit_map(fallback)[F.col("__fd_key__")]
+                        if fallback
+                        else F.lit(None).cast("bigint")
+                    )
+                    limit_col = F.coalesce(
+                        F.when(lookup.isNotNull(), lk_val).otherwise(key_val),
+                        limit_col,
+                    )
             else:
-                lookup = F.col("__fd_key__")
                 overrides = fetch_limit_overrides(
                     df.select(F.col("__fd_key__")), "__fd_key__", key_field,
                     backend_cfg, limit, bucket_s,
                 )
-            if overrides:
-                m = F.create_map(
-                    *[
-                        x
-                        for kv in sorted(overrides.items())
-                        for x in (F.lit(kv[0]), F.lit(kv[1]))
-                    ]
-                )
-                limit_col = F.coalesce(m[lookup], limit_col)
+                if overrides:
+                    limit_col = F.coalesce(
+                        _lit_map(overrides)[F.col("__fd_key__")], limit_col
+                    )
 
         w = Window.partitionBy(
             "__fd_key__", "__fd_bucket__", "__fd_rule__"

@@ -180,8 +180,8 @@ def banded_cosine_pairs(
     corpus: DataFrame,
     threshold: float,
     dim: int,
-    planes: int = 16,
-    bands: int = 16,
+    planes: int = 48,
+    bands: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -195,15 +195,23 @@ def banded_cosine_pairs(
     (id, band, val) rows — ids and one long each, never the vectors —
     deduped to distinct (id_a, id_b) before the vectors are joined
     back for the exact rerank.  Every join is an equi-join on
-    hash-spread keys; pair volume is bucket-bounded instead of n².
+    hash-spread keys.
 
-    Recall: a pair is a candidate iff SOME band's bits all collide.
-    With the default per_band = planes/bands = 1 bit, a pair at
-    cosine s misses only if all ``planes`` sign bits differ —
-    P(miss) = (acos(s)/pi)^planes, < 1e-7 at s = 0.45 with 16 planes —
-    which is why banded-equals-exact holds at fixture scale (asserted
-    in tests); at higher per_band the generator trades recall for
-    fewer candidates, the standard LSH knob."""
+    Pruning vs recall — the standard LSH knob, set by per_band =
+    planes/bands.  The DEFAULT (48 planes / 12 bands = 4-bit bands,
+    the regime measured on the x10 decade row in SCALE.md) actually
+    prunes: each band splits ids over 16 buckets, so a random pair
+    collides in a given band with P ~ (1-acos(s)/pi)^4 and the
+    self-join volume is bucket-bounded.  per_band = 1 (e.g. 16/16) is
+    the RECALL-COMPLETE parity regime — a pair at cosine s escapes
+    all 16 sign bits with P = (acos(s)/pi)^16 < 1e-7 at s = 0.45, so
+    banded == exact at fixture scale (asserted in tests) — but each
+    1-bit band has only TWO buckets holding ~n/2 ids each, so the
+    candidate join degenerates to ~n² intermediate rows: use it for
+    parity testing, never at scale.  Output correctness never depends
+    on the knob (candidates are exact-reranked; only misses are
+    possible); recall at the default, eps=0.35, x10 row: 0.877
+    (SCALE.md)."""
     if planes % bands:
         raise ValueError("bands must divide planes")
     if not 0 < planes <= 62:
@@ -1492,15 +1500,20 @@ def dbscan_clusters(
     ``corpus -> DataFrame(id_a, id_b[, sim])`` whose pairs are the
     eps-neighbor relation.  The LSH-banded generator
     :func:`banded_cosine_pairs` (equi-join candidates, exact rerank —
-    no broadcast of the corpus, no n² pair volume) is the intended
+    no broadcast of the corpus; at its default 4-bit bands the
+    candidate volume is bucket-bounded, not n²) is the intended
     swap::
 
         dbscan_clusters(corpus, eps, pairs_fn=lambda c:
             banded_cosine_pairs(c, eps, dim=D))
 
-    With per_band=1 banding the candidate set provably contains every
-    pair at cosine >= eps up to P(miss) < 1e-7, so banded == exact at
-    fixture scale (asserted in tests/test_dbscan.py).
+    The swap trades recall for pruning (0.877 at eps=0.35 on the x10
+    decade row, SCALE.md) — a missed eps-edge can demote a borderline
+    core or split a thinly-connected cluster.  For parity testing,
+    per_band=1 banding (planes=16, bands=16) is recall-complete up to
+    P(miss) < 1e-7, so banded == exact at fixture scale (asserted in
+    tests/test_dbscan.py) — but it does not prune, so it is not the
+    scale regime.
     """
     from file_d_spark.functions.dedup import connected_components
 

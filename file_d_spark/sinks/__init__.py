@@ -430,7 +430,17 @@ def _es_retrying_transport(transport, cfg: dict[str, Any]):
         # attempts=0 would silently drop every batch without one send
         raise ValueError("elasticsearch sink: retry must be >= 0")
     attempts = 1 if dq_available else retry + 1
-    retention_s = float(cfg.get("retention", 1.0) or 0.0)
+    # the reference config shape is a DURATION STRING (elasticsearch.go
+    # cfg `Retention  cfg.Duration ... default:"1s"`) — parse it like
+    # apply_retention parses retention_interval, with a numeric
+    # fallback for programmatic callers passing seconds directly
+    raw_retention = cfg.get("retention", 1.0)
+    try:
+        retention_s = float(raw_retention or 0.0)
+    except (TypeError, ValueError):
+        from file_d_spark.xtime import parse_duration_s
+
+        retention_s = float(parse_duration_s(raw_retention))
     mult = float(cfg.get("retention_exponentially_multiplier", 2))
 
     def send(payload, **kw):

@@ -7,8 +7,11 @@ from file_d_spark.streaming.stateful import (
     bloom_dedup_stream,
     bpe_apply_stream,
     cardinality_stream,
+    cms_point_query,
+    cms_readout,
     cms_stream,
     dedup_stream,
+    f2_readout,
     f2_stream,
     multiline_join_stream,
     hll_distinct_stream,
@@ -26,8 +29,11 @@ __all__ = [
     "bloom_dedup_stream",
     "bpe_apply_stream",
     "cardinality_stream",
+    "cms_point_query",
+    "cms_readout",
     "cms_stream",
     "dedup_stream",
+    "f2_readout",
     "f2_stream",
     "multiline_join_stream",
     "hll_distinct_stream",

@@ -1409,6 +1409,105 @@ def f2_stream(
 
 
 # --------------------------------------------------------------------------
+# sketch-stream readout helpers (r12, VERDICT r11 #8): the sharded
+# snapshots need a two-step recombination — max-version per (r, shard)
+# group, then a LINEAR merge across shards per r.  Hand-rolling it is
+# exactly where a consumer goes wrong (reading one shard's counters
+# undercounts silently), so the merge ships as documented functions.
+# All three operate on the BATCH frame read back from the stream's
+# append sink.
+# --------------------------------------------------------------------------
+
+
+def _latest_snapshots(snapshots: DataFrame) -> DataFrame:
+    """Max-version row per (r, shard) group — each group's snapshot is
+    cumulative, so only the newest matters."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("r", "shard").orderBy(F.col("version").desc())
+    return (
+        snapshots.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .drop("__rk__")
+    )
+
+
+def cms_readout(snapshots: DataFrame) -> DataFrame:
+    """Merge :func:`cms_stream` snapshots into the UNSHARDED counter
+    matrix: (r, counters), element-wise summing each row's per-shard
+    counters (CMS counters are linear, so the sum is bit-identical to
+    the shards=1 matrix over the same rows).  Feed the result to
+    :func:`cms_point_query` for estimates."""
+    cell = _latest_snapshots(snapshots).select(
+        "r", F.posexplode("counters").alias("c", "cnt")
+    )
+    merged = cell.groupBy("r", "c").agg(F.sum("cnt").cast("long").alias("cnt"))
+    return merged.groupBy("r").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("c", "cnt"))),
+            lambda s: s["cnt"],
+        ).alias("counters")
+    )
+
+
+def cms_point_query(
+    merged: DataFrame, values: DataFrame, value_col: str
+) -> DataFrame:
+    """CMS point query over a :func:`cms_readout` matrix: for each
+    value, min over the depth rows of its hashed cell — the same
+    ``min_r matrix[r][h(v, r) mod width]`` rule as the batch
+    ``sketch.cms_topk``, so estimates for the same arrivals are
+    equal (asserted in tests/test_streaming_restart.py).  Returns
+    (value_col, cms_estimate); the matrix side broadcasts (depth
+    rows)."""
+    from file_d_spark.functions import sketch as _sketch
+
+    probes = values.select(
+        F.col(value_col).cast("string").alias("__v__")
+    ).where(F.col("__v__").isNotNull()).distinct()
+    joined = probes.crossJoin(F.broadcast(merged)).select(
+        "__v__",
+        F.element_at(
+            F.col("counters"),
+            (
+                F.pmod(
+                    _sketch._h32(
+                        F.concat(
+                            F.col("__v__"), F.lit("#"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    F.size("counters"),
+                )
+                + 1
+            ).cast("int"),
+        ).alias("cnt"),
+    )
+    return joined.groupBy("__v__").agg(
+        F.min("cnt").cast("long").alias("cms_estimate")
+    ).withColumnRenamed("__v__", value_col)
+
+
+def f2_readout(snapshots: DataFrame) -> DataFrame:
+    """Recombine :func:`f2_stream` snapshots into the F2 estimate:
+    sum x over shards per rep (AMS sketches are linear over the value
+    partition), then ``sum(x_r²)/reps`` — one row
+    (reps, f2_estimate), bit-identical to the batch
+    ``sketch.f2_moment`` estimate over the same arrivals."""
+    xs = _latest_snapshots(snapshots).groupBy("r").agg(
+        F.sum("x").cast("long").alias("x")
+    )
+    return xs.agg(
+        F.count(F.lit(1)).cast("int").alias("reps"),
+        F.round(
+            F.sum(F.col("x") * F.col("x")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,  # the batch f2_moment's output rounding
+        ).alias("f2_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
 # exact histogram quantiles, streaming twin
 # --------------------------------------------------------------------------
 

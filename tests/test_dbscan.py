@@ -51,10 +51,12 @@ def _sf():
 
 def test_banded_pairs_equal_exact_at_fixture_scale(spark):
     """banded_cosine_pairs is the 100 TB candidate generator for the
-    eps-neighbor relation: with per_band=1 (16 bands x 1 bit) a pair
-    at cosine >= 0.35 escapes every band with P < 1e-6, so at fixture
-    scale the banded pair set must EQUAL the exact one — same ids,
-    same rounded sims."""
+    eps-neighbor relation: in the RECALL-COMPLETE parity regime
+    (per_band=1 — 16 bands x 1 bit, passed explicitly since r12's
+    defaults are the pruning 48/12 regime) a pair at cosine >= 0.35
+    escapes every band with P < 1e-6, so at fixture scale the banded
+    pair set must EQUAL the exact one — same ids, same rounded
+    sims."""
     from file_d_spark.functions.similarity import (
         banded_cosine_pairs,
         cosine_pairs,
@@ -67,16 +69,19 @@ def test_banded_pairs_equal_exact_at_fixture_scale(spark):
     }
     banded = {
         (r.id_a, r.id_b): r.sim
-        for r in banded_cosine_pairs(e, 0.35, dim=64).collect()
+        for r in banded_cosine_pairs(
+            e, 0.35, dim=64, planes=16, bands=16
+        ).collect()
     }
     assert exact, "fixture produced no qualifying pairs"
     assert banded == exact
 
 
 def test_dbscan_banded_pairs_fn_matches_exact(spark):
-    """The pairs_fn seam: dbscan over LSH-banded candidates must label
-    every node exactly like the default exact generator (banding is
-    complete at the fixture's eps — previous test)."""
+    """The pairs_fn seam: dbscan over LSH-banded candidates in the
+    recall-complete parity regime (per_band=1, passed explicitly) must
+    label every node exactly like the default exact generator (banding
+    is complete at the fixture's eps — previous test)."""
     from file_d_spark.functions.similarity import banded_cosine_pairs
 
     e = spark.read.parquet(f"{_sf()}/embeddings.parquet")
@@ -90,7 +95,9 @@ def test_dbscan_banded_pairs_fn_matches_exact(spark):
             e,
             eps_sim=0.35,
             min_pts=3,
-            pairs_fn=lambda c: banded_cosine_pairs(c, 0.35, dim=64),
+            pairs_fn=lambda c: banded_cosine_pairs(
+                c, 0.35, dim=64, planes=16, bands=16
+            ),
         ).collect()
     }
     assert len({v[0] for v in want.values()}) > 1, "degenerate fixture"

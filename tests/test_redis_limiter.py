@@ -703,3 +703,57 @@ def test_throttle_limiter_key_field_ignores_gated_rows(spark):
         assert got == [0, 1], got
     finally:
         s.close()
+
+
+def test_throttle_limiter_key_field_null_falls_back_to_naming_pattern(spark):
+    """When the governing first-matched event's lkey field is ABSENT,
+    the reference passes keyLimitOverride="" and the limiter falls
+    back to the <pipeline>_<field>_<value>_limit naming-pattern fetch
+    (redis_limiter.go key construction) — NOT straight to the config
+    default (r12 ADVICE fix).  Key `a` (all-null tenants) must clamp
+    under the naming-pattern key; key `b` still uses its lkey
+    override."""
+    s = MiniRedis()
+    try:
+        s.set("p_src_a_limit", "1")   # naming-pattern central limit
+        s.set("tenant-gold", "2")     # lkey override for key b
+        from file_d_spark import Pipeline
+
+        rows = [
+            ("a", None, f"2024-01-01T00:00:{i:02d}Z", i) for i in range(4)
+        ] + [
+            ("b", "tenant-gold", f"2024-01-01T00:00:{i:02d}Z", 10 + i)
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "src string, tenant string, time string, seq int"
+        )
+        p = Pipeline.from_dict(
+            {
+                "actions": [
+                    {
+                        "type": "throttle",
+                        "throttle_field": "src",
+                        "time_field": "time",
+                        "time_field_format": "rfc3339",
+                        "bucket_interval": "1m",
+                        "buckets_count": 10,
+                        "default_limit": 3,
+                        "order_fields": ["seq"],
+                        "limiter_backend": "redis",
+                        "redis_backend_config": {
+                            "pipeline": "p",
+                            "addrs": [s.addr],
+                            "limiter_key_field": "tenant",
+                        },
+                    }
+                ]
+            }
+        )
+        by_key = {}
+        for r in p.apply(df).collect():
+            by_key.setdefault(r.src, []).append(r.seq)
+        assert sorted(by_key["a"]) == [0]           # naming-pattern 1
+        assert sorted(by_key["b"]) == [10, 11]      # lkey override 2
+    finally:
+        s.close()

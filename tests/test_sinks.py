@@ -836,6 +836,27 @@ def test_es_sink_fatal_on_failed_insert(spark, tmp_path):
     assert len(glob.glob(f"{marker}/*.try")) == 3  # retry+1 attempts
 
 
+def test_es_sink_retention_accepts_duration_string(spark, tmp_path):
+    """The reference config shape is a duration string
+    (elasticsearch.go `Retention cfg.Duration default:"1s"`): a
+    reference-style {retention: '100ms'} must parse and back off, not
+    raise ValueError (r12 ADVICE fix)."""
+    import time as _time
+
+    from file_d_spark.sinks import sink_elasticsearch
+
+    marker = str(tmp_path / "attempts")
+    df = spark.createDataFrame([("a",)], "msg string").coalesce(1)
+    t0 = _time.time()
+    sink_elasticsearch(
+        df,
+        {"index_format": "idx", "transport": _failing_transport(marker),
+         "retry": 1, "retention": "100ms"},
+    )
+    assert len(glob.glob(f"{marker}/*.try")) == 2  # parsed, retried
+    assert _time.time() - t0 >= 0.1  # the 100ms backoff actually slept
+
+
 def test_es_sink_nonfatal_skips_batch(spark, tmp_path):
     """Default fatal_on_failed_insert: false — the failed batch is
     logged and SKIPPED after retries; the job completes (the reference

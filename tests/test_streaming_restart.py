@@ -877,6 +877,25 @@ def test_cms_stream_restart_and_batch_parity(spark, tmp_path):
     for r in range(depth):
         assert sum(matrix[r]) == n
 
+    # the packaged readout (r12): cms_readout must reproduce the
+    # hand-rolled merged matrix exactly, and cms_point_query over it
+    # must equal every batch cms_topk estimate (the helper exists so
+    # consumers can't read ONE shard's counters and undercount)
+    from file_d_spark.streaming import cms_point_query, cms_readout
+
+    snaps = spark.createDataFrame(
+        _read_out(spark, out_dir, out_schema), out_schema
+    )
+    merged = cms_readout(snaps)
+    got_matrix = {r.r: list(r.counters) for r in merged.collect()}
+    assert got_matrix == matrix
+    probes = spark.createDataFrame([(row.w,) for row in want], "w string")
+    got_est = {
+        r.w: r.cms_estimate
+        for r in cms_point_query(merged, probes, "w").collect()
+    }
+    assert got_est == {row.w: row.cms_estimate for row in want}
+
 
 def test_f2_stream_restart_and_batch_parity(spark, tmp_path):
     """Streaming AMS F2: per-(rep, shard) sign-sums merge across
@@ -930,6 +949,17 @@ def test_f2_stream_restart_and_batch_parity(spark, tmp_path):
     )
     want = sketch.f2_moment(batch_df, "w", reps=reps).first()
     assert est == want.f2_estimate
+
+    # the packaged readout (r12): f2_readout recombines the sharded
+    # snapshots to the same bit-identical estimate
+    from file_d_spark.streaming import f2_readout
+
+    snaps = spark.createDataFrame(
+        _read_out(spark, out_dir, out_schema), out_schema
+    )
+    got = f2_readout(snaps).first()
+    assert got.reps == reps
+    assert got.f2_estimate == want.f2_estimate
 
 
 def test_quantile_stream_restart_and_batch_parity(spark, tmp_path):
