@@ -51,7 +51,13 @@ Round 12 executed the pre-planned registration day: the three family
 folds (``bm25_suite`` / ``convert_suite`` / ``filter_suite``, staged
 r11) registered and retired the seven standalone rows they absorb, and
 ``hard_negatives`` + ``mmr_diversify`` (staged r11) promoted into the
-two freed window slots.  The nine spares above wait for r13+ slots.
+two freed window slots.  The nine spares above wait for r13+ slots,
+with ``sketch_suite`` (kmv+cms+f2 folded, staged r12 — see the bottom
+of this file) letting the whole sketch family cost ONE r13 slot.
+r13 schedule (re-check the arithmetic at round start): ~3 slots free
+once the r12 window re-greens → register sketch_suite + jl_project +
+quantile_thresholds; r14 takes vocab_coverage / decontaminate_spans /
+dedup_keep_best / weighted_sample.
 
 Nothing imports this module at runtime.
 """
@@ -375,3 +381,75 @@ STAGED["dedup_keep_best"] = (q_dedup_keep_best, _KEEP_BEST_ORACLE)
 # them as queries._suite_df/_suite_sql, re-parameterized over the
 # demoted leg functions/oracle constants instead of registry names.
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# r13 fold combo, staged at r12 (the bm25/convert/filter pattern, one
+# round ahead): the three sketch spares fold into ONE driver row so
+# the whole family costs a single r13 window slot.  Legs call the
+# UNCHANGED staged pairs above; the oracle is the UNION ALL of their
+# oracles wrapped as subqueries — it cannot drift from the legs it
+# will absorb.  r13 registration day: register sketch_suite, drop the
+# three standalone STAGED entries (the r12 retirement pattern), and
+# spend the remaining slots on jl_project / quantile_thresholds / ...
+# per the window arithmetic then in force.
+# ---------------------------------------------------------------------------
+
+_SKETCH_SUITE_COLS = [
+    ("lang", "string", "VARCHAR"),
+    ("n_distinct_capped", "bigint", "BIGINT"),
+    ("kth_hash", "bigint", "BIGINT"),
+    ("estimate", "double", "DOUBLE"),
+    ("w", "string", "VARCHAR"),
+    ("exact_count", "bigint", "BIGINT"),
+    ("cms_estimate", "bigint", "BIGINT"),
+    ("reps", "bigint", "BIGINT"),
+    ("f2_exact", "bigint", "BIGINT"),
+    ("f2_estimate", "double", "DOUBLE"),
+]
+
+
+def q_sketch_suite(spark, sf_dir):
+    """kmv + cms + f2 in one row — the sketch-family fold (each leg
+    the unchanged staged query, padded to a superset layout with typed
+    NULLs so every estimate stays value-hashed)."""
+    out = None
+    for tag, name in (
+        ("kmv", "sketch_kmv_distinct"),
+        ("cms", "sketch_cms_topk"),
+        ("f2", "sketch_f2_moment"),
+    ):
+        df = STAGED[name][0](spark, sf_dir)
+        have = set(df.columns)
+        cols = [F.lit(tag).alias("leg")] + [
+            (
+                F.col(n)
+                if n in have
+                else F.lit(None).cast(t).alias(n)
+            )
+            for n, t, _d in _SKETCH_SUITE_COLS
+        ]
+        leg = df.select(*cols)
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _sketch_suite_sql() -> str:
+    parts = []
+    for tag, name, present in (
+        ("kmv", "sketch_kmv_distinct",
+         {"lang", "n_distinct_capped", "kth_hash", "estimate"}),
+        ("cms", "sketch_cms_topk", {"w", "exact_count", "cms_estimate"}),
+        ("f2", "sketch_f2_moment", {"reps", "f2_exact", "f2_estimate"}),
+    ):
+        sel = [f"'{tag}' AS leg"] + [
+            (n if n in present else f"NULL::{d} AS {n}")
+            for n, _t, d in _SKETCH_SUITE_COLS
+        ]
+        parts.append(
+            "SELECT " + ", ".join(sel) + " FROM (\n" + STAGED[name][1] + "\n)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+STAGED["sketch_suite"] = (q_sketch_suite, _sketch_suite_sql())
