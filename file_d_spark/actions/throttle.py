@@ -307,14 +307,51 @@ class Throttle(Action):
                     ),
                     ignorenulls=True,
                 ).over(w_lim).getField("v")
+                # ONE bounded distinct over (key, lkey) pairs feeds
+                # both fetches — not two plan-build Spark jobs.  A
+                # user-configured `values` list keeps its documented
+                # meaning (lkey values, the keys_are_limit_keys
+                # semantic); throttle keys always come from the frame.
+                cap = int(backend_cfg.get("max_tracked_values", 10000))
+                pair_rows = (
+                    df.select(
+                        F.col("__fd_key__").cast("string").alias("k"),
+                        F.col("__fd_lkey__").alias("l"),
+                    )
+                    .distinct()
+                    .limit(cap)
+                    .collect()
+                )
+                user_values = backend_cfg.get("values")
+                # "" is the reference's keyLimitOverride-absent marker,
+                # never a redis limit key — exclude it from the fetch
+                lkeys = (
+                    list(user_values)
+                    if user_values is not None
+                    else sorted({r["l"] for r in pair_rows} - {None, ""})
+                )
+                keys = sorted(
+                    {r["k"] for r in pair_rows if r["k"] is not None}
+                )
+                lk_cfg = {**backend_cfg, "values": lkeys}
+                # the fallback fetch gets NO limits_file: the snapshot
+                # namespace (rule_letter:value) is keyed by lkey VALUES
+                # for the primary fetch — sharing the file would let a
+                # tenant override masquerade as a throttle key's
+                # naming-pattern limit across a redis outage
+                fb_cfg = {
+                    k: v for k, v in backend_cfg.items()
+                    if k != "limits_file"
+                }
+                fb_cfg["values"] = keys
                 overrides = fetch_limit_overrides(
                     df.select("__fd_lkey__"), "__fd_lkey__", key_field,
-                    backend_cfg, limit, bucket_s,
+                    lk_cfg, limit, bucket_s,
                     keys_are_limit_keys=True,
                 )
                 fallback = fetch_limit_overrides(
                     df.select(F.col("__fd_key__")), "__fd_key__", key_field,
-                    backend_cfg, limit, bucket_s,
+                    fb_cfg, limit, bucket_s,
                 )
                 if overrides or fallback:
                     lk_val = (
@@ -327,8 +364,14 @@ class Throttle(Action):
                         if fallback
                         else F.lit(None).cast("bigint")
                     )
+                    # an EMPTY lkey is the reference's "no override"
+                    # exactly like an absent field (keyLimitOverride
+                    # == ""): both take the naming-pattern branch
                     limit_col = F.coalesce(
-                        F.when(lookup.isNotNull(), lk_val).otherwise(key_val),
+                        F.when(
+                            lookup.isNotNull() & (lookup != F.lit("")),
+                            lk_val,
+                        ).otherwise(key_val),
                         limit_col,
                     )
             else:

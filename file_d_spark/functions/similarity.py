@@ -896,7 +896,19 @@ def product_quantize(
     # path — and zero CodeGenerator failures.  The downstream select
     # references every distance column 3-4x, so CollapseProject keeps
     # the staging boundary (inlining would re-evaluate the chains).
-    if m * k * sub <= model_max_literal_floats:
+    # the scalar staging is safe in two regimes: >maxFields columns
+    # (excluded from whole-stage fusion -> method-split row codegen) or
+    # few enough total chain terms that the FUSED single method still
+    # compiles (<= 512 terms verified compiling; 1024 observed
+    # failing).  The mid-range — column count under the fusion cutoff
+    # but chain volume near the 64 KB cliff — would silently reproduce
+    # the failure this staging exists to fix, so it routes to the
+    # broadcast-HOF path instead (review finding, r12).
+    _max_fields = int(
+        df.sparkSession.conf.get("spark.sql.codegen.maxFields", "100")
+    )
+    _fused_compiles = m * k * sub <= 512 or m * k + 1 > _max_fields
+    if m * k * sub <= model_max_literal_floats and _fused_compiles:
         staged = df.select(
             F.col(id_col),
             *[

@@ -412,44 +412,37 @@ _SKETCH_SUITE_COLS = [
 def q_sketch_suite(spark, sf_dir):
     """kmv + cms + f2 in one row — the sketch-family fold (each leg
     the unchanged staged query, padded to a superset layout with typed
-    NULLs so every estimate stays value-hashed)."""
-    out = None
-    for tag, name in (
-        ("kmv", "sketch_kmv_distinct"),
-        ("cms", "sketch_cms_topk"),
-        ("f2", "sketch_f2_moment"),
-    ):
-        df = STAGED[name][0](spark, sf_dir)
-        have = set(df.columns)
-        cols = [F.lit(tag).alias("leg")] + [
-            (
-                F.col(n)
-                if n in have
-                else F.lit(None).cast(t).alias(n)
-            )
-            for n, t, _d in _SKETCH_SUITE_COLS
-        ]
-        leg = df.select(*cols)
-        out = leg if out is None else out.unionByName(leg)
-    return out
+    NULLs so every estimate stays value-hashed).  Reuses the SAME
+    fold/pad helpers the registered suites run on (queries._suite_df /
+    _suite_sql — one-directional import), so registration day cannot
+    drift from the staged validation."""
+    from file_d_spark.queries import _suite_df
+
+    return _suite_df(
+        spark, sf_dir,
+        [
+            ("kmv", STAGED["sketch_kmv_distinct"][0]),
+            ("cms", STAGED["sketch_cms_topk"][0]),
+            ("f2", STAGED["sketch_f2_moment"][0]),
+        ],
+        _SKETCH_SUITE_COLS,
+    )
 
 
 def _sketch_suite_sql() -> str:
-    parts = []
-    for tag, name, present in (
-        ("kmv", "sketch_kmv_distinct",
-         {"lang", "n_distinct_capped", "kth_hash", "estimate"}),
-        ("cms", "sketch_cms_topk", {"w", "exact_count", "cms_estimate"}),
-        ("f2", "sketch_f2_moment", {"reps", "f2_exact", "f2_estimate"}),
-    ):
-        sel = [f"'{tag}' AS leg"] + [
-            (n if n in present else f"NULL::{d} AS {n}")
-            for n, _t, d in _SKETCH_SUITE_COLS
-        ]
-        parts.append(
-            "SELECT " + ", ".join(sel) + " FROM (\n" + STAGED[name][1] + "\n)"
-        )
-    return "\nUNION ALL\n".join(parts)
+    from file_d_spark.queries import _suite_sql
+
+    return _suite_sql(
+        [
+            ("kmv", STAGED["sketch_kmv_distinct"][1],
+             {"lang", "n_distinct_capped", "kth_hash", "estimate"}),
+            ("cms", STAGED["sketch_cms_topk"][1],
+             {"w", "exact_count", "cms_estimate"}),
+            ("f2", STAGED["sketch_f2_moment"][1],
+             {"reps", "f2_exact", "f2_estimate"}),
+        ],
+        _SKETCH_SUITE_COLS,
+    )
 
 
 STAGED["sketch_suite"] = (q_sketch_suite, _sketch_suite_sql())

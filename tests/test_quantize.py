@@ -191,3 +191,17 @@ def test_kmeans_empty_corpus_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         similarity.kmeans_embeddings(df, k=2, iters=1)
+
+
+def test_product_quantize_midrange_routes_to_broadcast(spark, emb):
+    """The fused-codegen cliff guard (r12 review): a shape whose
+    staged column count stays UNDER the whole-stage fusion cutoff but
+    whose chain volume exceeds the verified-compiling bound (m*k*sub
+    > 512) must route to the broadcast-HOF path rather than silently
+    re-entering the 64 KB Janino failure — m=4, k=24, sub=16 stages
+    97 columns (<= 100) with 1536 terms."""
+    df = similarity.product_quantize(
+        emb, dim=64, m=4, k=24, model_max_literal_floats=10**9
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, "mid-range shape did not take the HOF path"

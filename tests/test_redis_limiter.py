@@ -717,12 +717,19 @@ def test_throttle_limiter_key_field_null_falls_back_to_naming_pattern(spark):
     try:
         s.set("p_src_a_limit", "1")   # naming-pattern central limit
         s.set("tenant-gold", "2")     # lkey override for key b
+        s.set("p_src_c_limit", "1")   # naming-pattern for the ""-lkey key
         from file_d_spark import Pipeline
 
         rows = [
             ("a", None, f"2024-01-01T00:00:{i:02d}Z", i) for i in range(4)
         ] + [
             ("b", "tenant-gold", f"2024-01-01T00:00:{i:02d}Z", 10 + i)
+            for i in range(4)
+        ] + [
+            # PRESENT but EMPTY lkey — the reference's keyLimitOverride
+            # is "" exactly as for an absent field, so the naming
+            # pattern must govern here too (r12 review repro)
+            ("c", "", f"2024-01-01T00:00:{i:02d}Z", 20 + i)
             for i in range(4)
         ]
         df = spark.createDataFrame(
@@ -755,5 +762,6 @@ def test_throttle_limiter_key_field_null_falls_back_to_naming_pattern(spark):
             by_key.setdefault(r.src, []).append(r.seq)
         assert sorted(by_key["a"]) == [0]           # naming-pattern 1
         assert sorted(by_key["b"]) == [10, 11]      # lkey override 2
+        assert sorted(by_key["c"]) == [20]          # "" lkey -> naming 1
     finally:
         s.close()
