@@ -1910,3 +1910,95 @@ def mmr_oracle_sql(
            / 1e6 AS mmr
     FROM ({union})""")
     return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# embedding distribution audit (r12)
+# --------------------------------------------------------------------------
+
+
+def embedding_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension distribution audit of an embedding column — the
+    QC pass an embedding pipeline runs before trusting a new encoder
+    drop: a dead dimension (std ~ 0), a collapsed encoder (all dims
+    near-constant), an exploding norm, or a sparsity shift all show up
+    here as one 64-row table.
+
+    Exactness: values are fixed-pointed by ``floor(v * 2^20)`` — a
+    POWER-OF-TWO scale, so the multiply is exact for any float32 input
+    (binary scaling adds no rounding error) and floor is unambiguous;
+    unlike decimal ``round(v, 6)`` there is no .5 boundary on which
+    two engines can disagree (the r12 mmr lesson).  Every aggregate is
+    then an exact BIGINT (count / sum / sum-of-squares / min / max /
+    negatives), and the derived ``mean``/``std`` are IEEE operations
+    on identical integers — bit-identical cross-engine with no
+    rounding step at all.
+
+    Scale shape: one posexplode (dim fan-out is the vector width, not
+    the corpus) into ONE partially-aggregated groupBy on the tiny
+    ``dim`` key — map-side combine reduces each task to ``dim`` rows
+    before the shuffle; no window, no join, no Python.  The
+    sum-of-squares bigint holds ~2^40 per row-dim, so ~2^23 rows per
+    merge group before overflow — at larger scale shard the sum the
+    way ``sketch.f2_moment`` documents (the aggregate is linear).
+    """
+    cell = df.select(F.posexplode(F.col(vec_col)).alias("d0", "v")).select(
+        (F.col("d0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * F.lit(1048576.0))
+        .cast("long")
+        .alias("v_fp"),
+    )
+    agg = cell.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_fp").cast("long").alias("sum_fp"),
+        F.sum(F.col("v_fp") * F.col("v_fp")).cast("long").alias("sumsq_fp"),
+        F.min("v_fp").cast("long").alias("min_fp"),
+        F.max("v_fp").cast("long").alias("max_fp"),
+        F.sum(F.when(F.col("v_fp") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    scale = F.lit(1048576.0)
+    mean = F.col("sum_fp").cast("double") / (F.col("n").cast("double") * scale)
+    ex2 = F.col("sumsq_fp").cast("double") / (
+        F.col("n").cast("double") * scale * scale
+    )
+    return agg.select(
+        "dim", "n", "sum_fp", "sumsq_fp", "min_fp", "max_fp", "n_neg",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0))).alias("std"),
+    )
+
+
+def embedding_stats_oracle_sql(source_sql: str, vec_expr: str) -> str:
+    """DuckDB mirror of :func:`embedding_stats`."""
+    return f"""
+    WITH src AS ({source_sql}),
+    cell AS (
+      SELECT dim,
+             CAST(floor(v::DOUBLE * 1048576.0) AS BIGINT) AS v_fp
+      FROM (SELECT unnest({vec_expr}) AS v,
+                   unnest(range(1, len({vec_expr}) + 1)) AS dim
+            FROM src)),
+    agg AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_fp) AS BIGINT) AS sum_fp,
+             CAST(sum(v_fp * v_fp) AS BIGINT) AS sumsq_fp,
+             CAST(min(v_fp) AS BIGINT) AS min_fp,
+             CAST(max(v_fp) AS BIGINT) AS max_fp,
+             CAST(sum(CASE WHEN v_fp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg
+      FROM cell GROUP BY dim)
+    SELECT dim, n, sum_fp, sumsq_fp, min_fp, max_fp, n_neg,
+           sum_fp::DOUBLE / (n::DOUBLE * 1048576.0) AS mean,
+           sqrt(greatest(
+             sumsq_fp::DOUBLE / (n::DOUBLE * 1048576.0 * 1048576.0)
+             - (sum_fp::DOUBLE / (n::DOUBLE * 1048576.0))
+               * (sum_fp::DOUBLE / (n::DOUBLE * 1048576.0)),
+             0.0)) AS std
+    FROM agg
+    """

@@ -46,6 +46,11 @@ slots or a retirement):
   surgical variant of the doc-level ``decontaminate`` row).
 - ``dedup_keep_best`` — cluster-aware canonical-doc selection
   (keep the highest-quality member per duplicate cluster).
+- ``embedding_stats`` — NEW r12: per-dimension embedding
+  distribution audit (``similarity.embedding_stats``) — dead-dim /
+  collapsed-encoder / norm-drift QC; exact power-of-two fixed-point
+  aggregates (floor(v·2^20) — no decimal-round boundary), derived
+  mean/std engine-identical; dead-dim teeth test in test_quantize.
 
 Round 12 executed the pre-planned registration day: the three family
 folds (``bm25_suite`` / ``convert_suite`` / ``filter_suite``, staged
@@ -57,7 +62,7 @@ of this file) letting the whole sketch family cost ONE r13 slot.
 r13 schedule (re-check the arithmetic at round start): ~3 slots free
 once the r12 window re-greens → register sketch_suite + jl_project +
 quantile_thresholds; r14 takes vocab_coverage / decontaminate_spans /
-dedup_keep_best / weighted_sample.
+dedup_keep_best / weighted_sample / embedding_stats.
 
 Nothing imports this module at runtime.
 """
@@ -446,3 +451,26 @@ def _sketch_suite_sql() -> str:
 
 
 STAGED["sketch_suite"] = (q_sketch_suite, _sketch_suite_sql())
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-dimension embedding distribution audit
+    (similarity.embedding_stats) — exact power-of-two fixed-point
+    aggregates + engine-identical derived mean/std; one 64-key
+    partially-aggregated groupBy, no window/join/Python (staged r12,
+    new family: embedding-pipeline data QC)."""
+    from file_d_spark.functions import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_stats(e, "embedding")
+
+
+def _embedding_stats_oracle():
+    from file_d_spark.functions import similarity
+
+    return similarity.embedding_stats_oracle_sql(
+        "SELECT embedding FROM embeddings", "embedding"
+    )
+
+
+STAGED["embedding_stats"] = (q_embedding_stats, _embedding_stats_oracle())

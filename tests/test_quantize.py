@@ -205,3 +205,25 @@ def test_product_quantize_midrange_routes_to_broadcast(spark, emb):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan, "mid-range shape did not take the HOF path"
+
+
+def test_embedding_stats_flags_dead_and_constant_dims(spark):
+    """Teeth for the r12 embedding_stats audit: a dimension that is
+    constant across the corpus must read std == 0 (dead dim), a
+    varying one must not; n/min/max/n_neg are exact."""
+    rows = [
+        (1, [0.5, -0.25, float(i) / 8.0])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate((r[0], r[1]) for r in rows)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.dim: r for r in similarity.embedding_stats(df).collect()}
+    assert set(out) == {1, 2, 3} and all(out[d].n == 8 for d in out)
+    assert out[1].std == 0.0 and out[2].std == 0.0   # dead dims
+    assert out[3].std > 0.0                          # live dim
+    assert out[2].n_neg == 8 and out[1].n_neg == 0
+    # exact fixed point: 0.5 * 2^20 = 524288 exactly
+    assert out[1].min_fp == out[1].max_fp == 524288
+    assert out[2].min_fp == out[2].max_fp == -262144
