@@ -5,7 +5,7 @@ queries()     -> every implemented operator from SURVEY.md §2 (plus the
                  training-data ops) as (spark, sf_dir) -> DataFrame,
                  rotated so the driver's ~50-row correctness cap
                  verifies every never-checked or changed-this-round
-                 query first (see queries._SWEEP_HEAD/_SWEEP_PARKED)
+                 query first (queries._SWEEP_CHANGED + _reorder_sweep)
 oracle_sql()  -> matching DuckDB SQL for EVERY query (since round 5
                  even kitchen_sink_actions: clock pinned via set_time's
                  `now`, hostname embedded as a literal)
