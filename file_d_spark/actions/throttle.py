@@ -307,42 +307,54 @@ class Throttle(Action):
                     ),
                     ignorenulls=True,
                 ).over(w_lim).getField("v")
-                # ONE bounded distinct over (key, lkey) pairs feeds
-                # both fetches — not two plan-build Spark jobs.  A
+                # ONE plan-build Spark job feeds both fetches: the
+                # per-COLUMN distincts ride a union tagged by side, so
+                # each column keeps its own max_tracked_values cap —
+                # a (key, lkey) PAIR distinct would let combinatorial
+                # mixes evict a rare key whose own column is well
+                # under the cap (review finding, r12).  A
                 # user-configured `values` list keeps its documented
                 # meaning (lkey values, the keys_are_limit_keys
                 # semantic); throttle keys always come from the frame.
                 cap = int(backend_cfg.get("max_tracked_values", 10000))
-                pair_rows = (
-                    df.select(
-                        F.col("__fd_key__").cast("string").alias("k"),
-                        F.col("__fd_lkey__").alias("l"),
-                    )
-                    .distinct()
-                    .limit(cap)
-                    .collect()
-                )
+                both = df.agg(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_set(
+                                F.col("__fd_key__").cast("string")
+                            )
+                        ),
+                        1, cap,
+                    ).alias("ks"),
+                    F.slice(
+                        F.array_sort(F.collect_set("__fd_lkey__")),
+                        1, cap,
+                    ).alias("ls"),
+                ).collect()[0]
                 user_values = backend_cfg.get("values")
                 # "" is the reference's keyLimitOverride-absent marker,
                 # never a redis limit key — exclude it from the fetch
-                lkeys = (
-                    list(user_values)
-                    if user_values is not None
-                    else sorted({r["l"] for r in pair_rows} - {None, ""})
-                )
-                keys = sorted(
-                    {r["k"] for r in pair_rows if r["k"] is not None}
-                )
+                # (a user-supplied list is scrubbed the same way;
+                # collect_set already drops nulls)
+                lkeys = sorted(
+                    (
+                        set(user_values)
+                        if user_values is not None
+                        else set(both["ls"])
+                    )
+                    - {None, ""}
+                )[:cap]
+                keys = list(both["ks"])
                 lk_cfg = {**backend_cfg, "values": lkeys}
-                # the fallback fetch gets NO limits_file: the snapshot
-                # namespace (rule_letter:value) is keyed by lkey VALUES
-                # for the primary fetch — sharing the file would let a
-                # tenant override masquerade as a throttle key's
-                # naming-pattern limit across a redis outage
-                fb_cfg = {
-                    k: v for k, v in backend_cfg.items()
-                    if k != "limits_file"
-                }
+                # both fetches keep limits_file persistence; the
+                # fallback namespaces its snapshot rows (rule_letter
+                # suffixed ':np' for the naming-pattern map) so an
+                # lkey-keyed row can't masquerade as a throttle key's
+                # central limit across a redis outage — and vice versa
+                fb_cfg = dict(backend_cfg)
+                fb_cfg["rule_letter"] = (
+                    f"{backend_cfg.get('rule_letter', 'a')}:np"
+                )
                 fb_cfg["values"] = keys
                 overrides = fetch_limit_overrides(
                     df.select("__fd_lkey__"), "__fd_lkey__", key_field,

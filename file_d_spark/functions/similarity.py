@@ -907,7 +907,16 @@ def product_quantize(
     _max_fields = int(
         df.sparkSession.conf.get("spark.sql.codegen.maxFields", "100")
     )
-    _fused_compiles = m * k * sub <= 512 or m * k + 1 > _max_fields
+    _wscg_on = (
+        df.sparkSession.conf.get("spark.sql.codegen.wholeStage", "true")
+        .lower()
+        != "false"
+    )
+    # with whole-stage codegen disabled nothing fuses, so the scalar
+    # staging is safe (and still the fast form) at any term count
+    _fused_compiles = (
+        not _wscg_on or m * k * sub <= 512 or m * k + 1 > _max_fields
+    )
     if m * k * sub <= model_max_literal_floats and _fused_compiles:
         staged = df.select(
             F.col(id_col),
@@ -1937,24 +1946,51 @@ def embedding_stats(
     on identical integers — bit-identical cross-engine with no
     rounding step at all.
 
+    Broken-encoder inputs are handled EXPLICITLY, because they are
+    what the audit exists to catch and also exactly where engines
+    diverge on a naive cast (Spark's non-ANSI double→long turns NaN
+    into 0 and saturates ±Inf; DuckDB raises): non-finite cells are
+    COUNTED (``n_nonfinite``) and excluded from the moments, and
+    finite cells clamp to ±8.0 before fixed-pointing (``n_clamped``
+    counts them) — an embedding component beyond ±8 is a defect
+    report, not a datum whose 21st bit matters.  The clamp also
+    bounds the sum-of-squares term at 2^46 per cell, so ~2^17 rows
+    per merge group before BIGINT overflow — at larger scale shard
+    the sum the way ``sketch.f2_moment`` documents (linear).
+
     Scale shape: one posexplode (dim fan-out is the vector width, not
     the corpus) into ONE partially-aggregated groupBy on the tiny
     ``dim`` key — map-side combine reduces each task to ``dim`` rows
-    before the shuffle; no window, no join, no Python.  The
-    sum-of-squares bigint holds ~2^40 per row-dim, so ~2^23 rows per
-    merge group before overflow — at larger scale shard the sum the
-    way ``sketch.f2_moment`` documents (the aggregate is linear).
+    before the shuffle; no window, no join, no Python.
     """
+    v = F.col("v").cast("double")
+    finite = ~(
+        F.isnan(v)
+        | (v == F.lit(float("inf")))
+        | (v == F.lit(float("-inf")))
+    )
+    clamped = F.least(F.greatest(v, F.lit(-8.0)), F.lit(8.0))
     cell = df.select(F.posexplode(F.col(vec_col)).alias("d0", "v")).select(
         (F.col("d0") + 1).alias("dim"),
-        F.floor(F.col("v").cast("double") * F.lit(1048576.0))
-        .cast("long")
-        .alias("v_fp"),
+        finite.alias("fin"),
+        F.when(
+            finite,
+            F.floor(clamped * F.lit(1048576.0)).cast("long"),
+        ).alias("v_fp"),
+        (finite & (F.abs(v) > F.lit(8.0))).alias("cl"),
     )
     agg = cell.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("v_fp").cast("long").alias("sum_fp"),
-        F.sum(F.col("v_fp") * F.col("v_fp")).cast("long").alias("sumsq_fp"),
+        F.sum(F.when(~F.col("fin"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonfinite"),
+        F.sum(F.when(F.col("cl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped"),
+        F.coalesce(F.sum("v_fp"), F.lit(0)).cast("long").alias("sum_fp"),
+        F.coalesce(F.sum(F.col("v_fp") * F.col("v_fp")), F.lit(0))
+        .cast("long")
+        .alias("sumsq_fp"),
         F.min("v_fp").cast("long").alias("min_fp"),
         F.max("v_fp").cast("long").alias("max_fp"),
         F.sum(F.when(F.col("v_fp") < 0, 1).otherwise(0))
@@ -1962,14 +1998,18 @@ def embedding_stats(
         .alias("n_neg"),
     )
     scale = F.lit(1048576.0)
-    mean = F.col("sum_fp").cast("double") / (F.col("n").cast("double") * scale)
-    ex2 = F.col("sumsq_fp").cast("double") / (
-        F.col("n").cast("double") * scale * scale
+    nf = (F.col("n") - F.col("n_nonfinite")).cast("double")
+    mean = F.when(
+        nf > 0, F.col("sum_fp").cast("double") / (nf * scale)
     )
+    ex2 = F.col("sumsq_fp").cast("double") / (nf * scale * scale)
     return agg.select(
-        "dim", "n", "sum_fp", "sumsq_fp", "min_fp", "max_fp", "n_neg",
+        "dim", "n", "n_nonfinite", "n_clamped",
+        "sum_fp", "sumsq_fp", "min_fp", "max_fp", "n_neg",
         mean.alias("mean"),
-        F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0))).alias("std"),
+        F.when(
+            nf > 0, F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
+        ).alias("std"),
     )
 
 
@@ -1977,28 +2017,47 @@ def embedding_stats_oracle_sql(source_sql: str, vec_expr: str) -> str:
     """DuckDB mirror of :func:`embedding_stats`."""
     return f"""
     WITH src AS ({source_sql}),
-    cell AS (
-      SELECT dim,
-             CAST(floor(v::DOUBLE * 1048576.0) AS BIGINT) AS v_fp
+    raw AS (
+      SELECT dim, v::DOUBLE AS v
       FROM (SELECT unnest({vec_expr}) AS v,
                    unnest(range(1, len({vec_expr}) + 1)) AS dim
             FROM src)),
+    cell AS (
+      SELECT dim,
+             NOT (isnan(v) OR isinf(v)) AS fin,
+             CASE WHEN NOT (isnan(v) OR isinf(v))
+                  THEN CAST(floor(least(greatest(v, -8.0), 8.0)
+                                  * 1048576.0) AS BIGINT)
+             END AS v_fp,
+             (NOT (isnan(v) OR isinf(v)) AND abs(v) > 8.0) AS cl
+      FROM raw),
     agg AS (
       SELECT dim,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(v_fp) AS BIGINT) AS sum_fp,
-             CAST(sum(v_fp * v_fp) AS BIGINT) AS sumsq_fp,
+             CAST(sum(CASE WHEN NOT fin THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+             CAST(sum(CASE WHEN cl THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped,
+             CAST(coalesce(sum(v_fp), 0) AS BIGINT) AS sum_fp,
+             CAST(coalesce(sum(v_fp * v_fp), 0) AS BIGINT) AS sumsq_fp,
              CAST(min(v_fp) AS BIGINT) AS min_fp,
              CAST(max(v_fp) AS BIGINT) AS max_fp,
              CAST(sum(CASE WHEN v_fp < 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_neg
       FROM cell GROUP BY dim)
-    SELECT dim, n, sum_fp, sumsq_fp, min_fp, max_fp, n_neg,
-           sum_fp::DOUBLE / (n::DOUBLE * 1048576.0) AS mean,
-           sqrt(greatest(
-             sumsq_fp::DOUBLE / (n::DOUBLE * 1048576.0 * 1048576.0)
-             - (sum_fp::DOUBLE / (n::DOUBLE * 1048576.0))
-               * (sum_fp::DOUBLE / (n::DOUBLE * 1048576.0)),
-             0.0)) AS std
+    SELECT dim, n, n_nonfinite, n_clamped,
+           sum_fp, sumsq_fp, min_fp, max_fp, n_neg,
+           CASE WHEN n - n_nonfinite > 0 THEN
+             sum_fp::DOUBLE / ((n - n_nonfinite)::DOUBLE * 1048576.0)
+           END AS mean,
+           CASE WHEN n - n_nonfinite > 0 THEN
+             sqrt(greatest(
+               sumsq_fp::DOUBLE
+                 / ((n - n_nonfinite)::DOUBLE * 1048576.0 * 1048576.0)
+               - (sum_fp::DOUBLE / ((n - n_nonfinite)::DOUBLE * 1048576.0))
+                 * (sum_fp::DOUBLE / ((n - n_nonfinite)::DOUBLE
+                                      * 1048576.0)),
+               0.0))
+           END AS std
     FROM agg
     """

@@ -211,12 +211,8 @@ def test_embedding_stats_flags_dead_and_constant_dims(spark):
     """Teeth for the r12 embedding_stats audit: a dimension that is
     constant across the corpus must read std == 0 (dead dim), a
     varying one must not; n/min/max/n_neg are exact."""
-    rows = [
-        (1, [0.5, -0.25, float(i) / 8.0])
-        for i in range(8)
-    ]
     df = spark.createDataFrame(
-        [(i, v) for i, (_, v) in enumerate((r[0], r[1]) for r in rows)],
+        [(i, [0.5, -0.25, i / 8.0]) for i in range(8)],
         "vec_id long, embedding array<float>",
     )
     out = {r.dim: r for r in similarity.embedding_stats(df).collect()}
@@ -227,3 +223,46 @@ def test_embedding_stats_flags_dead_and_constant_dims(spark):
     # exact fixed point: 0.5 * 2^20 = 524288 exactly
     assert out[1].min_fp == out[1].max_fp == 524288
     assert out[2].min_fp == out[2].max_fp == -262144
+
+
+def test_embedding_stats_broken_encoder_inputs(spark, duck):
+    """The audit's whole purpose is broken encoders, so NaN/Inf/huge
+    cells must be HANDLED, not engine-divergent (a naive double→long
+    cast turns NaN into 0 on Spark and raises on DuckDB): non-finite
+    cells count in n_nonfinite and leave the moments; huge finite
+    cells clamp to ±8 and count in n_clamped — and Spark and DuckDB
+    agree on every column over exactly this data."""
+    rows = [
+        (0, [float("nan"), 1.0e4, 0.5]),
+        (1, [float("inf"), -2.0e4, 0.5]),
+        (2, [float("-inf"), 2.0, 0.5]),
+        (3, [0.25, -2.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in similarity.embedding_stats(df).collect()}
+    assert out[1].n_nonfinite == 3 and out[1].n == 4
+    assert out[1].mean == 0.25 and out[1].std == 0.0  # one finite cell
+    assert out[2].n_clamped == 2                      # ±2e4 → ±8
+    assert out[2].min_fp == -8 * 1048576 and out[2].max_fp == 8 * 1048576
+    assert out[3].n_nonfinite == 0 and out[3].n_clamped == 0
+    # engine parity on the adversarial frame itself
+    duck.execute("DROP TABLE IF EXISTS bad_emb")
+    duck.execute(
+        "CREATE TABLE bad_emb AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "({}, [{}])".format(
+                i,
+                ", ".join(f"'{v!r}'::FLOAT" for v in vec),
+            )
+            for i, vec in rows
+        )
+        + ") AS t(vec_id, embedding)"
+    )
+    want = duck.execute(
+        similarity.embedding_stats_oracle_sql(
+            "SELECT embedding FROM bad_emb", "embedding"
+        )
+    ).df()
+    from tests.util import assert_frames_match
+
+    assert_frames_match(similarity.embedding_stats(df), want)
