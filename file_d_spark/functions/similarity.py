@@ -1963,22 +1963,7 @@ def embedding_stats(
     ``dim`` key — map-side combine reduces each task to ``dim`` rows
     before the shuffle; no window, no join, no Python.
     """
-    v = F.col("v").cast("double")
-    finite = ~(
-        F.isnan(v)
-        | (v == F.lit(float("inf")))
-        | (v == F.lit(float("-inf")))
-    )
-    clamped = F.least(F.greatest(v, F.lit(-8.0)), F.lit(8.0))
-    cell = df.select(F.posexplode(F.col(vec_col)).alias("d0", "v")).select(
-        (F.col("d0") + 1).alias("dim"),
-        finite.alias("fin"),
-        F.when(
-            finite,
-            F.floor(clamped * F.lit(1048576.0)).cast("long"),
-        ).alias("v_fp"),
-        (finite & (F.abs(v) > F.lit(8.0))).alias("cl"),
-    )
+    cell = _embedding_stats_cells(df, vec_col)
     agg = cell.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(~F.col("fin"), 1).otherwise(0))
@@ -1997,6 +1982,38 @@ def embedding_stats(
         .cast("long")
         .alias("n_neg"),
     )
+    return _embedding_stats_finalize(agg)
+
+
+def _embedding_stats_cells(df: DataFrame, vec_col: str) -> DataFrame:
+    """The per-cell projection shared by :func:`embedding_stats` and
+    its streaming twin: (dim, fin, v_fp, cl) with the finite test,
+    the ±8 clamp and the 2^20 fixed point — identical expressions so
+    stream and batch stay bit-identical."""
+    v = F.col("v").cast("double")
+    finite = ~(
+        F.isnan(v)
+        | (v == F.lit(float("inf")))
+        | (v == F.lit(float("-inf")))
+    )
+    clamped = F.least(F.greatest(v, F.lit(-8.0)), F.lit(8.0))
+    return df.select(F.posexplode(F.col(vec_col)).alias("d0", "v")).select(
+        (F.col("d0") + 1).alias("dim"),
+        finite.alias("fin"),
+        F.when(
+            finite,
+            F.floor(clamped * F.lit(1048576.0)).cast("long"),
+        ).alias("v_fp"),
+        (finite & (F.abs(v) > F.lit(8.0))).alias("cl"),
+    )
+
+
+def _embedding_stats_finalize(
+    agg: DataFrame, extra_cols: tuple = ()
+) -> DataFrame:
+    """Derive mean/std from the exact integer aggregates — shared by
+    batch and stream so the IEEE derivation is the same expression
+    tree on both sides."""
     scale = F.lit(1048576.0)
     nf = (F.col("n") - F.col("n_nonfinite")).cast("double")
     mean = F.when(
@@ -2004,7 +2021,7 @@ def embedding_stats(
     )
     ex2 = F.col("sumsq_fp").cast("double") / (nf * scale * scale)
     return agg.select(
-        "dim", "n", "n_nonfinite", "n_clamped",
+        "dim", *extra_cols, "n", "n_nonfinite", "n_clamped",
         "sum_fp", "sumsq_fp", "min_fp", "max_fp", "n_neg",
         mean.alias("mean"),
         F.when(

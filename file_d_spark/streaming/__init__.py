@@ -11,6 +11,7 @@ from file_d_spark.streaming.stateful import (
     cms_readout,
     cms_stream,
     dedup_stream,
+    embedding_stats_stream,
     f2_readout,
     f2_stream,
     multiline_join_stream,
@@ -33,6 +34,7 @@ __all__ = [
     "cms_readout",
     "cms_stream",
     "dedup_stream",
+    "embedding_stats_stream",
     "f2_readout",
     "f2_stream",
     "multiline_join_stream",

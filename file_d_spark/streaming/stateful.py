@@ -1608,3 +1608,104 @@ def quantile_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# embedding distribution audit, streaming twin (r12)
+# --------------------------------------------------------------------------
+
+
+def embedding_stats_stream(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Streaming twin of ``similarity.embedding_stats`` — online
+    encoder-drift monitoring: per-dimension counters merged across
+    micro-batches (every aggregate is a sum or a min/max — linear and
+    idempotently mergeable, so the snapshot after any prefix of
+    arrivals is BIT-IDENTICAL to the batch audit over the same rows).
+    The fixed-point projection (finite test, ±8 clamp, floor(v·2^20))
+    and the mean/std derivation are the BATCH operator's own shared
+    expressions (``_embedding_stats_cells`` /
+    ``_embedding_stats_finalize``), so parity is structural, not
+    re-implemented.
+
+    State per group is 8 longs; groups = vector width (64 here) —
+    tiny, and each group's arrivals partially aggregate map-side like
+    any keyed stream.  Emits one post-batch snapshot per updated dim
+    tagged with a monotonically increasing ``version`` (take the max
+    version per dim)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from file_d_spark.functions.similarity import (
+        _embedding_stats_cells,
+        _embedding_stats_finalize,
+    )
+
+    cells = _embedding_stats_cells(df, vec_col)
+    snap_schema = StructType(
+        [
+            StructField("dim", LongType()),
+            StructField("version", LongType()),
+            StructField("n", LongType()),
+            StructField("n_nonfinite", LongType()),
+            StructField("n_clamped", LongType()),
+            StructField("sum_fp", LongType()),
+            StructField("sumsq_fp", LongType()),
+            StructField("min_fp", LongType()),
+            StructField("max_fp", LongType()),
+            StructField("n_neg", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (version, n, n_nonf, n_cl, s, sq, mn, mx, neg) = state.get
+        else:
+            version, n, n_nonf, n_cl, s, sq, neg = 0, 0, 0, 0, 0, 0, 0
+            mn, mx = None, None
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        n += len(pdf)
+        n_nonf += int((~pdf["fin"]).sum())
+        n_cl += int(pdf["cl"].sum())
+        fp = pdf["v_fp"].dropna()
+        if len(fp):
+            vals = [int(x) for x in fp.tolist()]
+            s += sum(vals)
+            sq += sum(x * x for x in vals)
+            bmn, bmx = min(vals), max(vals)
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+            neg += sum(1 for x in vals if x < 0)
+        version += 1
+        state.update(
+            (version, n, n_nonf, n_cl, s, sq, mn, mx, neg)
+        )
+        yield pd.DataFrame(
+            {
+                "dim": [key[0]],
+                "version": [version],
+                "n": [n],
+                "n_nonfinite": [n_nonf],
+                "n_clamped": [n_cl],
+                "sum_fp": [s],
+                "sumsq_fp": [sq],
+                "min_fp": [mn],
+                "max_fp": [mx],
+                "n_neg": [neg],
+            }
+        )
+
+    snaps = cells.groupBy("dim").applyInPandasWithState(
+        fn,
+        snap_schema,
+        "version long, n long, n_nonfinite long, n_clamped long,"
+        " sum_fp long, sumsq_fp long, min_fp long, max_fp long,"
+        " n_neg long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return _embedding_stats_finalize(snaps, extra_cols=("version",))

@@ -1084,3 +1084,63 @@ def test_decontaminate_stream_batch_parity_across_restart(spark, tmp_path):
     }
     assert got == want
     assert got[2] == (0, False) and got[1][1] is True
+
+
+def test_embedding_stats_stream_restart_and_batch_parity(spark, tmp_path):
+    """Streaming embedding audit: per-dim counters merge across
+    batches AND a restart (sums/min/max are linear/idempotent), and
+    the final snapshot per dim is BIT-IDENTICAL to the batch
+    similarity.embedding_stats over the same rows — including the
+    derived mean/std, which both sides compute with the SAME shared
+    expressions."""
+    from file_d_spark.functions import similarity
+    from file_d_spark.streaming import embedding_stats_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_schema = "vec_id long, embedding array<float>"
+    out_schema = ("dim long, version long, n long, n_nonfinite long,"
+                  " n_clamped long, sum_fp long, sumsq_fp long,"
+                  " min_fp long, max_fp long, n_neg long,"
+                  " mean double, std double")
+    rows1 = [
+        {"vec_id": i, "embedding": [0.5, -(i % 7) / 8.0, i / 16.0]}
+        for i in range(40)
+    ]
+    rows2 = [
+        {"vec_id": 100 + i, "embedding": [0.5, (i % 5) / 4.0, 9.5]}
+        for i in range(25)
+    ]  # the 9.5 third component exercises the clamp counter
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return embedding_stats_stream(df, "embedding")
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(
+            {r.dim for r in _read_out(spark, out_dir, out_schema)}
+        ) >= 3,
+    )
+    _write_jsonl(str(in_dir), "b2.jsonl", rows2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.version >= 2 for r in _read_out(spark, out_dir, out_schema)
+        ),
+    )
+    latest: dict = {}
+    for r in _read_out(spark, out_dir, out_schema):
+        if r.dim not in latest or r.version > latest[r.dim].version:
+            latest[r.dim] = r
+    assert set(latest) == {1, 2, 3}
+    batch_df = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows1 + rows2], in_schema
+    )
+    want = {r.dim: r for r in similarity.embedding_stats(batch_df).collect()}
+    for dim in (1, 2, 3):
+        got, exp = latest[dim], want[dim]
+        for c in ("n", "n_nonfinite", "n_clamped", "sum_fp", "sumsq_fp",
+                  "min_fp", "max_fp", "n_neg", "mean", "std"):
+            assert getattr(got, c) == getattr(exp, c), (dim, c)
+    assert want[3].n_clamped == 25  # the 9.5 cells actually clamped
