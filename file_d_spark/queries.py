@@ -5045,25 +5045,22 @@ def q_mmr_diversify(spark, sf_dir):
 
 # hand-maintained per round: code or oracle changed -> must re-verify
 _SWEEP_CHANGED = [
-    # r12: all four r11 entries cleared — CORRECTNESS_r11 landed with
-    # every one driver-green.  The r12 registrations (bm25_suite /
-    # convert_suite / filter_suite / hard_negatives / mmr_diversify)
-    # are never-green, so they auto-head without a list entry.
+    # r13: embedding_pq cleared — CORRECTNESS_r12 landed it
+    # driver-green (hash match), so the r12 restaging is re-verified.
     #
-    # r12 window arithmetic (VERDICT r11 next-round #1): 49 r9-stale
-    # rows − 4 retired by the fold (bm25_multi_query, convert_date,
-    # convert_log_level, convert_utf8_escapes were r9-green; the other
-    # 3 retirees were r11-green) = 45 stale + 5 never-green = exactly
-    # 50.  ZERO additional slack — any r12 code change to a registered
-    # query must be a no-op-by-default parameter, already-stale, or
-    # wait for r13.
+    # r13 window arithmetic (VERDICT r12 next-round #1): the 47
+    # r11-green rows turn 2-rounds stale at r13 and fill the sweep
+    # head; the 50 r12-green rows are fresh.  47 stale + 3 slots =
+    # exactly 50 → register sketch_suite + jl_project +
+    # quantile_thresholds (all sf0.01-oracle-prechecked before
+    # promotion — the r12 mmr lesson).  The three registrations are
+    # never-green and auto-head without a list entry.
     #
-    # r12: product_quantize's literal path restaged as scalar distance
-    # columns (VERDICT r11 "What's wrong" #1 — the 64 KB codegen
-    # blowout; bit-equality asserted, oracle unchanged).  embedding_pq
-    # is r9-stale and therefore ALREADY inside the window — this entry
-    # pins it to the head without costing a slot.
-    "embedding_pq",
+    # r13: throttle_modes gains a limit_distribution leg (VERDICT r12
+    # next-round #4 — the ratio-steal path had no driver-visible row).
+    # throttle_modes is r11-stale and therefore ALREADY inside the
+    # window — this entry pins it to the head without costing a slot.
+    "throttle_modes",
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
