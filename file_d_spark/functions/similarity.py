@@ -1949,7 +1949,8 @@ def embedding_stats(
     Broken-encoder inputs are handled EXPLICITLY, because they are
     what the audit exists to catch and also exactly where engines
     diverge on a naive cast (Spark's non-ANSI double→long turns NaN
-    into 0 and saturates ±Inf; DuckDB raises): non-finite cells are
+    into 0 and saturates ±Inf; DuckDB raises): non-finite cells —
+    NaN, ±Inf, and NULL array elements alike — are
     COUNTED (``n_nonfinite``) and excluded from the moments, and
     finite cells clamp to ±8.0 before fixed-pointing (``n_clamped``
     counts them) — an embedding component beyond ±8 is a defect
@@ -1991,10 +1992,17 @@ def _embedding_stats_cells(df: DataFrame, vec_col: str) -> DataFrame:
     the ±8 clamp and the 2^20 fixed point — identical expressions so
     stream and batch stay bit-identical."""
     v = F.col("v").cast("double")
-    finite = ~(
-        F.isnan(v)
-        | (v == F.lit(float("inf")))
-        | (v == F.lit(float("-inf")))
+    # a NULL cell is a broken input too: the raw predicate yields NULL
+    # for it, which would count it in n but in NEITHER n_nonfinite nor
+    # the moments — silently diluting the mean/std denominator.
+    # coalesce pins NULL -> not-finite so it lands in n_nonfinite.
+    finite = F.coalesce(
+        ~(
+            F.isnan(v)
+            | (v == F.lit(float("inf")))
+            | (v == F.lit(float("-inf")))
+        ),
+        F.lit(False),
     )
     clamped = F.least(F.greatest(v, F.lit(-8.0)), F.lit(8.0))
     return df.select(F.posexplode(F.col(vec_col)).alias("d0", "v")).select(
@@ -2041,12 +2049,13 @@ def embedding_stats_oracle_sql(source_sql: str, vec_expr: str) -> str:
             FROM src)),
     cell AS (
       SELECT dim,
-             NOT (isnan(v) OR isinf(v)) AS fin,
-             CASE WHEN NOT (isnan(v) OR isinf(v))
+             coalesce(NOT (isnan(v) OR isinf(v)), FALSE) AS fin,
+             CASE WHEN coalesce(NOT (isnan(v) OR isinf(v)), FALSE)
                   THEN CAST(floor(least(greatest(v, -8.0), 8.0)
                                   * 1048576.0) AS BIGINT)
              END AS v_fp,
-             (NOT (isnan(v) OR isinf(v)) AND abs(v) > 8.0) AS cl
+             (coalesce(NOT (isnan(v) OR isinf(v)), FALSE)
+              AND abs(v) > 8.0) AS cl
       FROM raw),
     agg AS (
       SELECT dim,

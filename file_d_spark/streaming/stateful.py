@@ -1669,8 +1669,13 @@ def embedding_stats_stream(
         if not len(pdf):
             return
         n += len(pdf)
-        n_nonf += int((~pdf["fin"]).sum())
-        n_cl += int(pdf["cl"].sum())
+        # fin/cl are structurally non-NULL since the batch projection
+        # coalesces the finite test, but a nullable boolean arrives as
+        # object dtype in pandas and `~` on None raises — pin dtype.
+        fin = pdf["fin"].fillna(False).astype(bool)
+        cl = pdf["cl"].fillna(False).astype(bool)
+        n_nonf += int((~fin).sum())
+        n_cl += int(cl.sum())
         fp = pdf["v_fp"].dropna()
         if len(fp):
             vals = [int(x) for x in fp.tolist()]

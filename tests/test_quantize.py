@@ -229,22 +229,26 @@ def test_embedding_stats_broken_encoder_inputs(spark, duck):
     """The audit's whole purpose is broken encoders, so NaN/Inf/huge
     cells must be HANDLED, not engine-divergent (a naive double→long
     cast turns NaN into 0 on Spark and raises on DuckDB): non-finite
-    cells count in n_nonfinite and leave the moments; huge finite
-    cells clamp to ±8 and count in n_clamped — and Spark and DuckDB
-    agree on every column over exactly this data."""
+    cells — NULL array elements included (the raw finite predicate
+    yields NULL for them, which would dilute the mean/std denominator
+    by counting them in n but in neither bucket) — count in
+    n_nonfinite and leave the moments; huge finite cells clamp to ±8
+    and count in n_clamped — and Spark and DuckDB agree on every
+    column over exactly this data."""
     rows = [
         (0, [float("nan"), 1.0e4, 0.5]),
         (1, [float("inf"), -2.0e4, 0.5]),
         (2, [float("-inf"), 2.0, 0.5]),
         (3, [0.25, -2.0, 0.5]),
+        (4, [None, -1.0e9, None]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {r.dim: r for r in similarity.embedding_stats(df).collect()}
-    assert out[1].n_nonfinite == 3 and out[1].n == 4
+    assert out[1].n_nonfinite == 4 and out[1].n == 5  # NULL counts too
     assert out[1].mean == 0.25 and out[1].std == 0.0  # one finite cell
-    assert out[2].n_clamped == 2                      # ±2e4 → ±8
+    assert out[2].n_clamped == 3                      # ±2e4, -1e9 → ±8
     assert out[2].min_fp == -8 * 1048576 and out[2].max_fp == 8 * 1048576
-    assert out[3].n_nonfinite == 0 and out[3].n_clamped == 0
+    assert out[3].n_nonfinite == 1 and out[3].n_clamped == 0
     # engine parity on the adversarial frame itself
     duck.execute("DROP TABLE IF EXISTS bad_emb")
     duck.execute(
@@ -252,7 +256,10 @@ def test_embedding_stats_broken_encoder_inputs(spark, duck):
         + ", ".join(
             "({}, [{}])".format(
                 i,
-                ", ".join(f"'{v!r}'::FLOAT" for v in vec),
+                ", ".join(
+                    "NULL::FLOAT" if v is None else f"'{v!r}'::FLOAT"
+                    for v in vec
+                ),
             )
             for i, vec in rows
         )

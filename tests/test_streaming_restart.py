@@ -1107,9 +1107,12 @@ def test_embedding_stats_stream_restart_and_batch_parity(spark, tmp_path):
         for i in range(40)
     ]
     rows2 = [
-        {"vec_id": 100 + i, "embedding": [0.5, (i % 5) / 4.0, 9.5]}
+        {"vec_id": 100 + i,
+         "embedding": [None if i == 0 else 0.5, (i % 5) / 4.0, 9.5]}
         for i in range(25)
-    ]  # the 9.5 third component exercises the clamp counter
+    ]  # 9.5 third component exercises the clamp counter; the one
+    # NULL first component exercises the NULL-cell→n_nonfinite path
+    # through the stream's pandas dtype pinning
 
     def make_query():
         df = spark.readStream.schema(in_schema).json(str(in_dir))
@@ -1144,3 +1147,4 @@ def test_embedding_stats_stream_restart_and_batch_parity(spark, tmp_path):
                   "min_fp", "max_fp", "n_neg", "mean", "std"):
             assert getattr(got, c) == getattr(exp, c), (dim, c)
     assert want[3].n_clamped == 25  # the 9.5 cells actually clamped
+    assert want[1].n_nonfinite == 1  # the NULL cell landed in the bucket
