@@ -312,25 +312,41 @@ class Throttle(Action):
                 # each column keeps its own max_tracked_values cap —
                 # a (key, lkey) PAIR distinct would let combinatorial
                 # mixes evict a rare key whose own column is well
-                # under the cap (review finding, r12).  A
+                # under the cap (review finding, r12).  Each side is
+                # capped BEFORE collection by orderBy+limit (a top-k
+                # TakeOrdered, bounded per-partition then merged) —
+                # never an unbounded collect_set buffer — and asc
+                # order keeps the kept set deterministic: the
+                # lexicographically smallest cap values, exactly what
+                # the previous sort-then-slice produced.  A
                 # user-configured `values` list keeps its documented
                 # meaning (lkey values, the keys_are_limit_keys
                 # semantic); throttle keys always come from the frame.
                 cap = int(backend_cfg.get("max_tracked_values", 10000))
-                both = df.agg(
-                    F.slice(
-                        F.array_sort(
-                            F.collect_set(
-                                F.col("__fd_key__").cast("string")
-                            )
-                        ),
-                        1, cap,
-                    ).alias("ks"),
-                    F.slice(
-                        F.array_sort(F.collect_set("__fd_lkey__")),
-                        1, cap,
-                    ).alias("ls"),
-                ).collect()[0]
+
+                def _side(col, tag: str):
+                    return (
+                        df.select(col.cast("string").alias("v"))
+                        .where(F.col("v").isNotNull())
+                        .distinct()
+                        .orderBy("v")
+                        .limit(cap)
+                        .select(F.lit(tag).alias("side"), "v")
+                    )
+
+                both_rows = (
+                    _side(F.col("__fd_key__"), "k")
+                    .unionByName(_side(F.col("__fd_lkey__"), "l"))
+                    .collect()
+                )
+                both = {
+                    "ks": sorted(
+                        r["v"] for r in both_rows if r["side"] == "k"
+                    ),
+                    "ls": sorted(
+                        r["v"] for r in both_rows if r["side"] == "l"
+                    ),
+                }
                 user_values = backend_cfg.get("values")
                 # "" is the reference's keyLimitOverride-absent marker,
                 # never a redis limit key — exclude it from the fetch

@@ -211,7 +211,14 @@ def banded_cosine_pairs(
     parity testing, never at scale.  Output correctness never depends
     on the knob (candidates are exact-reranked; only misses are
     possible); recall at the default, eps=0.35, x10 row: 0.877
-    (SCALE.md)."""
+    (SCALE.md).
+
+    BEHAVIOR CHANGE (r12): the defaults moved from the
+    recall-complete 16/16 to the pruning 48/12.  Callers that relied
+    on default-parameter recall-completeness — including any
+    ``dbscan_clusters(pairs_fn=...)`` swap — now get approximate
+    pairs by default; pass ``planes=16, bands=16`` explicitly for the
+    exhaustive regime (parity tests do)."""
     if planes % bands:
         raise ValueError("bands must divide planes")
     if not 0 < planes <= 62:
@@ -1529,8 +1536,12 @@ def dbscan_clusters(
             banded_cosine_pairs(c, eps, dim=D))
 
     The swap trades recall for pruning (0.877 at eps=0.35 on the x10
-    decade row, SCALE.md) — a missed eps-edge can demote a borderline
-    core or split a thinly-connected cluster.  For parity testing,
+    decade row, SCALE.md) — and DBSCAN AMPLIFIES misses: a missed
+    eps-edge can demote a borderline core, detach its border points,
+    or split a thinly-connected cluster, so cluster LABELS (not just
+    pair lists) are approximate under a banded ``pairs_fn`` — at
+    ``banded_cosine_pairs``'s r12 pruning defaults (48/12) as much as
+    any other lossy generator.  For parity testing,
     per_band=1 banding (planes=16, bands=16) is recall-complete up to
     P(miss) < 1e-7, so banded == exact at fixture scale (asserted in
     tests/test_dbscan.py) — but it does not prune, so it is not the
