@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     # round 12 promotions
     "hard_negatives",
     "mmr_diversify",
+    # round 13 promotions
+    "sketch_suite",  # folded kmv/cms/f2 combo row
+    "jl_project",
+    "quantile_thresholds",
     # dbscan_clusters is registered + driver-verified but not a bench
     # headline: its exact all-pairs neighborhood baseline is O(n²d) by
     # construction (SCALE.md documents the measured sf0.1 cost and the

@@ -5021,6 +5021,136 @@ def q_mmr_diversify(spark, sf_dir):
     return similarity.mmr_diversify(e, queries, k=5, pool=20)
 
 
+# --- r13 registrations: the staged sketch-family fold + two spares
+# (promotion plan written at r12 in queries_staged.py; every pair
+# oracle-checked at sf0.001 AND sf0.01 before this move — the r12
+# mmr lesson) ---
+
+
+def q_sketch_kmv_leg(spark, sf_dir):
+    """Bottom-k (KMV) distinct-words-per-language estimate (k=64) —
+    sketch_suite leg (staged r10, folded r13)."""
+    return sketch.kmv_distinct(
+        _sketch_words(spark, sf_dir).select("lang", "w"), "lang", "w", k=64
+    )
+
+
+def q_sketch_cms_leg(spark, sf_dir):
+    """Count-Min heavy hitters over the global word stream (4x1024
+    counters): top-10 exact counts vs their sketch estimates —
+    sketch_suite leg (staged r10, folded r13)."""
+    return sketch.cms_topk(
+        _sketch_words(spark, sf_dir).select("w"), "w",
+        depth=4, width=1024, k=10,
+    )
+
+
+def q_sketch_f2_leg(spark, sf_dir):
+    """AMS F2 / self-join-size estimate over the global word stream —
+    the join-size primitive a planner consults before committing a
+    100 TB shuffle.  sketch_suite leg (staged r10, folded r13)."""
+    return sketch.f2_moment(
+        _sketch_words(spark, sf_dir).select("w"), "w", reps=16
+    )
+
+
+_SKETCH_SUITE_COLS = [
+    ("lang", "string", "VARCHAR"),
+    ("n_distinct_capped", "bigint", "BIGINT"),
+    ("kth_hash", "bigint", "BIGINT"),
+    ("estimate", "double", "DOUBLE"),
+    ("w", "string", "VARCHAR"),
+    ("exact_count", "bigint", "BIGINT"),
+    ("cms_estimate", "bigint", "BIGINT"),
+    ("reps", "bigint", "BIGINT"),
+    ("f2_exact", "bigint", "BIGINT"),
+    ("f2_estimate", "double", "DOUBLE"),
+]
+
+
+@query(
+    "sketch_suite",
+    _suite_sql(
+        [
+            ("kmv",
+             sketch.kmv_oracle_sql(_SKETCH_WORDS_SQL, "lang", "w", k=64),
+             {"lang", "n_distinct_capped", "kth_hash", "estimate"}),
+            ("cms",
+             sketch.cms_oracle_sql(
+                 _SKETCH_WORDS_SQL, "w", "w", depth=4, width=1024, k=10
+             ),
+             {"w", "exact_count", "cms_estimate"}),
+            ("f2",
+             sketch.f2_oracle_sql(_SKETCH_WORDS_SQL, "w", reps=16),
+             {"reps", "f2_exact", "f2_estimate"}),
+        ],
+        _SKETCH_SUITE_COLS,
+    ),
+)
+def q_sketch_suite(spark, sf_dir):
+    """kmv + cms + f2 in one driver row — the sketch-family fold
+    (each leg the unchanged staged query, padded to a superset layout
+    with typed NULLs so every estimate stays value-hashed).  Registers
+    the whole remaining sketch family (siblings hll/overlap registered
+    at r10) for ONE window slot — the bm25/convert/filter pattern."""
+    return _suite_df(
+        spark, sf_dir,
+        [
+            ("kmv", q_sketch_kmv_leg),
+            ("cms", q_sketch_cms_leg),
+            ("f2", q_sketch_f2_leg),
+        ],
+        _SKETCH_SUITE_COLS,
+    )
+
+
+@query(
+    "jl_project",
+    similarity.jl_project_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings",
+        "vec_id", "embedding", dim=64, out_dim=16,
+    ),
+)
+def q_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→16 projection of the embeddings in
+    fixed-point long format — the dim-reduction front end for the ANN
+    path (LCG planes as folded literals, one narrow projection, no
+    shuffle).  Promoted from the staged pool at r13 (staged r10)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.jl_project(e, "vec_id", "embedding", dim=64, out_dim=16)
+
+
+_QUANTILE_THRESHOLDS_ORACLE = """
+    WITH h AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS s, count(*) AS n
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, n_chars),
+    c AS (
+      SELECT lang, s,
+             CAST(sum(n) OVER (PARTITION BY lang ORDER BY s) AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      FROM h),
+    q(num, den) AS (VALUES (1, 4), (1, 2), (9, 10))
+    SELECT lang, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+           CAST(max(tot) AS BIGINT) AS n_rows,
+           CAST(min(s) AS BIGINT) AS threshold
+    FROM c JOIN q ON cum * den >= tot * num
+    GROUP BY lang, num, den
+"""
+
+
+@query("quantile_thresholds", _QUANTILE_THRESHOLDS_ORACLE)
+def q_quantile_thresholds(spark, sf_dir):
+    """Per-language exact quantile thresholds of n_chars (1/4, 1/2,
+    9/10) in long format — the filtering-threshold calibration pass,
+    and the batch pair of the ``quantile_stream`` streaming twin
+    (bit-parity asserted in tests/test_streaming.py).  Histogram-then-
+    cumsum over (lang, n_chars) — the shuffle carries one row per
+    DISTINCT value per group, not per document.  Promoted from the
+    staged pool at r13 (staged r10)."""
+    d = load_table(spark, sf_dir, "documents")
+    return corpus.quantile_thresholds(d, "lang", "n_chars")
+
+
 # ===========================================================================
 
 # The driver's correctness sweep records at most ~50 rows in

@@ -56,13 +56,20 @@ Round 12 executed the pre-planned registration day: the three family
 folds (``bm25_suite`` / ``convert_suite`` / ``filter_suite``, staged
 r11) registered and retired the seven standalone rows they absorb, and
 ``hard_negatives`` + ``mmr_diversify`` (staged r11) promoted into the
-two freed window slots.  The nine spares above wait for r13+ slots,
-with ``sketch_suite`` (kmv+cms+f2 folded, staged r12 — see the bottom
-of this file) letting the whole sketch family cost ONE r13 slot.
-r13 schedule (re-check the arithmetic at round start): ~3 slots free
-once the r12 window re-greens → register sketch_suite + jl_project +
-quantile_thresholds; r14 takes vocab_coverage / decontaminate_spans /
-dedup_keep_best / weighted_sample / embedding_stats.
+two freed window slots.
+
+Round 13 executed its registration day as staged: ``sketch_suite``
+(kmv+cms+f2 folded — the whole remaining sketch family for ONE slot),
+``jl_project`` and ``quantile_thresholds`` moved to ``queries.py``
+(every pair re-oracle-checked at sf0.001 AND sf0.01 immediately
+before the move — the r12 mmr lesson), and the three standalone
+sketch singles retired with the fold.  Remaining pool (5):
+``weighted_sample`` / ``vocab_coverage`` / ``decontaminate_spans`` /
+``dedup_keep_best`` / ``embedding_stats``.  r14 schedule (re-check
+the arithmetic at round start): the 50 r12-green rows go stale →
+window = 50 with the registry at 100, so slots come only from folds
+or retirements; if the registry cap allows, promote in that order —
+all five already sf0.01-prechecked at r13.
 
 Nothing imports this module at runtime.
 """
@@ -107,134 +114,6 @@ STAGED: dict = {
 }
 
 
-_WORDS_SRC_SPARK = None  # built inline in each query fn
-
-_WORDS_SRC_SQL = (
-    "SELECT lang, unnest(list_filter("
-    "string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w "
-    "FROM documents"
-)
-
-
-def _words(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "lang",
-        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
-    ).filter(F.col("w") != "")
-
-
-def q_sketch_kmv(spark, sf_dir):
-    """Bottom-k (KMV) distinct-words-per-language estimate (k=64)."""
-    from file_d_spark.functions import sketch
-
-    return sketch.kmv_distinct(_words(spark, sf_dir), "lang", "w", k=64)
-
-
-def q_sketch_cms(spark, sf_dir):
-    """Count-Min heavy hitters over the global word stream (4x1024
-    counters): top-10 exact counts vs their sketch estimates."""
-    from file_d_spark.functions import sketch
-
-    return sketch.cms_topk(
-        _words(spark, sf_dir).select("w"), "w", depth=4, width=1024, k=10
-    )
-
-
-def _sketch_oracles():
-    from file_d_spark.functions import sketch
-
-    return {
-        "sketch_kmv_distinct": sketch.kmv_oracle_sql(
-            _WORDS_SRC_SQL, "lang", "w", k=64
-        ),
-        "sketch_cms_topk": sketch.cms_oracle_sql(
-            _WORDS_SRC_SQL, "w", "w", depth=4, width=1024, k=10
-        ),
-    }
-
-
-_SK = _sketch_oracles()
-STAGED.update(
-    {
-        "sketch_kmv_distinct": (q_sketch_kmv, _SK["sketch_kmv_distinct"]),
-        "sketch_cms_topk": (q_sketch_cms, _SK["sketch_cms_topk"]),
-    }
-)
-
-
-
-def q_sketch_f2(spark, sf_dir):
-    """AMS F2 / self-join-size estimate over the global word stream —
-    the join-size primitive a planner consults before committing a
-    100 TB shuffle (staged r10)."""
-    from file_d_spark.functions import sketch
-
-    return sketch.f2_moment(
-        _words(spark, sf_dir).select("w"), "w", reps=16
-    )
-
-
-def _f2_oracle():
-    from file_d_spark.functions import sketch
-
-    return sketch.f2_oracle_sql(_WORDS_SRC_SQL, "w", reps=16)
-
-
-STAGED["sketch_f2_moment"] = (q_sketch_f2, _f2_oracle())
-
-
-def q_jl_project(spark, sf_dir):
-    """Johnson-Lindenstrauss 64→16 projection of the embeddings in
-    fixed-point long format — the dim-reduction front end for the ANN
-    path (staged r10)."""
-    from file_d_spark.functions import similarity
-
-    e = load_table(spark, sf_dir, "embeddings")
-    return similarity.jl_project(e, "vec_id", "embedding", dim=64, out_dim=16)
-
-
-def _jl_oracle():
-    from file_d_spark.functions import similarity
-
-    return similarity.jl_project_oracle_sql(
-        "SELECT vec_id, embedding FROM embeddings",
-        "vec_id", "embedding", dim=64, out_dim=16,
-    )
-
-
-STAGED["jl_project"] = (q_jl_project, _jl_oracle())
-
-
-def q_quantile_thresholds(spark, sf_dir):
-    """Per-language exact quantile thresholds of n_chars (1/4, 1/2,
-    9/10) in long format — the batch pair of the r10
-    ``quantile_stream`` streaming twin (staged r10; bit-parity with
-    the twin asserted in tests/test_streaming.py)."""
-    from file_d_spark.functions import corpus
-
-    d = load_table(spark, sf_dir, "documents")
-    return corpus.quantile_thresholds(d, "lang", "n_chars")
-
-
-_QUANTILE_THRESHOLDS_ORACLE = """
-    WITH h AS (
-      SELECT lang, CAST(n_chars AS BIGINT) AS s, count(*) AS n
-      FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, n_chars),
-    c AS (
-      SELECT lang, s,
-             CAST(sum(n) OVER (PARTITION BY lang ORDER BY s) AS BIGINT) AS cum,
-             CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
-      FROM h),
-    q(num, den) AS (VALUES (1, 4), (1, 2), (9, 10))
-    SELECT lang, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
-           CAST(max(tot) AS BIGINT) AS n_rows,
-           CAST(min(s) AS BIGINT) AS threshold
-    FROM c JOIN q ON cum * den >= tot * num
-    GROUP BY lang, num, den
-"""
-
-STAGED["quantile_thresholds"] = (q_quantile_thresholds, _QUANTILE_THRESHOLDS_ORACLE)
 
 
 def q_vocab_coverage(spark, sf_dir):
@@ -387,70 +266,6 @@ STAGED["dedup_keep_best"] = (q_dedup_keep_best, _KEEP_BEST_ORACLE)
 # demoted leg functions/oracle constants instead of registry names.
 # ---------------------------------------------------------------------------
 
-
-# ---------------------------------------------------------------------------
-# r13 fold combo, staged at r12 (the bm25/convert/filter pattern, one
-# round ahead): the three sketch spares fold into ONE driver row so
-# the whole family costs a single r13 window slot.  Legs call the
-# UNCHANGED staged pairs above; the oracle is the UNION ALL of their
-# oracles wrapped as subqueries — it cannot drift from the legs it
-# will absorb.  r13 registration day: register sketch_suite, drop the
-# three standalone STAGED entries (the r12 retirement pattern), and
-# spend the remaining slots on jl_project / quantile_thresholds / ...
-# per the window arithmetic then in force.
-# ---------------------------------------------------------------------------
-
-_SKETCH_SUITE_COLS = [
-    ("lang", "string", "VARCHAR"),
-    ("n_distinct_capped", "bigint", "BIGINT"),
-    ("kth_hash", "bigint", "BIGINT"),
-    ("estimate", "double", "DOUBLE"),
-    ("w", "string", "VARCHAR"),
-    ("exact_count", "bigint", "BIGINT"),
-    ("cms_estimate", "bigint", "BIGINT"),
-    ("reps", "bigint", "BIGINT"),
-    ("f2_exact", "bigint", "BIGINT"),
-    ("f2_estimate", "double", "DOUBLE"),
-]
-
-
-def q_sketch_suite(spark, sf_dir):
-    """kmv + cms + f2 in one row — the sketch-family fold (each leg
-    the unchanged staged query, padded to a superset layout with typed
-    NULLs so every estimate stays value-hashed).  Reuses the SAME
-    fold/pad helpers the registered suites run on (queries._suite_df /
-    _suite_sql — one-directional import), so registration day cannot
-    drift from the staged validation."""
-    from file_d_spark.queries import _suite_df
-
-    return _suite_df(
-        spark, sf_dir,
-        [
-            ("kmv", STAGED["sketch_kmv_distinct"][0]),
-            ("cms", STAGED["sketch_cms_topk"][0]),
-            ("f2", STAGED["sketch_f2_moment"][0]),
-        ],
-        _SKETCH_SUITE_COLS,
-    )
-
-
-def _sketch_suite_sql() -> str:
-    from file_d_spark.queries import _suite_sql
-
-    return _suite_sql(
-        [
-            ("kmv", STAGED["sketch_kmv_distinct"][1],
-             {"lang", "n_distinct_capped", "kth_hash", "estimate"}),
-            ("cms", STAGED["sketch_cms_topk"][1],
-             {"w", "exact_count", "cms_estimate"}),
-            ("f2", STAGED["sketch_f2_moment"][1],
-             {"reps", "f2_exact", "f2_estimate"}),
-        ],
-        _SKETCH_SUITE_COLS,
-    )
-
-
-STAGED["sketch_suite"] = (q_sketch_suite, _sketch_suite_sql())
 
 
 def q_embedding_stats(spark, sf_dir):

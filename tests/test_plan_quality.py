@@ -216,12 +216,12 @@ def test_staged_vocab_coverage_distributed_topk(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_staged_quantile_thresholds_window_on_histogram(spark, sf_dir):
+def test_quantile_thresholds_window_on_histogram(spark, sf_dir):
     """quantile_thresholds' cumulative window must run over the
     (group, score) HISTOGRAM — partial aggregation below the window's
     exchange — never over raw rows (the adaptive_quality_filter
-    doctrine)."""
-    plan = staged_plan_of(spark, sf_dir, "quantile_thresholds")
+    doctrine).  Registered at r13 (was staged)."""
+    plan = plan_of(spark, sf_dir, "quantile_thresholds")
     assert "Window" in plan
     assert re.search(r"HashAggregate.*partial_count", plan) or "partial_count" in plan, (
         "histogram groupBy lost its map-side partial aggregation"
