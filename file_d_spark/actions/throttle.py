@@ -19,8 +19,12 @@ Batch semantics:
                Implemented with a single window — one shuffle on
                (key, bucket), which AQE splits if a key is skewed;
                limit_distribution configs switch to an exact
-               applyInPandas replay per (key, bucket, rule) because
-               default-reserve stealing is order-dependent.
+               sequential replay per (key, bucket, rule) because
+               default-reserve stealing is order-dependent — since
+               r13 a JVM-side generated ``aggregate()`` fold (no
+               Python in the plan); an Arrow applyInPandas replay
+               remains as the fallback for map-typed schemas and as
+               the A/B parity harness (``exact_backend: arrow``).
   cardinality  per-key distinct count of a field; keys over ``limit``
                either drop their events, lose the field, or pass.
   antispam     per-(source, maintenance-window) counts; sources over
@@ -73,6 +77,99 @@ def _validate_distribution(dist: dict) -> None:
         total += ratio
     if total > 1 + 1e-9:
         raise ValueError("sum of ratios must be less than or equal to 1")
+
+
+def _rule_dlims(spec: dict) -> list[int] | None:
+    """Per-distribution limits for one rule: [default reserve,
+    ratio_1 limit, ..., ratio_m limit] (parseLimitDistribution,
+    distribution.go:52-88: each limit = round(ratio * total), the
+    default reserve = round(round((1 - sum) * 100) / 100 * total)) —
+    or None when the rule has no distribution."""
+    d = spec["dist"]
+    if not (d.get("field") and d.get("ratios")):
+        return None
+    ratios = d["ratios"]
+    dlims = [round(float(r["ratio"]) * spec["limit"]) for r in ratios]
+    def_ratio = round(1 - sum(float(r["ratio"]) for r in ratios), 2)
+    return [round(def_ratio * spec["limit"])] + dlims
+
+
+def _type_has_map(dt) -> bool:
+    """True if the type tree contains a MapType — structs with map
+    fields are not orderable, so array_sort over the event struct
+    (the JVM exact-replay path) cannot be planned."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_type_has_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _type_has_map(dt.elementType)
+    return False
+
+
+def _dist_fold_sql(spec: dict, evs: str = "__evs__") -> str:
+    """One rule's sequential-admission replay as a Spark SQL
+    ``aggregate()`` fold over the sorted event array — the JVM twin of
+    ``_admit_exact``'s Python loop (in_memory_limiter.go isAllowed +
+    getDistrData), generated as SQL text (the product_quantize
+    pattern: one expr, no py4j Column-building per step).
+
+    Accumulator: (occ array<bigint> — per-distribution bucket
+    occupancy, charged by EVERY counted event, admitted or not, like
+    the reference's buckets.add-before-check — and kept, the admitted
+    events).  A default event over its reserve steals from the
+    most-free distribution (ties to the smallest index via
+    array_position's first-match, mirroring the reference's strict
+    `>` scan); if nothing fits it stays on the default bucket and is
+    rejected there.  kept grows only on admission, so the per-step
+    array copy is bounded by the CONFIG (≈ sum(dlims) admissions per
+    (key, bucket, rule) group), keeping the fold linear in group
+    size."""
+    lim = int(spec["limit"])
+    if lim < 0:
+        return evs  # negative limit = unlimited: every event admitted
+    dlims = _rule_dlims(spec)
+    if dlims is None:
+        # single running counter — same shape the window path uses,
+        # expressed as a fold so every rule shares one CASE branch type
+        return (
+            f"aggregate({evs}, "
+            f"named_struct('occ', CAST(0 AS BIGINT), 'kept', slice({evs}, 1, 0)), "
+            "(acc, e) -> named_struct("
+            "'occ', acc.occ + e.c, "
+            f"'kept', IF(acc.occ + e.c <= {lim}L, "
+            "concat(acc.kept, array(e)), acc.kept)), "
+            "acc -> acc.kept)"
+        )
+    m = len(dlims) - 1
+    dl_arr = "array(" + ", ".join(f"{v}L" for v in dlims) + ")"
+    diffs = ", ".join(
+        f"{dlims[j]}L - element_at(acc.occ, {j + 1}) - e.c"
+        for j in range(1, m + 1)
+    )
+    steal = (
+        f"transform(array(array({diffs})), ds -> "
+        "IF(array_max(ds) >= 0L, "
+        "CAST(array_position(ds, array_max(ds)) AS INT), 0))[0]"
+    )
+    idx = (
+        "IF(e.d != 0, e.d, "
+        f"IF(element_at(acc.occ, 1) + e.c <= {dlims[0]}L, 0, {steal}))"
+    )
+    merge = (
+        f"transform(array({idx}), ix -> named_struct("
+        "'occ', transform(acc.occ, (o, oi) -> IF(oi = ix, o + e.c, o)), "
+        f"'kept', IF(element_at(acc.occ, ix + 1) + e.c "
+        f"<= element_at({dl_arr}, ix + 1), "
+        "concat(acc.kept, array(e)), acc.kept)))[0]"
+    )
+    init = (
+        f"named_struct('occ', array_repeat(CAST(0 AS BIGINT), {m + 1}), "
+        f"'kept', slice({evs}, 1, 0))"
+    )
+    return f"aggregate({evs}, {init}, (acc, e) -> {merge}, acc -> acc.kept)"
 
 
 def _require_ungated_stream(pred: Column | None, name: str) -> None:
@@ -216,9 +313,20 @@ class Throttle(Action):
             # event over its reserve STEALS from the most-free
             # distribution at that instant (in_memory_limiter.go
             # getDistrData) — which no window expression can replay.
-            # Exact path: applyInPandas per (key, bucket, rule) group;
-            # parallelism across groups, faithful replay within one.
-            return self._admit_exact(
+            # Exact replay per (key, bucket, rule) group; parallelism
+            # across groups, faithful sequential replay within one.
+            # Default backend is a JVM-side aggregate() fold (r13 —
+            # no Python in the plan); the Arrow applyInPandas replay
+            # stays as the fallback for schemas the fold's struct
+            # array_sort can't order (maps) and as the A/B parity
+            # harness (exact_backend: arrow).
+            backend = self.params.get("exact_backend") or (
+                "arrow" if _type_has_map(df.schema) else "jvm"
+            )
+            admit = (
+                self._admit_exact_jvm if backend == "jvm" else self._admit_exact
+            )
+            return admit(
                 df,
                 specs,
                 size_col,
@@ -504,17 +612,10 @@ class Throttle(Action):
                 ).otherwise(idx_expr)
             didx = F.when(F.col("__fd_rule__") == i, idx_expr).otherwise(didx)
 
-        rule_cfgs = []
-        for s in specs:
-            d = s["dist"]
-            if d.get("field") and d.get("ratios"):
-                ratios = d["ratios"]
-                dlims = [round(float(r["ratio"]) * s["limit"]) for r in ratios]
-                def_ratio = round(1 - sum(float(r["ratio"]) for r in ratios), 2)
-                dlims = [round(def_ratio * s["limit"])] + dlims
-            else:
-                dlims = None
-            rule_cfgs.append({"limit": int(s["limit"]), "dlims": dlims})
+        rule_cfgs = [
+            {"limit": int(s["limit"]), "dlims": _rule_dlims(s)}
+            for s in specs
+        ]
 
         # batch parity for timestamps: parse time_field through the
         # same Go-layout machinery (time_field_format, numeric-epoch
@@ -564,21 +665,11 @@ class Throttle(Action):
         from pyspark.sql import functions as F
 
         # per-rule static config for the closure
-        rule_cfgs = []
-        for s in specs:
-            d = s["dist"]
-            if d.get("field") and d.get("ratios"):
-                ratios = d["ratios"]
-                dlims = [
-                    round(float(r["ratio"]) * s["limit"]) for r in ratios
-                ]
-                def_ratio = round(1 - sum(float(r["ratio"]) for r in ratios), 2)
-                dlims = [round(def_ratio * s["limit"])] + dlims
-            else:
-                dlims = None
-            rule_cfgs.append(
-                {"limit": int(s["limit"]), "kind": s["kind"], "dlims": dlims}
-            )
+        rule_cfgs = [
+            {"limit": int(s["limit"]), "kind": s["kind"],
+             "dlims": _rule_dlims(s)}
+            for s in specs
+        ]
 
         # distribution index per row: 0 = default, i+1 = ratios[i]
         didx = F.lit(-1)
@@ -643,6 +734,76 @@ class Throttle(Action):
 
         out = df.groupBy("__fd_key__", "__fd_bucket__", "__fd_rule__").applyInPandas(
             admit, schema=out_schema
+        )
+        return out.drop(*helper_cols)
+
+    def _admit_exact_jvm(self, df, specs, size_col, order_fields, helper_cols):
+        """JVM-side exact distribution replay (r13, VERDICT r12 #4):
+        the same sequential admission ``_admit_exact`` replays in
+        Python, expressed as ONE generated ``aggregate()`` fold per
+        rule over the sorted per-(key, bucket, rule) event array — no
+        Python in the plan, no Arrow round trip.
+
+        Scale shape: one shuffle (the groupBy that also bounds the
+        Arrow path), then a linear interpreted fold per group.  Gated
+        rows (do_if mismatch) never enter the fold — they bypass the
+        action uncounted (processor.go:190-243) and union back at the
+        end — and the fold's kept-array growth is config-bounded
+        (≈ sum of the rule's distributed limits per group), so the
+        per-step array copy never goes quadratic in group size.  The
+        event sort key is (ts, *order_fields, didx, cnt, payload) —
+        a TOTAL deterministic order, strictly stronger than the Arrow
+        path's stable-mergesort-on-arrival tiebreak."""
+        # distribution index per row: 0 = default, i+1 = ratios[i]
+        didx = F.lit(-1)
+        for i, s in enumerate(specs):
+            d = s["dist"]
+            if not (d.get("field") and d.get("ratios")):
+                continue
+            field_val = get_col_safe(
+                parse_selector(d["field"]), df.schema
+            ).cast("string")
+            idx_expr = F.lit(0)
+            for j, r in enumerate(d["ratios"]):
+                idx_expr = F.when(
+                    field_val.isin([str(v) for v in r["values"]]), F.lit(j + 1)
+                ).otherwise(idx_expr)
+            didx = F.when(F.col("__fd_rule__") == i, idx_expr).otherwise(didx)
+
+        counted = F.lit(1)
+        for i, s in enumerate(specs):
+            if s["kind"] == "size":
+                counted = F.when(
+                    F.col("__fd_rule__") == i, size_col
+                ).otherwise(counted)
+
+        payload_cols = list(df.columns)
+        ev = F.struct(
+            F.col("__fd_ts__").alias("t"),
+            *[
+                get_col_safe(parse_selector(str(c)), df.schema).alias(f"o{i}")
+                for i, c in enumerate(order_fields)
+            ],
+            didx.cast("int").alias("d"),
+            counted.cast("bigint").alias("c"),
+            F.struct(*[F.col(c) for c in payload_cols]).alias("p"),
+        )
+        gated = df.filter(~F.col("__fd_m__")).select(*payload_cols)
+        grouped = (
+            df.filter(F.col("__fd_m__"))
+            .groupBy("__fd_key__", "__fd_bucket__", "__fd_rule__")
+            .agg(F.array_sort(F.collect_list(ev)).alias("__evs__"))
+        )
+        branches = " ".join(
+            f"WHEN __fd_rule__ = {i} THEN ({_dist_fold_sql(s)})"
+            for i, s in enumerate(specs)
+        )
+        out = (
+            grouped.select(
+                F.explode(F.expr(f"CASE {branches} END")).alias("__e__")
+            )
+            .select("__e__.p.*")
+            .unionByName(gated)
         )
         return out.drop(*helper_cols)
 

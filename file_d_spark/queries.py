@@ -643,30 +643,119 @@ def q_throttle_rules(spark, sf_dir):
     return p.apply(df).select("event_id")
 
 
+# dist-leg reserves: limit 6 × ratios (0.5 click, 0.3 error) →
+# dlims [default 1, click 3, error 2].  The oracle replays the
+# reference's sequential admission (in_memory_limiter.go isAllowed +
+# getDistrData: every counted event charges its bucket, admitted or
+# not; a default event over its reserve steals the most-free
+# distribution, ties to the smallest index, and stays on the default
+# bucket when nothing fits) as a recursive CTE stepping each
+# (user, hour) group one arrival at a time.
+_THROTTLE_DIST_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT event_id, user_id,
+             floor(epoch(ts))::BIGINT // 3600 AS bkt,
+             CASE WHEN event_type = 'click' THEN 1
+                  WHEN event_type = 'error' THEN 2
+                  ELSE 0 END AS didx,
+             row_number() OVER (
+               PARTITION BY user_id, floor(epoch(ts))::BIGINT // 3600
+               ORDER BY ts, event_id) AS rn
+      FROM events),
+    sim(user_id, bkt, rn, event_id, keep, o0, o1, o2) AS (
+      SELECT user_id, bkt, 0, NULL::BIGINT, FALSE,
+             0::BIGINT, 0::BIGINT, 0::BIGINT
+      FROM (SELECT DISTINCT user_id, bkt FROM ev)
+      UNION ALL
+      SELECT e.user_id, e.bkt, e.rn, e.event_id,
+             CASE t.idx WHEN 0 THEN s.o0 + 1 <= 1
+                        WHEN 1 THEN s.o1 + 1 <= 3
+                        ELSE s.o2 + 1 <= 2 END,
+             s.o0 + CASE WHEN t.idx = 0 THEN 1 ELSE 0 END,
+             s.o1 + CASE WHEN t.idx = 1 THEN 1 ELSE 0 END,
+             s.o2 + CASE WHEN t.idx = 2 THEN 1 ELSE 0 END
+      FROM sim s
+      JOIN ev e ON e.user_id = s.user_id AND e.bkt = s.bkt
+               AND e.rn = s.rn + 1
+      CROSS JOIN LATERAL (SELECT CASE
+          WHEN e.didx != 0 THEN e.didx
+          WHEN s.o0 + 1 <= 1 THEN 0
+          WHEN greatest(3 - s.o1 - 1, 2 - s.o2 - 1) >= 0 THEN
+            CASE WHEN 3 - s.o1 - 1 >= 2 - s.o2 - 1 THEN 1 ELSE 2 END
+          ELSE 0 END AS idx) t)
+    SELECT event_id FROM sim WHERE rn >= 1 AND keep
+    """
+
+
+# r13 leg (VERDICT r12 #4): the ratio-steal admission had no
+# driver-visible row — the rules leg never reaches it
+def q_throttle_dist(spark, sf_dir):
+    """throttle with limit_distribution: 6/user/hour split 50% click /
+    30% error / 20% default, default-group overflow stealing the
+    most-free reserve (distribution.go:19-96 semantics, replayed
+    JVM-side by the r13 aggregate()-fold path)."""
+    df = load_table(spark, sf_dir, "events")
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "throttle",
+                    "throttle_field": "user_id",
+                    "time_field": "ts",
+                    "bucket_interval": "1h",
+                    "buckets_count": 1000000,
+                    "default_limit": 6,
+                    "order_fields": ["event_id"],
+                    "limit_distribution": {
+                        "field": "event_type",
+                        "enabled": True,
+                        "ratios": [
+                            {"ratio": 0.5, "values": ["click"]},
+                            {"ratio": 0.3, "values": ["error"]},
+                        ],
+                    },
+                }
+            ]
+        }
+    )
+    return p.apply(df).select("event_id")
+
+
 @query(
     "throttle_modes",
     f"""
     SELECT 'batch' AS mode, event_id FROM ({_THROTTLE_BATCH_ORACLE})
     UNION ALL
     SELECT 'rules', event_id FROM ({_THROTTLE_RULES_ORACLE})
+    UNION ALL
+    SELECT 'dist', event_id FROM ({_THROTTLE_DIST_ORACLE})
     """,
 )
 def q_throttle_modes(spark, sf_dir):
-    """Both throttle admission modes in one driver row — each leg is
-    the exact standalone query that held its own row through r9
-    (q_throttle: default_limit per (field, 1h bucket);
-    q_throttle_rules: per-rule limit overrides, throttle.go:117-125),
-    tagged by mode so every admitted event_id in each mode stays
-    value-hashed — a bucketing or rule-dispatch regression in either
-    path still breaks the hash.  Folded per the registry-capacity
-    policy (COVERAGE.md "Registry capacity", the r8 decoder
-    pattern)."""
+    """All three throttle admission modes in one driver row — the
+    batch and rules legs are the exact standalone queries that held
+    their own rows through r9 (q_throttle: default_limit per (field,
+    1h bucket); q_throttle_rules: per-rule limit overrides,
+    throttle.go:117-125), and the r13 dist leg exercises the
+    limit_distribution ratio-steal admission (q_throttle_dist,
+    distribution.go:19-96) through the JVM fold path — each tagged by
+    mode so every admitted event_id in each mode stays value-hashed:
+    a bucketing, rule-dispatch, or steal regression in any path still
+    breaks the hash.  Folded per the registry-capacity policy
+    (COVERAGE.md "Registry capacity", the r8 decoder pattern)."""
     legs = []
-    for mode, fn in (("batch", q_throttle), ("rules", q_throttle_rules)):
+    for mode, fn in (
+        ("batch", q_throttle),
+        ("rules", q_throttle_rules),
+        ("dist", q_throttle_dist),
+    ):
         legs.append(
             fn(spark, sf_dir).select(F.lit(mode).alias("mode"), "event_id")
         )
-    return legs[0].unionByName(legs[1])
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 @query(

@@ -27,9 +27,11 @@ ARROW_PY_ALLOWED = {
     "kitchen_sink_actions",   # convert_utf8_bytes pandas UDF
     "convert_suite",          # same UDF via its folded utf8 leg (r12)
     "multimodal_meta",        # mapInPandas decode plumbing
-    # throttle's exact limit_distribution applyInPandas path is NOT
-    # exercised by the registered throttle_modes combo (its rules leg
-    # compiles to pure window functions) — test_throttle_dist covers it
+    # throttle's exact limit_distribution is JVM-side since r13 (a
+    # generated aggregate() fold), so the throttle_modes dist leg runs
+    # under the strict no-Python bar above; the Arrow replay survives
+    # only as the map-schema fallback (exact_backend: arrow), parity-
+    # tested in test_throttle_dist
 }
 
 

@@ -158,3 +158,118 @@ def test_distribution_config_validation(spark):
         ])
     # valid config still runs
     assert run_dist([{"ratio": 0.5, "values": ["error"]}]) == 1
+
+
+def test_throttle_dist_backends_bit_parity(spark):
+    """The r13 JVM aggregate()-fold replay and the Arrow applyInPandas
+    replay are the SAME sequential admission (in_memory_limiter.go) —
+    assert bit-equal survivors over a seeded adversarial corpus:
+    multiple keys/buckets, a dist rule + a no-dist rule + a dist
+    default, size kind on one rule, steal pressure, and a do_if gate
+    (gated rows bypass both paths uncounted)."""
+    import random
+
+    from file_d_spark import Pipeline
+
+    rng = random.Random(13)
+    sevs = ["error", "warn", "info", "debug", ""]
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                f"k{rng.randrange(3)}",
+                f"2024-01-01T00:{rng.randrange(3):02d}:{rng.randrange(60):02d}Z",
+                rng.choice(sevs),
+                f"ns_{rng.randrange(3)}",
+                "x" * rng.randrange(1, 30),
+                i,
+            )
+        )
+    schema = (
+        "k string, time string, severity string, ns string,"
+        " body string, n long"
+    )
+    cfg = {
+        "type": "throttle",
+        "throttle_field": "k",
+        "time_field": "time",
+        "time_field_format": "rfc3339",
+        "bucket_interval": "1m",
+        "buckets_count": 100000,
+        "default_limit": 8,
+        "order_fields": ["n"],
+        "do_if": {
+            "op": "not",
+            "operands": [
+                {"op": "equal", "field": "ns", "values": ["ns_2"]}
+            ],
+        },
+        "rules": [
+            {
+                "limit": 6,
+                "conditions": {"ns": "ns_0"},
+                "limit_distribution": {
+                    "field": "severity",
+                    "enabled": True,
+                    "ratios": [
+                        {"ratio": 0.5, "values": ["error"]},
+                        {"ratio": 0.3, "values": ["warn", "info"]},
+                    ],
+                },
+            },
+            {"limit": 120, "limit_kind": "size",
+             "limit_size_field": "body", "conditions": {"ns": "ns_1"}},
+        ],
+        "limit_distribution": {
+            "field": "severity",
+            "enabled": True,
+            "ratios": [{"ratio": 0.4, "values": ["error", "warn"]}],
+        },
+    }
+    df = spark.createDataFrame(rows, schema)
+    outs = {}
+    for backend in ("jvm", "arrow"):
+        p = Pipeline.from_dict(
+            {"actions": [{**cfg, "exact_backend": backend}]}
+        )
+        outs[backend] = sorted(r.n for r in p.apply(df).collect())
+    assert outs["jvm"] == outs["arrow"]
+    assert 0 < len(outs["jvm"]) < 400  # the throttle actually bit
+
+
+def test_throttle_dist_jvm_plan_has_no_python(spark):
+    """The default distribution backend must keep Python out of the
+    plan (VERDICT r12 #4: the applyInPandas path previously needed a
+    plan-guard allowance; the fold rewrite removes the need)."""
+    from file_d_spark import Pipeline
+
+    rows = [("k", f"2024-01-01T00:00:{i:02d}Z", ["error", "info"][i % 2], i)
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "k string, time string, severity string, n long"
+    )
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "throttle",
+                    "throttle_field": "k",
+                    "time_field": "time",
+                    "time_field_format": "rfc3339",
+                    "bucket_interval": "1m",
+                    "buckets_count": 10,
+                    "default_limit": 4,
+                    "order_fields": ["n"],
+                    "limit_distribution": {
+                        "field": "severity",
+                        "enabled": True,
+                        "ratios": [{"ratio": 0.5, "values": ["error"]}],
+                    },
+                }
+            ]
+        }
+    )
+    plan = p.apply(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
