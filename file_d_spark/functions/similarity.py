@@ -1940,6 +1940,8 @@ def mmr_oracle_sql(
 def embedding_stats(
     df: DataFrame,
     vec_col: str = "embedding",
+    shards: int = 0,
+    _max_exact_rows: int = 131071,
 ) -> DataFrame:
     """Per-dimension distribution audit of an embedding column — the
     QC pass an embedding pipeline runs before trusting a new encoder
@@ -1966,9 +1968,24 @@ def embedding_stats(
     finite cells clamp to ±8.0 before fixed-pointing (``n_clamped``
     counts them) — an embedding component beyond ±8 is a defect
     report, not a datum whose 21st bit matters.  The clamp also
-    bounds the sum-of-squares term at 2^46 per cell, so ~2^17 rows
-    per merge group before BIGINT overflow — at larger scale shard
-    the sum the way ``sketch.f2_moment`` documents (linear).
+    bounds the sum-of-squares term at 2^46 per cell, so at most
+    floor((2^63-1) / 2^46) = 131071 finite cells per dim before
+    BIGINT overflow.  That bound is ENFORCED, not just documented
+    (r13): the default exact-BIGINT regime raises (``raise_error``)
+    on any dim group over ``_max_exact_rows`` finite cells — the
+    guard on the FINAL per-dim count is sound for map-side partials
+    too, since every partial is a subset of the group.  Past the
+    bound, pass ``shards > 0``: cells split into ``shards``
+    row-spread partials (``monotonically_increasing_id % shards`` —
+    content-independent, so a constant column can't collapse one
+    shard), each partial aggregates in exact BIGINT, and the shard
+    merge sums in DECIMAL(38,0) — exact integers to 10^38, i.e.
+    ~10^24 rows — so the merged result is bit-identical to the
+    unsharded algebra and independent of the (nondeterministic)
+    shard assignment.  Sharded output carries ``sum_fp``/``sumsq_fp``
+    as DECIMAL(38,0) instead of BIGINT; every derived column is
+    unchanged.  (The streaming twin needs neither: its Python state
+    holds arbitrary-precision ints.)
 
     Scale shape: one posexplode (dim fan-out is the vector width, not
     the corpus) into ONE partially-aggregated groupBy on the tiny
@@ -1976,7 +1993,7 @@ def embedding_stats(
     before the shuffle; no window, no join, no Python.
     """
     cell = _embedding_stats_cells(df, vec_col)
-    agg = cell.groupBy("dim").agg(
+    exact_aggs = [
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(~F.col("fin"), 1).otherwise(0))
         .cast("long")
@@ -1993,6 +2010,49 @@ def embedding_stats(
         F.sum(F.when(F.col("v_fp") < 0, 1).otherwise(0))
         .cast("long")
         .alias("n_neg"),
+    ]
+    if shards and int(shards) > 0:
+        part = cell.withColumn(
+            "__shard__",
+            F.pmod(F.monotonically_increasing_id(), F.lit(int(shards))),
+        ).groupBy("dim", "__shard__").agg(*exact_aggs)
+        agg = part.groupBy("dim").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("n_nonfinite").cast("long").alias("n_nonfinite"),
+            F.sum("n_clamped").cast("long").alias("n_clamped"),
+            F.sum(F.col("sum_fp").cast("decimal(38,0)")).alias("sum_fp"),
+            F.sum(F.col("sumsq_fp").cast("decimal(38,0)")).alias("sumsq_fp"),
+            F.min("min_fp").cast("long").alias("min_fp"),
+            F.max("max_fp").cast("long").alias("max_fp"),
+            F.sum("n_neg").cast("long").alias("n_neg"),
+        )
+        return _embedding_stats_finalize(agg)
+    agg = cell.groupBy("dim").agg(*exact_aggs)
+    # the exact-BIGINT regime's overflow bound, enforced: sumsq adds
+    # up to 2^46 per finite cell, so a dim group past _max_exact_rows
+    # finite cells could wrap silently — refuse loudly and point at
+    # the sharded path (final-count guard covers map-side partials:
+    # every partial is a subset of its group).  Under ANSI mode (the
+    # session default) an ACTUAL overflow already throws mid-agg;
+    # this guard adds the actionable message, fires conservatively
+    # even when the cells were too small to wrap, and covers
+    # non-ANSI sessions where sum(long) wraps silently.
+    bound = int(_max_exact_rows)
+    nf_ct = F.col("n") - F.col("n_nonfinite")
+    agg = agg.withColumn(
+        "n",
+        F.when(
+            nf_ct > F.lit(bound),
+            F.raise_error(
+                F.format_string(
+                    "embedding_stats: dim %s has %s finite cells, over the "
+                    f"exact-BIGINT sumsq bound ({bound}); pass shards > 0 "
+                    "for the DECIMAL(38,0) merge path",
+                    F.col("dim"),
+                    nf_ct,
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n")),
     )
     return _embedding_stats_finalize(agg)
 
