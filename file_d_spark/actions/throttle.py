@@ -94,19 +94,56 @@ def _rule_dlims(spec: dict) -> list[int] | None:
     return [round(def_ratio * spec["limit"])] + dlims
 
 
-def _type_has_map(dt) -> bool:
-    """True if the type tree contains a MapType — structs with map
-    fields are not orderable, so array_sort over the event struct
-    (the JVM exact-replay path) cannot be planned."""
+def _type_unorderable(dt) -> bool:
+    """True if the type tree contains a type without an ordering
+    (MapType, VariantType) — structs with such fields can't go
+    through array_sort, so the JVM exact-replay path cannot be
+    planned and the Arrow replay must take over."""
     from pyspark.sql import types as T
 
-    if isinstance(dt, T.MapType):
+    variant = getattr(T, "VariantType", ())
+    if isinstance(dt, (T.MapType,) + ((variant,) if variant else ())):
         return True
     if isinstance(dt, T.StructType):
-        return any(_type_has_map(f.dataType) for f in dt.fields)
+        return any(_type_unorderable(f.dataType) for f in dt.fields)
     if isinstance(dt, T.ArrayType):
-        return _type_has_map(dt.elementType)
+        return _type_unorderable(dt.elementType)
     return False
+
+
+def _didx_expr(specs: list[dict], schema) -> Column:
+    """Per-row distribution index: 0 = the matched rule's default
+    group, j+1 = its ratios[j] (idxByKey semantics), -1 for rules
+    without a distribution — ONE definition shared by the Arrow
+    replay, the JVM fold, and the streaming state path so the three
+    backends cannot desynchronize."""
+    didx = F.lit(-1)
+    for i, s in enumerate(specs):
+        d = s["dist"]
+        if not (d.get("field") and d.get("ratios")):
+            continue
+        field_val = get_col_safe(parse_selector(d["field"]), schema).cast(
+            "string"
+        )
+        idx_expr = F.lit(0)
+        for j, r in enumerate(d["ratios"]):
+            idx_expr = F.when(
+                field_val.isin([str(v) for v in r["values"]]), F.lit(j + 1)
+            ).otherwise(idx_expr)
+        didx = F.when(F.col("__fd_rule__") == i, idx_expr).otherwise(didx)
+    return didx
+
+
+def _counted_expr(specs: list[dict], size_col: Column) -> Column:
+    """Per-row counted value: 1 for count-kind rules, the size column
+    for size-kind ones — shared by all three admission backends."""
+    counted = F.lit(1)
+    for i, s in enumerate(specs):
+        if s["kind"] == "size":
+            counted = F.when(
+                F.col("__fd_rule__") == i, size_col
+            ).otherwise(counted)
+    return counted
 
 
 def _dist_fold_sql(spec: dict, evs: str = "__evs__") -> str:
@@ -126,7 +163,12 @@ def _dist_fold_sql(spec: dict, evs: str = "__evs__") -> str:
     rejected there.  kept grows only on admission, so the per-step
     array copy is bounded by the CONFIG (≈ sum(dlims) admissions per
     (key, bucket, rule) group), keeping the fold linear in group
-    size."""
+    size — with one caveat: size-kind rules count ``octet_length``,
+    which is 0 for an empty-string field, and zero-cost events admit
+    without consuming budget, so a group flooded with empty-field
+    events degrades the kept copy to quadratic (admission results
+    stay correct and Arrow-identical; only the linearity bound
+    weakens — the Arrow backend is the escape hatch for that shape)."""
     lim = int(spec["limit"])
     if lim < 0:
         return evs  # negative limit = unlimited: every event admitted
@@ -318,10 +360,10 @@ class Throttle(Action):
             # Default backend is a JVM-side aggregate() fold (r13 —
             # no Python in the plan); the Arrow applyInPandas replay
             # stays as the fallback for schemas the fold's struct
-            # array_sort can't order (maps) and as the A/B parity
-            # harness (exact_backend: arrow).
+            # array_sort can't order (maps, variants) and as the A/B
+            # parity harness (exact_backend: arrow).
             backend = self.params.get("exact_backend") or (
-                "arrow" if _type_has_map(df.schema) else "jvm"
+                "arrow" if _type_unorderable(df.schema) else "jvm"
             )
             admit = (
                 self._admit_exact_jvm if backend == "jvm" else self._admit_exact
@@ -591,26 +633,8 @@ class Throttle(Action):
             if size_field
             else F.lit(1)
         )
-        counted = F.lit(1)
-        for i, s in enumerate(specs):
-            if s["kind"] == "size" and size_field:
-                counted = F.when(F.col("__fd_rule__") == i, size_col).otherwise(
-                    counted
-                )
-        didx = F.lit(-1)
-        for i, s in enumerate(specs):
-            d = s["dist"]
-            if not (d.get("field") and d.get("ratios")):
-                continue
-            field_val = get_col_safe(parse_selector(d["field"]), df.schema).cast(
-                "string"
-            )
-            idx_expr = F.lit(0)
-            for j, r in enumerate(d["ratios"]):
-                idx_expr = F.when(
-                    field_val.isin([str(v) for v in r["values"]]), F.lit(j + 1)
-                ).otherwise(idx_expr)
-            didx = F.when(F.col("__fd_rule__") == i, idx_expr).otherwise(didx)
+        counted = _counted_expr(specs, size_col)
+        didx = _didx_expr(specs, df.schema)
 
         rule_cfgs = [
             {"limit": int(s["limit"]), "dlims": _rule_dlims(s)}
@@ -671,30 +695,9 @@ class Throttle(Action):
             for s in specs
         ]
 
-        # distribution index per row: 0 = default, i+1 = ratios[i]
-        didx = F.lit(-1)
-        for i, s in enumerate(specs):
-            d = s["dist"]
-            if not (d.get("field") and d.get("ratios")):
-                continue
-            field_val = get_col_safe(
-                parse_selector(d["field"]), df.schema
-            ).cast("string")
-            idx_expr = F.lit(0)
-            for j, r in enumerate(d["ratios"]):
-                idx_expr = F.when(
-                    field_val.isin([str(v) for v in r["values"]]), F.lit(j + 1)
-                ).otherwise(idx_expr)
-            didx = F.when(F.col("__fd_rule__") == i, idx_expr).otherwise(didx)
-
-        counted = F.lit(1)
-        for i, s in enumerate(specs):
-            if s["kind"] == "size":
-                counted = F.when(
-                    F.col("__fd_rule__") == i, size_col
-                ).otherwise(counted)
-
-        df = df.withColumn("__fd_didx__", didx).withColumn("__fd_cnt__", counted)
+        df = df.withColumn(
+            "__fd_didx__", _didx_expr(specs, df.schema)
+        ).withColumn("__fd_cnt__", _counted_expr(specs, size_col))
         order_names = ["__fd_ts__"] + [str(c) for c in order_fields]
         out_schema = df.drop("__fd_didx__", "__fd_cnt__").schema
 
@@ -754,29 +757,8 @@ class Throttle(Action):
         event sort key is (ts, *order_fields, didx, cnt, payload) —
         a TOTAL deterministic order, strictly stronger than the Arrow
         path's stable-mergesort-on-arrival tiebreak."""
-        # distribution index per row: 0 = default, i+1 = ratios[i]
-        didx = F.lit(-1)
-        for i, s in enumerate(specs):
-            d = s["dist"]
-            if not (d.get("field") and d.get("ratios")):
-                continue
-            field_val = get_col_safe(
-                parse_selector(d["field"]), df.schema
-            ).cast("string")
-            idx_expr = F.lit(0)
-            for j, r in enumerate(d["ratios"]):
-                idx_expr = F.when(
-                    field_val.isin([str(v) for v in r["values"]]), F.lit(j + 1)
-                ).otherwise(idx_expr)
-            didx = F.when(F.col("__fd_rule__") == i, idx_expr).otherwise(didx)
-
-        counted = F.lit(1)
-        for i, s in enumerate(specs):
-            if s["kind"] == "size":
-                counted = F.when(
-                    F.col("__fd_rule__") == i, size_col
-                ).otherwise(counted)
-
+        didx = _didx_expr(specs, df.schema)
+        counted = _counted_expr(specs, size_col)
         payload_cols = list(df.columns)
         ev = F.struct(
             F.col("__fd_ts__").alias("t"),

@@ -1971,21 +1971,25 @@ def embedding_stats(
     bounds the sum-of-squares term at 2^46 per cell, so at most
     floor((2^63-1) / 2^46) = 131071 finite cells per dim before
     BIGINT overflow.  That bound is ENFORCED, not just documented
-    (r13): the default exact-BIGINT regime raises (``raise_error``)
-    on any dim group over ``_max_exact_rows`` finite cells — the
-    guard on the FINAL per-dim count is sound for map-side partials
-    too, since every partial is a subset of the group.  Past the
-    bound, pass ``shards > 0``: cells split into ``shards``
-    row-spread partials (``monotonically_increasing_id % shards`` —
-    content-independent, so a constant column can't collapse one
-    shard), each partial aggregates in exact BIGINT, and the shard
-    merge sums in DECIMAL(38,0) — exact integers to 10^38, i.e.
-    ~10^24 rows — so the merged result is bit-identical to the
-    unsharded algebra and independent of the (nondeterministic)
-    shard assignment.  Sharded output carries ``sum_fp``/``sumsq_fp``
-    as DECIMAL(38,0) instead of BIGINT; every derived column is
-    unchanged.  (The streaming twin needs neither: its Python state
-    holds arbitrary-precision ints.)
+    (r13): the exact-BIGINT regimes raise (``raise_error``, wrapped
+    around the two wrap-risk columns ``sum_fp``/``sumsq_fp`` so
+    column pruning can't drop the guard) on any group over
+    ``_max_exact_rows`` finite cells — a guard on the FINAL group
+    count is sound for map-side partials too, since every partial is
+    a subset of its group.  Past the bound, pass ``shards > 0``:
+    cells split into ``shards`` row-spread partials
+    (``xxhash64(monotonically_increasing_id) % shards`` — the HASH
+    matters: a raw id stride would let any shards value sharing a
+    factor with the vector width collapse each dim group into one
+    shard), each partial aggregates in exact BIGINT under the same
+    per-partial bound guard, and the shard merge sums in
+    DECIMAL(38,0) — exact integers to 10^38, i.e. ~10^24 rows — so
+    the merged result is bit-identical to the unsharded algebra and
+    independent of the (nondeterministic) shard assignment.  Sharded
+    output carries ``sum_fp``/``sumsq_fp`` as DECIMAL(38,0) instead
+    of BIGINT; every derived column is unchanged.  (The streaming
+    twin needs neither: its Python state holds arbitrary-precision
+    ints.)
 
     Scale shape: one posexplode (dim fan-out is the vector width, not
     the corpus) into ONE partially-aggregated groupBy on the tiny
@@ -2011,11 +2015,55 @@ def embedding_stats(
         .cast("long")
         .alias("n_neg"),
     ]
+    # the exact-BIGINT overflow guard, attached to the two columns
+    # that can actually wrap (sumsq at 2^46/cell, sum at 2^23/cell) —
+    # NOT to a bystander column Catalyst could prune away with the
+    # guard inside it.  Under ANSI mode (the session default) an
+    # ACTUAL overflow already throws mid-agg; this guard adds the
+    # actionable message, fires conservatively even when the cells
+    # were too small to wrap, and covers non-ANSI sessions where
+    # sum(long) wraps silently.
+    bound = int(_max_exact_rows)
+
+    def _guard(agg_df, what):
+        nf_ct = F.col("n") - F.col("n_nonfinite")
+        err = F.raise_error(
+            F.format_string(
+                f"embedding_stats: %s finite cells in one {what} — over "
+                f"the exact-BIGINT bound ({bound}); "
+                + (
+                    "raise shards to spread the rows further"
+                    if what != "dim group"
+                    else "pass shards > 0 for the DECIMAL(38,0) merge path"
+                ),
+                nf_ct,
+            )
+        ).cast("long")
+        out = agg_df
+        for c in ("sum_fp", "sumsq_fp"):
+            out = out.withColumn(
+                c,
+                F.when(nf_ct > F.lit(bound), err).otherwise(F.col(c)),
+            )
+        return out
+
     if shards and int(shards) > 0:
+        # shard key: HASH of a unique row id — a raw `id % shards`
+        # would inherit posexplode's arithmetic structure (cells of
+        # one dim are spaced `dim_count` apart, so any shards value
+        # sharing a factor with the vector width collapses each dim
+        # group into ONE shard); xxhash64 breaks the stride
         part = cell.withColumn(
             "__shard__",
-            F.pmod(F.monotonically_increasing_id(), F.lit(int(shards))),
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()),
+                F.lit(int(shards)),
+            ),
         ).groupBy("dim", "__shard__").agg(*exact_aggs)
+        # each BIGINT partial must itself respect the bound — an
+        # undersized shards value would otherwise wrap per-shard and
+        # the decimal merge would launder the wrapped values as exact
+        part = _guard(part, "(dim, shard) partial")
         agg = part.groupBy("dim").agg(
             F.sum("n").cast("long").alias("n"),
             F.sum("n_nonfinite").cast("long").alias("n_nonfinite"),
@@ -2027,33 +2075,7 @@ def embedding_stats(
             F.sum("n_neg").cast("long").alias("n_neg"),
         )
         return _embedding_stats_finalize(agg)
-    agg = cell.groupBy("dim").agg(*exact_aggs)
-    # the exact-BIGINT regime's overflow bound, enforced: sumsq adds
-    # up to 2^46 per finite cell, so a dim group past _max_exact_rows
-    # finite cells could wrap silently — refuse loudly and point at
-    # the sharded path (final-count guard covers map-side partials:
-    # every partial is a subset of its group).  Under ANSI mode (the
-    # session default) an ACTUAL overflow already throws mid-agg;
-    # this guard adds the actionable message, fires conservatively
-    # even when the cells were too small to wrap, and covers
-    # non-ANSI sessions where sum(long) wraps silently.
-    bound = int(_max_exact_rows)
-    nf_ct = F.col("n") - F.col("n_nonfinite")
-    agg = agg.withColumn(
-        "n",
-        F.when(
-            nf_ct > F.lit(bound),
-            F.raise_error(
-                F.format_string(
-                    "embedding_stats: dim %s has %s finite cells, over the "
-                    f"exact-BIGINT sumsq bound ({bound}); pass shards > 0 "
-                    "for the DECIMAL(38,0) merge path",
-                    F.col("dim"),
-                    nf_ct,
-                )
-            ).cast("long"),
-        ).otherwise(F.col("n")),
-    )
+    agg = _guard(cell.groupBy("dim").agg(*exact_aggs), "dim group")
     return _embedding_stats_finalize(agg)
 
 

@@ -287,7 +287,7 @@ def test_embedding_stats_overflow_guard_and_shards(spark):
     df = spark.range(n).select(
         F.array(F.lit(8.0).cast("float")).alias("embedding")
     )
-    with pytest.raises(Exception, match="exact-BIGINT sumsq bound"):
+    with pytest.raises(Exception, match="exact-BIGINT bound"):
         similarity.embedding_stats(df, _max_exact_rows=150).collect()
     base = similarity.embedding_stats(df).collect()[0]
     got = similarity.embedding_stats(df, shards=4).collect()[0]
@@ -318,6 +318,49 @@ def test_embedding_stats_sharded_exact_past_bigint(spark):
     # mid-aggregation, before the post-agg guard can; under non-ANSI
     # the guard catches the silent wrap after the fact
     with pytest.raises(
-        Exception, match="sumsq bound|ARITHMETIC_OVERFLOW"
+        Exception, match="exact-BIGINT bound|ARITHMETIC_OVERFLOW"
     ):
         similarity.embedding_stats(df).collect()
+
+
+def test_embedding_stats_shards_spread_wide_vectors(spark):
+    """Review r13: a raw `id % shards` shard key inherits posexplode's
+    stride — any shards value sharing a factor with the vector width
+    collapsed each dim group into ONE shard, silently defeating the
+    overflow escape.  The guard itself is the teeth: with 64-dim
+    vectors, shards=8 and a per-partial bound below the group size,
+    a collapsed shard would trip the bound; hashed spreading keeps
+    every partial under it."""
+    from pyspark.sql import functions as F
+
+    n = 2000
+    df = spark.range(n).select(
+        F.array(*[F.lit(0.5).cast("float")] * 64).alias("embedding")
+    )
+    # collapse ⇒ one partial holds all 2000 cells of a dim > 400 ⇒
+    # raise; hashed spread ⇒ ~250 per partial ⇒ passes
+    rows = similarity.embedding_stats(
+        df, shards=8, _max_exact_rows=400
+    ).collect()
+    assert len(rows) == 64
+    assert all(r.n == n and r.mean == 0.5 for r in rows)
+
+
+def test_embedding_stats_guard_survives_column_pruning(spark):
+    """Review r13: the guard previously lived on the bystander `n`
+    column — selecting only the wrap-risk columns pruned it away.
+    Now it wraps sum_fp/sumsq_fp themselves."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).select(
+        F.array(F.lit(1.0).cast("float")).alias("embedding")
+    )
+    with pytest.raises(Exception, match="exact-BIGINT bound"):
+        similarity.embedding_stats(df, _max_exact_rows=10).select(
+            "sumsq_fp"
+        ).collect()
+    with pytest.raises(Exception, match="exact-BIGINT bound"):
+        similarity.embedding_stats(
+            df, shards=2, _max_exact_rows=5
+        ).select("sum_fp").collect()

@@ -273,3 +273,43 @@ def test_throttle_dist_jvm_plan_has_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_throttle_dist_variant_schema_falls_back_to_arrow(spark):
+    """Review r13: VariantType (like MapType) has no ordering, so the
+    JVM fold's array_sort cannot plan over it — the backend gate must
+    route such schemas to the Arrow replay instead of failing at plan
+    build."""
+    from pyspark.sql import functions as F
+
+    from file_d_spark import Pipeline
+
+    rows = [("k", f"2024-01-01T00:00:{i:02d}Z",
+             ["error", "info"][i % 2], i, '{"a": 1}')
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "k string, time string, severity string, n long, j string"
+    ).withColumn("var", F.parse_json("j"))
+    p = Pipeline.from_dict(
+        {
+            "actions": [
+                {
+                    "type": "throttle",
+                    "throttle_field": "k",
+                    "time_field": "time",
+                    "time_field_format": "rfc3339",
+                    "bucket_interval": "1m",
+                    "buckets_count": 10,
+                    "default_limit": 4,
+                    "order_fields": ["n"],
+                    "limit_distribution": {
+                        "field": "severity",
+                        "enabled": True,
+                        "ratios": [{"ratio": 0.5, "values": ["error"]}],
+                    },
+                }
+            ]
+        }
+    )
+    out = p.apply(df)
+    assert out.count() == 4  # the limiter still bites, via Arrow
