@@ -63,13 +63,16 @@ Round 13 executed its registration day as staged: ``sketch_suite``
 ``jl_project`` and ``quantile_thresholds`` moved to ``queries.py``
 (every pair re-oracle-checked at sf0.001 AND sf0.01 immediately
 before the move — the r12 mmr lesson), and the three standalone
-sketch singles retired with the fold.  Remaining pool (5):
+sketch singles retired with the fold.  Remaining spare pool (5):
 ``weighted_sample`` / ``vocab_coverage`` / ``decontaminate_spans`` /
-``dedup_keep_best`` / ``embedding_stats``.  r14 schedule (re-check
-the arithmetic at round start): the 50 r12-green rows go stale →
-window = 50 with the registry at 100, so slots come only from folds
-or retirements; if the registry cap allows, promote in that order —
-all five already sf0.01-prechecked at r13.
+``dedup_keep_best`` / ``embedding_stats`` — all five
+sf0.01-prechecked green at r13.  r13 also staged THREE r14 fold
+combos over registered rows (``tpch_suite`` / ``json_suite`` /
+``dedup_incremental_suite``, bottom of this file, composed from
+queries.ORACLES so they cannot drift): the r14 schedule is fold the
+8 legs → register the 3 combos + 4 spares → window = 43 r12-stale +
+7 never-green = exactly 50 (full arithmetic in the combo block's
+comment; re-check at round start).
 
 Nothing imports this module at runtime.
 """
@@ -289,3 +292,167 @@ def _embedding_stats_oracle():
 
 
 STAGED["embedding_stats"] = (q_embedding_stats, _embedding_stats_oracle())
+
+
+# ---------------------------------------------------------------------------
+# r14 fold combos, staged at r13 (the proven one-round-ahead pattern):
+# three family folds over REGISTERED rows, each composed from
+# queries.QUERIES leg functions and queries.ORACLES oracle constants
+# via the shared _suite_df/_suite_sql machinery — the combo cannot
+# drift from the legs it will absorb.
+#
+# r14 registration-day arithmetic (re-check at round start): the 50
+# r12-green rows go 2-rounds stale at r14 and the registry sits at
+# the sustainable 100, so slots come ONLY from retirement.  Folding
+# tpch_q1+q3+q5 -> tpch_suite, json_extract_props +
+# json_variant_extract + json_encode_roundtrip -> json_suite, and
+# dedup_incremental_bucketed + dedup_incremental_bloom ->
+# dedup_incremental_suite retires 8 rows (7 r12-stale + tpch_q5,
+# r13-green) and registers 3 combos; promoting 4 spares then gives
+# window = 43 r12-stale + 7 never-green = exactly 50, registry
+# 100 - 8 + 3 + 4 = 99 with one spare (and one slot) left for r15.
+# Oracle-check every promotion at sf0.01 BEFORE registration day
+# (the r12 mmr lesson — r13 pre-checked all five spares green at
+# sf0.001 AND sf0.01 already).
+# ---------------------------------------------------------------------------
+
+_TPCH_SUITE_COLS = [
+    ("l_returnflag", "string", "VARCHAR"),
+    ("l_linestatus", "string", "VARCHAR"),
+    ("sum_qty", "double", "DOUBLE"),
+    ("sum_base_price", "double", "DOUBLE"),
+    ("sum_disc_price", "double", "DOUBLE"),
+    ("sum_charge", "double", "DOUBLE"),
+    ("avg_qty", "double", "DOUBLE"),
+    ("avg_price", "double", "DOUBLE"),
+    ("avg_disc", "double", "DOUBLE"),
+    ("count_order", "bigint", "BIGINT"),
+    ("o_orderkey", "bigint", "BIGINT"),
+    ("revenue", "double", "DOUBLE"),
+    ("orderdate", "string", "VARCHAR"),
+    ("n_name", "string", "VARCHAR"),
+]
+
+
+def q_tpch_suite(spark, sf_dir):
+    """tpch_q1 + q3 + q5 in one driver row — each leg the unchanged
+    registered query, typed-NULL-padded to the superset layout
+    (staged r13 for the r14 fold)."""
+    from file_d_spark.queries import QUERIES, _suite_df
+
+    return _suite_df(
+        spark, sf_dir,
+        [
+            ("q1", QUERIES["tpch_q1"]),
+            ("q3", QUERIES["tpch_q3"]),
+            ("q5", QUERIES["tpch_q5"]),
+        ],
+        _TPCH_SUITE_COLS,
+    )
+
+
+def _tpch_suite_sql() -> str:
+    from file_d_spark.queries import ORACLES, _suite_sql
+
+    return _suite_sql(
+        [
+            ("q1", ORACLES["tpch_q1"],
+             {"l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+              "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+              "avg_disc", "count_order"}),
+            ("q3", ORACLES["tpch_q3"],
+             {"o_orderkey", "revenue", "orderdate"}),
+            ("q5", ORACLES["tpch_q5"], {"n_name", "revenue"}),
+        ],
+        _TPCH_SUITE_COLS,
+    )
+
+
+STAGED["tpch_suite"] = (q_tpch_suite, _tpch_suite_sql())
+
+
+_JSON_SUITE_COLS = [
+    ("event_id", "bigint", "BIGINT"),
+    ("p_k", "string", "VARCHAR"),
+    ("enc", "string", "VARCHAR"),
+]
+
+
+def q_json_suite(spark, sf_dir):
+    """json_extract_props + json_variant_extract +
+    json_encode_roundtrip in one driver row (staged r13 for the r14
+    fold): schema-on-read extraction, variant-typed extraction, and
+    the encode round trip, every (event_id, value) still value-hashed
+    per leg."""
+    from file_d_spark.queries import QUERIES, _suite_df
+
+    return _suite_df(
+        spark, sf_dir,
+        [
+            ("props", QUERIES["json_extract_props"]),
+            ("variant", QUERIES["json_variant_extract"]),
+            ("encode", QUERIES["json_encode_roundtrip"]),
+        ],
+        _JSON_SUITE_COLS,
+    )
+
+
+def _json_suite_sql() -> str:
+    from file_d_spark.queries import ORACLES, _suite_sql
+
+    return _suite_sql(
+        [
+            ("props", ORACLES["json_extract_props"], {"event_id", "p_k"}),
+            ("variant", ORACLES["json_variant_extract"],
+             {"event_id", "p_k"}),
+            ("encode", ORACLES["json_encode_roundtrip"],
+             {"event_id", "enc"}),
+        ],
+        _JSON_SUITE_COLS,
+    )
+
+
+STAGED["json_suite"] = (q_json_suite, _json_suite_sql())
+
+
+_DEDUP_INC_SUITE_COLS = [
+    ("doc_id", "bigint", "BIGINT"),
+    ("lang", "string", "VARCHAR"),
+    ("source", "string", "VARCHAR"),
+]
+
+
+def q_dedup_incremental_suite(spark, sf_dir):
+    """dedup_incremental_bucketed + dedup_incremental_bloom in one
+    driver row (staged r13 for the r14 fold): the two
+    new-batch-vs-seen-corpus admission strategies over identical
+    column layouts — the leg tag alone separates their survivors
+    under the combined value-hash."""
+    from file_d_spark.queries import QUERIES, _suite_df
+
+    return _suite_df(
+        spark, sf_dir,
+        [
+            ("bucketed", QUERIES["dedup_incremental_bucketed"]),
+            ("bloom", QUERIES["dedup_incremental_bloom"]),
+        ],
+        _DEDUP_INC_SUITE_COLS,
+    )
+
+
+def _dedup_inc_suite_sql() -> str:
+    from file_d_spark.queries import ORACLES, _suite_sql
+
+    cols = {"doc_id", "lang", "source"}
+    return _suite_sql(
+        [
+            ("bucketed", ORACLES["dedup_incremental_bucketed"], cols),
+            ("bloom", ORACLES["dedup_incremental_bloom"], cols),
+        ],
+        _DEDUP_INC_SUITE_COLS,
+    )
+
+
+STAGED["dedup_incremental_suite"] = (
+    q_dedup_incremental_suite, _dedup_inc_suite_sql()
+)
