@@ -23,8 +23,9 @@ Batch semantics:
                default-reserve stealing is order-dependent — since
                r13 a JVM-side generated ``aggregate()`` fold (no
                Python in the plan); an Arrow applyInPandas replay
-               remains as the fallback for map-typed schemas and as
-               the A/B parity harness (``exact_backend: arrow``).
+               remains as the fallback for schemas with unorderable
+               column types (maps, variants, …) and as the A/B
+               parity harness (``exact_backend: arrow``).
   cardinality  per-key distinct count of a field; keys over ``limit``
                either drop their events, lose the field, or pass.
   antispam     per-(source, maintenance-window) counts; sources over
@@ -95,20 +96,28 @@ def _rule_dlims(spec: dict) -> list[int] | None:
 
 
 def _type_unorderable(dt) -> bool:
-    """True if the type tree contains a type without an ordering
-    (MapType, VariantType) — structs with such fields can't go
-    through array_sort, so the JVM exact-replay path cannot be
-    planned and the Arrow replay must take over."""
+    """True if the type tree contains a type Catalyst can't order —
+    structs with such fields can't go through array_sort, so the JVM
+    exact-replay path cannot be planned and the Arrow replay must
+    take over.  A WHITELIST mirroring RowOrdering.isOrderable
+    (atomic/null orderable; struct/array/UDT recurse; everything
+    else — map, variant, calendar-interval, future types — fails
+    CLOSED to the Arrow route) rather than a blacklist that each new
+    unorderable type would slip past."""
     from pyspark.sql import types as T
 
-    variant = getattr(T, "VariantType", ())
-    if isinstance(dt, (T.MapType,) + ((variant,) if variant else ())):
-        return True
     if isinstance(dt, T.StructType):
         return any(_type_unorderable(f.dataType) for f in dt.fields)
     if isinstance(dt, T.ArrayType):
         return _type_unorderable(dt.elementType)
-    return False
+    if isinstance(dt, T.UserDefinedType):
+        return _type_unorderable(dt.sqlType())
+    # PySpark classes VariantType under AtomicType even though
+    # Catalyst has no ordering for it — carve it out of the whitelist
+    variant = getattr(T, "VariantType", None)
+    if variant is not None and isinstance(dt, variant):
+        return True
+    return not isinstance(dt, (T.AtomicType, T.NullType))
 
 
 def _didx_expr(specs: list[dict], schema) -> Column:
@@ -376,14 +385,15 @@ class Throttle(Action):
                 helper_cols,
             )
 
-        # per-row (counted value, limit) from the matched rule
-        counted = F.lit(1)
+        # per-row (counted value, limit) from the matched rule — the
+        # counted value through the SAME shared projection the
+        # dist/stream/Arrow backends use (one definition, no drift)
+        counted = _counted_expr(specs, size_col)
         limit_col = F.lit(limit)
         for i, spec in enumerate(specs):
-            is_rule = F.col("__fd_rule__") == i
-            r_counted = size_col if (spec["kind"] == "size" and size_field) else F.lit(1)
-            counted = F.when(is_rule, r_counted).otherwise(counted)
-            limit_col = F.when(is_rule, F.lit(spec["limit"])).otherwise(limit_col)
+            limit_col = F.when(
+                F.col("__fd_rule__") == i, F.lit(spec["limit"])
+            ).otherwise(limit_col)
 
         # shared (cross-pipeline) limits: central overrides fetched at
         # plan-build time — the batch analogue of the reference's

@@ -2029,13 +2029,14 @@ def embedding_stats(
         nf_ct = F.col("n") - F.col("n_nonfinite")
         err = F.raise_error(
             F.format_string(
-                f"embedding_stats: %s finite cells in one {what} — over "
-                f"the exact-BIGINT bound ({bound}); "
+                f"embedding_stats: dim %s has %s finite cells in one "
+                f"{what} — over the exact-BIGINT bound ({bound}); "
                 + (
                     "raise shards to spread the rows further"
                     if what != "dim group"
                     else "pass shards > 0 for the DECIMAL(38,0) merge path"
                 ),
+                F.col("dim"),
                 nf_ct,
             )
         ).cast("long")

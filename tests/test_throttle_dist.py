@@ -313,3 +313,27 @@ def test_throttle_dist_variant_schema_falls_back_to_arrow(spark):
     )
     out = p.apply(df)
     assert out.count() == 4  # the limiter still bites, via Arrow
+
+
+def test_type_unorderable_is_a_whitelist():
+    """Second review pass r13: the gate must fail CLOSED — any type
+    Catalyst can't order (calendar intervals, future types) routes to
+    Arrow, not just the maps/variants a blacklist happened to name."""
+    from pyspark.sql import types as T
+
+    from file_d_spark.actions.throttle import _type_unorderable
+
+    assert _type_unorderable(T.CalendarIntervalType())
+    assert _type_unorderable(T.MapType(T.StringType(), T.LongType()))
+    assert _type_unorderable(
+        T.StructType([T.StructField("v", T.VariantType())])
+    )
+    assert not _type_unorderable(
+        T.StructType(
+            [
+                T.StructField("s", T.StringType()),
+                T.StructField("a", T.ArrayType(T.DecimalType(10, 2))),
+                T.StructField("t", T.TimestampType()),
+            ]
+        )
+    )
