@@ -311,6 +311,10 @@ STAGED["embedding_stats"] = (q_embedding_stats, _embedding_stats_oracle())
 # r13-green) and registers 3 combos; promoting 4 spares then gives
 # window = 43 r12-stale + 7 never-green = exactly 50, registry
 # 100 - 8 + 3 + 4 = 99 with one spare (and one slot) left for r15.
+# Promotion order = LONGEST-STAGED FIRST (the VERDICT r12 rot rule):
+# weighted_sample, vocab_coverage, decontaminate_spans,
+# dedup_keep_best (all r10); embedding_stats (r12, newest) waits
+# for r15 unless an extra slot opens.
 # Oracle-check every promotion at sf0.01 BEFORE registration day
 # (the r12 mmr lesson — r13 pre-checked all five spares green at
 # sf0.001 AND sf0.01 already).
