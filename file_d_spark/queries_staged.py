@@ -316,8 +316,11 @@ STAGED["embedding_stats"] = (q_embedding_stats, _embedding_stats_oracle())
 # dedup_keep_best (all r10); embedding_stats (r12, newest) waits
 # for r15 unless an extra slot opens.
 # Oracle-check every promotion at sf0.01 BEFORE registration day
-# (the r12 mmr lesson — r13 pre-checked all five spares green at
-# sf0.001 AND sf0.01 already).
+# (the r12 mmr lesson — the pytest staged gate runs only at the
+# SPARK_GRAFT_TEST_SF_DIR fixture, sf0.001 by default).  r13 already
+# pre-checked all five spares at sf0.001 AND sf0.01, and all three
+# combos below at sf0.001 (pytest) AND sf0.01 AND sf0.1 — green
+# everywhere, so r14 registration day is pure bookkeeping.
 # ---------------------------------------------------------------------------
 
 _TPCH_SUITE_COLS = [
