@@ -693,8 +693,15 @@ def q_throttle_dist(spark, sf_dir):
     """throttle with limit_distribution: 6/user/hour split 50% click /
     30% error / 20% default, default-group overflow stealing the
     most-free reserve (distribution.go:19-96 semantics, replayed
-    JVM-side by the r13 aggregate()-fold path)."""
-    df = load_table(spark, sf_dir, "events")
+    JVM-side by the r13 aggregate()-fold path).  The projection to
+    the four columns the action reads happens BEFORE the pipeline:
+    the fold's collect_list struct is a nested-pruning barrier
+    Catalyst can't see through, so dead payload columns would ride
+    the shuffle otherwise (the window-path legs get the same pruning
+    from Catalyst automatically)."""
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
     p = Pipeline.from_dict(
         {
             "actions": [
