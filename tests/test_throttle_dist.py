@@ -237,6 +237,92 @@ def test_throttle_dist_backends_bit_parity(spark):
     assert 0 < len(outs["jvm"]) < 400  # the throttle actually bit
 
 
+def test_throttle_dist_backends_parity_more_shapes(spark):
+    """Two more adversarial parity shapes for the fold vs Arrow
+    (third r13 review round): (a) ratios summing to exactly 1.0 — a
+    ZERO default reserve, so every default-group event steals from
+    its first arrival, plus a negative-limit rule riding alongside;
+    (b) size kind with zero-length fields — zero-cost events admit
+    without consuming budget (the documented quadratic-caveat shape)
+    interleaved with oversized events."""
+    import random
+
+    from file_d_spark import Pipeline
+
+    schema = (
+        "k string, time string, severity string, ns string,"
+        " body string, n long"
+    )
+
+    def corpus(seed, bodies):
+        rng = random.Random(seed)
+        sevs = ["error", "warn", "info", "debug", ""]
+        return [
+            (
+                f"k{rng.randrange(2)}",
+                f"2024-01-01T00:0{rng.randrange(2)}:{rng.randrange(60):02d}Z",
+                rng.choice(sevs),
+                f"ns_{rng.randrange(2)}",
+                rng.choice(bodies),
+                i,
+            )
+            for i in range(300)
+        ]
+
+    zero_reserve = {
+        "type": "throttle",
+        "throttle_field": "k",
+        "time_field": "time",
+        "time_field_format": "rfc3339",
+        "bucket_interval": "1m",
+        "buckets_count": 100000,
+        "default_limit": 10,
+        "order_fields": ["n"],
+        "rules": [
+            {"limit": -5, "conditions": {"ns": "ns_1"}},
+        ],
+        "limit_distribution": {
+            "field": "severity",
+            "enabled": True,
+            "ratios": [
+                {"ratio": 0.5, "values": ["error"]},
+                {"ratio": 0.3, "values": ["warn"]},
+                {"ratio": 0.2, "values": ["info"]},
+            ],
+        },
+    }
+    zero_size = {
+        "type": "throttle",
+        "throttle_field": "k",
+        "time_field": "time",
+        "time_field_format": "rfc3339",
+        "bucket_interval": "1m",
+        "buckets_count": 100000,
+        "default_limit": 40,
+        "limit_kind": "size",
+        "limit_size_field": "body",
+        "order_fields": ["n"],
+        "limit_distribution": {
+            "field": "severity",
+            "enabled": True,
+            "ratios": [{"ratio": 0.5, "values": ["error", "warn"]}],
+        },
+    }
+    for name, cfg, bodies in (
+        ("zero_reserve", zero_reserve, ["x"]),
+        ("zero_size", zero_size, ["", "x" * 5, "x" * 60]),
+    ):
+        df = spark.createDataFrame(corpus(7, bodies), schema)
+        outs = {}
+        for backend in ("jvm", "arrow"):
+            p = Pipeline.from_dict(
+                {"actions": [{**cfg, "exact_backend": backend}]}
+            )
+            outs[backend] = sorted(r.n for r in p.apply(df).collect())
+        assert outs["jvm"] == outs["arrow"], name
+        assert 0 < len(outs["jvm"]) < 300, name  # admission actually bit
+
+
 def test_throttle_dist_jvm_plan_has_no_python(spark):
     """The default distribution backend must keep Python out of the
     plan (VERDICT r12 #4: the applyInPandas path previously needed a
