@@ -1739,3 +1739,116 @@ def decontaminate_spans(
         (F.size("__t__") - F.size(kept)).alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def assoc_audit(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise categorical-association audit (chi-square + Cramér's
+    V) over metadata columns — the split-leakage QC a training
+    pipeline runs after :func:`hash_split`: a train/val/test
+    assignment that CORRELATES with language, source, or time (V
+    meaningfully above 0) silently biases every downstream eval,
+    and the same audit flags redundant metadata (V near 1 means one
+    column is a function of the other).
+
+    Exactness: this deliberately reports chi-square / Cramér's V,
+    NOT ln-based mutual information — entropy terms go through libm
+    ``ln``, which is only 1-ulp-accurate and differs between the
+    JVM and C libm, so an MI sum can flip its last rounded digit
+    across engines.  Every operation here is correctly-rounded IEEE
+    binary64 (+, −, ×, ÷) on exact integer counts, so each cell's
+    term is BIT-IDENTICAL cross-engine, and the per-cell terms are
+    fixed-pointed by ``floor(term · 2^20)`` (a power-of-two scale —
+    no decimal .5 boundary) and summed as exact BIGINTs, making the
+    aggregate independent of summation order.  The final
+    ``chi2``/``cramers_v`` derive from those integers through one
+    exact power-of-two division and a correctly-rounded sqrt.
+
+    Scale shape: ONE corpus scan — each row explodes into
+    len(cols choose 2) tagged pair cells (a constant), map-side
+    combined into the (pair, value_a, value_b) histogram; marginals
+    and totals are window sums OVER THE HISTOGRAM (bounded by the
+    category-cardinality product, never the corpus), and the final
+    aggregate is histogram-sized.  NULL categories participate as
+    the empty-string category.
+
+    Output, one row per unordered column pair: (col_a, col_b, n,
+    k_a, k_b, chi2_fp, chi2, cramers_v) with chi2/cramers_v rounded
+    to 6 (derived from chi2_fp — the exact integer is the
+    engine-parity anchor).
+    """
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    if not pairs:
+        raise ValueError("assoc_audit needs at least two columns")
+    cell = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{a}|{b}").alias("pair"),
+                        F.coalesce(F.col(a).cast("string"), F.lit(""))
+                        .alias("va"),
+                        F.coalesce(F.col(b).cast("string"), F.lit(""))
+                        .alias("vb"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("c")
+    ).select("c.pair", "c.va", "c.vb")
+    hist = cell.groupBy("pair", "va", "vb").agg(
+        F.count(F.lit(1)).cast("double").alias("n_ab")
+    )
+    w_a = Window.partitionBy("pair", "va")
+    w_b = Window.partitionBy("pair", "vb")
+    w_p = Window.partitionBy("pair")
+    na = F.sum("n_ab").over(w_a)
+    nb = F.sum("n_ab").over(w_b)
+    n = F.sum("n_ab").over(w_p)
+    # The histogram holds only OBSERVED cells, so the textbook
+    # sum((n_ab - e)^2 / e) would silently drop every zero cell's
+    # contribution (e each).  Use the algebraic identity
+    # chi2 = sum_over_ALL_cells((n_ab - e)^2/e) = sum(n_ab^2/e) - n:
+    # zero cells contribute 0 to the first term, so summing observed
+    # cells is EXACT.  e = na*nb/n; every op correctly rounded on
+    # identical inputs => bit-identical doubles per cell.
+    e = na * nb / n
+    term = (F.col("n_ab") * F.col("n_ab")) / e
+    scored = hist.select(
+        "pair",
+        "va",
+        "vb",
+        n.alias("n"),
+        F.floor(term * F.lit(1048576.0)).cast("long").alias("term_fp"),
+    )
+    agg = scored.groupBy("pair").agg(
+        F.first("n").cast("long").alias("n"),
+        F.countDistinct("va").cast("long").alias("k_a"),
+        F.countDistinct("vb").cast("long").alias("k_b"),
+        F.sum("term_fp").cast("long").alias("chi2_fp"),
+    )
+    # floor truncation makes the fp sum a hair LOW; after "- n" a
+    # genuinely-zero chi2 could dip epsilon-negative — clamp
+    chi2 = F.greatest(
+        F.col("chi2_fp").cast("double") / F.lit(1048576.0)
+        - F.col("n").cast("double"),
+        F.lit(0.0),
+    )
+    dof = F.least(F.col("k_a"), F.col("k_b")) - F.lit(1)
+    v = F.when(
+        dof > 0,
+        F.sqrt(chi2 / (F.col("n").cast("double") * dof.cast("double"))),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.split_part(F.col("pair"), F.lit("|"), F.lit(1)).alias("col_a"),
+        F.split_part(F.col("pair"), F.lit("|"), F.lit(2)).alias("col_b"),
+        "n",
+        "k_a",
+        "k_b",
+        "chi2_fp",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )

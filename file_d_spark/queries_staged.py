@@ -63,10 +63,14 @@ Round 13 executed its registration day as staged: ``sketch_suite``
 ``jl_project`` and ``quantile_thresholds`` moved to ``queries.py``
 (every pair re-oracle-checked at sf0.001 AND sf0.01 immediately
 before the move — the r12 mmr lesson), and the three standalone
-sketch singles retired with the fold.  Remaining spare pool (5):
+sketch singles retired with the fold.  Remaining spare pool (6):
 ``weighted_sample`` / ``vocab_coverage`` / ``decontaminate_spans`` /
-``dedup_keep_best`` / ``embedding_stats`` — all five
-sf0.01-prechecked green at r13.  r13 also staged THREE r14 fold
+``dedup_keep_best`` / ``embedding_stats`` / ``assoc_audit`` (NEW
+r13: chi-square + Cramér's V split-leakage audit,
+``corpus.assoc_audit`` — statistical data QC with a deliberately
+ln-free fixed-point construction; r15 candidate alongside
+embedding_stats) — all sf0.01-prechecked green at r13
+(assoc_audit at sf0.1 too).  r13 also staged THREE r14 fold
 combos over registered rows (``tpch_suite`` / ``json_suite`` /
 ``dedup_incremental_suite``, bottom of this file, composed from
 queries.ORACLES so they cannot drift): the r14 schedule is fold the
@@ -463,3 +467,69 @@ def _dedup_inc_suite_sql() -> str:
 STAGED["dedup_incremental_suite"] = (
     q_dedup_incremental_suite, _dedup_inc_suite_sql()
 )
+
+
+def q_assoc_audit(spark, sf_dir):
+    """Split-leakage / metadata-association audit (staged r13, new
+    family: statistical data QC): Cramér's V between lang, source,
+    and the md5 train/val/test assignment — a split correlating with
+    metadata (V meaningfully above 0) biases every downstream eval.
+    chi-square on exact counts, per-cell power-of-two fixed point,
+    no libm ln anywhere (see corpus.assoc_audit)."""
+    from file_d_spark.functions import corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    s = corpus.hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return corpus.assoc_audit(s, ["lang", "source", "split"])
+
+
+_ASSOC_AUDIT_ORACLE = """
+    WITH src AS (
+      SELECT coalesce(lang::VARCHAR, '') AS lang,
+             coalesce(source::VARCHAR, '') AS source,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'cccccccd'
+                    THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'e6666667'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    cell AS (
+      SELECT 'lang|source' AS pair, lang AS va, source AS vb FROM src
+      UNION ALL
+      SELECT 'lang|split', lang, split FROM src
+      UNION ALL
+      SELECT 'source|split', source, split FROM src),
+    hist AS (SELECT pair, va, vb, count(*)::DOUBLE AS n_ab
+             FROM cell GROUP BY pair, va, vb),
+    m AS (SELECT pair, va, vb, n_ab,
+                 sum(n_ab) OVER (PARTITION BY pair, va) AS na,
+                 sum(n_ab) OVER (PARTITION BY pair, vb) AS nb,
+                 sum(n_ab) OVER (PARTITION BY pair) AS n
+          FROM hist),
+    s AS (SELECT pair, va, vb, n,
+                 CAST(floor((n_ab * n_ab) / (na * nb / n) * 1048576.0)
+                      AS BIGINT) AS term_fp
+          FROM m),
+    a AS (SELECT pair,
+                 CAST(first(n) AS BIGINT) AS n,
+                 CAST(count(DISTINCT va) AS BIGINT) AS k_a,
+                 CAST(count(DISTINCT vb) AS BIGINT) AS k_b,
+                 CAST(sum(term_fp) AS BIGINT) AS chi2_fp
+          FROM s GROUP BY pair)
+    SELECT split_part(pair, '|', 1) AS col_a,
+           split_part(pair, '|', 2) AS col_b,
+           n, k_a, k_b, chi2_fp,
+           round(greatest(chi2_fp::DOUBLE / 1048576.0 - n::DOUBLE, 0.0),
+                 6) AS chi2,
+           CASE WHEN least(k_a, k_b) - 1 > 0
+                THEN round(sqrt(
+                       greatest(chi2_fp::DOUBLE / 1048576.0 - n::DOUBLE,
+                                0.0)
+                       / (n::DOUBLE * (least(k_a, k_b) - 1)::DOUBLE)), 6)
+                ELSE 0.0 END AS cramers_v
+    FROM a
+"""
+
+STAGED["assoc_audit"] = (q_assoc_audit, _ASSOC_AUDIT_ORACLE)
