@@ -1776,6 +1776,16 @@ def assoc_audit(df: DataFrame, cols: list[str]) -> DataFrame:
     to 6 (derived from chi2_fp — the exact integer is the
     engine-parity anchor).
     """
+    hist = _assoc_cells(df, cols).groupBy("pair", "va", "vb").agg(
+        F.count(F.lit(1)).cast("double").alias("n_ab")
+    )
+    return _assoc_finalize(hist)
+
+
+def _assoc_cells(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The tagged (pair, va, vb) cell projection shared by
+    :func:`assoc_audit` and its streaming twin — identical
+    expressions so stream and batch stay bit-identical."""
     pairs = [
         (cols[i], cols[j])
         for i in range(len(cols))
@@ -1783,7 +1793,7 @@ def assoc_audit(df: DataFrame, cols: list[str]) -> DataFrame:
     ]
     if not pairs:
         raise ValueError("assoc_audit needs at least two columns")
-    cell = df.select(
+    return df.select(
         F.explode(
             F.array(
                 *[
@@ -1799,9 +1809,12 @@ def assoc_audit(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         ).alias("c")
     ).select("c.pair", "c.va", "c.vb")
-    hist = cell.groupBy("pair", "va", "vb").agg(
-        F.count(F.lit(1)).cast("double").alias("n_ab")
-    )
+
+
+def _assoc_finalize(hist: DataFrame) -> DataFrame:
+    """chi-square / Cramér's V from a (pair, va, vb, n_ab double)
+    histogram — shared by batch and the streaming readout so the
+    fixed-point algebra is the same expression tree on both sides."""
     w_a = Window.partitionBy("pair", "va")
     w_b = Window.partitionBy("pair", "vb")
     w_p = Window.partitionBy("pair")

@@ -1714,3 +1714,93 @@ def embedding_stats_stream(
         GroupStateTimeout.NoTimeout,
     )
     return _embedding_stats_finalize(snaps, extra_cols=("version",))
+
+
+# --------------------------------------------------------------------------
+# categorical-association audit, streaming twin (r13)
+# --------------------------------------------------------------------------
+
+
+def assoc_audit_stream(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Streaming twin of ``corpus.assoc_audit``'s histogram half:
+    per-(pair, va, vb) cell counters merged across micro-batches (a
+    pure count — linear and idempotently mergeable, so the snapshot
+    after any prefix of arrivals equals the batch histogram over the
+    same rows).  The cell projection is the batch operator's own
+    shared expression (``corpus._assoc_cells``).
+
+    Emits one post-batch snapshot per updated cell tagged with a
+    monotonically increasing ``version``.  The chi-square / Cramér's
+    V derivation needs ALL of a pair's cells at once, so it is NOT
+    folded into the per-cell state — run :func:`assoc_readout` over
+    the collected snapshots (the CMS/F2 readout convention): it
+    max-versions each cell and applies the batch finalize algebra,
+    giving bit-parity with ``assoc_audit`` over the same rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from file_d_spark.functions.corpus import _assoc_cells
+
+    cells = _assoc_cells(df, cols)
+    snap_schema = StructType(
+        [
+            StructField("pair", StringType()),
+            StructField("va", StringType()),
+            StructField("vb", StringType()),
+            StructField("version", LongType()),
+            StructField("n_ab", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, frames: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            version, n_ab = state.get
+        else:
+            version, n_ab = 0, 0
+        pdf = _concat_frames(frames)
+        if not len(pdf):
+            return
+        n_ab += len(pdf)
+        version += 1
+        state.update((version, n_ab))
+        yield pd.DataFrame(
+            {
+                "pair": [key[0]],
+                "va": [key[1]],
+                "vb": [key[2]],
+                "version": [version],
+                "n_ab": [n_ab],
+            }
+        )
+
+    return cells.groupBy("pair", "va", "vb").applyInPandasWithState(
+        fn,
+        snap_schema,
+        "version long, n_ab long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def assoc_readout(snaps: DataFrame) -> DataFrame:
+    """Recombine :func:`assoc_audit_stream` snapshots into the
+    chi-square / Cramér's V table: latest version per (pair, va, vb)
+    cell, then the batch operator's own finalize algebra
+    (``corpus._assoc_finalize``) — reading raw snapshots without the
+    max-version step would double-count every re-emitted cell."""
+    from pyspark.sql import Window
+
+    from file_d_spark.functions.corpus import _assoc_finalize
+
+    w = Window.partitionBy("pair", "va", "vb").orderBy(
+        F.col("version").desc()
+    )
+    hist = (
+        snaps.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "pair", "va", "vb", F.col("n_ab").cast("double").alias("n_ab")
+        )
+    )
+    return _assoc_finalize(hist)

@@ -1148,3 +1148,59 @@ def test_embedding_stats_stream_restart_and_batch_parity(spark, tmp_path):
             assert getattr(got, c) == getattr(exp, c), (dim, c)
     assert want[3].n_clamped == 25  # the 9.5 cells actually clamped
     assert want[1].n_nonfinite == 1  # the NULL cell landed in the bucket
+
+
+def test_assoc_audit_stream_restart_and_readout_parity(spark, tmp_path):
+    """Streaming association audit: per-cell counters merge across
+    batches AND a restart, and assoc_readout over the snapshots is
+    BIT-IDENTICAL to batch corpus.assoc_audit over the same rows —
+    both run the same shared cell projection and finalize algebra."""
+    from file_d_spark.functions import corpus
+    from file_d_spark.streaming import assoc_audit_stream, assoc_readout
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    in_schema = "rid long, lang string, split string"
+    out_schema = ("pair string, va string, vb string,"
+                  " version long, n_ab long")
+    rows1 = [
+        {"rid": i, "lang": ["en", "de", "zh"][i % 3],
+         "split": "train" if i % 5 else "test"}
+        for i in range(60)
+    ]
+    rows2 = [
+        {"rid": 100 + i, "lang": ["en", "zh"][i % 2],
+         "split": "test" if i % 2 else None}
+        for i in range(40)
+    ]  # the None split exercises the shared NULL->'' bucket
+
+    def make_query():
+        df = spark.readStream.schema(in_schema).json(str(in_dir))
+        return assoc_audit_stream(df, ["lang", "split"])
+
+    _write_jsonl(str(in_dir), "b1.jsonl", rows1)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: len(
+            {(r.va, r.vb) for r in _read_out(spark, out_dir, out_schema)}
+        ) >= 5,
+    )
+    _write_jsonl(str(in_dir), "b2.jsonl", rows2)
+    _drive(
+        make_query(), out_dir, ckpt,
+        lambda q: any(
+            r.version >= 2 for r in _read_out(spark, out_dir, out_schema)
+        ),
+    )
+    snaps = _read_out(spark, out_dir, out_schema)
+    got = assoc_readout(
+        spark.createDataFrame(snaps, out_schema)
+    ).collect()[0]
+    batch_df = spark.createDataFrame(
+        [(r["rid"], r["lang"], r["split"]) for r in rows1 + rows2],
+        in_schema,
+    )
+    exp = corpus.assoc_audit(batch_df, ["lang", "split"]).collect()[0]
+    for c in ("col_a", "col_b", "n", "k_a", "k_b", "chi2_fp",
+              "chi2", "cramers_v"):
+        assert getattr(got, c) == getattr(exp, c), c
+    assert got.n == 100 and got.k_b == 3  # train/test/'' all present
