@@ -1786,6 +1786,18 @@ def _assoc_cells(df: DataFrame, cols: list[str]) -> DataFrame:
     """The tagged (pair, va, vb) cell projection shared by
     :func:`assoc_audit` and its streaming twin — identical
     expressions so stream and batch stay bit-identical."""
+    if len(set(cols)) != len(cols):
+        # a repeated column would yield a degenerate self-pair row
+        # reporting V = 1 — a spurious "perfect leakage" signal in
+        # the very table this audit exists to make trustworthy
+        raise ValueError("assoc_audit columns must be distinct")
+    bad = [c for c in cols if "|" in str(c)]
+    if bad:
+        # '|' is the pair-tag delimiter: such a name would mislabel
+        # col_a/col_b and could merge two pairs' histograms
+        raise ValueError(
+            f"assoc_audit column names cannot contain '|': {bad}"
+        )
     pairs = [
         (cols[i], cols[j])
         for i in range(len(cols))

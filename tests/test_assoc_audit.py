@@ -125,3 +125,14 @@ def test_assoc_matches_duckdb_on_random_frame(spark, duck):
     from tests.util import assert_frames_match
 
     assert_frames_match(got, want)
+
+
+def test_assoc_rejects_duplicate_and_delimiter_columns(spark):
+    """Review r13: a repeated column would produce a spurious V = 1
+    self-pair, and a '|' in a name would corrupt the pair tags —
+    both refuse loudly instead."""
+    df = spark.createDataFrame([("x", "y")], "a string, `b|c` string")
+    with pytest.raises(ValueError, match="must be distinct"):
+        corpus.assoc_audit(df, ["a", "a"])
+    with pytest.raises(ValueError, match="cannot contain"):
+        corpus.assoc_audit(df, ["a", "b|c"])
