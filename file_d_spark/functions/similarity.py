@@ -925,18 +925,47 @@ def product_quantize(
         not _wscg_on or m * k * sub <= 512 or m * k + 1 > _max_fields
     )
     if m * k * sub <= model_max_literal_floats and _fused_compiles:
-        staged = df.select(
-            F.col(id_col),
+        # ONE selectExpr with all m*k chain strings, and ONE selectExpr
+        # for the outputs below (r13): the Column-algebra form of this
+        # projection cost ~8,000 py4j round trips per plan build —
+        # measured 7.3 s of an 8.3 s build on a host with ~0.9 ms/call
+        # socket latency — while a batched selectExpr ships the same
+        # expression text in a single call and parses JVM-side.  The
+        # parsed trees are identical (verified: oracle hash unchanged,
+        # plan shape asserted in test_quantize), so this is pure
+        # plan-BUILD economy, not a plan change.
+        staged = df.selectExpr(
+            id_col,
             *[
-                F.expr(sq_dist_sql(s, j)).alias(f"__d{s}_{j}__")
+                f"{sq_dist_sql(s, j)} AS __d{s}_{j}__"
                 for s in range(m)
                 for j in range(k)
             ],
         )
 
-        def dist_arr(s: int):
-            return F.array(*[F.col(f"__d{s}_{j}__") for j in range(k)])
+        def arr_sql(s: int) -> str:
+            return "array({})".format(
+                ", ".join(f"__d{s}_{j}__" for j in range(k))
+            )
 
+        code_sqls = [
+            f"CAST((array_position({arr_sql(s)}, array_min({arr_sql(s)}))"
+            f" - 1) AS BIGINT)"
+            for s in range(m)
+        ]
+        pq_code_sql = " + ".join(
+            [code_sqls[0]]
+            + [f"{code_sqls[s]} * {k ** s}" for s in range(1, m)]
+        )
+        mse_sql = "({}) / {!r}D".format(
+            " + ".join(f"array_min({arr_sql(s)})" for s in range(m)),
+            float(dim),
+        )
+        return staged.selectExpr(
+            id_col,
+            f"CAST({pq_code_sql} AS BIGINT) AS pq_code",
+            f"round({mse_sql}, 9) AS quant_mse",
+        )
     else:
         # big-model path: codebook as a broadcast one-row frame; the
         # distance arrays come from HOFs over the broadcast column.
