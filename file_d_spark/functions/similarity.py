@@ -1748,12 +1748,27 @@ def mmr_diversify(
     the same cross-engine determinism idiom as bm25/dsir.  Ties break
     by id.
 
-    Shape: greedy selection is sequential in ``k``, so the loop is
-    UNROLLED into ``k`` DataFrame stages (the bpe unrolled-oracle
-    pattern) — all JVM joins/windows over candidate frames bounded by
-    queries × pool rows; the only corpus-sized work is the one
-    narrow :func:`brute_force_topk` pass that builds the pool.  No
-    Python in the plan."""
+    Shape (r13): greedy selection is sequential in ``k``, but the
+    per-query state — pool sims, pairwise sims, the selected set — is
+    bounded by ``pool``, so the whole greedy runs IN-ROW: one
+    groupBy(query) condenses the pool into an array of
+    (id, sq, vec, norm) structs, and ``k`` staged projections each
+    derive the next pick with array HOFs (argmin over a struct of
+    (-score, id); penalties are pairwise fixed-point cosines computed
+    from the carried vectors on demand).  The only corpus-sized work
+    remains the one narrow :func:`brute_force_topk` pass that builds
+    the pool.  No Python in the plan, and — unlike the r12 form,
+    which unrolled the loop into k join/window stages with a
+    localCheckpoint per pick (~40 driver jobs) — no joins, windows
+    or checkpoints after the pool pass: per-query state never leaves
+    its row, so a million-query batch scales as one keyed shuffle
+    plus a projection chain.  Each staged pick column is referenced
+    3x by the next projection, so CollapseProject keeps the stage
+    boundaries and no pick expression is ever re-evaluated (the PQ
+    staging discipline).  Output is bit-identical to the join/window
+    form: same integer scores, same (score desc, id asc) tie-break,
+    same fewer-than-k degradation (a query with an exhausted pool
+    simply stops appending picks)."""
     if not (0 < lam_num < lam_den):
         raise ValueError("need 0 < lam_num < lam_den")
     if k < 1:
@@ -1775,89 +1790,82 @@ def mmr_diversify(
         )
     )
     cv = cand.join(v, "neighbor_id").select(
-        "query_id", "neighbor_id", "sim", "v", "nn"
-    )
-    # queries x pool rows — tiny; checkpoint so the k unrolled stages
-    # don't re-run the corpus top-k per stage
-    cv = _register_cache(cv.localCheckpoint(eager=True))
-    a = cv.select(
-        "query_id", F.col("neighbor_id").alias("id_a"),
-        F.col("v").alias("va"), F.col("nn").alias("na"),
-    )
-    b = cv.select(
-        "query_id", F.col("neighbor_id").alias("id_b"),
-        F.col("v").alias("vb"), F.col("nn").alias("nb"),
-    )
-    pair_fp = (
-        a.join(b, "query_id")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "query_id", "id_a", "id_b",
-            F.round(
-                F.round(
-                    dot(F.col("va"), F.col("vb"))
-                    / (F.col("na") * F.col("nb")),
-                    6,
-                ) * 1e6
-            ).cast("long").alias("sab"),
-        )
-    )
-    pair_fp = _register_cache(pair_fp.localCheckpoint(eager=True))
-    base = cv.select(
-        "query_id", "neighbor_id",
+        "query_id",
+        "neighbor_id",
         F.round(F.col("sim") * 1e6).cast("long").alias("sq"),
+        "v",
+        "nn",
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("sq").desc(), F.col("neighbor_id")
-    )
-    selected = (
-        base.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") == 1)
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("sel_id"),
-            F.lit(1).alias("pick"),
-            (F.lit(lam_num) * F.col("sq")).alias("score_fp"),
-        )
+    # one row per query: the pool as a sorted struct array (sorted by
+    # id — the argmin picks are order-independent, sorting just makes
+    # the collected array deterministic)
+    grouped = cv.groupBy("query_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("neighbor_id", "sq", "v", "nn"))
+        ).alias("__pool__")
     )
     comp = lam_den - lam_num
-    for p in range(2, k + 1):
-        sel_ids = selected.select("query_id", F.col("sel_id").alias("id_b"))
-        remaining = base.join(
-            selected.select(
-                "query_id", F.col("sel_id").alias("neighbor_id")
-            ),
-            ["query_id", "neighbor_id"],
-            "left_anti",
+    # fixed-point pairwise cosine between a pool candidate c and a
+    # selected member s, from the carried double vectors — the same
+    # round(round(dot/(na*nb), 6) * 1e6) bigint as the r12 pair frame
+    sab = (
+        "CAST(round(round(aggregate(zip_with(c.v, s.v, (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x) / (c.nn * s.nn), 6) * 1000000.0D)"
+        " AS BIGINT)"
+    )
+    # pick 1: max relevance, ties to the smallest id — argmin over
+    # struct(-score, id).  A group row exists only for a non-empty
+    # pool, so the pick is never NULL.  The pick is BOUND as a lambda
+    # variable via the one-element-transform idiom so its argmin is
+    # evaluated once, not once per reference.
+    pick1 = (
+        "array_min(transform(__pool__, c ->"
+        f" struct(-({lam_num} * c.sq) AS ns, c.neighbor_id AS id)))"
+    )
+    init = (
+        f"element_at(transform(array({pick1}), pk -> struct("
+        "filter(__pool__, c -> c.neighbor_id = pk.id) AS sel,"
+        " array(struct(1 AS pick, pk.id AS sel_id,"
+        " (- pk.ns) AS score_fp)) AS out)), 1)"
+    )
+    if k == 1:
+        out_sql = f"({init}).out"
+    else:
+        # picks 2..k: one aggregate() fold whose accumulator carries
+        # (selected structs, output picks).  Loop state lives in
+        # lambda VARIABLES, which the optimizer cannot inline — the
+        # staged-projection form of this loop was CollapseProject'd
+        # into a ~1 MB expression tree (measured, r13); the fold keeps
+        # the whole greedy at O(pool) expression size for any k.
+        score = (
+            f"{lam_num} * c.sq - {comp} *"
+            f" array_max(transform(acc.sel, s -> {sab}))"
         )
-        pen = (
-            pair_fp.join(sel_ids, ["query_id", "id_b"])
-            .groupBy("query_id", F.col("id_a").alias("neighbor_id"))
-            .agg(F.max("sab").alias("pen"))
+        pick_p = (
+            "array_min(transform(__pool__, c ->"
+            " CASE WHEN NOT exists(acc.sel, s ->"
+            " s.neighbor_id = c.neighbor_id)"
+            f" THEN struct(-({score}) AS ns, c.neighbor_id AS id)"
+            " ELSE NULL END))"
         )
-        scored = remaining.join(pen, ["query_id", "neighbor_id"]).withColumn(
-            "score_fp",
-            F.lit(lam_num) * F.col("sq") - F.lit(comp) * F.col("pen"),
+        out_sql = (
+            f"aggregate(sequence(2, {k}), {init},"
+            f" (acc, p) -> element_at(transform(array({pick_p}), pk ->"
+            " CASE WHEN pk IS NULL THEN acc ELSE struct("
+            "concat(acc.sel,"
+            " filter(__pool__, c -> c.neighbor_id = pk.id)) AS sel,"
+            " array_append(acc.out, struct(p AS pick, pk.id AS sel_id,"
+            " (- pk.ns) AS score_fp)) AS out) END), 1)).out"
         )
-        wp = Window.partitionBy("query_id").orderBy(
-            F.col("score_fp").desc(), F.col("neighbor_id")
-        )
-        nxt = (
-            scored.withColumn("rk", F.row_number().over(wp))
-            .filter(F.col("rk") == 1)
-            .select(
-                "query_id",
-                F.col("neighbor_id").alias("sel_id"),
-                F.lit(p).alias("pick"),
-                "score_fp",
-            )
-        )
-        # each stage references `selected` three times (ids, anti-join,
-        # union); checkpoint per pick or the plan grows ~3^k — the
-        # frame is queries x pick rows, so this is cheap
-        selected = _register_cache(
-            selected.unionByName(nxt).localCheckpoint(eager=True)
-        )
+    staged = grouped.selectExpr("query_id", f"{out_sql} AS __out__")
+    selected = staged.select(
+        "query_id", F.explode("__out__").alias("__o__")
+    ).select(
+        "query_id",
+        F.col("__o__.sel_id").alias("sel_id"),
+        F.col("__o__.pick").alias("pick"),
+        F.col("__o__.score_fp").alias("score_fp"),
+    )
     # score_fp carries the lam_den scaling (argmax-invariant); divide
     # it back out so `mmr` is the actual Carbonell-Goldstein score.
     # The 6dp rounding happens IN INTEGER ARITHMETIC (half away from

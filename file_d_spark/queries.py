@@ -5287,6 +5287,11 @@ _SWEEP_CHANGED = [
     # throttle_modes is r11-stale and therefore ALREADY inside the
     # window — this entry pins it to the head without costing a slot.
     "throttle_modes",
+    # r13 optimization round: plan-build/plan-shape rewrites with
+    # oracle hashes re-verified at sf0.001/sf0.01/sf0.1 this session —
+    # pinned so the driver re-greens them first.
+    "mmr_diversify",  # in-row greedy fold replaces k join/window stages
+    "embedding_pq",  # batched selectExpr plan build (same trees)
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
