@@ -1070,35 +1070,32 @@ def ivf_pq_index(
         "__cents__ array<array<double>>, __cnorms__ array<double>, "
         "__cb__ array<array<array<double>>>",
     )
+    # batched selectExpr (r13): the same sims/dists trees as the old
+    # Column-algebra build, shipped as SQL text in two calls instead
+    # of ~2,000 py4j round trips (the PQ plan-build economy)
     staged = (
         spread(corpus)
         .crossJoin(F.broadcast(model))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            _ivfpq_sims(vec_col).alias("__sims__"),
+        .selectExpr(
+            f"{id_col} AS neighbor_id",
+            f"{_ivfpq_sims_sql(vec_col)} AS __sims__",
             *[
-                _ivfpq_dists(vec_col, s, sub).alias(f"__d{s}__")
+                f"{_ivfpq_dists_sql(vec_col, s, sub)} AS __d{s}__"
                 for s in range(m)
             ],
         )
     )
-    index = staged.select(
+    index = staged.selectExpr(
         "neighbor_id",
-        (
-            F.array_position(F.col("__sims__"), F.array_max(F.col("__sims__")))
-            - 1
-        ).cast("int").alias("list_id"),
-        F.array(
-            *[
-                (
-                    F.array_position(
-                        F.col(f"__d{s}__"), F.array_min(F.col(f"__d{s}__"))
-                    )
-                    - 1
-                ).cast("int")
+        "CAST((array_position(__sims__, array_max(__sims__)) - 1) AS INT)"
+        " AS list_id",
+        "array({}) AS codes".format(
+            ", ".join(
+                f"CAST((array_position(__d{s}__, array_min(__d{s}__)) - 1)"
+                " AS INT)"
                 for s in range(m)
-            ]
-        ).alias("codes"),
+            )
+        ),
     )
     # materialize the COMPACT index once — production shape: the IVFPQ
     # index is a persisted artifact, rebuilt only when the corpus
@@ -1112,7 +1109,8 @@ def ivf_pq_index(
 
 def _ivfpq_sims(vec_col: str) -> Column:
     """Centroid cosine numerators via HOFs over the broadcast model
-    columns (see ivf_pq_topk's model rationale)."""
+    columns (see ivf_pq_topk's model rationale) — Column form, used by
+    the ivf_topk/ivf_assign call sites whose plan-build is light."""
     vec = F.col(vec_col)
     return F.zip_with(
         F.transform(F.col("__cents__"), lambda cv: dot(vec, cv)),
@@ -1121,20 +1119,27 @@ def _ivfpq_sims(vec_col: str) -> Column:
     )
 
 
-def _ivfpq_dists(vec_col: str, s: int, sub: int) -> Column:
-    """Per-subspace squared distances to every codebook centroid."""
-    seg = F.slice(F.col(vec_col), s * sub + 1, sub)
-    return F.transform(
-        F.element_at(F.col("__cb__"), s + 1),
-        lambda cent: F.aggregate(
-            F.zip_with(
-                seg,
-                cent,
-                lambda a, b: F.pow(a.cast("double") - b, F.lit(2.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+def _ivfpq_sims_sql(vec_col: str) -> str:
+    """Centroid cosine numerators via HOFs over the broadcast model
+    columns, as SQL text (r13: one selectExpr string instead of the
+    Column-algebra tree — same parsed expressions, no py4j storm)."""
+    return (
+        "zip_with(transform(__cents__, cv ->"
+        f" aggregate(zip_with({vec_col}, cv,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)),"
+        " __cnorms__, (d, n) -> d / n)"
+    )
+
+
+def _ivfpq_dists_sql(vec_col: str, s: int, sub: int) -> str:
+    """Per-subspace squared distances to every codebook centroid, as
+    SQL text (same trees as the old Column form)."""
+    return (
+        f"transform(element_at(__cb__, {s + 1}), cent ->"
+        f" aggregate(zip_with(slice({vec_col}, {s * sub + 1}, {sub}),"
+        " cent, (a, b) -> pow(CAST(a AS DOUBLE) - b, 2.0D)),"
+        " 0.0D, (acc, x) -> acc + x))"
     )
 
 
@@ -1212,49 +1217,38 @@ def ivf_pq_topk(
             F.col(vec_col),
         )
         .crossJoin(F.broadcast(model))
-        .select(
-            F.col("query_id"),
-            F.col(vec_col).alias("query_vec"),
-            _ivfpq_sims(vec_col).alias("__qsims__"),
+        .selectExpr(
+            "query_id",
+            f"{vec_col} AS query_vec",
+            f"{_ivfpq_sims_sql(vec_col)} AS __qsims__",
             *[
-                _ivfpq_dists(vec_col, s, sub).alias(f"__d{s}__")
+                f"{_ivfpq_dists_sql(vec_col, s, sub)} AS __d{s}__"
                 for s in range(m)
             ],
         )
     )
-    qsims = F.col("__qsims__")
-    ranked_lists = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_lists - 1)),
-            lambda i: F.struct(
-                (-F.element_at(qsims, i + 1)).alias("negsim"),
-                i.cast("int").alias("idx"),
-            ),
-        )
+    ranked_lists = (
+        f"array_sort(transform(sequence(0, {n_lists - 1}), i ->"
+        " struct((- element_at(__qsims__, i + 1)) AS negsim,"
+        " CAST(i AS INT) AS idx)))"
     )
-    probes = q_staged.select(
+    probes = q_staged.selectExpr(
         "query_id",
         "query_vec",
-        *[F.col(f"__d{s}__").alias(f"__lut{s}__") for s in range(m)],
-        F.explode(
-            F.transform(F.slice(ranked_lists, 1, n_probe), lambda s: s["idx"])
-        ).alias("list_id"),
+        *[f"__d{s}__ AS __lut{s}__" for s in range(m)],
+        f"explode(transform(slice({ranked_lists}, 1, {n_probe}),"
+        " s -> s.idx)) AS list_id",
     )
 
     # -- 3. ADC scoring over the probed lists ---------------------------
-    adc = sum(
-        [
-            F.element_at(
-                F.col(f"__lut{s}__"), F.element_at(F.col("codes"), s + 1) + 1
-            )
-            for s in range(1, m)
-        ],
-        F.element_at(F.col("__lut0__"), F.element_at(F.col("codes"), 1) + 1),
+    adc = " + ".join(
+        f"element_at(__lut{s}__, element_at(codes, {s + 1}) + 1)"
+        for s in range(m)
     )
     scored = (
         index.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__adc__", adc)
+        .withColumn("__adc__", F.expr(adc))
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("__adc__").asc(), F.col("neighbor_id")
