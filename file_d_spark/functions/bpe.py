@@ -98,43 +98,69 @@ def train_bpe(
     """Train ``num_merges`` BPE merges on the top-``vocab_size`` words.
 
     Returns (merges in rank order, final (w, f, seg) segmentation
-    frame).  The vocab frame is bounded by construction, so each
-    round's pair count is a small keyed aggregate; only the single
-    argmax row crosses to the driver per round."""
-    from file_d_spark.cachereg import register as _register_cache
+    frame).
 
-    vocab = hist.orderBy(F.col("f").desc(), "w").limit(vocab_size)
-    seg = vocab.select("w", "f", _char_seg(F.col("w")).alias("seg"))
-    # checkpoint ONCE to cut the corpus-histogram lineage; the frame is
-    # vocab_size rows, so collapse to one partition — every round's
-    # pair-count job then runs single-task instead of fanning 32 shuffle
-    # partitions over 50 rows (measured 10s -> ~2s for 6 rounds).
-    # Rounds themselves add only one tiny nested `replace` projection
-    # each, so per-round checkpoints would cost more (an eager job per
-    # round) than the lineage they truncate.
-    seg = _register_cache(seg.coalesce(1).localCheckpoint(eager=True))
+    The training loop runs ON THE DRIVER over the collected
+    top-``vocab_size`` histogram slice (r13): the vocab frame is a
+    bounded model by construction — the pre-r13 form already shipped
+    exactly this slice through a localCheckpoint and then collected
+    one argmax row per round, which cost one driver job per merge
+    round (6-15 jobs of ~0.3 s fixed scheduling overhead each for a
+    50-row frame).  One ``limit(vocab_size).collect()`` now fetches
+    the same slice once and the merge rounds are pure-Python string
+    work over ≤ vocab_size·max_word_len symbols per round; the merged
+    segmentations return as a literal frame that broadcasts into the
+    apply join exactly as before.  Nothing corpus-sized reaches the
+    driver — the corpus's only contribution remains the ONE word
+    histogram shuffle, and the collected envelope (vocab_size rows)
+    is unchanged from the pre-r13 form.
 
-    pair_expr = F.expr(
-        "transform(slice(split(seg, '\\u001f'), 1,"
-        " size(split(seg, '\\u001f')) - 1),"
-        " (s, i) -> struct(s as a,"
-        " element_at(split(seg, '\\u001f'), i + 2) as b))"
+    Bit-parity with the old per-round aggregate/replace loop: pair
+    counts are exact integer sums over the same adjacent-pair
+    multiset; the argmax tie-break (count DESC, a ASC, b ASC) is a
+    plain ASCII compare, identical between Python tuple ordering and
+    the old orderBy on [a-z]-only symbols; merge application is the
+    greedy left-to-right non-overlapping walk that
+    tests/test_bpe.py::test_apply_merge_matches_greedy_bpe_and_oracle
+    proves equivalent to the boundary-decorated replace rendering
+    (which _apply_merge keeps implementing for the oracle side)."""
+    rows = (
+        hist.orderBy(F.col("f").desc(), "w").limit(vocab_size).collect()
     )
+    vocab = [(r["w"], int(r["f"])) for r in rows]
+    segs: dict[str, list[str]] = {w: list(w) for w, _ in vocab}
+
+    def greedy(syms: list[str], a: str, b: str) -> list[str]:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        top = (
-            seg.select("f", F.explode(pair_expr).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("f").alias("c"))
-            .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in vocab:
+            syms = segs[w]
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
             break  # every word fully merged — no pairs left
-        a, b = top[0]["a"], top[0]["b"]
+        (a, b) = min(
+            counts, key=lambda p: (-counts[p], p[0], p[1])
+        )
         merges.append((a, b))
-        seg = seg.select("w", "f", _apply_merge(F.col("seg"), a, b))
+        for w, _ in vocab:
+            segs[w] = greedy(segs[w], a, b)
+    seg = hist.sparkSession.createDataFrame(
+        [(w, f, SEP.join(segs[w])) for w, f in vocab],
+        "w string, f bigint, seg string",
+    )
     return merges, seg
 
 

@@ -5292,6 +5292,10 @@ _SWEEP_CHANGED = [
     # pinned so the driver re-greens them first.
     "mmr_diversify",  # in-row greedy fold replaces k join/window stages
     "embedding_pq",  # batched selectExpr plan build (same trees)
+    "ann_methods",  # IVFPQ expressions shipped as SQL text (same trees)
+    "ann_index_build",  # shares the batched IVFPQ helpers
+    "bpe_train_apply",  # driver-side merge loop over the bounded vocab
+    "bpe_fertility",  # shares the driver-side BPE training
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
