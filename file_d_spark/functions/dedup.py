@@ -960,8 +960,14 @@ def connected_components(
     # bound, union-find on the driver gives the identical min-label
     # result in one job + one collect; above it, the distributed loop
     # runs — same contract, no driver risk.
-    n_pairs = pairs.count()
-    if n_pairs <= driver_max_pairs:
+    # ONE limit-collect answers both "is the pair list small?" and
+    # "what are the pairs?" (r13 — was a count job plus a collect job;
+    # each driver job costs 0.2-0.4 s of fixed scheduling overhead on
+    # the measured host): fetching bound+1 rows proves the overflow
+    # without counting, and below the bound the fetched rows ARE the
+    # complete set.
+    fast_rows = pairs.limit(driver_max_pairs + 1).collect()
+    if len(fast_rows) <= driver_max_pairs:
         import pyspark.sql.types as T
 
         parent: dict = {}
@@ -974,7 +980,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for a, b in pairs.collect():
+        for a, b in fast_rows:
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
