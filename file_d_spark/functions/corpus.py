@@ -1376,19 +1376,24 @@ def dsir_logweights(
             ).cast("int"),
         )
 
-    def bucket_counts(frame: DataFrame) -> dict[int, int]:
-        rows = (
-            frame.select(
-                F.explode(feat_buckets(F.col(text_col))).alias("__b__")
-            )
-            .groupBy("__b__")
-            .agg(F.count(F.lit(1)).alias("__c__"))
-            .collect()
-        )  # <= n_buckets rows: a bounded driver model
-        return {r[0]: r[1] for r in rows}
+    # both model fits ride ONE union-tagged aggregation (r13 — was one
+    # collect job per side; the driver pays ~0.3 s of fixed scheduling
+    # per job): <= 2*n_buckets rows collected, same counts per side
+    def side_buckets(frame: DataFrame, side: int) -> DataFrame:
+        return frame.select(
+            F.lit(side).alias("__s__"),
+            F.explode(feat_buckets(F.col(text_col))).alias("__b__"),
+        )
 
-    raw_c = bucket_counts(corpus)
-    tgt_c = bucket_counts(target)
+    rows = (
+        side_buckets(corpus, 0)
+        .unionByName(side_buckets(target, 1))
+        .groupBy("__s__", "__b__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .collect()
+    )  # <= 2*n_buckets rows: a bounded driver model
+    raw_c = {r[1]: r[2] for r in rows if r[0] == 0}
+    tgt_c = {r[1]: r[2] for r in rows if r[0] == 1}
     big_r = sum(raw_c.values()) + n_buckets
     big_t = sum(tgt_c.values()) + n_buckets
 
