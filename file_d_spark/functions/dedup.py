@@ -948,10 +948,7 @@ def connected_components(
     edge set — one tiny aggregate per round instead of a full
     set-compare.  ``max_iter`` stays as a hard safety bound.
     """
-    # materialize the pair list ONCE before symmetrizing: the union's
-    # two branches would otherwise re-execute the (expensive) pair
-    # subtree twice in the same job
-    pairs = _register_cache(pairs.select(src, dst).localCheckpoint(eager=True))
+    pairs = pairs.select(src, dst)
 
     # Bounded-model fast path: near-dup pair lists are tiny relative to
     # the corpus (pairs, not docs — a 100 TB corpus with 1% near-dups
@@ -965,7 +962,11 @@ def connected_components(
     # each driver job costs 0.2-0.4 s of fixed scheduling overhead on
     # the measured host): fetching bound+1 rows proves the overflow
     # without counting, and below the bound the fetched rows ARE the
-    # complete set.
+    # complete set.  The probe runs straight off the pair plan — no
+    # checkpoint first (also r13: the eager checkpoint was a whole
+    # extra materialization pass the fast path never needed); only the
+    # distributed path below pays one (checkpointed) re-execution, and
+    # there it is noise against the contraction loop.
     fast_rows = pairs.limit(driver_max_pairs + 1).collect()
     if len(fast_rows) <= driver_max_pairs:
         import pyspark.sql.types as T
@@ -996,6 +997,10 @@ def connected_components(
         rows = [(x, find(x)) for x in parent]
         return pairs.sparkSession.createDataFrame(rows, schema)
 
+    # distributed path: materialize the pair list ONCE before fanning
+    # out — nodes references it twice and the contraction once more,
+    # and each would otherwise re-execute the (expensive) pair subtree
+    pairs = _register_cache(pairs.localCheckpoint(eager=True))
     nodes = _register_cache(
         pairs.select(F.col(src).alias("id"))
         .unionByName(pairs.select(F.col(dst).alias("id")))

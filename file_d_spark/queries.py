@@ -5296,6 +5296,10 @@ _SWEEP_CHANGED = [
     "ann_index_build",  # shares the batched IVFPQ helpers
     "bpe_train_apply",  # driver-side merge loop over the bounded vocab
     "bpe_fertility",  # shares the driver-side BPE training
+    "decoder_lineformats",  # single-pass regex group extraction
+    "decoder_structured",  # shares the single-pass decoders
+    "dedup_cluster",  # fused fast-path probe, checkpoint-free
+    "dsir_importance",  # union-tagged single-job feature fit
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
