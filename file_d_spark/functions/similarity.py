@@ -1276,6 +1276,12 @@ def ivf_pq_topk(
     )
 
 
+#: bounded-corpus cutoff for the driver-side Lloyd's fast path in
+#: :func:`kmeans_embeddings` (~10 MB of quantized vectors at 64 dims);
+#: module-level so the parity test can force both paths
+KMEANS_FAST_MAX_ROWS = 20_000
+
+
 def kmeans_embeddings(
     corpus: DataFrame,
     k: int = 8,
@@ -1313,13 +1319,77 @@ def kmeans_embeddings(
         lambda x: F.round(x.cast("double") * scale).cast("long"),
     )
     base = corpus.select(F.col(id_col).alias("id"), quant.alias("q"))
-    seed = (
-        base.orderBy(F.md5(F.col("id").cast("string"))).limit(k).collect()
+
+    def trunc_div(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    # Bounded-corpus fast path (r13): the iterative fit costs one
+    # seed job plus one stats-collect job PER ITERATION — each a full
+    # corpus pass plus ~0.2-0.4 s of fixed scheduling overhead on the
+    # measured host.  Below the bound the quantized vectors are
+    # themselves a bounded driver model (<= ~10 MB at 20k x 64 longs),
+    # so ONE limit-collect fetches them and the seed ordering plus
+    # every Lloyd's update runs in exact-integer Python: the pipeline
+    # is integer end-to-end by design (that is what makes it
+    # oracle-able), so driver arithmetic is bit-identical to the
+    # distributed aggregate — same md5-hex seed order (Spark string
+    # sort == Python str sort on ASCII hex), same exact bigint sums,
+    # same truncating division, same keep-previous-centroid rule.  The
+    # FINAL assignment/manifest pass still runs in Spark either way.
+    # Above the bound: the distributed loop, unchanged.
+    _FAST_MAX_ROWS = KMEANS_FAST_MAX_ROWS
+    # the driver seed replays Spark's CAST(id AS STRING) with Python
+    # str(); that equivalence holds for integral and string ids only
+    # (float formatting differs), so other id types keep the
+    # distributed path
+    from pyspark.sql import types as _T
+
+    _id_type = corpus.schema[id_col].dataType
+    _fast_ok = isinstance(
+        _id_type, (_T.IntegralType, _T.StringType)
     )
-    cents = [list(r["q"]) for r in seed]
-    if not cents:
-        raise ValueError("kmeans_embeddings: empty corpus")
-    dim = len(cents[0])
+    fast_rows = (
+        base.limit(_FAST_MAX_ROWS + 1).collect() if _fast_ok else []
+    )
+    fast_used = _fast_ok and len(fast_rows) <= _FAST_MAX_ROWS
+    if fast_used:
+        import hashlib
+
+        if not fast_rows:
+            raise ValueError("kmeans_embeddings: empty corpus")
+        pts = [
+            (hashlib.md5(str(r["id"]).encode()).hexdigest(), list(r["q"]))
+            for r in fast_rows
+        ]
+        cents = [q for _, q in sorted(pts, key=lambda p: p[0])[:k]]
+        dim = len(cents[0])
+        for _ in range(iters):
+            sums = [[0] * dim for _ in range(len(cents))]
+            cnts = [0] * len(cents)
+            for _, q in pts:
+                best, bd = 0, None
+                for c, cq in enumerate(cents):
+                    d = sum((a - b) * (a - b) for a, b in zip(q, cq))
+                    if bd is None or d < bd:
+                        best, bd = c, d
+                cnts[best] += 1
+                s = sums[best]
+                for i, v in enumerate(q):
+                    s[i] += v
+            cents = [
+                [trunc_div(sums[c][i], cnts[c]) for i in range(dim)]
+                if cnts[c]
+                else cents[c]
+                for c in range(len(cents))
+            ]
+    else:
+        seed = (
+            base.orderBy(F.md5(F.col("id").cast("string"))).limit(k).collect()
+        )
+        cents = [list(r["q"]) for r in seed]
+        if not cents:
+            raise ValueError("kmeans_embeddings: empty corpus")
+        dim = len(cents[0])
 
     def assigned_frame(cent_model: list[list[int]]) -> DataFrame:
         model = spark.createDataFrame(
@@ -1347,25 +1417,23 @@ def kmeans_embeddings(
             )
         )
 
-    def trunc_div(a: int, b: int) -> int:
-        return a // b if a >= 0 else -((-a) // b)
-
-    for _ in range(iters):
-        stats = (
-            assigned_frame(cents)
-            .select("cluster_id", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cluster_id", "pos")
-            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )  # k*dim rows — a bounded driver model, never data
-        by_cluster: dict[int, list] = {}
-        for r in stats:
-            by_cluster.setdefault(r["cluster_id"], [None] * dim)[r["pos"]] = (
-                trunc_div(int(r["sm"]), int(r["cnt"]))
-            )
-        cents = [
-            by_cluster.get(c, cents[c]) for c in range(len(cents))
-        ]  # empty cluster -> keep previous centroid
+    if not fast_used:
+        for _ in range(iters):
+            stats = (
+                assigned_frame(cents)
+                .select("cluster_id", F.posexplode("q").alias("pos", "val"))
+                .groupBy("cluster_id", "pos")
+                .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )  # k*dim rows — a bounded driver model, never data
+            by_cluster: dict[int, list] = {}
+            for r in stats:
+                by_cluster.setdefault(r["cluster_id"], [None] * dim)[
+                    r["pos"]
+                ] = trunc_div(int(r["sm"]), int(r["cnt"]))
+            cents = [
+                by_cluster.get(c, cents[c]) for c in range(len(cents))
+            ]  # empty cluster -> keep previous centroid
 
     final = assigned_frame(cents)
     return (

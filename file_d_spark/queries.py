@@ -5300,6 +5300,7 @@ _SWEEP_CHANGED = [
     "decoder_structured",  # shares the single-pass decoders
     "dedup_cluster",  # fused fast-path probe, checkpoint-free
     "dsir_importance",  # union-tagged single-job feature fit
+    "kmeans_clusters",  # bounded-corpus driver-side Lloyd's fast path
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)

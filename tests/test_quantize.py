@@ -193,6 +193,30 @@ def test_kmeans_empty_corpus_raises(spark):
         similarity.kmeans_embeddings(df, k=2, iters=1)
 
 
+def test_kmeans_fast_path_matches_distributed(spark, sf_dir):
+    """The r13 bounded-corpus fast path (driver-side exact-integer
+    Lloyd's) must be bit-identical to the distributed loop — same
+    md5-ordered seed, same integer sums, same truncating division,
+    same first-min tie-break, same keep-previous-centroid rule."""
+    from file_d_spark.functions import similarity
+    from file_d_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    old = similarity.KMEANS_FAST_MAX_ROWS
+    try:
+        similarity.KMEANS_FAST_MAX_ROWS = 1_000_000
+        fast = sorted(
+            map(tuple, similarity.kmeans_embeddings(e, k=8, iters=2).collect())
+        )
+        similarity.KMEANS_FAST_MAX_ROWS = 0  # force the distributed loop
+        slow = sorted(
+            map(tuple, similarity.kmeans_embeddings(e, k=8, iters=2).collect())
+        )
+    finally:
+        similarity.KMEANS_FAST_MAX_ROWS = old
+    assert fast == slow
+
+
 def test_product_quantize_midrange_routes_to_broadcast(spark, emb):
     """The fused-codegen cliff guard (r12 review): a shape whose
     staged column count stays UNDER the whole-stage fusion cutoff but
