@@ -796,67 +796,58 @@ def simhash(
     array-aggregate passes of the naive form (~6x fewer interpreted
     ops, measured ~3x end-to-end).  Documents are capped at 65535
     tokens so a lane can never overflow into its neighbor; votes over a
-    65k-token document are statistically identical on a prefix."""
+    65k-token document are statistically identical on a prefix.
 
-    def lane_update(acc: Column, h: Column) -> Column:
-        return F.array(
-            *[
-                F.element_at(acc, k + 1)
-                + F.shiftright(h, k).bitwiseAND(F.lit(_SIMHASH_LANE_MASK))
-                for k in range(_SIMHASH_LANES)
-            ]
-        )
-
-    def bit_count(acc: Column, i: int) -> Column:
-        k, j = i % _SIMHASH_LANES, i // _SIMHASH_LANES
-        return F.shiftright(F.element_at(acc, k + 1), 16 * j).bitwiseAND(
-            F.lit(0xFFFF)
-        )
-
-    tok_hash = _portable_hash60 if portable else F.xxhash64
+    The lane/vote expressions ship as SQL text (selectExpr), not Column
+    algebra: the 63-term vote sum plus the 16-lane aggregate cost ~700
+    py4j round trips per plan build (~0.9 ms each on the measured host)
+    when assembled Column-by-Column; the identical trees parse JVM-side
+    in one call."""
+    if portable:
+        tok_hash_sql = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        tok_hash_sql = "xxhash64(t)"
     n_bits = 60 if portable else SIMHASH_BITS
+    tokens_sql = r"filter(split(trim(`%s`), '\\s+'), t -> t != '')" % text_col
     # zero-token docs carry no signal: an all-zero signature would pair
     # every pair of empty docs at hamming 0, while a vote-based oracle
     # (group over tokens) never sees them at all — drop them here so
     # both engines agree that signature-less docs produce no pairs
     hashed = (
         spread(df)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.slice(
-                F.transform(tokens(F.col(text_col)), lambda t: tok_hash(t)),
-                1,
-                _SIMHASH_MAX_TOKENS,
-            ).alias("__hashes__"),
+        .selectExpr(
+            f"`{id_col}` AS doc",
+            f"slice(transform({tokens_sql}, t -> {tok_hash_sql}),"
+            f" 1, {_SIMHASH_MAX_TOKENS}) AS __hashes__",
         )
         .filter(F.size("__hashes__") > 0)
     )
     # materialize the lane accumulators ONCE (aggregate is non-cheap, so
     # CollapseProject keeps the projection); the 63 per-bit extractions
     # below are scalar shift/mask ops against it, not array traversals
-    counted = hashed.select(
-        "doc",
-        F.size("__hashes__").alias("__n__"),
-        F.aggregate(
-            F.col("__hashes__"),
-            F.array_repeat(F.lit(0).cast("long"), _SIMHASH_LANES),
-            lane_update,
-        ).alias("__lanes__"),
+    lane_terms = ", ".join(
+        f"element_at(acc, {k + 1}) + (shiftright(h, {k}) & {_SIMHASH_LANE_MASK})"
+        for k in range(_SIMHASH_LANES)
     )
+    counted = hashed.selectExpr(
+        "doc",
+        "size(__hashes__) AS __n__",
+        f"aggregate(__hashes__,"
+        f" array_repeat(CAST(0 AS BIGINT), {_SIMHASH_LANES}),"
+        f" (acc, h) -> array({lane_terms})) AS __lanes__",
+    )
+
     # bit i set <=> ones-count*2 > n (vote sum = 2*ones - n > 0)
-    sig = counted.select(
-        "doc",
-        sum(
-            [
-                F.when(
-                    bit_count(F.col("__lanes__"), i) * 2 > F.col("__n__"),
-                    F.lit(1 << i),
-                ).otherwise(F.lit(0))
-                for i in range(n_bits)
-            ],
-            F.lit(0),
-        ).cast("long").alias("simhash"),
-    )
+    def bit_term(i: int) -> str:
+        k, j = i % _SIMHASH_LANES, i // _SIMHASH_LANES
+        return (
+            f"(CASE WHEN (shiftright(element_at(__lanes__, {k + 1}),"
+            f" {16 * j}) & 65535) * 2 > __n__"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+
+    vote_sum = " + ".join(["0"] + [bit_term(i) for i in range(n_bits)])
+    sig = counted.selectExpr("doc", f"CAST({vote_sum} AS BIGINT) AS simhash")
     return sig
 
 
@@ -880,22 +871,14 @@ def simhash_pairs(
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
     sig = simhash(df, id_col, text_col, portable=portable)
     per_chunk = (60 if portable else SIMHASH_BITS) // chunks
-    chunked = sig.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * per_chunk)
-                        .bitwiseAND(F.lit((1 << per_chunk) - 1))
-                        .alias("val"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cc"),
+    chunk_mask = (1 << per_chunk) - 1
+    chunk_structs = ", ".join(
+        f"named_struct('chunk', {c}, 'val',"
+        f" shiftright(simhash, {c * per_chunk}) & {chunk_mask})"
+        for c in range(chunks)
+    )
+    chunked = sig.selectExpr(
+        "doc", "simhash", f"explode(array({chunk_structs})) AS cc"
     ).select("doc", "simhash", "cc.chunk", "cc.val")
     cand = (
         chunked.alias("a")

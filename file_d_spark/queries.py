@@ -5301,6 +5301,7 @@ _SWEEP_CHANGED = [
     "dedup_cluster",  # fused fast-path probe, checkpoint-free
     "dsir_importance",  # union-tagged single-job feature fit
     "kmeans_clusters",  # bounded-corpus driver-side Lloyd's fast path
+    "dedup_simhash",  # lane/vote expressions shipped as SQL text
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
