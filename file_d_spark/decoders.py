@@ -73,11 +73,15 @@ def _rx_fields(line: Column, pattern: str, n: int) -> list[Column]:
     # regexp_replace leaves that terminator outside the replaced
     # region, so it would leak into the last field — rows ending in a
     # line terminator take the fallback (regexp_extract excludes the
-    # terminator from the match the same way on both paths)
+    # terminator from the match the same way on both paths).  The
+    # terminator test is a plain last-char membership check, not a
+    # second regex pass over the line.
     ok = (
         (ex != line)
         & (F.size(parts) == n)
-        & ~line.rlike("[\\n\\r\\u0085\\u2028\\u2029]$")
+        & ~F.substring(line, -1, 1).isin(
+            "\n", "\r", "\u0085", "\u2028", "\u2029"
+        )
     )
     return [
         F.when(

@@ -186,24 +186,43 @@ def join_cri_partials(
     flags over the per-stream sequence) + one grouped aggregation —
     both keyed by the container stream, so a hot pod parallelizes
     across streams and nothing is global.
+
+    All three running quantities — the group id, the stream-cumulative
+    log length, and the cumulative length at the END of the previous
+    group — share one window spec (partition by stream, order by seq),
+    so they evaluate in a SINGLE Sort + Window pass.  The per-group
+    byte offset that decides the oversize split is their difference:
+    ``bytes before this row within its group = cum_before_row -
+    cum_at_prev_group_end`` (the running max of the stream-cumulative
+    length over end rows, valid because the cumulative sum is
+    monotone).  Deriving it this way instead of a second window
+    partitioned by (stream, group id) removes a whole Sort + Window
+    pass; the values are identical.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(seq_col)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
     is_end = ~F.coalesce(F.col("is_partial"), F.lit(False))
-    grp = F.sum(is_end.cast("int")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
+    grp = F.sum(is_end.cast("int")).over(w_prev)
+    log_len = F.length(F.coalesce(F.col("log"), F.lit("")))
+    cum = F.sum(log_len).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    # cum feeds the second window expression, so it must be named in a
+    # separate projection (window functions cannot nest) — the stacked
+    # Window operators still share the one sort
+    staged = df.select(
+        "*",
+        F.coalesce(grp, F.lit(0)).alias("__grp__"),
+        cum.alias("__cum__"),
     )
-    cum = F.sum(F.length(F.coalesce(F.col("log"), F.lit("")))).over(
-        Window.partitionBy(*group_cols, "__grp__").orderBy(seq_col)
-    )
+    prev_end_cum = F.max(F.when(is_end, F.col("__cum__"))).over(w_prev)
     sub = F.floor(
-        (cum - F.length(F.coalesce(F.col("log"), F.lit(""))))
+        (F.col("__cum__") - log_len - F.coalesce(prev_end_cum, F.lit(0)))
         / F.lit(int(split_event_size))
     )
     staged = (
-        df.withColumn("__grp__", F.coalesce(grp, F.lit(0)))
-        .withColumn("__sub__", sub)
+        staged.withColumn("__sub__", sub)
+        .drop("__cum__")
         .withColumn("__seq__", F.col(seq_col) if isinstance(seq_col, str) else seq_col)
     )
     others = [
