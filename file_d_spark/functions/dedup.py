@@ -418,8 +418,17 @@ def jaccard_pairs(
         ),
     )
     prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
-    prefix = ranked.filter(F.col("__rank__") <= prefix_len).select(
-        "doc", "set_size", "shingle"
+    # materialize the prefix ONCE: the self-join below broadcasts one
+    # side, and a BroadcastExchange cannot reuse the other side's
+    # shuffle Exchange — without this the whole freq/rank window
+    # subtree (2 exchanges, 2 sorts, 2 windows) executes twice, once
+    # per join side (plan-verified r13).  The checkpoint is ~30% of
+    # the posting count (the prefix theorem's bound), far smaller than
+    # the recompute it replaces.
+    prefix = _register_cache(
+        ranked.filter(F.col("__rank__") <= prefix_len)
+        .select("doc", "set_size", "shingle")
+        .cache()
     )
     # size filter inside the join: jaccard >= t needs t*|A| <= |B|
     # (and symmetrically), so mismatched sizes never pair up.

@@ -5299,6 +5299,7 @@ _SWEEP_CHANGED = [
     "decoder_lineformats",  # single-pass regex group extraction
     "decoder_structured",  # shares the single-pass decoders
     "dedup_cluster",  # fused fast-path probe, checkpoint-free
+    "dedup_ngram_jaccard",  # prefix frame materialized once
     "dsir_importance",  # union-tagged single-job feature fit
     "kmeans_clusters",  # bounded-corpus driver-side Lloyd's fast path
     "dedup_simhash",  # lane/vote expressions shipped as SQL text
