@@ -39,6 +39,17 @@ def get_spark(app_name: str = "file_d_spark", cpus: int | None = None) -> SparkS
         # split files finely enough that a single-file source still
         # feeds all local cores (default 128MB -> 4 tasks for 0.5GB)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # bounded-driver-model probes (limit(bound+1).collect(), take,
+        # first) use executeTake, which scans 1 partition, then 4, 16,
+        # ... (scaleUpFactor) — one JOB per batch.  When the probed
+        # frame holds fewer rows than the bound (the normal case) every
+        # partition gets scanned anyway, just in 4-5 sequential
+        # scheduling waves.  Start the ramp at one full wave of cores
+        # so the common case is ONE job; frames with more partitions
+        # still ramp (x4 per wave), so a selective take on a huge frame
+        # never scans it all.  Scales with the core count, not a
+        # local[32] constant.
+        .config("spark.sql.limit.initialNumPartitions", str(cpus))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
