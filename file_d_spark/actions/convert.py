@@ -50,7 +50,7 @@ def log_level_number_col(col: Column) -> Column:
 
 def log_level_name_col(col: Column) -> Column:
     num = log_level_number_col(col)
-    names = F.array(*[F.lit(n) for n in LOG_LEVEL_NAMES])
+    names = F.lit(list(LOG_LEVEL_NAMES))
     # element_at(arr, NULL) does NOT return NULL in this Spark build —
     # guard the unknown-level case explicitly
     return F.when(num.isNotNull(), F.element_at(names, num + 1))

@@ -293,12 +293,12 @@ def _pri_fields(pri: Column, params: dict[str, Any]) -> FieldMap:
     sev: Column = sev_num.cast("string")
     if params.get("syslog_facility_format") == "string":
         fac = F.coalesce(
-            F.element_at(F.array(*[F.lit(x) for x in facilities]), fac_num + 1),
+            F.element_at(F.lit(list(facilities)), fac_num + 1),
             F.lit("UNKNOWN"),
         )
     if params.get("syslog_severity_format") == "string":
         sev = F.coalesce(
-            F.element_at(F.array(*[F.lit(x) for x in severities]), sev_num + 1),
+            F.element_at(F.lit(list(severities)), sev_num + 1),
             F.lit("UNKNOWN"),
         )
     return {"priority": pri, "facility": fac, "severity": sev}

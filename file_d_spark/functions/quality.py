@@ -213,7 +213,7 @@ def gopher_signals(text_col: Column) -> dict[str, Column]:
         "stopword_hits": F.size(
             F.array_intersect(
                 F.array_distinct(tokens(F.lower(text_col))),
-                F.array(*[F.lit(w) for w in EN_STOPWORDS]),
+                F.lit(list(EN_STOPWORDS)),
             )
         ),
     }

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -35,8 +36,13 @@ def dot_lit(vec: Column, plane: list[float]) -> Column:
     row.  (Unrolling to a scalar multiply-add chain is a trap: 16
     planes x 64 dims builds a ~3 MB expression tree per task that blows
     the codegen method limit and evaluates interpreted, measured 5x
-    SLOWER than the folded-literal HOF form.)"""
-    return dot(vec, F.array(*[F.lit(float(v)) for v in plane]))
+    SLOWER than the folded-literal HOF form.)  The literal ships as a
+    1-D float64 ndarray: py4j converts it to Array[Double] in ONE call
+    and F.lit yields the folded array Literal directly — F.lit(list)
+    expands Python-side to array(*[lit(x)...]), i.e. ~65 round trips
+    (~60 ms) per plane at dim=64, which multiplied into seconds for
+    multi-plane callers (16-48 planes)."""
+    return dot(vec, F.lit(np.asarray(plane, dtype="float64")))
 
 
 def norm(a: Column) -> Column:
@@ -751,8 +757,9 @@ def scalar_quantize(
         .orderBy("d")
         .collect()
     )
-    los = F.array(*[F.lit(float(r.lo)) for r in dims])
-    his = F.array(*[F.lit(float(r.hi)) for r in dims])
+    # one py4j call per array (1-D ndarray literal), not one per element
+    los = F.lit(np.asarray([float(r.lo) for r in dims], dtype="float64"))
+    his = F.lit(np.asarray([float(r.hi) for r in dims], dtype="float64"))
     n_dims = len(dims)
     steps = float(levels - 1)
 

@@ -41,7 +41,7 @@ def quality_metrics(col: Column) -> dict[str, Column]:
     alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
     spaces = F.length(F.regexp_replace(col, r"[^ ]", ""))
     digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
-    stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    stop = F.size(F.array_intersect(toks, F.lit(list(EN_STOPWORDS))))
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
@@ -83,7 +83,7 @@ def lang_scores(col: Column) -> dict[str, Column]:
     """Stopword-hit counts per candidate language (distinct tokens)."""
     toks = F.array_distinct(tokens(F.lower(col)))
     return {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        lang: F.size(F.array_intersect(toks, F.lit(list(words))))
         for lang, words in LANG_STOPWORDS.items()
     }
 
@@ -126,7 +126,7 @@ def with_lang_id(df, text_col: str, out_col: str = "lang_guess"):
         {
             name: F.size(
                 F.array_intersect(
-                    "__ltoks__", F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+                    "__ltoks__", F.lit(list(LANG_STOPWORDS[lang]))
                 )
             )
             for lang, name in sc_cols.items()

@@ -294,7 +294,7 @@ def q_convert_utf8_escapes(spark, sf_dir):
     df = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.element_at(
-            F.array(*[F.lit(s) for s in _UTF8_ESCAPE_INPUTS]),
+            F.lit(list(_UTF8_ESCAPE_INPUTS)),
             (F.col("event_id") % 5 + 1).cast("int"),
         ).alias("decoded"),
     )
@@ -5303,6 +5303,15 @@ _SWEEP_CHANGED = [
     "dsir_importance",  # union-tagged single-job feature fit
     "kmeans_clusters",  # bounded-corpus driver-side Lloyd's fast path
     "dedup_simhash",  # lane/vote expressions shipped as SQL text
+    # r13 constant-array literal construction (ndarray / F.lit(list)
+    # instead of element-wise F.array(*F.lit) — constant-folds to the
+    # identical tree; full sf0.01 sweep re-verified 100/100):
+    "embedding_quantize",  # lo/hi bound arrays
+    "text_quality",  # stopword list literal
+    "text_langid",  # per-language stopword lists
+    "quality_gopher",  # stopword_hits signal
+    "corpus_build_end2end",  # gopher_keep leg
+    "convert_suite",  # log-level name table + utf8 input table
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
