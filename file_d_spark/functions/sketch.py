@@ -390,7 +390,16 @@ def cms_topk(
     # the (value, count) frame feeds the sketch, the candidate pick
     # and the readout — one shuffle, reused three times
     counts = _register_cache(counts.localCheckpoint(eager=True))
+    return _cms_from_counts(counts, value_col, depth, width, k)
 
+
+def _cms_from_counts(
+    counts: DataFrame, value_col: str, depth: int, width: int, k: int
+) -> DataFrame:
+    """CMS sketch + readout over a prepared ``(v, n)`` value-count
+    frame — exactly the aggregate :func:`cms_topk` builds internally.
+    Callers that already hold (and cached) that frame — e.g. a suite
+    computing several sketches off one corpus pass — enter here."""
     rows = F.explode(
         F.sequence(F.lit(0), F.lit(depth - 1))
     ).alias("r")
@@ -492,7 +501,13 @@ def f2_moment(df: DataFrame, value_col: str, reps: int = 16) -> DataFrame:
     )
     # reused by the sign cells AND the exact readout — one shuffle
     counts = _register_cache(counts.localCheckpoint(eager=True))
+    return _f2_from_counts(counts, reps)
 
+
+def _f2_from_counts(counts: DataFrame, reps: int) -> DataFrame:
+    """F2 sketch + exact readout over a prepared ``(v, f)`` value-count
+    frame — the aggregate :func:`f2_moment` builds internally; entry
+    point for callers sharing one corpus pass across sketches."""
     cells = counts.select(
         "v",
         "f",

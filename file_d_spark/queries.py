@@ -51,6 +51,7 @@ ORACLES: dict[str, str] = {}
 # for the session lifetime.  Library-internal caches (dedup/similarity)
 # register themselves via cachereg.register at plan-build time.
 from .cachereg import CACHED as _CACHED  # noqa: E402
+from .cachereg import register as _register_cache  # noqa: E402
 from .cachereg import release as release_caches  # noqa: F401,E402
 
 
@@ -5185,19 +5186,55 @@ _SKETCH_SUITE_COLS = [
 )
 def q_sketch_suite(spark, sf_dir):
     """kmv + cms + f2 in one driver row — the sketch-family fold
-    (each leg the unchanged staged query, padded to a superset layout
-    with typed NULLs so every estimate stays value-hashed).  Registers
-    the whole remaining sketch family (siblings hll/overlap registered
-    at r10) for ONE window slot — the bm25/convert/filter pattern."""
-    return _suite_df(
-        spark, sf_dir,
-        [
-            ("kmv", q_sketch_kmv_leg),
-            ("cms", q_sketch_cms_leg),
-            ("f2", q_sketch_f2_leg),
-        ],
-        _SKETCH_SUITE_COLS,
+    (leg values identical to the staged singles, padded to a superset
+    layout with typed NULLs so every estimate stays value-hashed).
+    Registers the whole remaining sketch family (siblings hll/overlap
+    registered at r10) for ONE window slot — the bm25/convert/filter
+    pattern.
+
+    r13: the three legs share ONE corpus tokenize + counting shuffle
+    instead of three.  Standalone, each leg re-tokenizes the documents
+    table and cms/f2 each eagerly checkpoint the IDENTICAL global
+    (word, count) aggregate — 3 full corpus passes for one bench row.
+    Here the fold aggregates (lang, w) counts once; the kmv leg's
+    distinct (lang, hash) set is exactly that frame's key set, and the
+    cms/f2 counts frame is its lang-marginal (one re-aggregation over
+    distinct pairs, not a corpus pass).  Leg outputs are
+    bit-identical — the suite oracle (UNION ALL of the singles'
+    oracles) enforces it."""
+    words = _sketch_words(spark, sf_dir)
+    counts_lw = (
+        words.select("lang", "w")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    counts_lw = _register_cache(counts_lw.localCheckpoint(eager=True))
+    counts_w = (
+        counts_lw.groupBy(F.col("w").alias("v"))
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    counts_w = _register_cache(counts_w.localCheckpoint(eager=True))
+    legs = [
+        (
+            "kmv",
+            lambda s, d: sketch.kmv_distinct(
+                counts_lw.select("lang", "w"), "lang", "w", k=64
+            ),
+        ),
+        (
+            "cms",
+            lambda s, d: sketch._cms_from_counts(
+                counts_w, "w", depth=4, width=1024, k=10
+            ),
+        ),
+        (
+            "f2",
+            lambda s, d: sketch._f2_from_counts(
+                counts_w.select("v", F.col("n").alias("f")), reps=16
+            ),
+        ),
+    ]
+    return _suite_df(spark, sf_dir, legs, _SKETCH_SUITE_COLS)
 
 
 @query(
