@@ -338,6 +338,21 @@ def banded_cosine_pairs(
     )
 
 
+def _ivf_seed(
+    corpus: DataFrame, n: int, id_col: str, vec_col: str
+) -> list:
+    """First ``n`` rows of the md5-ordered ``(id, vec)`` seed — the
+    deterministic model pick shared by :func:`ivf_topk` (centroids)
+    and :func:`ivf_pq_index` (centroids + codebook).  TakeOrdered of
+    ``n`` rows: a bounded driver model, not data."""
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n)
+        .collect()
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -346,6 +361,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_rows: list | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_lists``
     inverted lists, probe the ``n_probe`` closest lists per query,
@@ -361,17 +377,21 @@ def ivf_topk(
     Column objects per call site: measured 2.1 s of plan build against
     0.6 s of execution; the broadcast-model form is arithmetic-
     identical, so oracle bit-equality is preserved.)
+
+    ``seed_rows``: the first ``n_lists`` rows of the md5-ordered
+    ``(id, vec)`` seed, if the caller already collected them — the
+    IVF and IVFPQ model fits draw from the SAME deterministic order,
+    so a suite computing both pays the TakeOrdered once (r13).
     """
     import math
 
     from file_d_spark.functions.dedup import spread
 
     cents = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(n_lists)
-        .collect()
-    )  # TakeOrdered of n_lists rows — the "fitted model", not data.
+        _ivf_seed(corpus, n_lists, id_col, vec_col)
+        if seed_rows is None
+        else seed_rows[:n_lists]
+    )
     # md5 ordering, not xxhash64: same random-like spread, but
     # reproducible in any engine so the whole IVF path is oracle-able
     cent_vecs = [[float(x) for x in r[1]] for r in cents]
@@ -1042,6 +1062,7 @@ def ivf_pq_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_rows: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVFPQ search index once: returns ``(index, model)``
     where ``index`` is the materialized compact frame
@@ -1049,7 +1070,9 @@ def ivf_pq_index(
     centroids+codebook frame.  Pass the pair to
     :func:`ivf_pq_topk` via ``prebuilt`` to amortize the build across
     many query batches — the production lifecycle (index rebuilt only
-    when the corpus changes)."""
+    when the corpus changes).  ``seed_rows``: pre-collected md5-order
+    seed (>= max(n_lists, pq_k) rows) shared with :func:`ivf_topk` —
+    see :func:`_ivf_seed`."""
     import math
 
     from file_d_spark.functions.dedup import spread
@@ -1058,10 +1081,9 @@ def ivf_pq_index(
         raise ValueError("ivf_pq_index: m must divide dim")
     sub = dim // m
     seed = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(max(n_lists, pq_k))
-        .collect()
+        _ivf_seed(corpus, max(n_lists, pq_k), id_col, vec_col)
+        if seed_rows is None
+        else seed_rows[: max(n_lists, pq_k)]
     )
     cent_vecs = [[float(x) for x in r[1]] for r in seed[:n_lists]]
     cent_norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in cent_vecs]
@@ -1163,6 +1185,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prebuilt: tuple[DataFrame, DataFrame] | None = None,
+    seed_rows: list | None = None,
 ) -> DataFrame:
     """IVF + PQ asymmetric-distance search with exact rerank — the
     memory-bounded production ANN path (Jegou et al. 2011 IVFADC): at
@@ -1210,7 +1233,7 @@ def ivf_pq_topk(
     if prebuilt is None:
         index, model = ivf_pq_index(
             corpus, n_lists=n_lists, m=m, pq_k=pq_k, dim=dim,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, seed_rows=seed_rows,
         )
     else:
         index, model = prebuilt

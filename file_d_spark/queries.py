@@ -1797,7 +1797,7 @@ _ANN_IVF_ORACLE = """
 
 
 # standalone until r9; now an `ann_methods` leg (see below)
-def q_ann_ivf(spark, sf_dir):
+def q_ann_ivf(spark, sf_dir, seed_rows=None):
     """IVF-style ANN top-10: deterministic coarse quantizer (md5-order
     centroid pick — engine-portable, so the WHOLE approximate path is
     oracle-checked: assignment argmax, probe selection, and rerank),
@@ -1805,7 +1805,9 @@ def q_ann_ivf(spark, sf_dir):
     tests."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(e, queries, k=10, n_lists=16, n_probe=6)
+    return similarity.ivf_topk(
+        e, queries, k=10, n_lists=16, n_probe=6, seed_rows=seed_rows
+    )
 
 
 _ANN_IVF_PQ_ORACLE = r"""
@@ -1907,7 +1909,7 @@ _ANN_IVF_PQ_ORACLE = r"""
 
 
 # standalone until r9; now an `ann_methods` leg (see below)
-def q_ann_ivf_pq(spark, sf_dir):
+def q_ann_ivf_pq(spark, sf_dir, seed_rows=None):
     """IVF + PQ asymmetric-distance search with exact rerank
     (IVFADC, Jegou et al. 2011) — the memory-bounded 100 TB ANN path:
     the corpus side of the search join carries only (list_id, m codes),
@@ -1919,7 +1921,7 @@ def q_ann_ivf_pq(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5)
     return similarity.ivf_pq_topk(
         e, queries, k=10, n_lists=16, n_probe=4, m=8, pq_k=16, refine=32,
-        dim=64,
+        dim=64, seed_rows=seed_rows,
     )
 
 
@@ -1948,13 +1950,21 @@ def q_ann_methods(spark, sf_dir):
     (query_id, neighbor_id, rank, sim) stays value-hashed — a
     candidate-generation or rerank regression in any strategy still
     breaks the hash.  Folded per the registry-capacity policy
-    (COVERAGE.md "Registry capacity", the r8 decoder pattern)."""
+    (COVERAGE.md "Registry capacity", the r8 decoder pattern).
+
+    r13: the ivf and ivf_pq legs draw their models from the SAME
+    md5-ordered 16-row seed (n_lists = pq_k = 16), so the fold
+    collects the TakeOrdered once and passes it to both — one model
+    job instead of two, leg outputs unchanged by construction."""
+    seed = similarity._ivf_seed(
+        load_table(spark, sf_dir, "embeddings"), 16, "vec_id", "embedding"
+    )
     legs = []
     for method, fn in (
         ("brute", q_ann_brute),
         ("lsh", q_ann_lsh),
-        ("ivf", q_ann_ivf),
-        ("ivf_pq", q_ann_ivf_pq),
+        ("ivf", lambda s, d: q_ann_ivf(s, d, seed_rows=seed)),
+        ("ivf_pq", lambda s, d: q_ann_ivf_pq(s, d, seed_rows=seed)),
     ):
         legs.append(
             fn(spark, sf_dir).select(
