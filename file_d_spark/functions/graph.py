@@ -47,6 +47,14 @@ def pagerank(
     prior; convergence-loop variants should localCheckpoint ranks
     every few rounds to cut lineage).  At extreme node counts shrink
     SCALE so ``85 * sum(contrib)`` stays inside int64.
+
+    The loop-invariant ``nodes``/``e_deg`` frames are deliberately NOT
+    cached here: at bench scale recomputing them per iteration beats
+    the cache's materialization barriers (r13 A/B: 1.88 s vs 2.72 s
+    min at sf0.1).  When ``edges`` derives from an expensive subtree
+    (a windowed event stream, a 100 TB join), pass a checkpointed /
+    pre-materialized edge frame instead — each unrolled iteration
+    re-executes the edge lineage once per reference otherwise.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
