@@ -878,7 +878,15 @@ def simhash_pairs(
     EXACTLY the hamming <= max_hamming pair set — which is what lets
     the portable mode carry a brute-force SQL oracle."""
     assert chunks > max_hamming, "need chunks > max_hamming for full recall"
-    sig = simhash(df, id_col, text_col, portable=portable)
+    # materialize the signatures ONCE: the chunk self-join below
+    # broadcasts one side, and a BroadcastExchange cannot reuse the
+    # other side's shuffle Exchange — without the cache the whole
+    # tokenize+hash+SWAR-vote subtree executes twice, once per join
+    # side (plan-verified r13, the jaccard-prefix lesson).  One long
+    # per doc — far smaller than the recompute it replaces.
+    sig = _register_cache(
+        simhash(df, id_col, text_col, portable=portable).cache()
+    )
     per_chunk = (60 if portable else SIMHASH_BITS) // chunks
     chunk_mask = (1 << per_chunk) - 1
     chunk_structs = ", ".join(
