@@ -128,7 +128,7 @@ def bm25_topk(
 
 def bm25_multi_topk(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None,
     id_col: str,
     text_col: str,
     query_id_col: str = "query_id",
@@ -137,6 +137,7 @@ def bm25_multi_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_dp: int = 5,
+    query_rows: Sequence[tuple[str, Sequence[str]]] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per QUERY for a whole query TABLE
     (``query_id``, ``terms array<string>``) — the real curation shape:
@@ -168,9 +169,25 @@ def bm25_multi_topk(
 
     Returns ``(query_id, id_col, score, rank)`` with rank 1..k per
     query; queries with zero matching documents emit no rows.
+
+    ``query_rows`` — the query table as a Python literal
+    ``[(query_id, [term, ...]), ...]`` for callers whose queries are
+    known at plan-build (the bench/oracle rows; the ann ``seed_rows``
+    pattern).  The (query, term) fan-out becomes a LOCAL relation (no
+    distinct exchange, no job to build its broadcast input) and the
+    vocabulary membership test becomes an IN-list predicate on the
+    exploded tokens — the broadcast-join form only exists to serve a
+    DISTRIBUTED query table, and for a literal one it costs two extra
+    driver jobs per plan for nothing.  Matched rows are identical
+    (inner join against a distinct vocab == membership filter).
+    Exactly one of ``queries`` / ``query_rows`` must be given.
     """
     if k <= 0:
         raise ValueError("bm25_multi_topk: k must be positive")
+    if (queries is None) == (query_rows is None):
+        raise ValueError(
+            "bm25_multi_topk: pass exactly one of queries / query_rows"
+        )
     toks = corpus.select(
         F.col(id_col).alias("__id__"),
         tokens(F.col(text_col)).alias("__t__"),
@@ -180,21 +197,37 @@ def bm25_multi_topk(
         (F.sum("__dl__").cast("double") / F.count(F.lit(1))).alias("__avgdl__"),
         F.count(F.lit(1)).cast("double").alias("__nd__"),
     )
-    q_terms = (
-        queries.select(
-            F.col(query_id_col).alias("__qid__"),
-            F.explode(terms_col).alias("__term__"),
-        ).distinct()
-    )
-    vocab = q_terms.select("__term__").distinct()
-    # the ONE corpus shuffle: (doc, term) tf over matched tokens only
-    matched = (
-        toks.select(
+    if query_rows is not None:
+        pairs = sorted(
+            {(qid, t) for qid, ts in query_rows for t in ts}
+        )
+        q_terms = corpus.sparkSession.createDataFrame(
+            pairs, "__qid__ string, __term__ string"
+        )
+        vocab_pred = F.col("__term__").isin(
+            sorted({t for _, t in pairs})
+        )
+        matched_src = toks.select(
             "__id__",
             F.size("__t__").alias("__dl__"),
             F.explode("__t__").alias("__term__"),
+        ).filter(vocab_pred)
+    else:
+        q_terms = (
+            queries.select(
+                F.col(query_id_col).alias("__qid__"),
+                F.explode(terms_col).alias("__term__"),
+            ).distinct()
         )
-        .join(F.broadcast(vocab), "__term__")
+        vocab = q_terms.select("__term__").distinct()
+        matched_src = toks.select(
+            "__id__",
+            F.size("__t__").alias("__dl__"),
+            F.explode("__t__").alias("__term__"),
+        ).join(F.broadcast(vocab), "__term__")
+    # the ONE corpus shuffle: (doc, term) tf over matched tokens only
+    matched = (
+        matched_src
         .groupBy("__id__", "__dl__", "__term__")
         .agg(F.count(F.lit(1)).cast("double").alias("__tf__"))
         .persist()

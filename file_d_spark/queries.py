@@ -4032,10 +4032,12 @@ def q_bm25_multi_query(spark, sf_dir):
     bigints so the grouped sum is order-free on both engines (see
     functions/retrieval.py bm25_multi_topk for the 100 TB shape)."""
     d = load_table(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(
-        _BM25_MULTI, "query_id string, terms array<string>"
+    # the query table is a plan-time literal — ship it as query_rows so
+    # the (query, term) fan-out is a local relation and the vocabulary
+    # test an IN-list, not two extra jobs (r13, functions/retrieval.py)
+    return retrieval.bm25_multi_topk(
+        d, None, "doc_id", "text", k=10, query_rows=_BM25_MULTI
     )
-    return retrieval.bm25_multi_topk(d, qdf, "doc_id", "text", k=10)
 
 
 @query(
@@ -5350,6 +5352,7 @@ _SWEEP_CHANGED = [
     "dsir_importance",  # union-tagged single-job feature fit
     "kmeans_clusters",  # bounded-corpus driver-side Lloyd's fast path
     "dedup_simhash",  # lane/vote expressions shipped as SQL text
+    "bm25_suite",  # multi leg: literal query_rows (IN-list vocab, local q_terms)
     # r13 constant-array literal construction (ndarray / F.lit(list)
     # instead of element-wise F.array(*F.lit) — constant-folds to the
     # identical tree; full sf0.01 sweep re-verified 100/100):
