@@ -3853,8 +3853,14 @@ def q_corpus_build_end2end(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # join the RAW table, not `kept`: survivor ids are gopher-passing by
+    # construction (surv ⊆ kept, doc_id unique), so re-filtering the
+    # second scan re-ran the whole Gopher signal battery per row for a
+    # predicate the join already guarantees — r13, one full
+    # quality-filter pass dropped from the exec (plan: the second
+    # scan's Filter collapses to the semi-join)
     kept2 = (
-        kept.join(surv, "doc_id")
+        d.join(surv, "doc_id")
         .select(
             "doc_id",
             "lang",
