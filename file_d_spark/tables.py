@@ -35,6 +35,15 @@ def _nanos_cols(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+#: path -> inferred Spark schema.  ``spark.read.parquet`` without an
+#: explicit schema launches a footer-inference job on EVERY call
+#: (~80 ms + one scheduler round trip); the schema of a given file is
+#: immutable, so the first inference is remembered and later loads
+#: pass it explicitly (zero jobs).  Metadata only — no data or query
+#: results are memoized.
+_SCHEMA_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver's session may not carry these confs; both are
     # runtime-settable.  UTC keeps timestamp formatting/epoch math
@@ -42,7 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    known = _SCHEMA_MEMO.get(path)
+    if known is not None:
+        df = spark.read.schema(known).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
     for c in _nanos_cols(path):
         # integer div — float division loses microsecond precision on
         # ~1.7e18 nanos values (double mantissa is 53 bits)
