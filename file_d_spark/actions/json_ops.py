@@ -204,7 +204,15 @@ class Decode(Action):
         prefix = self.params.get("prefix", "")
         col = get_col_safe(parts, df.schema).cast("string")
         fm = decoder(col, self.params.get("params") or self.params)
+        # staged one-pass intermediates (decoders.py __pre__ contract):
+        # project each layer as real columns so the regex runs once per
+        # row instead of once per field, then drop them after the merge
+        pre = fm.pop("__pre__", None) or []
+        for layer in pre:
+            df = df.withColumns(layer)
         df = _merge_fieldmap(self, df, fm, pred, prefix, target_field=parts)
+        if pre:
+            df = df.drop(*[name for layer in pre for name in layer])
         # the origin field is dropped unless kept explicitly — or unless
         # the decoder itself wrote a same-named field (e.g. postgres
         # "log"), which the reference overwrites in place

@@ -18,6 +18,19 @@ mid-pipeline via the ``decode`` action
 Each ``decode_<fmt>`` returns an ordered ``{field_name: Column}`` dict
 (the fields the reference merges into the event root) built from pure
 ``regexp_extract``/``from_json``/``from_csv`` expressions.
+
+The regex decoders additionally return a ``"__pre__"`` entry: a list
+of ``{helper_col_name: Column}`` layers the CONSUMER must project (in
+order, e.g. ``df.withColumns(layer)``) before evaluating the field
+columns, then drop.  The one-pass regexp_replace+split intermediates
+live there under unique ``__fd_rx*__`` names; staging them as real
+columns is what makes the regex run ONCE per row — inlined into each
+field's conditional, codegen's subexpression elimination cannot reach
+them and the matcher re-runs per field (measured 2x the whole decode
+cost at 100k rows).  ``Decode.apply_impl`` and ``_decode_lines``
+handle ``__pre__``; plain-dict consumers that select the field
+columns directly will get an unresolved-column error, never silent
+recompute.
 """
 
 from __future__ import annotations
@@ -46,7 +59,14 @@ def _rx(col: Column, pattern: str, idx: int) -> Column:
 _RX_SEP = "\x01"
 
 
-def _rx_fields(line: Column, pattern: str, n: int) -> list[Column]:
+#: distinguishes the staged helper columns of stacked decode actions
+#: in one plan; per-process monotonic, resolved long before execution
+_RX_STAGE_SEQ = 0
+
+
+def _rx_fields(
+    line: Column, pattern: str, n: int
+) -> tuple[list[Column], list[dict[str, Column]]]:
     """One regex pass for all ``n`` groups of an ANCHORED pattern —
     bit-identical to ``[_rx(line, pattern, i) for i in 1..n]``.
 
@@ -65,10 +85,26 @@ def _rx_fields(line: Column, pattern: str, n: int) -> list[Column]:
     failing either check falls back, PER ROW, to the exact per-group
     ``_rx`` extracts, so pathological inputs produce byte-identical
     results at the old cost while real traffic takes the single-pass
-    path.  Empty-group -> NULL semantics mirror ``_rx``."""
+    path.  Empty-group -> NULL semantics mirror ``_rx``.
+
+    Returns ``(field_columns, pre_layers)``: the ex/parts
+    intermediates are NOT inlined into the field expressions but
+    referenced by name from ``pre_layers`` (see the module docstring's
+    ``__pre__`` contract) — inlined, they sit under each field's
+    conditional where codegen's subexpression elimination cannot
+    deduplicate them, and the matcher re-runs for every field
+    (measured r13: staging the two layers halves the whole decode)."""
+    global _RX_STAGE_SEQ
+    k = _RX_STAGE_SEQ = _RX_STAGE_SEQ + 1
+    ex_name = f"__fd_rx{k}_ex__"
+    parts_name = f"__fd_rx{k}_parts__"
     repl = _RX_SEP.join(f"${i}" for i in range(1, n + 1))
-    ex = F.regexp_replace(line, pattern, repl)
-    parts = F.split(ex, _RX_SEP)
+    pre = [
+        {ex_name: F.regexp_replace(line, pattern, repl)},
+        {parts_name: F.split(F.col(ex_name), _RX_SEP)},
+    ]
+    ex = F.col(ex_name)
+    parts = F.col(parts_name)
     # Java's `$` matches BEFORE a final line terminator, but
     # regexp_replace leaves that terminator outside the replaced
     # region, so it would leak into the last field — rows ending in a
@@ -83,12 +119,13 @@ def _rx_fields(line: Column, pattern: str, n: int) -> list[Column]:
             "\n", "\r", "\u0085", "\u2028", "\u2029"
         )
     )
-    return [
+    cols = [
         F.when(
             ok, F.nullif(F.element_at(parts, i), F.lit(""))
         ).otherwise(_rx(line, pattern, i))
         for i in range(1, n + 1)
     ]
+    return cols, pre
 
 
 # --- decoders --------------------------------------------------------------
@@ -173,12 +210,13 @@ CRI_PATTERN = r"^(\S+) (stdout|stderr) (P|F) (.*)$"
 
 
 def decode_cri(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
-    g = _rx_fields(line, CRI_PATTERN, 4)
+    g, pre = _rx_fields(line, CRI_PATTERN, 4)
     return {
         "time": g[0],
         "stream": g[1],
         "is_partial": g[2] == "P",
         "log": g[3],
+        "__pre__": pre,
     }
 
 
@@ -193,7 +231,7 @@ PG_PATTERN = (
 
 
 def decode_postgres(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
-    g = _rx_fields(line, PG_PATTERN, 7)
+    g, pre = _rx_fields(line, PG_PATTERN, 7)
     return {
         "time": g[0],
         "pid": g[1],
@@ -202,6 +240,7 @@ def decode_postgres(line: Column, params: dict[str, Any] | None = None) -> Field
         "db": g[4],
         "user": g[5],
         "log": g[6],
+        "__pre__": pre,
     }
 
 
@@ -210,7 +249,7 @@ NGINX_PATTERN = r"^(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}) \[(\w+)\] (\d+)#(\d+):(
 
 def decode_nginx_error(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
     params = params or {}
-    g = _rx_fields(line, NGINX_PATTERN, 6)
+    g, pre = _rx_fields(line, NGINX_PATTERN, 6)
     out = {
         "time": g[0],
         "level": g[1],
@@ -218,6 +257,7 @@ def decode_nginx_error(line: Column, params: dict[str, Any] | None = None) -> Fi
         "tid": g[3],
         "cid": g[4],
         "message": g[5],
+        "__pre__": pre,
     }
     if params.get("nginx_with_custom_fields"):
         # nginx.go:163-199 extractCustomFields: walk the tail backwards
@@ -306,7 +346,7 @@ def _pri_fields(pri: Column, params: dict[str, Any]) -> FieldMap:
 
 def decode_syslog_rfc3164(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
     params = params or {}
-    g = _rx_fields(line, SYSLOG3164_PATTERN, 6)
+    g, pre = _rx_fields(line, SYSLOG3164_PATTERN, 6)
     out = _pri_fields(g[0], params)
     out.update(
         {
@@ -315,6 +355,7 @@ def decode_syslog_rfc3164(line: Column, params: dict[str, Any] | None = None) ->
             "app_name": g[3],
             "process_id": g[4],
             "message": g[5],
+            "__pre__": pre,
         }
     )
     return out
@@ -328,7 +369,7 @@ SYSLOG5424_PATTERN = (
 
 def decode_syslog_rfc5424(line: Column, params: dict[str, Any] | None = None) -> FieldMap:
     params = params or {}
-    g = _rx_fields(line, SYSLOG5424_PATTERN, 9)
+    g, pre = _rx_fields(line, SYSLOG5424_PATTERN, 9)
     out = _pri_fields(g[0], params)
 
     def nilable(c: Column) -> Column:
@@ -367,6 +408,7 @@ def decode_syslog_rfc5424(line: Column, params: dict[str, Any] | None = None) ->
             "message_id": nilable(g[6]),
             "structured_data": F.when(sd_raw.isNotNull() & (sd_raw != "-"), sd),
             "message": g[8],
+            "__pre__": pre,
         }
     )
     return out

@@ -46,6 +46,10 @@ def _decode_lines(
     params = dict(plan.settings.decoder_params or {})
     params.setdefault("schema", plan.settings.extra.get("schema"))
     fm = decoder(F.col(line_col), params)
+    # staged one-pass intermediates (decoders.py __pre__ contract);
+    # the final select below omits them, so no explicit drop is needed
+    for layer in fm.pop("__pre__", None) or []:
+        df = df.withColumns(layer)
     out_cols = list(
         meta_cols if meta_cols is not None else [F.input_file_name().alias("_source_name")]
     )
