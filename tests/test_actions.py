@@ -249,11 +249,18 @@ def test_decoder_golden_pairs(spark):
     /root/reference/decoder/*.go doc comments)."""
     from file_d_spark.decoders import DECODERS
 
+    def decode_one(df, fm):
+        # decoders.py __pre__ contract: project the staged one-pass
+        # intermediates before evaluating the field columns
+        for layer in fm.pop("__pre__", None) or []:
+            df = df.withColumns(layer)
+        return df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+
     df = spark.createDataFrame(
         [("2016-10-06T00:17:09.669794202Z stdout F log content",)], "line string"
     )
     fm = DECODERS["cri"](F.col("line"), {})
-    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    row = decode_one(df, fm)
     assert row.time == "2016-10-06T00:17:09.669794202Z"
     assert row.stream == "stdout"
     assert row.log == "log content"
@@ -267,7 +274,7 @@ def test_decoder_golden_pairs(spark):
         "line string",
     )
     fm = DECODERS["postgres"](F.col("line"), {})
-    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    row = decode_one(df, fm)
     assert row.time == "2021-06-22 16:24:27 GMT"
     assert row.pid == "7291"
     assert row.db == "test_db"
@@ -279,7 +286,7 @@ def test_decoder_golden_pairs(spark):
         "line string",
     )
     fm = DECODERS["nginx_error"](F.col("line"), {})
-    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    row = decode_one(df, fm)
     assert row.time == "2022/08/17 10:49:27"
     assert row.level == "error"
     assert row.pid == "2725122"
@@ -293,7 +300,7 @@ def test_decoder_golden_pairs(spark):
         "line string",
     )
     fm = DECODERS["syslog_rfc5424"](F.col("line"), {"syslog_severity_format": "string"})
-    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    row = decode_one(df, fm)
     assert row.priority == "165"
     assert row.facility == "20"
     assert row.severity == "NOTICE"
@@ -308,7 +315,7 @@ def test_decoder_golden_pairs(spark):
         "line string",
     )
     fm = DECODERS["syslog_rfc3164"](F.col("line"), {})
-    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    row = decode_one(df, fm)
     assert row.priority == "34"
     assert row.severity == "2"
     assert row.hostname == "mymachine"
@@ -317,7 +324,7 @@ def test_decoder_golden_pairs(spark):
 
     df = spark.createDataFrame([("a,\"b,c\",d",)], "line string")
     fm = DECODERS["csv"](F.col("line"), {"csv_columns": ["x", "y", "z"]})
-    row = df.select(*[c.alias(n) for n, c in fm.items()]).collect()[0]
+    row = decode_one(df, fm)
     assert (row.x, row.y, row.z) == ("a", "b,c", "d")
 
 
