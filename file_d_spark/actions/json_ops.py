@@ -26,6 +26,37 @@ from file_d_spark.fields import (
 )
 
 
+def _set_gated_batch(
+    action: Action,
+    df: DataFrame,
+    fields: dict[str, Column],
+    pred: Column | None,
+) -> DataFrame:
+    """Merge top-level ``fields`` with ONE ``withColumns`` call when
+    that is provably equivalent to the sequential per-field
+    ``set_gated`` loop, else fall back to the loop.
+
+    Equivalence: sequential ``withColumn`` lets a later field's
+    expression observe an earlier field's NEW value when their names
+    collide; batch evaluation sees the pre-merge state for every
+    expression.  The two agree whenever no target name exists in the
+    pre-merge frame (an expression can only reference columns that
+    exist before the merge, so no expression can reference a
+    same-batch target).  The batch path matters for plan-build cost:
+    each ``withColumn`` is a fresh DataFrame (a py4j round trip plus a
+    schema re-fetch inside set_gated), and a 7-field decoder paid 7 of
+    each per decode action (measured r13: ~3,100 py4j round trips /
+    1.2 s of the decoder_lineformats plan build were this loop)."""
+    if any(name in set(df.columns) for name in fields):
+        for name, col in fields.items():
+            df = action.set_gated(df, [name], col, pred)
+        return df
+    if pred is not None:
+        # targets don't pre-exist, so the set_gated "old" value is NULL
+        fields = {n: F.when(pred, c) for n, c in fields.items()}
+    return df.withColumns(fields)
+
+
 def _merge_fieldmap(
     action: Action,
     df: DataFrame,
@@ -35,19 +66,34 @@ def _merge_fieldmap(
     target_field: list[str] | None = None,
 ) -> DataFrame:
     """Merge a decoder's output fields into the event root (reference
-    semantics: decoded object members land at root)."""
+    semantics: decoded object members land at root).  Runs of plain
+    fields merge as one batched projection (see
+    :func:`_set_gated_batch`); ``__struct__``/``__map__`` entries
+    flush the run and keep their bespoke handling."""
+    batch: dict[str, Column] = {}
+
+    def flush(frame: DataFrame) -> DataFrame:
+        nonlocal batch
+        if batch:
+            frame = _set_gated_batch(action, frame, batch, pred)
+            batch = {}
+        return frame
+
     for name, col in fieldmap.items():
         if name == "__struct__":
+            df = flush(df)
             # declared-schema parse: splat struct members to root
             tmp = "__fd_decoded__"
             df = df.withColumn(tmp, col)
             struct_t = df.schema[tmp].dataType
-            for f in struct_t.fields:
-                df = action.set_gated(
-                    df, [prefix + f.name], F.col(tmp).getField(f.name), pred
-                )
+            members = {
+                prefix + f.name: F.col(tmp).getField(f.name)
+                for f in struct_t.fields
+            }
+            df = _set_gated_batch(action, df, members, pred)
             df = df.drop(tmp)
         elif name == "__map__":
+            df = flush(df)
             # schemaless parse: keep the map under the source field
             # (typed engines cannot splat unknown keys); the reference's
             # key prefix (json_decode.go:106-110) still applies
@@ -58,8 +104,8 @@ def _merge_fieldmap(
             tgt = target_field or ["decoded"]
             df = action.set_gated(df, tgt, col, pred)
         else:
-            df = action.set_gated(df, [prefix + name], col, pred)
-    return df
+            batch[prefix + name] = col
+    return flush(df)
 
 
 @register("json_decode")

@@ -53,6 +53,13 @@ def _rx(col: Column, pattern: str, idx: int) -> Column:
     return F.when(v == "", F.lit(None)).otherwise(v)
 
 
+def _sql_str(s: str) -> str:
+    """``s`` as a Spark SQL single-quoted string literal (the parser
+    processes backslash escapes, so both the backslash and the quote
+    need escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 #: group separator for the one-pass multi-group extract — a control
 #: byte no log format emits on the fast path (rows that DO contain it
 #: fall back to per-group extracts, so results never depend on it)
@@ -96,13 +103,17 @@ def _rx_fields(
     (measured r13: staging the two layers halves the whole decode)."""
     global _RX_STAGE_SEQ
     k = _RX_STAGE_SEQ = _RX_STAGE_SEQ + 1
+    line_name = f"__fd_rx{k}_line__"
     ex_name = f"__fd_rx{k}_ex__"
     parts_name = f"__fd_rx{k}_parts__"
+    ok_name = f"__fd_rx{k}_ok__"
     repl = _RX_SEP.join(f"${i}" for i in range(1, n + 1))
     pre = [
-        {ex_name: F.regexp_replace(line, pattern, repl)},
+        {line_name: line},
+        {ex_name: F.regexp_replace(F.col(line_name), pattern, repl)},
         {parts_name: F.split(F.col(ex_name), _RX_SEP)},
     ]
+    line = F.col(line_name)
     ex = F.col(ex_name)
     parts = F.col(parts_name)
     # Java's `$` matches BEFORE a final line terminator, but
@@ -119,10 +130,20 @@ def _rx_fields(
             "\n", "\r", "\u0085", "\u2028", "\u2029"
         )
     )
+    # the gate is staged as its own __pre__ layer (r13): inlined, the
+    # ex != line full-string compare re-ran once per FIELD per row;
+    # staged, it evaluates once per row
+    pre.append({ok_name: ok})
+    # per-field expressions ship as SQL text: the Column-algebra form
+    # cost ~12 py4j round trips per field per plan build (~0.2 ms
+    # each, measured r13); parsed JVM-side these are IDENTICAL trees
+    pat = _sql_str(pattern)
     cols = [
-        F.when(
-            ok, F.nullif(F.element_at(parts, i), F.lit(""))
-        ).otherwise(_rx(line, pattern, i))
+        F.expr(
+            f"CASE WHEN {ok_name} "
+            f"THEN nullif(element_at({parts_name}, {i}), '') "
+            f"ELSE nullif(regexp_extract({line_name}, {pat}, {i}), '') END"
+        )
         for i in range(1, n + 1)
     ]
     return cols, pre
