@@ -659,16 +659,16 @@ def fuzzy_decontaminate(
         .drop("__nb__")
     )
     candidates = _register_cache(candidates.cache())
-    # verify: corpus shingles fetched via a broadcast semi-join on the
-    # candidate ids, eval shingles broadcast whole (both eval-bounded)
-    cand_docs = candidates.select(F.col("doc_a").alias("doc")).distinct()
-    sets_a = sh_c.join(F.broadcast(cand_docs), "doc").select(
-        F.col("doc"), "shingles", "set_size"
-    )
+    # verify: the (eval-bounded) candidate pairs broadcast straight
+    # onto the cached corpus shingle frame — the corpus side stays the
+    # un-shuffled probe side, and the eval shingle sets broadcast
+    # whole.  (The r13 pre-shape first semi-joined the corpus shingles
+    # down to candidate docs and broadcast THAT — same row count, but
+    # one extra distinct shuffle and one extra broadcast build per run
+    # for a frame the candidate broadcast already bounds.)
     pairs = (
-        candidates.join(
-            F.broadcast(sets_a.alias("sa")), F.col("doc_a") == F.col("sa.doc")
-        )
+        sh_c.alias("sa")
+        .join(F.broadcast(candidates), F.col("sa.doc") == F.col("doc_a"))
         .join(F.broadcast(sh_e.alias("sb")), F.col("doc_b") == F.col("sb.doc"))
         .withColumn(
             "common", F.size(F.array_intersect("sa.shingles", "sb.shingles"))

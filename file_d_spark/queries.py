@@ -5359,6 +5359,7 @@ _SWEEP_CHANGED = [
     "kmeans_clusters",  # bounded-corpus driver-side Lloyd's fast path
     "dedup_simhash",  # lane/vote expressions shipped as SQL text
     "bm25_suite",  # multi leg: literal query_rows (IN-list vocab, local q_terms)
+    "fuzzy_decontaminate",  # candidates broadcast straight onto sh_c (verify)
     # r13 constant-array literal construction (ndarray / F.lit(list)
     # instead of element-wise F.array(*F.lit) — constant-folds to the
     # identical tree; full sf0.01 sweep re-verified 100/100):
