@@ -821,8 +821,8 @@ def dup_span_fraction(
     instead of re-splitting ``text_col`` — composition pipelines that
     tokenize once upstream (corpus_build_end2end) pass it to avoid
     paying the split per stage."""
-    from file_d_spark.functions.dedup import _portable_hash60, spread
-    from file_d_spark.functions.quality import _ngram_col
+    from file_d_spark.functions.dedup import spread
+    from file_d_spark.functions.quality import _ngram_sql, _tokens_sql
 
     if tokens_col is None:
         # per-gram tokenize+hash is heavy per-row work — don't let a
@@ -831,16 +831,22 @@ def dup_span_fraction(
         # manage their own partitioning upstream
         df = spread(df)
 
+    # the gram projection ships as SQL text (identical trees): the
+    # Column-algebra form cost ~600 py4j round trips per grams_of call
+    # per plan build, and it is built twice (main + skew subsample)
+    toks_sql = (
+        f"`{tokens_col}`" if tokens_col else _tokens_sql(f"`{text_col}`")
+    )
+
     def grams_of(frame: DataFrame) -> DataFrame:
-        toks = (
-            F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
+        return frame.selectExpr(
+            f"`{id_col}` AS __doc__",
+            f"explode(array_distinct({_ngram_sql(toks_sql, n)})) AS __gram__",
+        ).selectExpr(
+            "__doc__",
+            "CAST(conv(substring(md5(__gram__), 1, 15), 16, 10) AS BIGINT)"
+            " AS __h__",
         )
-        return frame.select(
-            F.col(id_col).alias("__doc__"),
-            F.explode(
-                F.array_distinct(_ngram_col(toks, n))
-            ).alias("__gram__"),
-        ).select("__doc__", _portable_hash60(F.col("__gram__")).alias("__h__"))
 
     grams = grams_of(df)
     hot: list = []

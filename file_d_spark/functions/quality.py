@@ -45,6 +45,28 @@ def _ngram_col(toks: Column, n: int) -> Column:
     return zipped
 
 
+def _tokens_sql(col_sql: str) -> str:
+    """SQL-text twin of :func:`file_d_spark.functions.text.tokens` —
+    the identical expression, parsed JVM-side in one round trip."""
+    return f"filter(split(trim({col_sql}), '\\\\s+'), t -> t != '')"
+
+
+def _ngram_sql(toks_sql: str, n: int) -> str:
+    """SQL-text twin of :func:`_ngram_col` (identical tree).  Large-n
+    callers on the plan-build hot path use this: the Column chain
+    costs ~15 py4j round trips per zip_with level per plan build."""
+    if n == 1:
+        return toks_sql
+    length = f"greatest(size({toks_sql}) - {n - 1}, 0)"
+    zipped = f"slice({toks_sql}, 1, {length})"
+    for j in range(1, n):
+        zipped = (
+            f"zip_with({zipped}, slice({toks_sql}, {j + 1}, {length}), "
+            f"(x, y) -> concat_ws(' ', x, y))"
+        )
+    return zipped
+
+
 def repetition_metrics(
     df: DataFrame,
     id_col: str,

@@ -5360,6 +5360,7 @@ _SWEEP_CHANGED = [
     "dedup_simhash",  # lane/vote expressions shipped as SQL text
     "bm25_suite",  # multi leg: literal query_rows (IN-list vocab, local q_terms)
     "fuzzy_decontaminate",  # candidates broadcast straight onto sh_c (verify)
+    "dup_span_fraction",  # gram projection ships as SQL text (same tree)
     # r13 constant-array literal construction (ndarray / F.lit(list)
     # instead of element-wise F.array(*F.lit) — constant-folds to the
     # identical tree; full sf0.01 sweep re-verified 100/100):
