@@ -320,12 +320,18 @@ class Throttle(Action):
         # rows failing the gate bypass the action entirely: always kept,
         # never counted against any limit (processor.go:190-243 semantics)
         match = F.lit(True) if pred is None else pred
-        df = (
-            df.withColumn("__fd_key__", key)
-            .withColumn("__fd_bucket__", bucket)
-            .withColumn("__fd_ts__", ts)
-            .withColumn("__fd_m__", match)
-            .withColumn("__fd_rule__", rule_idx)
+        # one projection hop for all five helper columns: the helpers
+        # derive only from pre-existing event columns, so the batched
+        # withColumns is equivalent to the chained form (r13 — each
+        # chained withColumn was a fresh DataFrame + py4j round trips)
+        df = df.withColumns(
+            {
+                "__fd_key__": key,
+                "__fd_bucket__": bucket,
+                "__fd_ts__": ts,
+                "__fd_m__": match,
+                "__fd_rule__": rule_idx,
+            }
         )
         # bucket-ring clamp (buckets.go:231-235 rebuildBuckets: "events
         # from past or future goes to the latest bucket" — they are
