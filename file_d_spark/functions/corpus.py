@@ -1287,12 +1287,20 @@ def budget_select(
         F.col(score_col).alias("__score__"),
         F.col(weight_col).cast("long").alias("__w__"),
     )
+    # repartitionByRange executes its input TWICE — a boundary-sampling
+    # pass and the shuffle itself — and budget_select's callers feed it
+    # expensive scoring pipelines (tokenize + array_distinct per doc).
+    # Cache the narrow (id, score, weight) projection so the upstream
+    # runs once; unpersisted right after the pinned checkpoint below
+    # materializes (r13, §2.3).
+    base = base.cache()
     r = base.repartitionByRange(n, F.desc("__score__"), F.col(id_col))
     r = _register_cache(
         r.withColumn("__pid__", F.spark_partition_id()).localCheckpoint(
             eager=True
         )
     )
+    base.unpersist()  # the checkpoint holds the rows from here on
     sub = sorted(
         r.groupBy("__pid__").agg(F.sum("__w__").alias("w")).collect(),
         key=lambda row: row["__pid__"],

@@ -5361,6 +5361,7 @@ _SWEEP_CHANGED = [
     "bm25_suite",  # multi leg: literal query_rows (IN-list vocab, local q_terms)
     "fuzzy_decontaminate",  # candidates broadcast straight onto sh_c (verify)
     "dup_span_fraction",  # gram projection ships as SQL text (same tree)
+    "budget_select",  # scored frame cached across the range-sample + shuffle
     # r13 constant-array literal construction (ndarray / F.lit(list)
     # instead of element-wise F.array(*F.lit) — constant-folds to the
     # identical tree; full sf0.01 sweep re-verified 100/100):
