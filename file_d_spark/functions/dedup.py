@@ -506,8 +506,12 @@ def minhash_signature(base: Column, num_hashes: int = 64) -> Column:
     a transform per hash function) re-walks the shingle array K times
     interpreted — measured ~2.5x slower at K=64."""
     consts = _mh_constants(num_hashes)
-    a_lit = F.lit([a for a, _ in consts])
-    b_lit = F.lit([b for _, b in consts])
+    # one py4j trip per literal array — F.lit(list) expands to one
+    # trip per ELEMENT (r14; 2 × 64 longs ≈ 1,050 trips per plan here)
+    from file_d_spark.functions.sqlexpr import lit_longs
+
+    a_lit = lit_longs([a for a, _ in consts])
+    b_lit = lit_longs([b for _, b in consts])
     return F.aggregate(
         base,
         F.array_repeat(F.lit(_MH_PRIME).cast("long"), num_hashes),

@@ -63,56 +63,63 @@ def bm25_topk(
     if not terms:
         raise ValueError("bm25_topk: at least one query term required")
     terms = sorted(set(terms))
+    # per-term expressions ship as SQL text (r14): the Column-per-term
+    # loops cost ~700 py4j trips per plan build; the parsed trees are
+    # identical (same filter/size, same cast chain, same float literal
+    # order), so scores are bit-equal.  Terms are embedded as escaped
+    # string literals; column aliases are backtick-quoted so any token
+    # value is a legal alias.
+    from file_d_spark.functions.sqlexpr import d_sql
 
-    def tf_col(t: str):
-        return F.size(F.filter(F.col("__t__"), lambda x: x == F.lit(t)))
+    def esc(t: str) -> str:
+        return t.replace("\\", "\\\\").replace("'", "\\'")
+
+    def tf_sql(t: str) -> str:
+        return f"CAST(size(filter(__t__, x -> x = '{esc(t)}')) AS DOUBLE)"
 
     base = df.select(
         F.col(id_col).alias("__id__"),
         tokens(F.col(text_col)).alias("__t__"),
-    ).select(
+    ).selectExpr(
         "__id__",
-        F.size("__t__").alias("__dl__"),
-        *[tf_col(t).cast("double").alias(f"__tf_{t}__") for t in terms],
+        "size(__t__) AS __dl__",
+        *[f"{tf_sql(t)} AS `__tf_{t}__`" for t in terms],
     )
     # ONE aggregation yields the whole scoring model as a broadcast row
     stats = base.agg(
-        (F.sum("__dl__").cast("double") / F.count(F.lit(1))).alias("__avgdl__"),
-        F.count(F.lit(1)).cast("double").alias("__nd__"),
+        F.expr("CAST(sum(__dl__) AS DOUBLE) / count(1)").alias("__avgdl__"),
+        F.expr("CAST(count(1) AS DOUBLE)").alias("__nd__"),
         *[
-            F.sum((F.col(f"__tf_{t}__") > 0).cast("long"))
-            .cast("double")
-            .alias(f"__df_{t}__")
+            F.expr(
+                f"CAST(sum(CAST((`__tf_{t}__` > 0) AS BIGINT)) AS DOUBLE)"
+            ).alias(f"__df_{t}__")
             for t in terms
         ],
     )
-    cand = base
-    any_term = F.col(f"__tf_{terms[0]}__") > 0
-    for t in terms[1:]:
-        any_term = any_term | (F.col(f"__tf_{t}__") > 0)
-    cand = base.filter(any_term)
+    cand = base.filter(
+        F.expr(" OR ".join(f"(`__tf_{t}__` > 0)" for t in terms))
+    )
     scored = cand.crossJoin(F.broadcast(stats))
 
-    def term_score(t: str):
-        tf = F.col(f"__tf_{t}__")
-        dfc = F.col(f"__df_{t}__")
-        idf = F.log(
-            (F.col("__nd__") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
-            + F.lit(1.0)
+    def term_score_sql(t: str) -> str:
+        tf = f"`__tf_{t}__`"
+        dfc = f"`__df_{t}__`"
+        idf = f"ln((__nd__ - {dfc} + 0.5D) / ({dfc} + 0.5D) + 1.0D)"
+        denom = (
+            f"({tf} + {d_sql(k1)} * ({d_sql(1.0 - b)}"
+            f" + {d_sql(b)} * __dl__ / __avgdl__))"
         )
-        denom = tf + F.lit(k1) * (
-            F.lit(1.0 - b)
-            + F.lit(b) * F.col("__dl__") / F.col("__avgdl__")
+        return (
+            f"coalesce({idf} * ({tf} * {d_sql(k1 + 1.0)}) / {denom}, 0.0D)"
         )
-        return F.coalesce(idf * (tf * F.lit(k1 + 1.0)) / denom, F.lit(0.0))
 
-    score = term_score(terms[0])
+    score_sql = term_score_sql(terms[0])
     for t in terms[1:]:
-        score = score + term_score(t)
+        score_sql = f"({score_sql} + {term_score_sql(t)})"
     ranked = (
-        scored.select(
-            F.col("__id__").alias(id_col),
-            F.round(score, round_dp).alias("score"),
+        scored.selectExpr(
+            f"__id__ AS `{id_col}`",
+            f"round({score_sql}, {int(round_dp)}) AS score",
         )
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)

@@ -619,45 +619,38 @@ def lsh_topk(
         )],
         "__planes__ array<array<double>>, __weights__ array<bigint>",
     )
-    vec = F.col(vec_col)
-    sig_col = F.aggregate(
-        F.zip_with(
-            F.transform(F.col("__planes__"), lambda p: dot(vec, p)),
-            F.col("__weights__"),
-            lambda proj, w: F.when(proj > 0, w).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    # signature + band fan-out as SQL text (r14): the Column form cost
+    # ~1k py4j trips per plan build across the two roles; the parsed
+    # trees are identical (same zip_with/aggregate ops, same CASE,
+    # same shift/mask arithmetic), so signatures are bit-equal.
+    from file_d_spark.functions.sqlexpr import dot_sql, norm_sql
+
+    sig_sql = (
+        "aggregate(zip_with(transform(__planes__, p -> {dot}), "
+        "__weights__, (proj, w) -> "
+        "CASE WHEN proj > 0 THEN w ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    ).format(dot=dot_sql(f"`{vec_col}`", "p"))
+    mask = (1 << per_band) - 1
+    bb_sql = "explode(array({})) AS bb".format(
+        ", ".join(
+            f"struct({b} AS band, "
+            f"(shiftright(sig, {b * per_band}) & {mask}) AS val)"
+            for b in range(bands)
+        )
     )
 
     def banded(df: DataFrame, role: str) -> DataFrame:
         if role == "neighbor":
             df = spread(df)
-        sig = df.crossJoin(F.broadcast(model)).select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
-            norm(F.col(vec_col)).alias(f"{role}_norm"),
-            sig_col.alias("sig"),
+        sig = df.crossJoin(F.broadcast(model)).selectExpr(
+            f"`{id_col}` AS {role}_id",
+            f"`{vec_col}` AS {role}_vec",
+            f"{norm_sql(f'`{vec_col}`')} AS {role}_norm",
+            f"{sig_sql} AS sig",
         )
-        return sig.select(
-            f"{role}_id",
-            f"{role}_vec",
-            f"{role}_norm",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(F.col("sig"), b * per_band)
-                            .bitwiseAND(F.lit((1 << per_band) - 1))
-                            .alias("val"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+        return sig.selectExpr(
+            f"{role}_id", f"{role}_vec", f"{role}_norm", bb_sql
         ).select(f"{role}_id", f"{role}_vec", f"{role}_norm", "bb.band", "bb.val")
 
     # score candidates in place, then dedup + top-k in ONE shuffle:
@@ -1760,22 +1753,32 @@ def jl_project(
     (a one-split embeddings file serializes the CPU-dense HOF dots
     onto one core — measured 2.51 → 1.16 s at x10; no-op when the
     scan already has enough splits).
+
+    The whole projection ships as TWO SQL-text expressions (r13
+    selectExpr pattern, r14): the Column form cost ~5,000 py4j round
+    trips per plan build — F.lit on a plane list/ndarray expands to
+    one trip per ELEMENT (16 × 64 floats) plus the per-plane
+    zip_with/aggregate lambda algebra; the parsed trees are identical
+    (dot_sql/arr_d_sql mirror dot/dot_lit op for op), so components
+    are bit-equal.
     """
     from file_d_spark.functions.dedup import spread
+    from file_d_spark.functions.sqlexpr import arr_d_sql, d_sql, dot_sql
 
     corpus = spread(corpus)
     inv = scale / math.sqrt(float(out_dim))
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    comps = F.array(
-        *[
-            F.round(dot_lit(v, _hyperplane(dim, plane_offset + j)) * F.lit(inv))
-            .cast("long")
-            for j in range(out_dim)
-        ]
-    )
-    return corpus.select(
-        F.col(id_col),
-        F.posexplode(comps).alias("j", "comp_fp"),
+    v_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    comps_sql = "array(" + ", ".join(
+        "CAST(round({dot} * {inv}) AS BIGINT)".format(
+            dot=dot_sql(
+                "__v__", arr_d_sql(_hyperplane(dim, plane_offset + j))
+            ),
+            inv=d_sql(inv),
+        )
+        for j in range(out_dim)
+    ) + ")"
+    return corpus.selectExpr(f"`{id_col}`", f"{v_sql} AS __v__").selectExpr(
+        f"`{id_col}`", f"posexplode({comps_sql}) AS (j, comp_fp)"
     )
 
 

@@ -3301,11 +3301,13 @@ def q_token_stats_suite(spark, sf_dir):
     ):
         df = fn(spark, sf_dir)
         have = set(df.columns)
-        cols = [F.lit(tag).alias("leg"), F.col("lang")] + [
-            (F.col(name) if name in have else F.lit(None).cast(typ).alias(name))
+        # one selectExpr per leg (r14): the Column-by-Column padding
+        # cost ~1 py4j trip per cell per plan build (~500 here)
+        cols = [f"'{tag}' AS leg", "lang"] + [
+            (name if name in have else f"CAST(NULL AS {typ}) AS {name}")
             for name, typ in _TOKEN_SUITE_COLS
         ]
-        legs.append(df.select(*cols))
+        legs.append(df.selectExpr(*cols))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -4971,20 +4973,18 @@ def q_dbscan_clusters(spark, sf_dir):
 def _suite_df(spark, sf_dir, legs, all_cols):
     """Union the leg DataFrames under (leg, *all_cols), padding columns
     a leg doesn't produce with typed NULLs so every leg keeps its exact
-    standalone values under the combined value-hash."""
+    standalone values under the combined value-hash.  One selectExpr
+    per leg (r14): the Column-by-Column padding cost ~1 py4j trip per
+    cell per plan build (~500/suite)."""
     out = None
     for tag, fn in legs:
         df = fn(spark, sf_dir)
         have = set(df.columns)
-        cols = [F.lit(tag).alias("leg")] + [
-            (
-                F.col(name)
-                if name in have
-                else F.lit(None).cast(spark_t).alias(name)
-            )
+        cols = [f"'{tag}' AS leg"] + [
+            (name if name in have else f"CAST(NULL AS {spark_t}) AS {name}")
             for name, spark_t, _duck_t in all_cols
         ]
-        leg_df = df.select(*cols)
+        leg_df = df.selectExpr(*cols)
         out = leg_df if out is None else out.unionByName(leg_df)
     return out
 
@@ -5338,6 +5338,20 @@ def q_quantile_thresholds(spark, sf_dir):
 
 # hand-maintained per round: code or oracle changed -> must re-verify
 _SWEEP_CHANGED = [
+    # r14 optimization round: plan-build rewrites shipping the SAME
+    # expression trees as SQL text (one py4j parse trip instead of one
+    # trip per Column/array element) — oracle hashes re-verified at
+    # sf0.01 (and sf0.1 for the restructured ones) this session.
+    "jl_project",  # whole projection as two selectExpr strings
+    "dedup_minhash_lsh",  # minhash a/b literal arrays in one trip
+    "dedup_incremental_fuzzy",  # shares minhash_signature
+    "fuzzy_decontaminate",  # shares minhash_signature
+    "token_stats_suite",  # leg padding as one selectExpr per leg
+    "sketch_suite",  # _suite_df padding as one selectExpr per leg
+    "bm25_suite",  # bm25_topk per-term expressions as SQL text
+    "convert_suite",  # _suite_df padding (shared helper)
+    "filter_suite",  # _suite_df padding (shared helper)
+    "ann_methods",  # lsh_topk signature + band fan-out as SQL text
     # r13: embedding_pq cleared — CORRECTNESS_r12 landed it
     # driver-green (hash match), so the r12 restaging is re-verified.
     #
