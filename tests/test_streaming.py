@@ -4,6 +4,7 @@ availableNow + processAllAvailable."""
 
 import json
 import os
+import time
 
 import pytest
 
@@ -16,7 +17,19 @@ def _write_jsonl(tmpdir, name, rows):
     return path
 
 
-def _run_stream(out_df, query_name):
+def _run_stream(out_df, query_name, want_rows=None, timeout=120):
+    """Drive a stream and wait for ``want_rows`` rows in the memory
+    table, then stop it.  Timer-driven stateful streams
+    (applyInPandasWithState with processing-time timeouts) NEVER
+    self-terminate under availableNow — a bare ``awaitTermination(120)``
+    here used to burn the full 120 s PER TEST (~24 min of pure wait
+    across this file; r14).  Memory-sink batches commit atomically, so
+    any ``want_rows`` <= the final count of the batch that completes
+    the expectation is safe; rows emitted by LATER timer-flush batches
+    need the exact final count.  Falls back to the full timeout (same
+    behavior as before) when ``want_rows`` never arrives — the
+    assertions that follow then fail with the real row set."""
+    spark = out_df.sparkSession
     q = (
         out_df.writeStream.format("memory")
         .queryName(query_name)
@@ -24,7 +37,18 @@ def _run_stream(out_df, query_name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if q.awaitTermination(1):
+            return q  # self-terminated (no pending timers)
+        if want_rows is not None:
+            n = spark.sql(
+                f"SELECT count(*) AS n FROM {query_name}"
+            ).collect()[0].n
+            if n >= want_rows:
+                break
+    q.stop()
+    q.awaitTermination(30)
     return q
 
 
@@ -62,7 +86,7 @@ def test_multiline_join_stream(spark, stream_reader):
         continue_re=r"^\s",
         event_timeout_ms=500,
     )
-    _run_stream(out, "mjoin")
+    _run_stream(out, "mjoin", want_rows=5)
     # first batch emits completed sequences; the open "start C" and
     # "start B contB" tails flush on timeout — poke the stream again
     got = {
@@ -84,7 +108,7 @@ def test_throttle_stream(spark, stream_reader):
     out = throttle_stream(
         df, key_col="k", ts_col="ts", bucket_interval_s=60, buckets_count=10, limit=3
     )
-    _run_stream(out, "thr")
+    _run_stream(out, "thr", want_rows=4)
     got = spark.sql("SELECT k, count(*) c FROM thr GROUP BY k").collect()
     counts = {r.k: r.c for r in got}
     assert counts == {"x": 3, "y": 1}
@@ -98,7 +122,7 @@ def test_cardinality_stream(spark, stream_reader):
     ]
     df = stream_reader(rows, "tenant string, trace string, i long")
     out = cardinality_stream(df, "tenant", "trace", limit=3, mode="discard")
-    _run_stream(out, "card")
+    _run_stream(out, "card", want_rows=4)
     got = spark.sql("SELECT tenant, count(*) c FROM card GROUP BY tenant").collect()
     counts = {r.tenant: r.c for r in got}
     # t1 exceeds 3 distinct traces mid-batch: first 4 events admitted
@@ -153,7 +177,7 @@ def test_antispam_stream(spark, stream_reader):
         df, "source", threshold=10, maintenance_interval_ms=60_000,
         seq_col="i",
     )
-    _run_stream(out, "anti")
+    _run_stream(out, "anti", want_rows=10)
     got = {
         (r.source, r.i)
         for r in spark.sql("SELECT source, i FROM anti").collect()
@@ -305,7 +329,7 @@ def test_throttle_stream_rules(spark, stream_reader):
         }
     )
     out = act.apply(df)
-    _run_stream(out, "thr_rules")
+    _run_stream(out, "thr_rules", want_rows=4)
     got = spark.sql(
         "SELECT level, count(*) c FROM thr_rules GROUP BY level"
     ).collect()
@@ -339,7 +363,7 @@ def test_throttle_stream_distribution_steal(spark, stream_reader):
         }
     )
     out = act.apply(df)
-    _run_stream(out, "thr_dist")
+    _run_stream(out, "thr_dist", want_rows=6)
     # default reserve 3 admits 3; overflow steals the error reserve (3)
     assert spark.sql("SELECT count(*) c FROM thr_dist").collect()[0].c == 6
 
@@ -381,7 +405,7 @@ def test_join_template_stream_per_template_gating(spark, stream_reader):
         }
     )
     out = p.apply(df)
-    _run_stream(out, "jts")
+    _run_stream(out, "jts", want_rows=4)
     got = {
         (r.src, r.seq): r.log
         for r in spark.sql("SELECT * FROM jts").collect()
@@ -409,7 +433,7 @@ def test_cardinality_stream_at_limit_cached_value(spark, stream_reader):
     ]
     df = stream_reader(rows, "tenant string, trace string, i long")
     out = cardinality_stream(df, "tenant", "trace", limit=2, mode="discard")
-    _run_stream(out, "card_at_limit")
+    _run_stream(out, "card_at_limit", want_rows=2)
     got = sorted(r.i for r in spark.sql("SELECT i FROM card_at_limit").collect())
     assert got == [0, 1], f"cached-value event at the limit admitted: {got}"
 
@@ -450,7 +474,7 @@ def test_cardinality_stream_multi_key_multi_field(spark, stream_reader):
             ]
         }
     )
-    _run_stream(p.apply(sdf), "card_multi")
+    _run_stream(p.apply(sdf), "card_multi", want_rows=4)
     got = {r.i: r for r in spark.sql("SELECT * FROM card_multi").collect()}
     assert set(got) == {0, 1, 2, 3}
     assert got[0].f1 == "1" and got[1].f2 == "2" and got[2].f1 == "9"
@@ -486,7 +510,7 @@ def test_cardinality_stream_strips_nested_selector(spark, stream_reader):
             ]
         }
     )
-    _run_stream(p.apply(df), "card_nested")
+    _run_stream(p.apply(df), "card_nested", want_rows=2)
     got = {r.i: r for r in spark.sql("SELECT * FROM card_nested").collect()}
     assert set(got) == {0, 1}
     assert got[0].meta.trace == "A" and got[0].meta.keep == "k0"
@@ -522,7 +546,7 @@ def test_throttle_stream_keyless_and_numeric_epoch(spark, stream_reader):
             ]
         }
     )
-    _run_stream(p.apply(df), "thr_keyless")
+    _run_stream(p.apply(df), "thr_keyless", want_rows=2)
     got = sorted(r.i for r in spark.sql("SELECT i FROM thr_keyless").collect())
     # nanosecond misparse would put all three in one bucket -> [0];
     # correct parsing admits one per hour bucket
@@ -551,7 +575,7 @@ def test_multiline_stream_max_event_size_and_missing_source(spark, stream_reader
         continue_re="^cont",
         max_event_size=15,
     )
-    _run_stream(out, "mjoin_cap")
+    _run_stream(out, "mjoin_cap", want_rows=2)
     got = {r.seq: r.log for r in spark.sql("SELECT * FROM mjoin_cap").collect()}
     joined = got[0]
     assert joined == ("START aaaa" + "cont bbbb" + "cont cccc")[:15]
@@ -574,7 +598,7 @@ def test_bloom_dedup_stream_drops_null_content(spark, stream_reader):
     ]
     df = stream_reader(rows, "c string, i long")
     out = bloom_dedup_stream(df, "c")
-    _run_stream(out, "bloom_null")
+    _run_stream(out, "bloom_null", want_rows=2)
     got = sorted(r.i for r in spark.sql("SELECT i FROM bloom_null").collect())
     assert got == [1, 3], got
 
