@@ -633,7 +633,8 @@ def test_cardinality_batch_stream_parity(spark, stream_reader):
     # streaming: same rows in arrival order
     sdf = stream_reader(rows, "tenant string, trace string, i long")
     _run_stream(
-        Pipeline.from_dict({"actions": [cfg]}).apply(sdf), "card_parity"
+        Pipeline.from_dict({"actions": [cfg]}).apply(sdf), "card_parity",
+        want_rows=len(batch_out),
     )
     stream_out = sorted(
         r.i for r in spark.sql("SELECT i FROM card_parity").collect()
