@@ -76,16 +76,20 @@ def brute_force_topk(
     (:func:`hard_negatives` is this with the bound required).
     """
     from file_d_spark.functions.dedup import spread
+    from file_d_spark.functions.sqlexpr import dot_sql, norm_sql
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
+    # projections + pair score as SQL text (r14): the dot/norm Column
+    # algebra cost ~45 py4j trips per call site per plan build; parsed
+    # trees are identical, so sims are bit-equal
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS q_vec",
+        f"{norm_sql(f'`{vec_col}`')} AS q_norm",
     )
-    c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
+    c = spread(corpus).selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS c_vec",
+        f"{norm_sql(f'`{vec_col}`')} AS c_norm",
     )
     # norms computed ONCE per row on each side — cosine() inline would
     # re-derive |q| and |c| per PAIR (3x the array traversals)
@@ -94,8 +98,7 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
-            dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm")),
+            F.expr(f"{dot_sql('q_vec', 'c_vec')} / (q_norm * c_norm)"),
         )
     )
     if max_sim is not None:
@@ -668,8 +671,10 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
-            dot(F.col("query_vec"), F.col("neighbor_vec"))
-            / (F.col("query_norm") * F.col("neighbor_norm")),
+            F.expr(
+                f"{dot_sql('query_vec', 'neighbor_vec')}"
+                " / (query_norm * neighbor_norm)"
+            ),
         )
     )
     return (

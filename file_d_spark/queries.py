@@ -5352,6 +5352,9 @@ _SWEEP_CHANGED = [
     "convert_suite",  # _suite_df padding (shared helper)
     "filter_suite",  # _suite_df padding (shared helper)
     "ann_methods",  # lsh_topk signature + band fan-out as SQL text
+    "ann_index_build",  # shares the converted helpers
+    "hard_negatives",  # brute_force_topk projections as SQL text
+    "mmr_diversify",  # candidate pool comes from brute_force_topk
     # r13: embedding_pq cleared — CORRECTNESS_r12 landed it
     # driver-green (hash match), so the r12 restaging is re-verified.
     #
