@@ -50,6 +50,25 @@ def get_spark(app_name: str = "file_d_spark", cpus: int | None = None) -> SparkS
         # never scans it all.  Scales with the core count, not a
         # local[32] constant.
         .config("spark.sql.limit.initialNumPartitions", str(cpus))
+        # AQE coalescing's floor on post-shuffle partition size (r14).
+        # The default 1m floor over-coalesces CPU-DENSE, byte-SMALL
+        # stages: candidate-pair verification shuffles a few MB of
+        # (long, long) pairs whose array_intersect work is seconds of
+        # CPU, and the 1m floor packed it onto 1-3 tasks (measured:
+        # dedup_ngram_jaccard 4.8 -> 2.3 s, rolling_zscore 0.49 ->
+        # 0.25 s, graph_pagerank -32%, 18-row sweep -24%, zero
+        # regressions at sf0.1).  16k keeps such stages at full task
+        # fan-out.  Scale behavior: the floor binds ONLY when a
+        # stage's total bytes < partitions x 1m (i.e. tiny shuffles) —
+        # at 100 TB the advisory/parallelism targets dominate and this
+        # setting is inert; on clusters where many tiny tasks are
+        # genuinely costly, raise SPARK_GRAFT_AQE_MIN_PARTITION back
+        # toward 1m (it is the guide's "busy cluster" knob, not a
+        # correctness setting — results are partitioning-invariant).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "16k"),
+        )
         # let the planner pick shuffled-hash over sort-merge when its
         # size conditions hold (build side < autoBroadcastJoinThreshold
         # x shuffle partitions AND 3x smaller than the probe side) —
