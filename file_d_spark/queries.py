@@ -5336,7 +5336,16 @@ def q_quantile_thresholds(spark, sf_dir):
 # With no CORRECTNESS files present (fresh clone) every query counts
 # as never-verified and the order degrades to registration order.
 
-# hand-maintained per round: code or oracle changed -> must re-verify
+# hand-maintained per round: code or oracle changed -> must re-verify.
+# _SWEEP_CHANGED_ROUND dates the list: an entry holds a head slot
+# until a driver round >= this one re-greens it.  (The previous rule —
+# drop when green == newest round — mis-handled a query changed AFTER
+# its newest green landed: an r14 change to an r13-green query sorted
+# to the tail and escaped re-verification.  Dating the list fixes the
+# drop test without losing the no-stale-pin property: once
+# CORRECTNESS_r14 lands, greens >= 14 release the slots exactly as
+# before.)
+_SWEEP_CHANGED_ROUND = 14
 _SWEEP_CHANGED = [
     # r14 optimization round: plan-build rewrites shipping the SAME
     # expression trees as SQL text (one py4j parse trip instead of one
@@ -5355,52 +5364,21 @@ _SWEEP_CHANGED = [
     "ann_index_build",  # shares the converted helpers
     "hard_negatives",  # brute_force_topk projections as SQL text
     "mmr_diversify",  # candidate pool comes from brute_force_topk
-    # r13: embedding_pq cleared — CORRECTNESS_r12 landed it
-    # driver-green (hash match), so the r12 restaging is re-verified.
-    #
-    # r13 window arithmetic (VERDICT r12 next-round #1): the 47
-    # r11-green rows turn 2-rounds stale at r13 and fill the sweep
-    # head; the 50 r12-green rows are fresh.  47 stale + 3 slots =
-    # exactly 50 → register sketch_suite + jl_project +
-    # quantile_thresholds (all sf0.01-oracle-prechecked before
-    # promotion — the r12 mmr lesson).  The three registrations are
-    # never-green and auto-head without a list entry.
-    #
-    # r13: throttle_modes gains a limit_distribution leg (VERDICT r12
-    # next-round #4 — the ratio-steal path had no driver-visible row).
-    # throttle_modes is r11-stale and therefore ALREADY inside the
-    # window — this entry pins it to the head without costing a slot.
-    "throttle_modes",
-    # r13 optimization round: plan-build/plan-shape rewrites with
-    # oracle hashes re-verified at sf0.001/sf0.01/sf0.1 this session —
-    # pinned so the driver re-greens them first.
-    "mmr_diversify",  # in-row greedy fold replaces k join/window stages
-    "embedding_pq",  # batched selectExpr plan build (same trees)
-    "ann_methods",  # IVFPQ expressions shipped as SQL text (same trees)
-    "ann_index_build",  # shares the batched IVFPQ helpers
-    "bpe_train_apply",  # driver-side merge loop over the bounded vocab
-    "bpe_fertility",  # shares the driver-side BPE training
-    "decoder_lineformats",  # single-pass regex group extraction
-    "decoder_structured",  # shares the single-pass decoders
-    "dedup_cluster",  # fused fast-path probe, checkpoint-free
-    "dedup_ngram_jaccard",  # prefix frame materialized once
-    "dsir_importance",  # union-tagged single-job feature fit
-    "kmeans_clusters",  # bounded-corpus driver-side Lloyd's fast path
-    "dedup_simhash",  # lane/vote expressions shipped as SQL text
-    "bm25_suite",  # multi leg: literal query_rows (IN-list vocab, local q_terms)
-    "fuzzy_decontaminate",  # candidates broadcast straight onto sh_c (verify)
-    "dup_span_fraction",  # gram projection ships as SQL text (same tree)
-    "budget_select",  # scored frame cached across the range-sample + shuffle
-    "bucketed_enrich",  # the two bucketed writes overlap (thread pool)
-    # r13 constant-array literal construction (ndarray / F.lit(list)
-    # instead of element-wise F.array(*F.lit) — constant-folds to the
-    # identical tree; full sf0.01 sweep re-verified 100/100):
-    "embedding_quantize",  # lo/hi bound arrays
-    "text_quality",  # stopword list literal
-    "text_langid",  # per-language stopword lists
-    "quality_gopher",  # stopword_hits signal
-    "corpus_build_end2end",  # gopher_keep leg
-    "convert_suite",  # log-level name table + utf8 input table
+    # r13-changed rows CORRECTNESS_r13 did not reach (its 50-row window
+    # landed elsewhere) — their r13 rewrites are still awaiting a
+    # driver row, so they keep head slots.  The r13 entries the driver
+    # DID re-green at r13 (throttle_modes, decoders, dedup_simhash,
+    # kmeans_clusters, bpe pair, budget_select, embedding_quantize,
+    # text_langid, quality_gopher, ann pair, bm25/token/sketch suites,
+    # jl_project, quantile_thresholds) are released.
+    "embedding_pq",  # r13: batched selectExpr plan build (same trees)
+    "dedup_cluster",  # r13: fused fast-path probe, checkpoint-free
+    "dedup_ngram_jaccard",  # r13: prefix frame materialized once
+    "dsir_importance",  # r13: union-tagged single-job feature fit
+    "dup_span_fraction",  # r13: gram projection ships as SQL text
+    "bucketed_enrich",  # r13: the two bucketed writes overlap
+    "text_quality",  # r13: stopword list literal
+    "corpus_build_end2end",  # r13: gopher_keep join-back + leg literals
 ]
 
 _SWEEP_WINDOW = 50  # rows the driver records per round (observed r2-r4)
@@ -5435,15 +5413,14 @@ def _driver_green_rounds() -> dict[str, int]:
 
 def _reorder_sweep() -> None:
     greens = _driver_green_rounds()
-    newest = max(greens.values(), default=0)
     reg_pos = {k: i for i, k in enumerate(QUERIES)}
-    # a changed query whose green evidence is already from the newest
-    # round has been re-verified post-change: it must not hold a head
-    # slot (a stale list entry would otherwise push a 1-round-old row
-    # out of the window and age it to 2)
+    # a changed query re-greened by a driver round AT OR AFTER the
+    # change round has been re-verified post-change: it must not hold
+    # a head slot (a stale list entry would otherwise push a
+    # 1-round-old row out of the window and age it to 2)
     changed = [
         k for k in _SWEEP_CHANGED
-        if k in QUERIES and greens.get(k, 0) < newest
+        if k in QUERIES and greens.get(k, 0) < _SWEEP_CHANGED_ROUND
     ]
     rest = [k for k in QUERIES if k not in set(changed)]
     # never-verified first (green round 0), then oldest evidence first;
